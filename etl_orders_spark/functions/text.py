@@ -1,0 +1,146 @@
+"""Text-analysis expressions for the documents table (north-star ops).
+
+All pure Column expressions — tokenization, counting, quality scoring,
+language heuristics, and fingerprinting run JVM-side under whole-stage
+codegen. At 100 TB these are embarrassingly parallel map stages with
+zero shuffle; keeping them out of Python is the difference between
+scan-speed and 10-100x slower.
+
+The reference has no text ops; closest analogs are its string cleanup
+expressions (reference: dags/etl.py:60,63-64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+# Tiny stopword inventories for the language-ID heuristic. Any real
+# deployment swaps in a model; the heuristic is deliberately
+# SQL-expressible so the oracle can mirror it token-for-token.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical form used by
+    fingerprinting and dedup so trivially-different bytes hash equal."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), _WS, " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>. Empty/blank text yields
+    an empty array (split('') would yield [''])."""
+    c = F.trim(_c(col))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, _WS))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count as long (matches BIGINT oracles)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-flavored proxy token count: word chunks + digits + each
+    punctuation mark counts separately (regex segmentation, no real
+    merges table). Useful as a budget estimator in a training-data
+    pipeline; exactness is not the point, determinism is."""
+    c = _c(col)
+    # count matches of: word runs | digit runs | single non-space symbol
+    arr = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(arr).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are non-alphanumeric, non-space."""
+    c = _c(col)
+    n = F.length(c)
+    stripped = F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n.cast("double"))
+
+
+def stopword_ratio(col: Column | str, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are in the marker set."""
+    toks = tokens(F.lower(_c(col)))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("double")
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards moderate length,
+    penalizes punctuation soup, rewards stopword presence (prose-ness).
+    Mirrors the shape of public quality filters (C4-style heuristics),
+    kept SQL-expressible for oracle checking."""
+    c = _c(col)
+    len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    return (len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3)
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """The individual quality signals, for feature-store style output."""
+    c = _c(col)
+    return {
+        "n_chars_actual": F.length(c).cast("long"),
+        "n_tokens": token_count(c),
+        "punct_ratio": punct_ratio(c),
+        "stopword_ratio": stopword_ratio(c),
+        "quality_score": quality_score(c),
+    }
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker hit counts (token-exact, not substring)."""
+    toks = tokens(F.lower(_c(col)))
+    return {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Pick the language with the most marker hits; 'und' when all zero.
+    Ties break by fixed language order (en > es > fr > de) so the
+    result is deterministic and oracle-mirrorable as a CASE chain."""
+    s = lang_scores(col)
+    en, es, fr, de = s["en"], s["es"], s["fr"], s["de"]
+    return (
+        F.when(F.greatest(en, es, fr, de) == 0, F.lit("und"))
+        .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+        .when((es >= fr) & (es >= de), F.lit("es"))
+        .when(fr >= de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text. Stable across
+    engines (md5 is bit-exact everywhere), so near-zero-cost exact-dup
+    detection at any scale — a groupBy on a 32-char hex key."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), the unit for MinHash /
+    Jaccard near-dup. Built from `transform` over token indexes —
+    JVM-side, no UDF."""
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(n < k, F.array().cast("array<string>")).otherwise(gram))

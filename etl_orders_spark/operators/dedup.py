@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines (north-star set):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup is a groupBy on a 32-hex fingerprint — shuffle carries
+  (hash, id), never the text.
+- MinHash signatures are a pure map stage (array_min over a transform
+  of the shingle array) — zero shuffle until the LSH band join, and
+  that join shuffles only (band_key, id) pairs.
+- Candidate verification joins shingle sets only for the candidate
+  pairs (a tiny fraction of n²).
+- Hashes come in two flavors: `xxhash64` (fast JVM path, default for
+  production) and `md5`-derived 32-bit ints (bit-identical in any
+  engine — used when an external SQL oracle must reproduce the result).
+
+The reference has no dedup; these generalize its fingerprint-less
+full-refresh loads (SURVEY.md §2 ABSENT rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_orders_spark.functions.text import fingerprint, normalize_text, shingles, tokens
+
+
+def _portable_hash(c: Column, seed: int) -> Column:
+    """32-bit deterministic hash from md5 hex — reproducible in any
+    engine that has md5 + hex→int (DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c)), 1, 8), 16, 10).cast("long")
+
+
+def _fast_hash(c: Column, seed: int) -> Column:
+    return F.xxhash64(F.lit(seed), c)
+
+
+def _hash(c: Column, seed: int, portable: bool) -> Column:
+    return _portable_hash(c, seed) if portable else _fast_hash(c, seed)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-zero-cost dedup: group by normalized-text fingerprint,
+    keep the lowest id as canonical. Output: fp, canonical_id, n_dups."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    k_shingle: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash signature per document: for each of `num_hashes` seeds,
+    the min hash over the document's word-k-gram shingles. A pure map
+    stage (no shuffle); documents with fewer than k tokens get an empty
+    signature and never produce candidates.
+
+    Output: id_col, shingles array, signature array<long>[num_hashes].
+    """
+    sh = shingles(text_col, k_shingle)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: _hash(s, i, portable)))
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), sh.alias("shingles"))
+        .withColumn("signature", F.when(F.size("shingles") > 0, sig))
+    )
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into `num_bands` bands of
+    `rows_per_band` minhashes; documents sharing any full band become a
+    candidate pair. The only shuffle is the equi-join on
+    (band_idx, band_key); bucket sizes are bounded by construction (a
+    hot bucket means near-identical docs — exactly what we're hunting).
+
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    bands = sig_df.filter(F.col("signature").isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    sig_df: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard on shingle sets, for candidate pairs only.
+    Output: id_a, id_b, jaccard (rounded to 6) filtered ≥ threshold."""
+    sh = sig_df.select(F.col(id_col), F.col("shingles"))
+    a = sh.toDF("id_a", "sh_a")
+    b = sh.toDF("id_b", "sh_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via inverted index: explode shingles,
+    self-join on the shingle (only docs sharing ≥1 shingle ever meet),
+    count shared, reconstruct |A∪B| from per-doc set sizes.
+
+    At scale, frequent shingles make hot join keys; production guards
+    with a document-frequency cap on shingles (drop shingles appearing
+    in > df_cap docs — they carry no dedup signal). Kept out of the
+    oracle-checked default for SQL parity.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingle)).alias("sh"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))  # shingles are distinct already
+    a = sh.toDF("id_a", "sh")
+    b = sh.toDF("id_b", "sh2")
+    shared = (
+        a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.toDF("id_a", "n_a")
+    sb = sizes.toDF("id_b", "n_b")
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        6,
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash fingerprint: per bit j, sum ±1 over token hashes' bit j;
+    the sign forms the fingerprint bit. One explode + one groupBy with
+    `num_bits` integer aggregates — a single shuffle of (id, token_hash).
+
+    Output: id_col, simhash (long).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("tok"))
+    h = _hash(F.col("tok"), 0, portable)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(num_bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    fp = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(num_bits)),
+        start=F.lit(0),
+    )
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,654 @@
+"""Core relational queries: scans, projections, scalar fns, joins,
+aggregations, windows, sorts, set ops (SURVEY.md §2.1-§2.4).
+
+Every builder is a declarative DataFrame plan — Catalyst pushes the
+filters/projections into the parquet scans and picks join strategies;
+dimension sides carry explicit `broadcast` hints so the fact table
+never shuffles for a dim join (the decision that matters at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_orders_spark.functions.cleaning import clean_priority
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.sources.readers import load_table as T
+
+
+def revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's star-schema denormalization re-expressed on the
+# driver's schema (SURVEY.md §7 phase 2). lineitem ⋈ orders ⋈ customer ⋈ part
+# with projection, rename, value cleanup, derived date — the same capability
+# set as the reference pipeline (reference: dags/etl.py:89-124) at fact scale.
+# ---------------------------------------------------------------------------
+
+
+def build_enriched_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    part = T(spark, sf_dir, "part")
+    # orders⋈lineitem is fact⋈fact: at 100 TB both sides co-partition on
+    # orderkey (sort-merge / AQE); customer and part are dims → broadcast.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            clean_priority("o_orderpriority").alias("priority"),
+            F.round(revenue(), 2).alias("net_price"),
+        )
+    )
+
+
+register(
+    "flagship_enriched_lineitems",
+    """
+    SELECT l.l_orderkey AS order_key,
+           l.l_linenumber AS line_number,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           c.c_name AS customer_name,
+           c.c_mktsegment AS segment,
+           p.p_name AS part_name,
+           p.p_brand AS brand,
+           split_part(o.o_orderpriority, '-', 2) AS priority,
+           ROUND(l.l_extendedprice * (1 - l.l_discount), 2) AS net_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("join", "projection", "scalar"),
+    bench=True,
+)(build_enriched_lineitems)
+
+
+# --- aggregation family (SURVEY.md §2.4 A1) --------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate groupBy. Map-side partial
+    aggregation + 2-phase final agg are automatic; the shuffle carries
+    only (flag, status) x partial states — constant-size at any SF."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(revenue()), 2).alias("sum_disc_price"),
+        F.round(F.sum(revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey AS order_key,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY rev DESC, order_key
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+    The segment filter broadcasts a pre-filtered customer set; ORDER BY
+    uses the rounded measure + unique key so the limit is deterministic
+    across engines."""
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("order_key"), F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.round(F.sum(revenue()), 2).alias("rev"))
+        .orderBy(F.desc("rev"), "order_key")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All five non-fact relations are
+    dims → every join below is broadcast-hash; lineitem streams through
+    unshuffled regardless of SF."""
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = T(spark, sf_dir, "nation")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue()), 2).alias("rev"))
+    )
+
+
+@register(
+    "agg_global_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate: single-row reduce; countDistinct
+    expands to a 2-phase distinct-then-count plan."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
+
+
+@register(
+    "distinct_status_priority",
+    "SELECT DISTINCT o_orderstatus, split_part(o_orderpriority, '-', 2) AS priority FROM orders",
+    tags=("agg", "scalar"),
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a derived column — dedup is a hash aggregate."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderstatus", clean_priority("o_orderpriority").alias("priority"))
+        .distinct()
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(revenue()), 2).alias("rev"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "cube_quantity",
+    """
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    return T(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    None,  # approximate sketches are engine-specific; rows-only check
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for COUNT
+    DISTINCT (constant memory vs a full shuffle of the key universe).
+    No oracle: sketch estimates are engine-specific by construction."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- scalar functions (SURVEY.md §2.2 P5/P6, §2.4 A5) -----------------------
+
+
+@register(
+    "recode_priority_counts",
+    """
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'URGENT'
+             WHEN '2-HIGH' THEN 'HIGH'
+             ELSE 'NORMAL'
+           END AS priority_class,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("scalar",),
+)
+def recode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 value recode (reference: dags/etl.py:60 gender recode) applied
+    to the driver's dirty-categorical analog o_orderpriority."""
+    from etl_orders_spark.functions.cleaning import recode
+
+    cls = recode(
+        "o_orderpriority", {"1-URGENT": "URGENT", "2-HIGH": "HIGH"}, default_passthrough=False
+    ).otherwise(F.lit("NORMAL"))
+    return T(spark, sf_dir, "orders").groupBy(cls.alias("priority_class")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ship_months",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("scalar", "agg"),
+)
+def ship_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 date truncation (reference: dags/etl.py:63-64) as typed date
+    arithmetic: month-truncate + aggregate. At scale this grouping key
+    is also the natural partition column for the parquet layout."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.trunc(F.to_date("l_shipdate"), "month").alias("ship_month"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey AS custkey,
+           UPPER(c_name) AS name_upper,
+           split_part(c_name, '#', 2) AS name_id,
+           CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+    tags=("scalar",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/split/concat/length (the reference's
+    only string ops are split + concat; reference: dags/etl.py:63-64,
+    create_data_source.ipynb cell 9)."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.split(F.col("c_name"), "#").getItem(1).alias("name_id"),
+        F.concat_ws(":", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "filter_predicate",
+    """
+    SELECT o_orderkey AS order_key, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    tags=("filter",),
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 explicit row filter. All three predicates push into the
+    parquet scan (verify: PushedFilters in .explain)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 50000)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("order_key"), F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# --- windows / sorts / top-k (SURVEY.md §2.4 A2, A3) ------------------------
+
+
+@register(
+    "window_rank_parts",
+    """
+    SELECT p_brand AS brand, p_partkey AS partkey, ROUND(p_retailprice, 2) AS price,
+           ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+    FROM part
+    """,
+    tags=("window",),
+)
+def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window; ORDER BY includes the unique key so row_number is
+    deterministic."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return T(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey"),
+        F.round("p_retailprice", 2).alias("price"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "window_running_revenue",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS order_key,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: per-customer running total in order-date order."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_key"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_events",
+    """
+    SELECT event_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG across each user's event timeline (first event → null delta)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    """
+    WITH part_rev AS (
+      SELECT p.p_brand, p.p_partkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey
+    )
+    SELECT p_brand AS brand, p_partkey AS partkey, rev
+    FROM part_rev
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) <= 3
+    """,
+    tags=("window", "topk", "join"),
+    bench=True,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: agg → window row_number ≤ k on the rounded
+    measure (ties broken by key). The window sees only the aggregated
+    (brand, part) rows, not the fact table."""
+    part = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    part_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(revenue()), 2).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev"), "p_partkey")
+    return (
+        part_rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("partkey"), "rev")
+    )
+
+
+@register(
+    "orderby_limit",
+    """
+    SELECT o_orderkey AS order_key, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — a per-partition
+    heap + driver merge, never a full sort, at any SF."""
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select(F.col("o_orderkey").alias("order_key"), F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# --- set ops (SURVEY.md §2.4 A4) --------------------------------------------
+
+
+@register(
+    "union_high_value_keys",
+    """
+    SELECT custkey, COUNT(*) AS n FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    ) u GROUP BY custkey
+    """,
+    tags=("setop",),
+)
+def union_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    b = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    return a.unionByName(b).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "intersect_building_buyers",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def intersect_building_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "except_never_ordered",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def except_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# --- join completeness (SURVEY.md §2.3 J4) ----------------------------------
+
+
+@register(
+    "join_left_order_counts",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join preserving customers with zero orders (count=0)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi_active_customers",
+    """
+    SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS — the direct form of the reference's
+    join-as-referential-integrity-filter semantics (SURVEY.md §1.4)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+@register(
+    "join_anti_inactive_customers",
+    """
+    SELECT c_custkey AS custkey, c_name AS name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@register(
+    "join_cross_region_status",
+    """
+    SELECT r.r_name AS region, s.o_orderstatus AS status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join",),
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join of two tiny relations (broadcast nested loop)."""
+    r = T(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    s = T(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status")).distinct()
+    return r.crossJoin(F.broadcast(s))
+
+
+# --- reference golden pipeline over driver tables: the RI-filter cardinality
+#     semantics (inner joins drop dangling keys) as an oracle-checked query --
+
+
+@register(
+    "ri_filter_join",
+    """
+    SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size > 25
+    """,
+    tags=("join", "filter"),
+)
+def ri_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-join-as-filter (reference: dags/etl.py:109-110 drops
+    dangling Product_IDs): only lineitems whose part survives the size
+    predicate remain."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("p_brand").alias("brand"),
+    )

@@ -1,0 +1,310 @@
+"""Text-analysis & deduplication queries over `documents` (north-star set).
+
+The oracle SQL for the hash-based operators (MinHash LSH, SimHash) is
+*generated* from the same constants the Spark builders use, with a
+portable hash both engines compute bit-identically:
+    h(seed, s) = int(md5(seed || '|' || s)[:8 hex], 16)
+Spark:  conv(substring(md5(concat('seed|', s)), 1, 8), 16, 10)
+DuckDB: CAST(('0x' || substr(md5('seed|' || s), 1, 8)) AS BIGINT)
+
+That makes even MinHash-LSH near-dup fully oracle-checkable — the
+judge-visible alternative (rows-only) is reserved for genuinely
+engine-specific ops (approximate sketches, streaming state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_orders_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from etl_orders_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    verify_jaccard,
+)
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.sources.readers import load_table as T
+
+# --- shared SQL fragments (DuckDB dialect), kept in lockstep with
+#     functions/text.py ------------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_RAW_TOKENS = (
+    r"CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END"
+)
+_NORM_TOKENS = (
+    rf"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
+    rf"ELSE string_split({_NORM}, ' ') END"
+)
+_LOWER_TOKENS = (
+    r"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
+)
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# 3-gram shingles over normalized tokens, distinct (mirrors text.shingles)
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_NORM_TOKENS}) - 1), "
+    f"i -> {_NORM_TOKENS}[i] || ' ' || {_NORM_TOKENS}[i+1] || ' ' || {_NORM_TOKENS}[i+2]))"
+)
+
+
+def _sql_hash(seed: int, expr: str) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}|' || {expr}), 1, 8)) AS BIGINT)"
+
+
+def _sql_in_list(markers: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{m}'" for m in markers) + ")"
+
+
+def _sql_lang_hits(lang: str) -> str:
+    return f"CAST(len(list_filter({_LOWER_TOKENS}, t -> t IN {_sql_in_list(LANG_MARKERS[lang])})) AS BIGINT)"
+
+
+_PUNCT_RATIO = (
+    r"CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    r"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))"
+    r" / CAST(length(text) AS DOUBLE) END"
+)
+_N_TOKENS = f"CAST(len({_RAW_TOKENS}) AS BIGINT)"
+_STOP_RATIO = (
+    f"CASE WHEN len({_LOWER_TOKENS}) = 0 THEN 0.0 ELSE "
+    f"CAST(len(list_filter({_LOWER_TOKENS}, t -> t IN {_sql_in_list(LANG_MARKERS['en'])})) AS DOUBLE)"
+    f" / CAST(len({_LOWER_TOKENS}) AS DOUBLE) END"
+)
+_QUALITY = (
+    f"least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4"
+    f" + (1.0 - least(({_PUNCT_RATIO}) * 4.0, 1.0)) * 0.3"
+    f" + least(({_STOP_RATIO}) * 5.0, 1.0) * 0.3"
+)
+
+# --- queries ----------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprints",
+    f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over lowercased whitespace-collapsed
+    text — a pure map stage; the dedup key at any scale."""
+    return T(spark, sf_dir, "documents").select("doc_id", fingerprint("text").alias("fp"))
+
+
+@register(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_NORM}) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags=("text", "dedup"),
+    bench=True,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, lowest doc_id is
+    canonical. Shuffle carries (32-hex, id) only — never the text."""
+    return exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           {_N_TOKENS} AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish token counting — the budget estimators of
+    a training-data pipeline, as pure expressions."""
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_by_lang",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG({_N_TOKENS}), 2) AS avg_tokens,
+           ROUND(AVG({_PUNCT_RATIO}), 4) AS avg_punct_ratio,
+           ROUND(AVG({_QUALITY}), 4) AS avg_quality
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "agg"),
+    bench=True,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring rollup (C4-style heuristics) per labeled lang."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
+        F.round(F.avg(punct_ratio("text")), 4).alias("avg_punct_ratio"),
+        F.round(F.avg(quality_score("text")), 4).alias("avg_quality"),
+    )
+
+
+def _lang_case_sql() -> str:
+    hits = {lang: _sql_lang_hits(lang) for lang in LANG_MARKERS}
+    en, es, fr, de = hits["en"], hits["es"], hits["fr"], hits["de"]
+    return (
+        f"CASE WHEN greatest({en}, {es}, {fr}, {de}) = 0 THEN 'und' "
+        f"WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} THEN 'en' "
+        f"WHEN {es} >= {fr} AND {es} >= {de} THEN 'es' "
+        f"WHEN {fr} >= {de} THEN 'fr' ELSE 'de' END"
+    )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {_lang_case_sql()} AS lang_pred, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("text",),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker voting) evaluated as a
+    confusion table against the labeled lang column."""
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", lang_id("text").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_JACCARD_THRESHOLD = 0.2
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+          >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("text", "dedup"),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard ≥ τ via inverted shingle index — only
+    docs sharing a shingle ever meet in the join."""
+    return ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, threshold=_JACCARD_THRESHOLD
+    )
+
+
+_MINHASH_N = 16
+_BANDS, _ROWS_PER_BAND = 4, 4
+_MINHASH_TAU = 0.2
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_hash(i, 's')}))" for i in range(_MINHASH_N)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"x.signature[{b * _ROWS_PER_BAND + r + 1}] = y.signature[{b * _ROWS_PER_BAND + r + 1}]"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+    ), sig AS (
+      SELECT doc_id, shingles, [{sig_exprs}] AS signature
+      FROM sh WHERE len(shingles) > 0
+    ), cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             len(list_intersect(x.shingles, y.shingles)) AS n_inter,
+             len(x.shingles) AS n_a, len(y.shingles) AS n_b
+      FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      WHERE {band_conds}
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+    FROM cand
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6) >= {_MINHASH_TAU}
+    """
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_oracle(),
+    tags=("text", "dedup", "lsh"),
+    bench=True,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) near-dup: signature is a map
+    stage, banding join only shuffles (band_key, id), exact Jaccard runs
+    on surviving candidates only. The full scale path for near-dedup."""
+    docs = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=True)
+    cands = minhash_lsh_candidates(sigs, "doc_id", _BANDS, _ROWS_PER_BAND)
+    return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
+
+
+def _simhash_oracle(num_bits: int = 32) -> str:
+    bit_aggs = ", ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(num_bits)
+    )
+    packed = " + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(num_bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_NORM_TOKENS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_hash(0, "tok")} AS th FROM tok
+    ), bits AS (
+      SELECT doc_id, {bit_aggs} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register(
+    "simhash_docs",
+    _simhash_oracle(),
+    tags=("text", "dedup"),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: one explode + one groupBy with 32
+    integer aggregates — a single shuffle of (id, token_hash)."""
+    return simhash(T(spark, sf_dir, "documents"), "doc_id", "text", num_bits=32, portable=True)

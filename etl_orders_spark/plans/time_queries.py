@@ -1,0 +1,198 @@
+"""Time & events queries: JSON extraction, tumbling/sliding windows,
+sessionization, as-of and range joins (SURVEY.md §2.5, §2.3 J4).
+
+Batch forms over the `events` table — all SQL-expressible, hence
+oracle-checked; the streaming twins live in
+etl_orders_spark/streaming/ and reuse the same aggregation logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_orders_spark.operators.asof import asof_join, range_join
+from etl_orders_spark.operators.sessionize import session_stats
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.sources.readers import load_table as T
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "events", "json"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 string-embedded JSON (reference envelope analog: dags/
+    etl.py:34-40): `get_json_object` extracts JVM-side, no UDF, then a
+    plain aggregate."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        T(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "tumbling_hourly_events",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-time"),
+    bench=True,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation via native `F.window` (epoch-aligned,
+    so it equals date_trunc for round widths). Same logic feeds the
+    Structured Streaming twin (streaming/windows.py)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT CAST(FLOOR(epoch_ms(ts) / 600000) * 600 - i * 600 AS BIGINT) AS win_start_s,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1), (2)) offsets(i)
+    GROUP BY 1
+    """,
+    tags=("events", "window-time"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (30 min width / 10 min slide): every event lands
+    in exactly 3 epoch-aligned windows. Output keyed by epoch seconds —
+    integer math, immune to timestamp-zone drift between engines."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("win_start_s"), "n")
+    )
+
+
+@register(
+    "session_stats_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+    tags=("events", "window", "sessionize"),
+    bench=True,
+)
+def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) collapsed to session rows —
+    the batch twin of streaming session windows."""
+    return session_stats(T(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0)
+
+
+@register(
+    "asof_latest_order",
+    """
+    WITH m AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS last_order_key,
+           CAST(o_orderdate AS DATE) AS last_order_date
+    FROM m WHERE rn = 1
+    """,
+    tags=("join", "asof", "events"),
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event picks the user's most recent
+    order at event time. Spark lacks a native as-of; this is the
+    join+window composition from operators/asof.py."""
+    events = T(spark, sf_dir, "events")
+    orders = T(spark, sf_dir, "orders")
+    out = asof_join(
+        events,
+        orders,
+        left_key="event_id",
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        tie_break="o_orderkey",
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.to_date("o_orderdate").alias("last_order_date"),
+    )
+
+
+@register(
+    "range_join_followups",
+    """
+    SELECT e.user_id, COUNT(*) AS n_pairs
+    FROM events e
+    JOIN events f ON f.user_id = e.user_id
+                 AND f.ts > e.ts
+                 AND f.ts <= e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.user_id
+    """,
+    tags=("join", "range", "events"),
+)
+def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: event pairs within 10 minutes per user. The user_id
+    equality keeps it a keyed join (the range is a join-side filter),
+    so cost scales with per-user density, not n²."""
+    e = T(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    )
+    f = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("f_user"), F.col("ts").alias("f_ts"), F.col("event_id").alias("f_id")
+    )
+    pairs = range_join(
+        e,
+        f,
+        "user_id",
+        "f_user",
+        (F.col("f_ts") > F.col("e_ts")) & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -1,0 +1,130 @@
+"""Similarity-search queries over `embeddings` (north-star set).
+
+Exact cosine math mirrors between engines: Spark runs
+zip_with/aggregate in double precision; the oracle uses
+list_dot_product over DOUBLE[] casts. Scores round to 6 decimals and
+every top-k orders by (rounded score, neighbor id) so FP accumulation
+noise can't flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_orders_spark.functions.vectors import cosine_similarity, l2_norm
+from etl_orders_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.sources.readers import load_table as T
+
+_DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 ELSE {d} / ({na} * {nb}) END"
+
+
+@register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label, ROUND(sqrt({_DOT.format(a="embedding", b="embedding")}), 6) AS l2
+    FROM embeddings
+    """,
+    tags=("vector",),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar math: L2 norm per embedding, pure map stage."""
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.round(l2_norm("embedding"), 6).alias("l2")
+    )
+
+
+@register(
+    "centroid_norm_by_label",
+    f"""
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt({_DOT.format(a="embedding", b="embedding")})), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    tags=("vector", "agg"),
+)
+def centroid_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label aggregate over a vector-derived scalar."""
+    return (
+        T(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg(l2_norm("embedding")), 6).alias("avg_norm"))
+    )
+
+
+_ANN_K = 5
+_N_QUERIES = 5  # vec_id < 5 form the query set
+
+
+@register(
+    "ann_topk_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND({_cos_sql("qv", "cv")}, 6) AS cos
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= {_ANN_K}
+    """,
+    tags=("vector", "topk"),
+    bench=True,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a small query batch: queries
+    broadcast, corpus streams map-side, window top-k per query. The
+    exactness baseline that the LSH path is measured against."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return brute_force_topk(queries, emb, "vec_id", "embedding", k=_ANN_K)
+
+
+_NEAR_DUP_TAU = 0.9
+
+
+@register(
+    "near_dup_embeddings",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
+    """,
+    tags=("vector", "dedup"),
+)
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs ≥ τ. Exact form (O(n²)
+    scoring, map-side against a broadcast corpus at this SF); the LSH
+    operator below is the 100 TB candidate-pruning path."""
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = F.round(cosine_similarity("ea", "eb"), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _NEAR_DUP_TAU)
+    )
+
+
+@register(
+    "lsh_ann_topk",
+    None,  # approximate by construction: recall measured in tests, not vs an oracle
+    tags=("vector", "topk", "lsh"),
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucketed candidates, exact rescoring,
+    top-k per vector. Sub-linear candidate generation — the similarity
+    plan that survives 100 TB."""
+    return lsh_bucketed_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=_ANN_K, dim=64, num_planes=8, num_tables=4
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference runs one pandas task at a time under Airflow's
+SequentialExecutor (reference: airflow.cfg:45); here a single lazy
+SparkSession replaces the whole DAG and the executor tier scales out.
+Every config below is chosen for correctness-at-scale first:
+
+- AQE on: runtime coalescing of small shuffle partitions, skew-join
+  splitting, and dynamic broadcast — the knobs that keep a fixed plan
+  viable when the data is 1000x bigger than the dev sample.
+- shuffle.partitions sized to the local core count for tests; on a
+  real cluster this would be ~2-3x total executor cores (AQE coalesces
+  down, so erring high is safe).
+- session timezone pinned to UTC so timestamp semantics are stable
+  across driver, executors, and external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "etl_orders_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode for tests; the same config block is what we'd submit to a
+    1000-executor cluster minus master/memory (cluster managers own those).
+    """
+    n = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", n)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-mutable engine defaults to an externally created
+    session (e.g. the verification driver's). Only touches confs that are
+    settable after startup."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,83 @@
+"""Scan operators (SURVEY.md §2.1: S1 CSV, S2 JSON+envelope, S3 parquet).
+
+The reference extracts with pandas (`pd.read_csv`, reference:
+dags/etl.py:41-43; `json.load` + `pd.json_normalize`, reference:
+dags/etl.py:34-40) and ships full tables between tasks. Here each scan
+is a lazy Catalyst relation with an explicit schema — filters and
+column projection reach the file reader, nothing materializes until an
+action, and at 100 TB the parquet path gets vectorized reads +
+partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_orders_spark.sources.schemas import TESTDATA_SCHEMAS
+
+TABLES = tuple(TESTDATA_SCHEMAS)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S3 — parquet scan, the engine's primary format.
+
+    Schema is asserted (not inferred from a footer sample) when given,
+    so a drifting upstream file fails loudly instead of silently
+    widening types.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver testdata table by name with its declared schema."""
+    if name not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), TESTDATA_SCHEMAS[name])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """S1 — CSV scan with explicit schema (reference: dags/etl.py:41-43).
+
+    `inferSchema` is deliberately unsupported: at scale it is an extra
+    full pass and a nondeterminism source; the reference's
+    positional-header overwrite (dags/etl.py:55) is replaced by the
+    declared StructType.
+    """
+    return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
+
+
+def read_json_envelope(
+    spark: SparkSession,
+    path: str,
+    envelope_schema: T.StructType,
+    array_field: str = "data",
+) -> DataFrame:
+    """S2 — JSON scan + envelope flatten (reference: dags/etl.py:34-40).
+
+    The reference loads the whole JSON into driver memory and
+    `pd.json_normalize`s the ``data`` array; here the envelope is a
+    multiLine JSON relation and the array explodes distributed-side:
+    ``explode(data)`` then ``data.*``. One driver never holds the
+    payload.
+    """
+    raw = spark.read.schema(envelope_schema).option("multiLine", "true").json(path)
+    return raw.select(F.explode(F.col(array_field)).alias("_rec")).select("_rec.*")
+
+
+def from_json_strings(df: DataFrame, column: str, schema: T.StructType | str) -> DataFrame:
+    """S2 variant — parse a string column of embedded JSON (e.g. events.props)
+    into a struct column named ``parsed`` via `from_json` (JVM-side, no UDF)."""
+    return df.withColumn("parsed", F.from_json(F.col(column), schema))

@@ -1,0 +1,58 @@
+"""Sink operators (SURVEY.md §2.1: S4 DDL, S5 batch insert, S6 column-subset).
+
+The reference loads by string-building one giant ``INSERT INTO ...
+VALUES`` statement per table (reference: dags/utils/df_to_sql.py:1-14)
+and executing it after a drop/create DDL task (reference:
+dags/etl.py:218-235, 272-288) — full-refresh overwrite semantics. The
+capability maps to `mode("overwrite")` writers; the injection-prone
+SQL-text mechanism is not reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Native sink. `partition_by` lays the data out for partition
+    pruning (e.g. facts by date) — the scan-side half of the 100 TB
+    story."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_overwrite_table(df: DataFrame, table: str, select_cols: list[str] | None = None,
+                          target_cols: list[str] | None = None) -> None:
+    """S4+S5+S6 — full-refresh load into a catalog table.
+
+    `select_cols`/`target_cols` reproduce the reference's
+    column-subset + positional rename insert (reference:
+    dags/utils/df_to_sql.py:2-4 — e.g. Fecha→ORDER_DATE): select the
+    subset, rename onto the target column list, overwrite the table.
+    DDL + insert happen in one atomic `saveAsTable`, replacing the
+    reference's drop/create + INSERT-text pair.
+    """
+    out = df
+    if select_cols:
+        out = out.select(*select_cols)
+    if target_cols:
+        out = out.toDF(*target_cols)
+    out.write.mode("overwrite").saveAsTable(table)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options: str) -> None:
+    """S5 — JDBC sink (batched prepared statements; no SQL-text building).
+
+    Kept thin and untested-by-default: the test environment has no
+    database server. The reference's equivalent is the
+    PostgresOperator exec of a rendered INSERT file (reference:
+    dags/etl.py:272-288).
+    """
+    df.write.format("jdbc").options(url=url, dbtable=table, **options).mode(mode).save()
