@@ -101,11 +101,18 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+def _marker_hits(markers: tuple[str, ...]):
+    """Closure factory keeping the F.filter lambda single-argument: a
+    2-param lambda (even with a default) is treated by PySpark as the
+    (element, index) form, binding the default to the index Column."""
+    return lambda t: t.isin(*markers)
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language marker hit counts (token-exact, not substring)."""
     toks = tokens(F.lower(_c(col)))
     return {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))).cast("long")
+        lang: F.size(F.filter(toks, _marker_hits(markers))).cast("long")
         for lang, markers in LANG_MARKERS.items()
     }
 

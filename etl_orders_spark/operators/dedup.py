@@ -65,12 +65,14 @@ def minhash_signatures(
     Output: id_col, shingles array, signature array<long>[num_hashes].
     """
     sh = shingles(text_col, k_shingle)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: _hash(s, i, portable)))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def _min_hash(seed: int) -> Column:
+        # closure factory: the transform lambda must stay single-argument
+        # (a 2-param lambda is PySpark's (element, index) form — a default
+        # arg would silently bind the seed to the index Column)
+        return F.array_min(F.transform(F.col("shingles"), lambda s: _hash(s, seed, portable)))
+
+    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
     return (
         df.select(F.col(id_col), sh.alias("shingles"))
         .withColumn("signature", F.when(F.size("shingles") > 0, sig))

@@ -49,7 +49,10 @@ def build_enriched_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_name").alias("part_name"),
             F.col("p_brand").alias("brand"),
             clean_priority("o_orderpriority").alias("priority"),
-            F.round(revenue(), 2).alias("net_price"),
+            # integer cents via floor(x*100 + 0.5): bit-identical in any
+            # engine (Spark ROUND is HALF_UP on the binary double, DuckDB
+            # rounds half-to-even — per-row ROUND(x,2) diverges on .xx5)
+            F.floor(revenue() * 100 + F.lit(0.5)).cast("long").alias("net_price_cents"),
         )
     )
 
@@ -65,7 +68,7 @@ register(
            p.p_name AS part_name,
            p.p_brand AS brand,
            split_part(o.o_orderpriority, '-', 2) AS priority,
-           ROUND(l.l_extendedprice * (1 - l.l_discount), 2) AS net_price
+           CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS net_price_cents
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -433,7 +436,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_events",
     """
     SELECT event_id,
-           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id), 2) AS delta
     FROM events
     """,
     tags=("window", "events"),
@@ -550,9 +553,12 @@ def intersect_building_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def except_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EXCEPT = subtract (set semantics): removes every left row with
+    a match in the right, then dedups — unlike exceptAll().distinct(),
+    which leaves multiplicity differences behind."""
     a = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     b = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 # --- join completeness (SURVEY.md §2.3 J4) ----------------------------------

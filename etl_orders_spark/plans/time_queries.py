@@ -49,7 +49,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tumbling_hourly_events",
     """
-    SELECT date_trunc('hour', ts) AS hour_start,
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
            event_type,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS total_value
@@ -74,7 +74,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sliding_window_counts",
     """
-    SELECT CAST(FLOOR(epoch_ms(ts) / 600000) * 600 - i * 600 AS BIGINT) AS win_start_s,
+    SELECT CAST(FLOOR(epoch_ms(CAST(ts AS TIMESTAMP)) / 600000) * 600 - i * 600 AS BIGINT) AS win_start_s,
            COUNT(*) AS n
     FROM events CROSS JOIN (VALUES (0), (1), (2)) offsets(i)
     GROUP BY 1
@@ -96,12 +96,14 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "session_stats_events",
     """
-    WITH flagged AS (
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
                        OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts,
@@ -133,7 +135,7 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY e.event_id
                                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
       FROM events e
-      LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
     )
     SELECT event_id, user_id, o_orderkey AS last_order_key,
            CAST(o_orderdate AS DATE) AS last_order_date
@@ -172,8 +174,8 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.user_id, COUNT(*) AS n_pairs
     FROM events e
     JOIN events f ON f.user_id = e.user_id
-                 AND f.ts > e.ts
-                 AND f.ts <= e.ts + INTERVAL 10 MINUTE
+                 AND CAST(f.ts AS TIMESTAMP) > CAST(e.ts AS TIMESTAMP)
+                 AND CAST(f.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
     GROUP BY e.user_id
     """,
     tags=("join", "range", "events"),

@@ -39,6 +39,10 @@ def get_spark(app_name: str = "etl_orders_spark", cpus: str | int | None = None)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark
+        # cannot read that into TimestampType — read as long, convert in
+        # load_table (sources/readers.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -55,4 +59,5 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     settable after startup."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -36,10 +36,20 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver testdata table by name with its declared schema."""
+    """Load a driver testdata table by name with its declared schema.
+
+    `events.ts` is stored as INT64 TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects as TimestampType; with `spark.sql.legacy.parquet.
+    nanosAsLong=true` it scans as long and is converted here to a
+    microsecond timestamp (`ts div 1000` — integer division, matching
+    DuckDB's truncating TIMESTAMP_NS→TIMESTAMP cast).
+    """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), TESTDATA_SCHEMAS[name])
+    df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), TESTDATA_SCHEMAS[name])
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_csv(

@@ -82,7 +82,9 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            # stored as INT64 TIMESTAMP(NANOS); read via nanosAsLong and
+            # converted to a real timestamp in load_table
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
