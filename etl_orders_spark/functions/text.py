@@ -141,13 +141,19 @@ def fingerprint(col: Column | str) -> Column:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct), the unit for MinHash /
-    Jaccard near-dup. Built from `transform` over token indexes —
-    JVM-side, no UDF."""
+    Jaccard near-dup. JVM-side, no UDF.
+
+    Built by zipping k shifted slices of the token array rather than
+    `element_at` lookups inside a transform: higher-order-function
+    lambdas are interpreted, so an `element_at(toks, i)` per gram
+    re-evaluates the whole tokenization expression per element —
+    O(k·n_grams) tokenizations per row (measured 18s for 5k docs at
+    sf0.1). Slices evaluate `toks` O(k) times per row instead.
+    """
     toks = tokens(normalize_text(col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
-    )
-    return F.array_distinct(F.when(n < k, F.array().cast("array<string>")).otherwise(gram))
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, n_grams) for j in range(k)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.zip_with(gram, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(gram)

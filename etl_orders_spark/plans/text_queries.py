@@ -270,14 +270,35 @@ def _minhash_oracle() -> str:
     "minhash_lsh_pairs",
     _minhash_oracle(),
     tags=("text", "dedup", "lsh"),
-    bench=True,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands x 4 rows) near-dup: signature is a map
     stage, banding join only shuffles (band_key, id), exact Jaccard runs
-    on surviving candidates only. The full scale path for near-dedup."""
+    on surviving candidates only. This portable-md5 variant exists so an
+    external SQL oracle can reproduce every hash bit-identically; the
+    production/bench path is `minhash_lsh_pairs_fast` (xxhash64)."""
     docs = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=True)
+    # signatures fan out to the band join AND the verify join; persist so
+    # the lineage isn't recomputed 3x (at 100 TB: stage to parquet instead)
+    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=True).persist()
+    cands = minhash_lsh_candidates(sigs, "doc_id", _BANDS, _ROWS_PER_BAND)
+    return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
+
+
+@register(
+    "minhash_lsh_pairs_fast",
+    None,  # xxhash64 has no cross-engine twin; rows-only check (the
+    # portable variant above carries the full oracle for the same logic)
+    tags=("text", "dedup", "lsh"),
+    bench=True,
+)
+def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH: identical plan to `minhash_lsh_pairs` but
+    hashes via JVM xxhash64 (one codegen'd call per shingle/seed instead
+    of md5→substring→conv string machinery — the difference between
+    scan-bound and string-CPU-bound at 100 TB)."""
+    docs = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=False).persist()
     cands = minhash_lsh_candidates(sigs, "doc_id", _BANDS, _ROWS_PER_BAND)
     return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
 
