@@ -81,6 +81,61 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     return sum(bits[1:], start=bits[0]).cast("long")
 
 
+def near_dup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """All pairs with cosine ≥ τ via LSH-bucketed candidates + exact
+    rescore — the scale-safe form of the O(n²) all-pairs join (which
+    plans a BroadcastNestedLoopJoin and dies at 100 TB).
+
+    Miss probability for a true pair at cosine ≥ τ is
+    (1-(1-θ/π)^planes)^tables with θ=arccos(τ): for τ=0.9,
+    planes=4, tables=16 it is ~4e-6 — tight enough that the exact
+    all-pairs oracle still matches; raise `num_tables` to push it
+    further. Output: id_a < id_b, cos (rounded 6).
+    """
+    tables = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + t)
+        tables.append(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_vec"),
+                F.lit(t).alias("_table"),
+                _bucket_expr(vec_col, planes).alias("_bucket"),
+            )
+        )
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+    a = buckets.select("_table", "_bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("ea"))
+    b = buckets.select(
+        F.col("_table").alias("_t2"),
+        F.col("_bucket").alias("_b2"),
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("eb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("_table") == F.col("_t2"))
+            & (F.col("_bucket") == F.col("_b2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "ea", "eb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(cosine_similarity("ea", "eb"), 6)
+    return cand.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= tau)
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     id_col: str,

