@@ -61,13 +61,13 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling window aggregation via native `F.window` (epoch-aligned,
-    so it equals date_trunc for round widths). Same logic feeds the
-    Structured Streaming twin (streaming/windows.py)."""
-    return (
-        T(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total_value")
+    so it equals date_trunc for round widths). The builder is shared
+    with the Structured Streaming twin (streaming/windows.py) — one
+    definition, two execution modes."""
+    from etl_orders_spark.streaming.windows import tumbling_agg
+
+    return tumbling_agg(T(spark, sf_dir, "events"), "1 hour").withColumnRenamed(
+        "win_start", "hour_start"
     )
 
 
@@ -84,13 +84,11 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (30 min width / 10 min slide): every event lands
     in exactly 3 epoch-aligned windows. Output keyed by epoch seconds —
-    integer math, immune to timestamp-zone drift between engines."""
-    return (
-        T(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").cast("long").alias("win_start_s"), "n")
-    )
+    integer math, immune to timestamp-zone drift between engines.
+    Shared builder with the streaming twin (streaming/windows.py)."""
+    from etl_orders_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(T(spark, sf_dir, "events"), "30 minutes", "10 minutes")
 
 
 @register(

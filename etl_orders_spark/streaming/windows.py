@@ -1,0 +1,124 @@
+"""Windowed aggregation builders shared by batch and streaming.
+
+Each builder takes an events-shaped DataFrame (``ts timestamp,
+event_type string, user_id long, value double, ...``) that may be a
+batch relation or a streaming relation — the logical plan is
+identical; only the sink differs. Batch `plans/time_queries.py`
+queries call the same functions, which is what makes the streaming
+twins testable by equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    """Watermarks only apply to streaming relations; on batch input they
+    are a no-op guard so one builder serves both modes."""
+    if watermark is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling window per event_type: count + rounded value sum.
+    Epoch-aligned windows, so batch output equals date_trunc semantics
+    for round widths."""
+    df = _with_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding window counts (each event lands in width/slide windows)."""
+    df = _with_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("win_start_s"), "n")
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows (`F.session_window`): a session extends
+    while successive events arrive within `gap`.
+
+    Boundary semantics vs the batch lag-based sessionize
+    (operators/sessionize.py): an event exactly `gap` after the
+    previous one starts a NEW session here (windows are half-open
+    [start, last+gap)), while the batch form keeps it (`> gap` test) —
+    equivalence holds for data without exact-boundary gaps.
+    """
+    df = _with_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming dedup with bounded state:
+    `dropDuplicatesWithinWatermark` expires dedup state past the
+    watermark — the only dedup form whose state survives an unbounded
+    stream. Batch input falls back to plain dropDuplicates (same
+    result on finite data)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def run_available_now_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: float = 120.0,
+) -> None:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.AvailableNow) into an in-memory table named `query_name`,
+    blocking until the stream drains. The incremental-batch analog of
+    the reference's daily catchup=False schedule (reference:
+    dags/etl.py:152-154)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {query_name!r} did not drain in {timeout_s}s")

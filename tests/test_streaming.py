@@ -1,0 +1,89 @@
+"""Streaming twins: Trigger.AvailableNow round-trips must equal the
+batch forms of the same builders (SURVEY.md §2.5 phase 7)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from etl_orders_spark.streaming import (
+    dedup_within_watermark,
+    run_available_now_to_memory,
+    session_window_stats,
+    sliding_counts,
+    tumbling_agg,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+ROWS = [
+    (1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    (2, ts("2024-01-01 10:15:00"), 1, "click", 2.0),
+    (3, ts("2024-01-01 11:05:00"), 1, "view", 3.0),
+    (4, ts("2024-01-01 10:20:00"), 2, "click", 4.0),
+    (5, ts("2024-01-01 12:50:00"), 2, "view", 5.0),
+    (5, ts("2024-01-01 12:50:00"), 2, "view", 5.0),  # duplicate event_id
+]
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("events_stream") / "events")
+    spark.createDataFrame(ROWS, SCHEMA).write.mode("overwrite").parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, events_dir):
+    return spark.read.schema(SCHEMA).parquet(events_dir)
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, events_dir):
+    df = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    assert df.isStreaming
+    return df
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events, stream_events):
+    run_available_now_to_memory(tumbling_agg(stream_events), "t_tumbling")
+    got = _rows(spark.table("t_tumbling"), "win_start", "event_type", "n", "total_value")
+    want = _rows(tumbling_agg(batch_events), "win_start", "event_type", "n", "total_value")
+    assert got == want and len(want) >= 3
+
+
+def test_sliding_stream_equals_batch(spark, batch_events, stream_events):
+    run_available_now_to_memory(sliding_counts(stream_events), "t_sliding")
+    got = _rows(spark.table("t_sliding"), "win_start_s", "n")
+    want = _rows(sliding_counts(batch_events), "win_start_s", "n")
+    assert got == want
+    # 30min/10min: every event is in exactly 3 windows
+    assert sum(n for _, n in want) == 3 * len(ROWS)
+
+
+def test_session_window_stream_equals_batch(spark, batch_events, stream_events):
+    run_available_now_to_memory(session_window_stats(stream_events), "t_session")
+    got = _rows(spark.table("t_session"), "user_id", "session_start", "session_end", "n_events")
+    want = _rows(session_window_stats(batch_events), "user_id", "session_start", "session_end", "n_events")
+    assert got == want
+    # user 1: events at 10:05/10:15 merge (gap 10m < 30m), 11:05 starts anew
+    by_user = [r for r in want if r[0] == 1]
+    assert [r[3] for r in by_user] == [2, 1]
+
+
+def test_dedup_within_watermark_stream(spark, stream_events, batch_events):
+    run_available_now_to_memory(
+        dedup_within_watermark(stream_events, ["event_id"]), "t_dedup", output_mode="append"
+    )
+    assert spark.table("t_dedup").count() == 5  # 6 rows, one duplicate id
+    assert dedup_within_watermark(batch_events, ["event_id"]).count() == 5
