@@ -1,0 +1,139 @@
+"""Media operators: decode (stubbed codec), byte-level feature
+extraction, frame sampling — Arrow-batched pandas over mapInPandas.
+
+Every function here keeps the 100 TB contract: content bytes cross the
+Arrow boundary once per partition batch, Python handles whole columns
+(numpy over concatenated buffers), and outputs are narrow typed rows —
+no per-row UDF calls, no driver collection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def _decode_pixels(content: bytes, fmt: str):  # pragma: no cover - env-gated
+    """Real pixel decode — requires an image codec library, which this
+    container does not ship. The Spark-side plumbing around it (schema,
+    Arrow batching, partitioning) is real and tested via the byte-level
+    paths below."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "pixel decode needs an image codec (PIL/libvips); not available in this environment"
+        ) from e
+    import io
+
+    import PIL.Image as Image
+
+    return Image.open(io.BytesIO(content))
+
+
+MEDIA_STATS_SCHEMA = (
+    "media_id long, kind string, n_bytes long, mean_byte double, byte_entropy double"
+)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Byte-level feature extraction per media row: size, mean byte
+    value, Shannon entropy of the byte histogram. Deterministic and
+    codec-free — the feature-store stage of a media pipeline."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                arr = np.frombuffer(content, dtype=np.uint8)
+                if arr.size == 0:
+                    out.append((mid, kind, 0, 0.0, 0.0))
+                    continue
+                hist = np.bincount(arr, minlength=256).astype(np.float64)
+                p = hist[hist > 0] / arr.size
+                entropy = float(-(p * np.log2(p)).sum())
+                out.append((mid, kind, int(arr.size), float(arr.mean()), entropy))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "n_bytes", "mean_byte", "byte_entropy"]
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(batches, MEDIA_STATS_SCHEMA)
+
+
+def media_fingerprints(media: DataFrame) -> DataFrame:
+    """Exact-dup fingerprint over content bytes — pure JVM (md5 on
+    binary), no Python at all; the dedup key for media at any scale."""
+    return media.select(
+        "media_id", "kind", F.md5("content").alias("fp"), F.length("content").alias("n_bytes")
+    )
+
+
+DECODED_SCHEMA = "media_id long, width int, height int, n_pixels long, decoded boolean"
+
+
+def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode stage for image rows. With no codec in the environment:
+    strict=True raises NotImplementedError inside the worker (the
+    honest failure); strict=False emits metadata-derived shape rows
+    with decoded=false — keeping downstream plumbing exercisable."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                if strict:
+                    _decode_pixels(content, "png")  # raises: no codec available
+                w = int(w) if pd.notna(w) else 0
+                h = int(h) if pd.notna(h) else 0
+                rows.append((mid, w, h, w * h, False))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_pixels", "decoded"]
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "content", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return imgs.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms long, frame_bytes binary"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 32) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled
+    timestamp. Without a codec the frame payload is a deterministic
+    byte slice keyed by the frame index (clearly fake pixels, real
+    fan-out shape: this is the explode that multiplies row counts at
+    scale, so it must stream through Arrow batches, never the driver).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content, dur in zip(pdf["media_id"], pdf["content"], pdf["duration_ms"]):
+                n = min(int(dur) // every_ms + 1, max_frames) if pd.notna(dur) else 0
+                step = max(1, len(content) // max(n, 1))
+                for i in range(n):
+                    sl = content[i * step : i * step + 16]
+                    rows.append((mid, i, i * every_ms, bytes(sl)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ms", "frame_bytes"])
+
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(batches, FRAME_SCHEMA)
