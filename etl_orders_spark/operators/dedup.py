@@ -151,20 +151,34 @@ def ngram_jaccard_pairs(
     text_col: str,
     k_shingle: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via inverted index: explode shingles,
     self-join on the shingle (only docs sharing ≥1 shingle ever meet),
     count shared, reconstruct |A∪B| from per-doc set sizes.
 
-    At scale, frequent shingles make hot join keys; production guards
-    with a document-frequency cap on shingles (drop shingles appearing
-    in > df_cap docs — they carry no dedup signal). Kept out of the
-    oracle-checked default for SQL parity.
+    `df_cap` is the scale guard: shingles appearing in more than
+    `df_cap` documents are dropped from the *join index only* (hot
+    stopword-ish shingles make skewed join keys and carry no dedup
+    signal), while |A| and |B| still count every shingle. The exact
+    Jaccard of a pair is therefore UNDER-counted iff a capped shingle
+    was shared — pairs found keep exact-enough scores, and a pair
+    missed entirely must share only ultra-common shingles (which means
+    it was never a near-dup). None = exact (the oracle-checked form).
     """
     sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingle)).alias("sh"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))  # shingles are distinct already
-    a = sh.toDF("id_a", "sh")
-    b = sh.toDF("id_b", "sh2")
+    joinable = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("sh")
+        )
+        joinable = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = joinable.select(F.col("_id").alias("id_a"), "sh")
+    b = joinable.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh2"))
     shared = (
         a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")

@@ -228,6 +228,23 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_jaccard_pairs_capped",
+    None,  # approximate under the cap by design; equality with the exact
+    # form on the fixture corpus is pinned in tests/test_dedup.py
+    tags=("text", "dedup"),
+)
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: same inverted index with a document-frequency cap on
+    join shingles — hot stopword-ish shingles (skewed join keys at
+    100 TB) never enter the self-join. Set sizes still count every
+    shingle, so surviving pairs keep near-exact scores."""
+    return ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        k_shingle=3, threshold=_JACCARD_THRESHOLD, df_cap=50,
+    )
+
+
 _MINHASH_N = 16
 _BANDS, _ROWS_PER_BAND = 4, 4
 _MINHASH_TAU = 0.2

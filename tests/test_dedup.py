@@ -80,6 +80,35 @@ def test_ngram_jaccard_pairs_matches_verify_scores(docs):
     assert all(j >= 0.5 for j in out.values())
 
 
+def test_ngram_df_cap_identical_on_fixture_corpus(docs, spark):
+    """With a cap above every shingle's document frequency, the capped
+    variant must equal the exact form bit-for-bit."""
+    exact = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.2).collect()))
+    capped = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.2, df_cap=10).collect())
+    )
+    assert exact == capped and exact
+
+
+def test_ngram_df_cap_drops_hot_shingles_only(spark):
+    """A shingle shared by every doc is capped out of the index: pairs
+    related ONLY through it disappear; genuinely-similar pairs stay."""
+    rows = [
+        (1, "common filler prefix alpha beta gamma"),
+        (2, "common filler prefix delta epsilon zeta"),
+        (3, "common filler prefix alpha beta gamma"),  # true dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1, df_cap=2).collect()
+    }
+    assert (1, 2) in exact  # related only via the universal prefix
+    assert (1, 2) not in capped  # capped out: shingle df=3 > 2
+    assert (1, 3) in capped  # true dup survives via its uncapped shingles
+
+
 def test_simhash_identical_after_normalize_and_near(docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
     assert out[1] == out[4]
