@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the 100 TB posture, pinned.
+
+These assert the plan *shape* — broadcasts for dims, pushdown into
+the parquet scans, column pruning, top-k without a global sort, no
+nested-loop joins — so a future edit that silently degrades a plan
+fails here rather than at the bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_orders_spark.plans.registry import query_map
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    q = query_map()
+    # default metadata truncation hides the tail of PushedFilters lists
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+
+    def plan_of(name: str) -> str:
+        return q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_flagship_broadcasts_dims_prunes_columns(plans):
+    p = plans("flagship_enriched_lineitems")
+    assert p.count("BroadcastHashJoin") == 3  # orders equi-join may stay SMJ/AQE; dims must broadcast
+    assert "BroadcastNestedLoopJoin" not in p
+    # column pruning: unused lineitem measures never leave the scan
+    assert "l_quantity" not in p and "l_tax" not in p
+
+
+def test_q1_pushes_shipdate_filter(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # agg-only query: no join operators at all
+    assert "Join" not in p
+
+
+def test_filter_predicate_pushes_all_three(plans):
+    p = plans("filter_predicate")
+    assert "EqualTo(o_orderstatus" in p
+    assert "GreaterThan(o_totalprice" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q5_all_dims_broadcast_fact_unshuffled(plans):
+    p = plans("q5_region_revenue")
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p  # the fact table streams through map-side
+
+
+def test_global_topk_avoids_full_sort(plans):
+    p = plans("orderby_limit")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort node
+
+
+def test_topk_per_brand_aggregates_before_window(plans):
+    p = plans("topk_parts_per_brand")
+    # the window must consume the aggregated (brand, part) rows — i.e. appear
+    # above a HashAggregate, never directly over the fact scan
+    assert "Window" in p and "HashAggregate" in p
+    assert p.index("Window") < p.index("HashAggregate")  # toString prints top-down
+
+
+def test_near_dup_and_lsh_plans_are_keyed_joins(plans):
+    for name in ("near_dup_embeddings", "lsh_ann_topk"):
+        p = plans(name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_ri_filter_join_broadcasts_filtered_dim(plans):
+    p = plans("ri_filter_join")
+    assert "BroadcastHashJoin" in p
+    assert "GreaterThan(p_size,25)" in p  # dim filter pushed into its scan
