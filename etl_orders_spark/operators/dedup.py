@@ -199,6 +199,131 @@ def ngram_jaccard_pairs(
     )
 
 
+def ordered_shingles(col: Column | str, k: int = 3) -> Column:
+    """Positional (non-distinct) word k-grams — winnowing needs document
+    order preserved, unlike the set-semantics `shingles`."""
+    from etl_orders_spark.functions.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(col))
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, n_grams) for j in range(k)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.zip_with(gram, p, lambda a, b: F.concat_ws(" ", a, b))
+    return gram
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    window: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing (rolling-hash document fingerprinting, Schleimer et
+    al. SIGMOD'03 scheme expressed relationally): hash the ordered
+    k-gram stream, take the minimum of every sliding window of
+    `window` consecutive hashes, emit the distinct minima per doc.
+    Guarantees any shared run of ≥ k+window-1 tokens between two
+    documents produces a shared fingerprint.
+
+    Built as posexplode + a ROWS-frame window min — one shuffle on the
+    doc id, no higher-order-function lambdas (whose interpreted
+    evaluation re-runs referenced sub-expressions per element: the
+    array formulation of this operator is O(n·w) tokenizations/row).
+
+    Output: id_col, fp (long) — distinct fingerprint values.
+    """
+    from pyspark.sql import Window as W
+
+    grams = df.select(
+        F.col(id_col), F.posexplode(ordered_shingles(text_col, k_shingle)).alias("pos", "gram")
+    )
+    hashed = grams.select(F.col(id_col), "pos", _hash(F.col("gram"), 0, portable).alias("h"))
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    n = W.partitionBy(id_col)
+    windowed = hashed.select(
+        F.col(id_col),
+        "pos",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(n).alias("_n"),
+    )
+    # only full windows: pos in [0, n_grams - window]
+    return (
+        windowed.filter(F.col("pos") <= F.col("_n") - window)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ `max_hamming`,
+    found via byte-band LSH: split the fingerprint into 4 bands of
+    `num_bits/4` bits; by pigeonhole, any pair within hamming distance
+    < 4 shares at least one intact band — so banding is *provably
+    complete* for max_hamming ≤ 3, not approximate. The band join
+    shuffles (band_idx, band_value, id) only; bit_count verifies
+    exactly on candidates.
+
+    Output: id_a < id_b, hamming (int).
+    """
+    if max_hamming >= 4:
+        raise ValueError("4-band pigeonhole completeness requires max_hamming <= 3")
+    band_bits = num_bits // 4
+    mask = (1 << band_bits) - 1
+    sh = simhash(df, id_col, text_col, num_bits, portable)
+    bands = sh.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("band_idx"), F.col("band_val"), F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = bands.select(
+        F.col("band_idx").alias("_bi2"),
+        F.col("band_val").alias("_bv2"),
+        F.col("_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("_bi2"))
+            & (F.col("band_val") == F.col("_bv2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

@@ -33,7 +33,9 @@ from etl_orders_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
     verify_jaccard,
+    winnow_fingerprints,
 )
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.sources.readers import load_table as T
@@ -320,21 +322,27 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
 
 
-def _simhash_oracle(num_bits: int = 32) -> str:
+def _simhash_inner(num_bits: int = 32) -> str:
+    """CTE body computing (doc_id, simhash) — shared by the fingerprint
+    query and the near-pairs query."""
     bit_aggs = ", ".join(
         f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(num_bits)
     )
     packed = " + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(num_bits))
     return f"""
-    WITH tok AS (
+    tok AS (
       SELECT doc_id, UNNEST({_NORM_TOKENS}) AS tok FROM documents
     ), h AS (
       SELECT doc_id, {_sql_hash(0, "tok")} AS th FROM tok
     ), bits AS (
       SELECT doc_id, {bit_aggs} FROM h GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
-    """
+    ), sh AS (
+      SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+    )"""
+
+
+def _simhash_oracle(num_bits: int = 32) -> str:
+    return f"WITH {_simhash_inner(num_bits)} SELECT doc_id, simhash FROM sh"
 
 
 @register(
@@ -346,3 +354,63 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: one explode + one groupBy with 32
     integer aggregates — a single shuffle of (id, token_hash)."""
     return simhash(T(spark, sf_dir, "documents"), "doc_id", "text", num_bits=32, portable=True)
+
+
+@register(
+    "simhash_near_pairs_docs",
+    f"""
+    WITH {_simhash_inner()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("text", "dedup", "lsh"),
+)
+def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via 4-band byte LSH. The
+    banding is pigeonhole-complete for hamming < 4, so the oracle is
+    the plain all-pairs hamming predicate — exact agreement required,
+    while the Spark plan stays a keyed band join (no n² anywhere)."""
+    return simhash_near_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, portable=True
+    )
+
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+# ordered (positional, non-distinct) k-gram structs for the winnow oracle;
+# pos is 0-based to mirror Spark's posexplode
+_ORDERED_GRAMS = (
+    f"list_transform(range(0, len({_NORM_TOKENS}) - 2), "
+    f"i -> {{'pos': i, 'gram': {_NORM_TOKENS}[i+1] || ' ' || {_NORM_TOKENS}[i+2] || ' ' || {_NORM_TOKENS}[i+3]}})"
+)
+
+
+@register(
+    "winnow_fingerprints_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, UNNEST({_ORDERED_GRAMS}) AS u FROM documents
+    ), h AS (
+      SELECT doc_id, u.pos AS pos, {_sql_hash(0, "u.gram")} AS hh FROM g
+    ), w AS (
+      SELECT doc_id, pos,
+             MIN(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - {_WINNOW_W}
+    """,
+    tags=("text", "dedup"),
+)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): distinct
+    sliding-window minima over the ordered k-gram hash stream — any
+    shared run of ≥ k+w-1 tokens between documents yields a shared
+    fingerprint. Relational form: posexplode + ROWS-frame window min."""
+    return winnow_fingerprints(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        k_shingle=_WINNOW_K, window=_WINNOW_W, portable=True,
+    )

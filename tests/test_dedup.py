@@ -10,7 +10,9 @@ from etl_orders_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
     verify_jaccard,
+    winnow_fingerprints,
 )
 
 CORPUS = [
@@ -115,3 +117,48 @@ def test_simhash_identical_after_normalize_and_near(docs):
     ham_near = bin(out[1] ^ out[2]).count("1")
     ham_far = bin(out[1] ^ out[3]).count("1")
     assert ham_near < ham_far
+
+
+def test_simhash_near_pairs_banding_is_complete(docs, spark):
+    """4-band LSH must find EXACTLY the brute-force hamming ≤ 3 pairs
+    (pigeonhole completeness), and reject max_hamming ≥ 4."""
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert banded == brute
+    assert (1, 4) in banded and banded[(1, 4)] == 0  # exact dup -> hamming 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, "doc_id", "text", max_hamming=4)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Docs sharing a run of ≥ k+w-1 tokens must share a fingerprint;
+    token-disjoint docs must share none."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique tail one"),
+        (2, "different head here alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally disjoint vocabulary nothing matches anything here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k_shingle=3, window=4)
+    by_doc = {
+        i: {r["fp"] for r in fps.filter(f"doc_id = {i}").collect()} for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]  # shared 8-token run (>= 3+4-1=6) -> shared fp
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_doc_yields_no_fingerprints(spark):
+    # fewer than k+window-1 tokens -> no full window -> empty output
+    df = spark.createDataFrame([(1, "only five little tokens here")], "doc_id long, text string")
+    assert winnow_fingerprints(df, "doc_id", "text", 3, 4).count() == 0
