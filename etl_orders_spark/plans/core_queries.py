@@ -21,6 +21,14 @@ def revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+# whitespace tokens of lowercased text, DuckDB dialect (mirrors
+# functions/text.tokens ∘ lower — used by the array-surface oracle)
+_DOC_TOKENS = (
+    r"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
+)
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the reference's star-schema denormalization re-expressed on the
 # driver's schema (SURVEY.md §7 phase 2). lineitem ⋈ orders ⋈ customer ⋈ part
@@ -633,6 +641,159 @@ def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = T(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
     s = T(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status")).distinct()
     return r.crossJoin(F.broadcast(s))
+
+
+@register(
+    "join_full_outer_nation_counts",
+    """
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+    FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+    tags=("join", "setop"),
+)
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations with only customers or only suppliers
+    survive with zero-filled counts."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (both engines
+    use the same order-statistic interpolation). The scale caveat is
+    real: exact percentile holds the group's values — the approx twin
+    below is the 100 TB path."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "approx_percentile_prices",
+    None,  # t-digest/GK sketches are engine-specific; rows-only
+    tags=("agg", "percentile", "approx"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — constant memory per group, the form
+    that survives 100 TB (exact percentile materializes the group)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias("p50"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)), 2).alias("p99"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey AS order_key,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface (A5): add/diff/last_day/year/quarter —
+    generalizes the reference's random_date math (reference:
+    dags/utils/random_date.py:8-13)."""
+    o = T(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+        F.last_day(d).alias("month_end"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+    )
+
+
+@register(
+    "array_functions_docs",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DOC_TOKENS}) AS INT) AS n_toks,
+           list_slice(list_sort({_DOC_TOKENS}), 1, 3) AS first3_sorted,
+           list_contains({_DOC_TOKENS}, 'the') AS has_the,
+           CAST(len(list_distinct({_DOC_TOKENS})) AS INT) AS n_uniq
+    FROM documents
+    """,
+    tags=("scalar", "array"),
+)
+def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface (A5): size/sort/slice/contains/distinct over
+    the tokenized text — all higher-order-free JVM array ops."""
+    from etl_orders_spark.functions.text import tokens
+
+    toks = tokens(F.lower("text"))
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.slice(F.array_sort(toks), 1, 3).alias("first3_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+
+
+@register(
+    "collect_status_sets",
+    """
+    SELECT o_custkey AS custkey,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "array"),
+)
+def collect_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted array per key (sorted so the value hash is
+    order-insensitive across engines)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
 
 
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
