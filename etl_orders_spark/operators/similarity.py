@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.vectors import cosine_similarity
@@ -79,6 +79,83 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
         )
         bits.append(F.when(d >= 0, F.lit(2**j)).otherwise(F.lit(0)))
     return sum(bits[1:], start=bits[0]).cast("long")
+
+
+def _assign_nearest(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n: int = 1
+) -> DataFrame:
+    """Score every vector against the broadcast centroid set and keep
+    the `n` nearest (by cosine, ties to lower cluster id). Map-side:
+    |C| is small by construction, the corpus never shuffles here."""
+    scored = (
+        vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "_vid",
+            "_v",
+            "cluster",
+            cosine_similarity("_v", "cvec").alias("_cos"),
+        )
+    )
+    return topk_per_group(scored, ["_vid"], [F.desc("_cos"), F.asc("cluster")], n)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate all-pairs top-k: a coarse
+    quantizer partitions the corpus into `n_centroids` cells; each
+    query scores only vectors in its `nprobe` nearest cells.
+
+    Deterministic construction: seed centroids are a stride sample of
+    the corpus (no RNG), optionally refined by one relational Lloyd
+    iteration (posexplode → per-dimension mean → rebuild). At scale
+    this is the classic IVF layout — centroids broadcast, the corpus
+    partitioned by cell id, probes shuffle only (cell, query) pairs.
+
+    Output: query_id, neighbor_id, cos (rounded 6).
+    """
+    total = df.count()
+    stride = max(total // n_centroids, 1)
+    # deterministic hash-stride sample (~n_centroids rows) — the window
+    # numbering runs over the tiny sample only, never the full corpus
+    sample = df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")).filter(
+        F.abs(F.xxhash64(F.col("_cid").cast("string"))) % stride == 0
+    )
+    seeds = (
+        sample.withColumn("_rn", F.row_number().over(Window.orderBy("_cid")) - 1)
+        .filter(F.col("_rn") < n_centroids)
+        .select(F.col("_rn").alias("cluster"), F.col("_cv").alias("cvec"))
+    )
+    if refine:
+        assigned = _assign_nearest(df, seeds, id_col, vec_col, 1)
+        dims = assigned.select("cluster", F.posexplode("_v").alias("d", "x"))
+        means = dims.groupBy("cluster", "d").agg(F.avg("x").alias("m"))
+        seeds = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_pairs"))
+            .select(
+                "cluster",
+                F.transform("_pairs", lambda p: p["m"].cast("float")).alias("cvec"),
+            )
+        )
+    cells = _assign_nearest(df, seeds, id_col, vec_col, 1).select(
+        F.col("_vid").alias("neighbor_id"), F.col("_v").alias("c_vec"), "cluster"
+    )
+    probes = _assign_nearest(df, seeds, id_col, vec_col, nprobe).select(
+        F.col("_vid").alias("query_id"), F.col("_v").alias("q_vec"), "cluster"
+    )
+    cand = probes.join(cells, "cluster").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cos")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    return topk_per_group(scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k)
 
 
 def near_dup_pairs_bucketed(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_orders_spark.functions.vectors import l2_norm
 from etl_orders_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
     near_dup_pairs_bucketed,
 )
@@ -131,4 +132,20 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2% of the pair space, vs 0.08 for planes=8/tables=4 at equal cost."""
     return lsh_bucketed_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=_ANN_K, dim=64, num_planes=4, num_tables=8
+    )
+
+
+@register(
+    "ivf_ann_topk",
+    None,  # approximate by construction; recall pinned vs brute force in tests
+    tags=("vector", "topk", "ivf"),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (hash-stride seeds + one
+    relational Lloyd refinement), nprobe-cell probing, exact rescore.
+    The partition-by-cluster inverted-file layout — centroids
+    broadcast, probes shuffle on cell id only."""
+    return ivf_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=_ANN_K, n_centroids=16, nprobe=4,
     )
