@@ -796,6 +796,106 @@ def collect_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_revenue_by_status",
+    """
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)) FILTER (l_linestatus = 'F'), 0), 2) AS status_f,
+           ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)) FILTER (l_linestatus = 'O'), 0), 2) AS status_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A1 family): revenue per returnflag spread across the
+    linestatus domain. The value list is explicit — at scale an
+    unbounded pivot would need a distinct pass to discover columns."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(revenue()), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.round("F", 2), F.lit(0.0)).alias("status_f"),
+            F.coalesce(F.round("O", 2), F.lit(0.0)).alias("status_o"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL entry point —
+    the registered proof that spark.sql over registered views is a
+    first-class query surface, not just the DataFrame API."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "correlated_above_avg_orders",
+    """
+    SELECT o_orderkey AS order_key, ROUND(o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5 FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("join", "subquery"),
+)
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SQL surface): orders 1.5x above
+    their customer's average. Catalyst decorrelates this into an
+    aggregate + join — same plan the hand-written form would build."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS order_key, ROUND(o_totalprice, 2) AS total_price
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5 FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "events_customer_enrichment",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("join", "events", "agg"),
+)
+def events_customer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table enrichment shape: events fact joined to the
+    customer dimension (broadcast) and rolled up — the batch form of a
+    streaming dimension join."""
+    e = T(spark, sf_dir, "events")
+    c = T(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), c.c_custkey == e.user_id)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
 #     semantics (inner joins drop dangling keys) as an oracle-checked query --
 

@@ -78,3 +78,25 @@ def test_ri_filter_join_broadcasts_filtered_dim(plans):
     p = plans("ri_filter_join")
     assert "BroadcastHashJoin" in p
     assert "GreaterThan(p_size,25)" in p  # dim filter pushed into its scan
+
+
+def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
+    """The write-side half of the 100 TB story: facts laid out by month
+    partition, a month predicate becomes a PartitionFilter (directories
+    skipped entirely), not a row filter."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+    from etl_orders_spark.sources.writers import write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    out = str(tmp_path / "li_by_month")
+    write_parquet(li, out, partition_by=["ship_month"])
+    back = spark.read.parquet(out).filter(F.col("ship_month") == "1995-06")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ship_month" in plan
+    assert "(ship_month" in plan.split("PartitionFilters")[1][:120]
+    want = li.filter(F.col("ship_month") == "1995-06").count()
+    assert back.count() == want and want > 0
