@@ -896,6 +896,82 @@ def events_customer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STRING = ("l_returnflag",)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUMERIC + _PROFILE_STRING:
+        parts.append(
+            f"SELECT '{c}' AS col_name, 'n_null' AS metric, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM lineitem"
+        )
+        parts.append(
+            f"SELECT '{c}', 'n_distinct', CAST(COUNT(DISTINCT {c}) AS DOUBLE) FROM lineitem"
+        )
+    for c in _PROFILE_NUMERIC:
+        parts.append(f"SELECT '{c}', 'min', ROUND(CAST(MIN({c}) AS DOUBLE), 4) FROM lineitem")
+        parts.append(f"SELECT '{c}', 'max', ROUND(CAST(MAX({c}) AS DOUBLE), 4) FROM lineitem")
+        parts.append(f"SELECT '{c}', 'avg', ROUND(AVG({c}), 4) FROM lineitem")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_lineitem",
+    _profile_oracle(),
+    tags=("agg", "profile"),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate / distinct / range) for the fact
+    table — all metrics for all columns in ONE aggregate pass,
+    unpivoted to narrow (col, metric, value) rows."""
+    from etl_orders_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        T(spark, sf_dir, "lineitem"),
+        numeric_cols=list(_PROFILE_NUMERIC),
+        string_cols=list(_PROFILE_STRING),
+    )
+
+
+@register(
+    "zscore_docs_by_lang",
+    """
+    SELECT doc_id, lang, n_chars,
+           ROUND(CASE WHEN stddev_pop(n_chars) OVER w = 0 THEN 0.0
+                      ELSE (n_chars - AVG(n_chars) OVER w) / stddev_pop(n_chars) OVER w
+                 END, 4) AS z
+    FROM documents
+    WINDOW w AS (PARTITION BY lang)
+    """,
+    tags=("window", "scalar"),
+)
+def zscore_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization (z-score of doc length by language) as
+    native window aggregates — the production form; the applyInPandas
+    grouped-map twin is registered rows-only below."""
+    from etl_orders_spark.operators.grouped_map import zscore_by_group_native
+
+    out = zscore_by_group_native(T(spark, sf_dir, "documents"))
+    return out.withColumn("z", F.round("z", 4))
+
+
+@register(
+    "zscore_docs_by_lang_pandas",
+    None,  # grouped-map pandas twin; equality with the native form is a unit test
+    tags=("window", "pandas-udf"),
+)
+def zscore_docs_by_lang_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas grouped-map form of the same normalization —
+    one pandas frame per language group, the literal equivalent of the
+    reference's whole-table pandas transforms."""
+    from etl_orders_spark.operators.grouped_map import zscore_by_group
+
+    out = zscore_by_group(T(spark, sf_dir, "documents"))
+    return out.withColumn("z", F.round("z", 4))
+
+
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
 #     semantics (inner joins drop dangling keys) as an oracle-checked query --
 
