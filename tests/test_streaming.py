@@ -81,6 +81,56 @@ def test_session_window_stream_equals_batch(spark, batch_events, stream_events):
     assert [r[3] for r in by_user] == [2, 1]
 
 
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path_factory):
+    """Late-data semantics end-to-end: an event arriving behind the
+    watermark is dropped from an already-finalized window. Two
+    checkpointed AvailableNow runs guarantee batch order."""
+    root = tmp_path_factory.mktemp("late")
+    src = str(root / "src")
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        agg = tumbling_agg(stream, width="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return {(r["win_start"], r["n"]) for r in spark.read.parquet(out).collect()}
+
+    batch1 = [
+        (1, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        (2, ts("2024-01-01 10:20:00"), 1, "click", 1.0),
+        (3, ts("2024-01-01 12:00:00"), 1, "click", 1.0),  # advances watermark to 11:30
+    ]
+    t1 = run(batch1)
+    # the 10:00 window (end 11:00 <= watermark 11:30) finalized with both events
+    assert (ts("2024-01-01 10:00:00"), 2) in t1
+
+    batch2 = [
+        (4, ts("2024-01-01 10:30:00"), 1, "click", 1.0),  # LATE: behind the 11:30 watermark
+        (5, ts("2024-01-01 13:10:00"), 1, "click", 1.0),  # advances watermark past 12:00
+    ]
+    t2 = run(batch2)
+    # the late event must NOT resurrect the finalized 10:00 window with a new count
+    assert (ts("2024-01-01 10:00:00"), 1) not in t2 and (ts("2024-01-01 10:00:00"), 3) not in t2
+
+    # append-mode emission lags one batch behind the watermark advance:
+    # a third batch flushes the now-closed 12:00 window
+    t3 = run([(6, ts("2024-01-01 15:00:00"), 1, "click", 1.0)])
+    assert (ts("2024-01-01 12:00:00"), 1) in t3  # only the on-time event; late one dropped
+    assert (ts("2024-01-01 10:00:00"), 2) in t3  # original window untouched
+    assert (ts("2024-01-01 10:00:00"), 3) not in t3
+
+
 def test_dedup_within_watermark_stream(spark, stream_events, batch_events):
     run_available_now_to_memory(
         dedup_within_watermark(stream_events, ["event_id"]), "t_dedup", output_mode="append"
