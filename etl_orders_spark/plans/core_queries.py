@@ -972,6 +972,56 @@ def zscore_docs_by_lang_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("z", F.round("z", 4))
 
 
+@register(
+    "having_large_orders",
+    """
+    SELECT o.o_orderkey AS order_key, ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    HAVING SUM(l.l_quantity) > 150
+    """,
+    tags=("join", "agg", "having"),
+)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: post-aggregation HAVING filter over a fact-fact
+    join. The filter runs on the aggregated rows (tiny), never the
+    fact table."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("order_key"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+@register(
+    "not_in_active_brands",
+    """
+    SELECT p_brand AS brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY p_brand
+    """,
+    tags=("join", "subquery"),
+)
+def not_in_active_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery via the SQL surface — Catalyst plans a null-aware
+    anti join (the l_partkey domain here is non-null, so semantics
+    match the anti-join form)."""
+    T(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v2")
+    return spark.sql(
+        """
+        SELECT p_brand AS brand, COUNT(*) AS n_parts
+        FROM part_v
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem_v2 WHERE l_quantity > 45)
+        GROUP BY p_brand
+        """
+    )
+
+
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
 #     semantics (inner joins drop dangling keys) as an oracle-checked query --
 

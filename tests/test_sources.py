@@ -59,6 +59,26 @@ def test_write_overwrite_table_column_subset_rename(spark):
         spark.sql("DROP TABLE IF EXISTS orders_load")
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the second columnar format the engine supports natively
+    (same explicit-schema posture as parquet)."""
+    df = spark.createDataFrame([(1, "a", 2.5), (2, "b", 3.5)], "id long, s string, x double")
+    p = str(tmp_path / "orc_out")
+    df.write.mode("overwrite").orc(p)
+    back = spark.read.schema(df.schema).orc(p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert back.dtypes == df.dtypes
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    """Plain JSON-lines (non-envelope) scan with explicit schema."""
+    p = str(tmp_path / "jl")
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+    df.write.mode("overwrite").json(p)
+    back = spark.read.schema("id long, s string").json(p)
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, None)]
+
+
 def test_load_table_events_ts_is_timestamp(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
