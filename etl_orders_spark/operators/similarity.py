@@ -192,12 +192,15 @@ def near_dup_pairs_bucketed(
     buckets = tables[0]
     for t in tables[1:]:
         buckets = buckets.unionByName(t)
-    a = buckets.select("_table", "_bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("ea"))
+    # candidate id-pairs first (narrow shuffle: table, bucket, id only);
+    # vectors and precomputed norms join back onto the deduped pairs, so
+    # the exact rescore computes ONE array dot per pair instead of three
+    # (dot + 2 norms) — interpreted higher-order aggregates are the cost
+    a = buckets.select("_table", "_bucket", F.col("_id").alias("id_a"))
     b = buckets.select(
         F.col("_table").alias("_t2"),
         F.col("_bucket").alias("_b2"),
         F.col("_id").alias("id_b"),
-        F.col("_vec").alias("eb"),
     )
     cand = (
         a.join(
@@ -206,11 +209,24 @@ def near_dup_pairs_bucketed(
             & (F.col("_bucket") == F.col("_b2"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "ea", "eb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = F.round(cosine_similarity("ea", "eb"), 6)
-    return cand.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= tau)
+    from etl_orders_spark.functions.vectors import dot, l2_norm
+
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_n")
+    )
+    va = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("ea"), F.col("_n").alias("na"))
+    vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("eb"), F.col("_n").alias("nb"))
+    scored = cand.join(va, "id_a").join(vb, "id_b")
+    cos = F.round(
+        F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)).otherwise(
+            dot("ea", "eb") / (F.col("na") * F.col("nb"))
+        ),
+        6,
+    )
+    return scored.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= tau)
 
 
 def lsh_bucketed_topk(

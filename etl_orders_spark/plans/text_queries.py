@@ -366,6 +366,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("text", "dedup", "lsh"),
+    bench=True,
 )
 def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via 4-band byte LSH. The
@@ -404,6 +405,7 @@ _ORDERED_GRAMS = (
     SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - {_WINNOW_W}
     """,
     tags=("text", "dedup"),
+    bench=True,
 )
 def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing): distinct

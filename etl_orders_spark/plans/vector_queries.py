@@ -105,6 +105,7 @@ _NEAR_DUP_TAU = 0.9
     WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
     """,
     tags=("vector", "dedup"),
+    bench=True,
 )
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs ≥ τ, via LSH-bucketed
