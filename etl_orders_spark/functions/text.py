@@ -40,9 +40,17 @@ def normalize_text(col: Column | str) -> Column:
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization → array<string>. Empty/blank text yields
-    an empty array (split('') would yield [''])."""
-    c = F.trim(_c(col))
-    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, _WS))
+    an empty array (split('') would yield ['']).
+
+    Trims ALL ASCII whitespace at the edges (F.trim strips spaces
+    only, so tab/newline-padded text would otherwise produce a phantom
+    leading empty token). Whitespace = regex \\s, ASCII semantics —
+    identical in Java and RE2/DuckDB; U+00A0 etc. are NOT whitespace.
+    """
+    stripped = F.regexp_replace(_c(col), r"^\s+|\s+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, _WS)
+    )
 
 
 def token_count(col: Column | str) -> Column:

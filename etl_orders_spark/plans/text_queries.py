@@ -44,17 +44,20 @@ from etl_orders_spark.sources.readers import load_table as T
 #     functions/text.py ------------------------------------------------------
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# edge-trim ALL whitespace (plain trim() strips spaces only) — in
+# lockstep with functions/text.tokens
+_WTRIM = r"regexp_replace({x}, '^\s+|\s+$', '', 'g')"
 _RAW_TOKENS = (
-    r"CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
-    r"ELSE string_split_regex(trim(text), '\s+') END"
+    rf"CASE WHEN {_WTRIM.format(x='text')} = '' THEN CAST([] AS VARCHAR[]) "
+    rf"ELSE string_split_regex({_WTRIM.format(x='text')}, '\s+') END"
 )
 _NORM_TOKENS = (
     rf"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) "
     rf"ELSE string_split({_NORM}, ' ') END"
 )
 _LOWER_TOKENS = (
-    r"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
-    r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
+    rf"CASE WHEN {_WTRIM.format(x='lower(text)')} = '' THEN CAST([] AS VARCHAR[]) "
+    rf"ELSE string_split_regex({_WTRIM.format(x='lower(text)')}, '\s+') END"
 )
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 

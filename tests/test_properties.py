@@ -1,0 +1,93 @@
+"""Property-based checks (SURVEY.md §5.2): engine Column expressions
+vs plain-Python reference implementations over generated inputs.
+
+Each Hypothesis example carries a BATCH of strings evaluated in one
+Spark job, so 15 examples cost 15 jobs, not 15×batch."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_orders_spark.functions.cleaning import recode
+from etl_orders_spark.functions.text import (
+    normalize_text,
+    punct_ratio,
+    shingles,
+    token_count,
+)
+
+# latin-1 range: exercises accents/punctuation without entering
+# unicode case-folding territory where Python and the JVM differ
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",), max_codepoint=0xFF),
+    max_size=60,
+)
+BATCH = st.lists(TEXT, min_size=1, max_size=25)
+
+SETTINGS = dict(max_examples=15, deadline=None)
+
+# the engine's whitespace is regex \s with ASCII semantics (identical
+# in Java and RE2/DuckDB); Python's \s is unicode-wide, so the
+# reference implementations pin the ASCII class explicitly
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
+def _py_norm(t: str) -> str:
+    return _WS_RE.sub(" ", t.lower()).strip(_WS_CHARS)
+
+
+def _py_tokens(t: str) -> list[str]:
+    t = t.strip(_WS_CHARS)
+    return _WS_RE.split(t) if t else []
+
+
+def _py_shingles(t: str, k: int = 3) -> list[str]:
+    toks = _py_tokens(_py_norm(t))
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return list(dict.fromkeys(grams))  # distinct, first-occurrence order
+
+
+def _eval(spark, texts, *exprs):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return df.select(*[e.alias(f"c{i}") for i, e in enumerate(exprs)]).collect()
+
+
+@given(BATCH)
+@settings(**SETTINGS)
+def test_token_count_matches_python_split(spark, texts):
+    rows = _eval(spark, texts, token_count("text"))
+    assert [r["c0"] for r in rows] == [len(_py_tokens(t)) for t in texts]
+
+
+@given(BATCH)
+@settings(**SETTINGS)
+def test_normalize_matches_python(spark, texts):
+    rows = _eval(spark, texts, normalize_text("text"))
+    assert [r["c0"] for r in rows] == [_py_norm(t) for t in texts]
+
+
+@given(BATCH)
+@settings(**SETTINGS)
+def test_shingles_match_python_reference(spark, texts):
+    rows = _eval(spark, texts, shingles("text", 3))
+    assert [r["c0"] for r in rows] == [_py_shingles(t) for t in texts]
+
+
+@given(BATCH)
+@settings(**SETTINGS)
+def test_punct_ratio_bounded(spark, texts):
+    rows = _eval(spark, texts, punct_ratio("text"))
+    assert all(0.0 <= r["c0"] <= 1.0 for r in rows)
+
+
+@given(st.lists(st.sampled_from(["Male", "f", "M", "F", "Other", "", "x"]), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_recode_matches_dict_get(spark, values):
+    mapping = {"Male": "M", "f": "F"}
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    rows = df.select(recode("v", mapping).alias("r")).collect()
+    assert [r["r"] for r in rows] == [mapping.get(v, v) for v in values]
