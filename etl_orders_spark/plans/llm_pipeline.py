@@ -1,0 +1,119 @@
+"""End-to-end LLM training-corpus preparation as ONE lazy plan.
+
+The composite a real user runs daily: quality filter → language
+filter → exact dedup (canonical doc per fingerprint) → MinHash-LSH
+near-dup removal (drop the higher id of each near-dup pair) → token
+accounting. Each stage is an operator this engine already exposes;
+chaining them stays a single Catalyst plan — no staging between
+stages, predicate pushdown reaches the scan through all of it.
+
+The DuckDB oracle reproduces the whole chain (portable hashes make
+even the LSH stage SQL-expressible), so the pipeline is correctness-
+gated end-to-end, not just per-stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_orders_spark.functions.text import fingerprint, lang_id, quality_score, token_count
+from etl_orders_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    verify_jaccard,
+)
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.plans.text_queries import (
+    _lang_case_sql,
+    _minhash_oracle,
+    _NORM,
+    _QUALITY,
+)
+from etl_orders_spark.sources.readers import load_table as T
+
+_MIN_QUALITY = 0.5
+_LANG = "en"
+_TAU = 0.5
+
+
+def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = _LANG,
+                tau: float = _TAU) -> DataFrame:
+    """The prep chain over a documents-shaped DataFrame. Returns the
+    surviving corpus: doc_id, n_tokens."""
+    kept = docs.filter(
+        (F.round(quality_score("text"), 4) >= min_quality) & (lang_id("text") == lang)
+    )
+    # exact dedup: keep the lowest doc_id per normalized fingerprint
+    canon = (
+        kept.select("doc_id", "text", fingerprint("text").alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    uniq = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # near-dup removal: MinHash-LSH pairs at jaccard >= tau; drop id_b
+    sigs = minhash_signatures(uniq, "doc_id", "text", 16, 3, portable=True).persist()
+    pairs = verify_jaccard(minhash_lsh_candidates(sigs, "doc_id", 4, 4), sigs, "doc_id", tau)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = uniq.join(drop, "doc_id", "left_anti")
+    return survivors.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def _prep_oracle() -> str:
+    minhash_pairs = _minhash_oracle().replace("FROM documents", "FROM uniq")
+    return f"""
+    WITH kept AS (
+      SELECT * FROM documents
+      WHERE ROUND({_QUALITY}, 4) >= {_MIN_QUALITY} AND {_lang_case_sql()} = '{_LANG}'
+    ), canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5({_NORM})
+    ), uniq AS (
+      SELECT k.* FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM canon)
+    ), pairs AS (
+      {minhash_pairs.replace(">= 0.2", f">= {_TAU}")}
+    ), survivors AS (
+      SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    )
+    SELECT doc_id, CAST(len(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                        END) AS BIGINT) AS n_tokens
+    FROM survivors
+    """
+
+
+@register(
+    "llm_prep_corpus",
+    _prep_oracle(),
+    tags=("text", "dedup", "pipeline"),
+    bench=True,
+)
+def llm_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality → language → exact-dedup → near-dedup → token count, as
+    one plan, oracle-checked end to end."""
+    return prep_corpus(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "canonical_best_doc_per_fp",
+    f"""
+    SELECT md5({_NORM}) AS fp,
+           arg_max(doc_id, n_chars * 10000000 - doc_id) AS best_doc,
+           CAST(MAX(n_chars) AS BIGINT) AS best_len
+    FROM documents GROUP BY 1
+    """,
+    tags=("text", "dedup", "agg"),
+)
+def canonical_best_doc_per_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-canonical dedup: per fingerprint keep the LONGEST doc
+    (ties → lowest id) via max_by — the argmax pattern; one aggregate,
+    no self-join or window. The composite order packs into one BIGINT
+    (len*1e7 - id) because DuckDB's arg_max takes scalar orderings."""
+    d = T(spark, sf_dir, "documents")
+    from etl_orders_spark.functions.text import fingerprint
+
+    order = F.col("n_chars") * 10_000_000 - F.col("doc_id")
+    return d.groupBy(fingerprint("text").alias("fp")).agg(
+        F.max_by("doc_id", order).alias("best_doc"),
+        F.max("n_chars").alias("best_len"),
+    )

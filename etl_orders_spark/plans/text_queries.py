@@ -255,7 +255,8 @@ _BANDS, _ROWS_PER_BAND = 4, 4
 _MINHASH_TAU = 0.2
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(table: str = "documents", tau: float | None = None) -> str:
+    tau = _MINHASH_TAU if tau is None else tau
     sig_exprs = ", ".join(
         f"list_min(list_transform(shingles, s -> {_sql_hash(i, 's')}))" for i in range(_MINHASH_N)
     )
@@ -270,7 +271,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+      SELECT doc_id, {_SHINGLES} AS shingles FROM {table}
     ), sig AS (
       SELECT doc_id, shingles, [{sig_exprs}] AS signature
       FROM sh WHERE len(shingles) > 0
@@ -284,7 +285,7 @@ def _minhash_oracle() -> str:
     SELECT id_a, id_b,
            ROUND(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
     FROM cand
-    WHERE ROUND(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6) >= {_MINHASH_TAU}
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6) >= {tau}
     """
 
 
