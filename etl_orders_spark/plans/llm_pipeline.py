@@ -50,7 +50,10 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
         .groupBy("_fp")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    uniq = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # uniq feeds three consumers (signatures, verify, survivors); persist
+    # so the quality/lang expression chain evaluates once (at 100 TB this
+    # is the natural stage-to-parquet boundary of the prep pipeline)
+    uniq = kept.join(canon.select("doc_id"), "doc_id", "left_semi").persist()
     # near-dup removal: MinHash-LSH pairs at jaccard >= tau; drop id_b
     sigs = minhash_signatures(uniq, "doc_id", "text", 16, 3, portable=True).persist()
     pairs = verify_jaccard(minhash_lsh_candidates(sigs, "doc_id", 4, 4), sigs, "doc_id", tau)
