@@ -1022,6 +1022,53 @@ def not_in_active_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "monthly_spine_filled",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month FROM bounds
+    ), actual AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT s.month, CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+           COALESCE(a.total, 0.0) AS total
+    FROM spine s LEFT JOIN actual a ON a.month = s.month
+    """,
+    tags=("scalar", "date", "spine"),
+)
+def monthly_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: a generated month sequence left-joined
+    to actual per-month aggregates, so empty months appear as zeros —
+    the calendar-densification every time-series rollup needs. The
+    spine generates from one aggregated (min,max) row via
+    sequence+explode; the fact side is a plain month aggregate."""
+    o = T(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.trunc(F.min(F.to_date("o_orderdate")), "month").alias("lo"),
+        F.trunc(F.max(F.to_date("o_orderdate")), "month").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    actual = o.groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    return (
+        spine.join(actual, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+
+
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
 #     semantics (inner joins drop dangling keys) as an oracle-checked query --
 
