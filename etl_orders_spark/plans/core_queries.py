@@ -1069,6 +1069,60 @@ def monthly_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate inside the predicate.
+    Catalyst decorrelates to a per-part average joined back — the
+    fact table is scanned twice but never nested-looped."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    T(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem_q17 l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "window_stats_customers",
+    """
+    SELECT c_custkey AS custkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_stats_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist)
+    over a deterministic total order. Note: a global (partition-less)
+    window single-partitions — acceptable for a final ranked report,
+    never for a fact table (partition or pre-aggregate first)."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
 #     semantics (inner joins drop dangling keys) as an oracle-checked query --
 
