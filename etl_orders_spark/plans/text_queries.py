@@ -370,15 +370,30 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("text", "dedup", "lsh"),
-    bench=True,
 )
 def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via 4-band byte LSH. The
     banding is pigeonhole-complete for hamming < 4, so the oracle is
     the plain all-pairs hamming predicate — exact agreement required,
-    while the Spark plan stays a keyed band join (no n² anywhere)."""
+    while the Spark plan stays a keyed band join (no n² anywhere).
+    Portable-md5 hash tier for the oracle; the xxhash64 twin below is
+    the production/bench path."""
     return simhash_near_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, portable=True
+    )
+
+
+@register(
+    "simhash_near_pairs_fast",
+    None,  # xxhash64 tier: no cross-engine twin; logic oracle-covered above
+    tags=("text", "dedup", "lsh"),
+    bench=True,
+)
+def simhash_near_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash near-pairs: identical banding plan with JVM
+    xxhash64 token hashing instead of the md5 string machinery."""
+    return simhash_near_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, portable=False
     )
 
 
