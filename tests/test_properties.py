@@ -27,7 +27,9 @@ TEXT = st.text(
 )
 BATCH = st.lists(TEXT, min_size=1, max_size=25)
 
-SETTINGS = dict(max_examples=15, deadline=None)
+# derandomized: the same example set every run (CI stability); bump
+# max_examples locally when hunting for new counterexamples
+SETTINGS = dict(max_examples=15, deadline=None, derandomize=True)
 
 # the engine's whitespace is regex \s with ASCII semantics (identical
 # in Java and RE2/DuckDB); Python's \s is unicode-wide, so the
