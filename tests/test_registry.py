@@ -1,0 +1,61 @@
+"""Registry invariants: every registered pair keeps its contract.
+
+The driver compares sorted column names before hashing values, so a
+Spark/oracle column-name drift fails the gate at run time; this test
+catches it at plan-analysis time (no data movement: Spark analysis +
+DuckDB DESCRIBE only)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_orders_spark.plans.registry import QUERIES, query_map, oracle_map
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def test_no_unpaired_oracles():
+    q = query_map()
+    o = oracle_map()
+    assert set(o) <= set(q)
+
+
+def test_bench_set_nonempty_and_registered():
+    benched = [n for n, s in QUERIES.items() if s.bench]
+    assert len(benched) >= 10
+    assert set(benched) <= set(query_map())
+
+
+def test_spark_and_oracle_schemas_agree(spark, sf_dir, duck):
+    """Analysis-time check: Spark plan columns == oracle columns for
+    every SQL-paired query (the driver sorts by name before hashing)."""
+    q = query_map()
+    o = oracle_map()
+    mismatches = {}
+    for name, sql in o.items():
+        spark_cols = sorted(q[name](spark, sf_dir).columns)
+        cur = duck.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        oracle_cols = sorted(d[0] for d in cur.description)
+        if spark_cols != oracle_cols:
+            mismatches[name] = (spark_cols, oracle_cols)
+    assert not mismatches, f"schema drift: {mismatches}"
+
+
+def test_no_duplicate_output_columns(spark, sf_dir):
+    dupes = {}
+    for name, builder in query_map().items():
+        cols = builder(spark, sf_dir).columns
+        if len(cols) != len(set(cols)):
+            dupes[name] = cols
+    assert not dupes, f"ambiguous output columns: {dupes}"
