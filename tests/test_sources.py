@@ -98,6 +98,21 @@ def test_json_lines_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, None)]
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: an upstream adds a column; mergeSchema unions
+    the footers and old files read the new column as null — the
+    100 TB reality of long-lived datasets."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double").write.mode(
+        "append"
+    ).parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
 def test_load_table_events_ts_is_timestamp(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
