@@ -1,0 +1,37 @@
+"""The SQL entry point a reference user migrates to."""
+
+from __future__ import annotations
+
+from etl_orders_spark.sql import register_views, sql
+
+
+def test_register_views_and_query(spark, sf_dir):
+    names = register_views(spark, sf_dir)
+    assert "lineitem" in names and "documents" in names
+    out = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert out > 0
+
+
+def test_sql_one_shot_join(spark, sf_dir):
+    df = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+        """,
+    )
+    rows = {r["seg"]: r["n"] for r in df.collect()}
+    assert rows and sum(rows.values()) > 0
+
+
+def test_sql_views_push_filters(spark, sf_dir):
+    df = sql(spark, sf_dir, "SELECT o_orderkey FROM orders WHERE o_totalprice > 50000")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(o_totalprice" in plan  # views stay pushdown-transparent
+
+
+def test_sql_events_view_has_converted_timestamp(spark, sf_dir):
+    df = sql(spark, sf_dir, "SELECT MIN(ts) AS t0 FROM events")
+    assert df.schema["t0"].dataType.typeName() == "timestamp"
