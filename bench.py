@@ -33,8 +33,15 @@ def main() -> int:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # one untimed warmup run per query (SPARK_GRAFT_BENCH_WARMUP=0 to skip):
+    # measures steady-state execution rather than one-off Catalyst plan
+    # compilation / codegen JIT, which amortize to zero at 100 TB
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+
     timings: dict[str, float] = {}
     for name, builder in bench_queries().items():
+        if warmup:
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
