@@ -131,6 +131,29 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path_factory):
     assert (ts("2024-01-01 10:00:00"), 3) not in t3
 
 
+def test_stream_real_events_table(spark, sf_dir):
+    """The driver's actual events.parquet as a streaming source: the
+    nanos-as-long read + ns→µs conversion works under readStream too,
+    and the streamed tumbling aggregate equals the batch query."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+    from etl_orders_spark.sources.schemas import TESTDATA_SCHEMAS
+
+    # the streaming file source wants a directory; glob-filter to the one file
+    raw = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assert stream.isStreaming
+    run_available_now_to_memory(tumbling_agg(stream), "t_real_events")
+    got = _rows(spark.table("t_real_events"), "win_start", "event_type", "n")
+    want = _rows(tumbling_agg(load_table(spark, sf_dir, "events")), "win_start", "event_type", "n")
+    assert got == want and len(want) > 0
+
+
 def test_dedup_within_watermark_stream(spark, stream_events, batch_events):
     run_available_now_to_memory(
         dedup_within_watermark(stream_events, ["event_id"]), "t_dedup", output_mode="append"
