@@ -346,8 +346,14 @@ def simhash(
         for j in range(num_bits)
     ]
     per_doc = tok.groupBy(id_col).agg(*aggs)
+    # bit 63 is the two's-complement sign bit: its term is Long.MIN_VALUE
+    # (2**63 overflows a signed long literal); the summed value is the
+    # correct 64-bit pattern either way
     fp = sum(
-        (F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(num_bits)),
+        (
+            F.when(F.col(f"b{j}") > 0, F.lit(2**j if j < 63 else -(2**63))).otherwise(F.lit(0))
+            for j in range(num_bits)
+        ),
         start=F.lit(0),
     )
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
