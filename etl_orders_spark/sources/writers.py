@@ -47,6 +47,35 @@ def write_overwrite_table(df: DataFrame, table: str, select_cols: list[str] | No
     out.write.mode("overwrite").saveAsTable(table)
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly `target_file_mb`. The operational chore every long-lived
+    100 TB dataset needs — streaming sinks and incremental loads leave
+    thousands of KB-sized files, and scan cost is dominated by file
+    count once files drop below a rowgroup.
+
+    Sizing uses the source's on-disk bytes (cheap filesystem listing,
+    no data pass); the rewrite itself is one distributed job. Returns
+    the number of output files.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options: str) -> None:
     """S5 — JDBC sink (batched prepared statements; no SQL-text building).
 

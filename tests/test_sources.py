@@ -113,6 +113,22 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[1] is None and rows[2] == 9.5
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from etl_orders_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # simulate a streaming sink's droppings: 40 tiny files
+    spark.range(4000).repartition(40).write.mode("overwrite").parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 40
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_file_mb=256)
+    assert n_out == 1  # tiny dataset -> one file
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(dst).count() == 4000
+
+
 def test_load_table_events_ts_is_timestamp(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"

@@ -154,6 +154,28 @@ def test_stream_real_events_table(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_stream_static_dimension_join(spark, stream_events, batch_events):
+    """Stream-static enrichment: a streaming fact joined to a static
+    dimension (per-batch broadcast lookup — the streaming form of the
+    reference's user-enrichment join)."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "uid long, tier string")
+    enriched = stream_events.join(F.broadcast(dim), stream_events.user_id == dim.uid).groupBy(
+        "tier"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run_available_now_to_memory(enriched, "t_enrich")
+    got = {r["tier"]: r["n"] for r in spark.table("t_enrich").collect()}
+    want = {
+        r["tier"]: r["n"]
+        for r in batch_events.join(dim, batch_events.user_id == dim.uid)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and set(got) == {"gold", "basic"}
+
+
 def test_dedup_within_watermark_stream(spark, stream_events, batch_events):
     run_available_now_to_memory(
         dedup_within_watermark(stream_events, ["event_id"]), "t_dedup", output_mode="append"
