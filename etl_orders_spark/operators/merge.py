@@ -1,0 +1,59 @@
+"""MERGE-style mutation patterns without a table format: upsert and
+SCD2 history, emulated with anti-join + union (+ window-free column
+logic). With Delta/Iceberg these become `MERGE INTO`; the relational
+emulation here is format-agnostic and works over plain parquet with
+an overwrite-rewrite (the reference's own full-refresh load semantics,
+reference: dags/etl.py:218-235, upgraded to keyed merges).
+
+Scale: both patterns are one keyed join (shuffle on the merge key) +
+a union — no windows over the full table, no driver involvement. The
+rewrite cost is the table scan itself; with a partitioned layout only
+touched partitions need rewriting (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """UPSERT: source rows win on key collision, target rows survive
+    otherwise. Schemas must match by name."""
+    return target.join(source.select(*keys), keys, "left_anti").unionByName(source)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the current version of
+    each updated key (valid_to = effective_ts, is_current = false) and
+    append the update as the new current version.
+
+    `dim` must carry the three SCD columns; `updates` carries the
+    business columns only. History rows pass through untouched.
+    """
+    eff = F.lit(effective_ts).cast("timestamp")
+    upd_keys = updates.select(*keys).distinct()
+    # current rows being superseded -> closed
+    closing = (
+        dim.filter(F.col(is_current))
+        .join(upd_keys, keys, "left_semi")
+        .withColumn(valid_to, eff)
+        .withColumn(is_current, F.lit(False))
+    )
+    # everything else (history + current rows without an update) passes through
+    untouched_current = dim.filter(F.col(is_current)).join(upd_keys, keys, "left_anti")
+    history = dim.filter(~F.col(is_current))
+    fresh = (
+        updates.withColumn(valid_from, eff)
+        .withColumn(valid_to, F.lit(None).cast("timestamp"))
+        .withColumn(is_current, F.lit(True))
+    )
+    return history.unionByName(untouched_current).unionByName(closing).unionByName(fresh)

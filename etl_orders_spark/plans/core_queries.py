@@ -1175,6 +1175,30 @@ def q14_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_upsert_customers",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    UNION ALL
+    SELECT * FROM src
+    """,
+    tags=("merge", "setop"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert capability (anti-join + union — MERGE INTO with a
+    table format): a simulated update batch (+100 balance for rich
+    customers) wins on key collision, untouched rows survive."""
+    from etl_orders_spark.operators.merge import merge_upsert
+
+    c = T(spark, sf_dir, "customer")
+    src = c.filter(F.col("c_acctbal") > 9000).withColumn("c_acctbal", F.col("c_acctbal") + 100)
+    return merge_upsert(c, src, ["c_custkey"])
+
+
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
 #     semantics (inner joins drop dangling keys) as an oracle-checked query --
 

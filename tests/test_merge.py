@@ -1,0 +1,55 @@
+"""MERGE emulation: upsert + SCD2 history semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from etl_orders_spark.operators.merge import merge_upsert, scd2_apply
+
+
+def test_merge_upsert_source_wins(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    source = spark.createDataFrame([(2, "B!"), (4, "d")], "id long, v string")
+    out = {r["id"]: r["v"] for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out == {1: "a", 2: "B!", 3: "c", 4: "d"}
+
+
+def test_scd2_closes_and_appends(spark):
+    t0 = datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "alice@a", t0, None, True),
+            (2, "bob@b", t0, None, True),
+            (3, "old@x", t0, datetime(2024, 2, 1), False),  # history row
+            (3, "new@x", datetime(2024, 2, 1), None, True),
+        ],
+        "id long, email string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "alice@new")], "id long, email string")
+    eff = datetime(2024, 3, 1)
+    out = scd2_apply(dim, updates, ["id"], eff)
+    rows = sorted(
+        ((r["id"], r["email"], r["is_current"], r["valid_to"]) for r in out.collect())
+    )
+    # id 1: old version closed at eff, new version current
+    assert (1, "alice@a", False, eff) in rows
+    assert (1, "alice@new", True, None) in rows
+    # id 2 untouched-current; id 3 history + current untouched
+    assert (2, "bob@b", True, None) in rows
+    assert (3, "old@x", False, datetime(2024, 2, 1)) in rows
+    assert (3, "new@x", True, None) in rows
+    assert len(rows) == 5
+    # exactly one current row per key
+    cur = [r for r in rows if r[2]]
+    assert sorted(r[0] for r in cur) == [1, 2, 3]
+
+
+def test_scd2_idempotent_for_no_updates(spark):
+    t0 = datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "a@a", t0, None, True)],
+        "id long, email string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    empty = spark.createDataFrame([], "id long, email string")
+    out = scd2_apply(dim, empty, ["id"], datetime(2024, 3, 1))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, dim.collect()))
