@@ -1199,6 +1199,57 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(c, src, ["c_custkey"])
 
 
+@register(
+    "stats_quantity_price",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(stddev_samp(l_extendedprice), 2) AS std_price,
+           ROUND(var_samp(l_discount), 6) AS var_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev/variance) — all
+    single-pass distributed moments; rounded so the engines' different
+    accumulation formulas (Welford vs naive) can't flip the hash."""
+    return T(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+@register(
+    "string_functions_extra",
+    r"""
+    SELECT p_partkey AS partkey,
+           regexp_extract(p_name, '([0-9]+)', 1) AS first_number,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           reverse(p_brand) AS brand_rev
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def string_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: regexp_extract, lpad, replace, locate,
+    reverse — the remainder of A5's string family."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_number"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.locate("a", F.col("p_name")).alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
 # --- reference golden pipeline over driver tables: the RI-filter cardinality
 #     semantics (inner joins drop dangling keys) as an oracle-checked query --
 
