@@ -97,6 +97,95 @@ def llm_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_corpus(T(spark, sf_dir, "documents"))
 
 
+_BUDGET = 20_000  # tokens per source
+
+
+@register(
+    "token_budget_pack",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                  END) AS BIGINT) AS n_tokens,
+             ROUND({_QUALITY}, 4) AS q
+      FROM documents
+    ), runs AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM runs WHERE cum_tokens <= {_BUDGET}
+    """,
+    tags=("text", "pipeline", "window"),
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: per source, take documents best-quality
+    first until the running token count hits the budget — the sampling
+    step that turns a filtered corpus into a sized training mix. One
+    keyed window (shuffle on source), no iteration."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 4).alias("q"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+# per-source inclusion percentages for the deterministic mixture
+# (testdata sources are src0..src19; unlisted sources default to 50)
+_MIX_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 40, "src4": 20, "src5": 0}
+
+
+def _mix_rate_case() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    return f"CASE source {whens} ELSE 50 END"
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < {_mix_rate_case()}
+    """,
+    tags=("text", "pipeline", "sampling"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source inclusion rates via a
+    portable content-independent hash of the doc id — reproducible
+    across runs, engines, and partitionings (no RNG state), which is
+    what a training-mix recipe needs. Pure map stage."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.lit(50)
+    expr = None
+    for s, r in _MIX_RATES.items():
+        expr = F.when(F.col("source") == s, F.lit(r)) if expr is None else expr.when(
+            F.col("source") == s, F.lit(r)
+        )
+    rate = expr.otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "source")
+
+
 @register(
     "canonical_best_doc_per_fp",
     f"""
