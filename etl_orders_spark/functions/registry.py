@@ -61,32 +61,39 @@ def expression(name: str) -> Callable[..., Column]:
 # --- tier 2: Arrow pandas UDFs for genuinely-Python computations ------------
 
 
-def _byte_entropy_impl(s):
-    import numpy as np
+def _make_pandas_udfs() -> dict[str, tuple[Callable, T.DataType]]:
+    """Build the pandas-UDF implementations as closures: module-level
+    functions pickle by reference, which would require the Python
+    workers to import this package (fails when the driver cwd isn't
+    the repo root)."""
 
-    def one(b: bytes | None) -> float:
-        if not b:
-            return 0.0
-        arr = np.frombuffer(b, dtype=np.uint8)
-        hist = np.bincount(arr, minlength=256).astype(np.float64)
-        p = hist[hist > 0] / arr.size
-        return float(-(p * np.log2(p)).sum())
+    def byte_entropy_impl(s):
+        import numpy as np
 
-    return s.map(one)
+        def one(b: bytes | None) -> float:
+            if not b:
+                return 0.0
+            arr = np.frombuffer(b, dtype=np.uint8)
+            hist = np.bincount(arr, minlength=256).astype(np.float64)
+            p = hist[hist > 0] / arr.size
+            return float(-(p * np.log2(p)).sum())
+
+        return s.map(one)
+
+    def mean_byte_impl(s):
+        import numpy as np
+
+        return s.map(
+            lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if b else 0.0
+        )
+
+    return {
+        "byte_entropy": (byte_entropy_impl, T.DoubleType()),
+        "mean_byte": (mean_byte_impl, T.DoubleType()),
+    }
 
 
-def _mean_byte_impl(s):
-    import numpy as np
-
-    return s.map(
-        lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if b else 0.0
-    )
-
-
-PANDAS_UDFS: dict[str, tuple[Callable, T.DataType]] = {
-    "byte_entropy": (_byte_entropy_impl, T.DoubleType()),
-    "mean_byte": (_mean_byte_impl, T.DoubleType()),
-}
+PANDAS_UDFS: dict[str, tuple[Callable, T.DataType]] = _make_pandas_udfs()
 
 
 def register_pandas_udfs(spark: SparkSession) -> dict[str, Callable[..., Column]]:

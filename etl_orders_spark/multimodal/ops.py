@@ -23,7 +23,8 @@ def _decode_pixels(content: bytes, fmt: str):  # pragma: no cover - env-gated
     """Real pixel decode — requires an image codec library, which this
     container does not ship. The Spark-side plumbing around it (schema,
     Arrow batching, partitioning) is real and tested via the byte-level
-    paths below."""
+    paths below. (Worker-side copies of this logic are inlined in the
+    mapInPandas closures so they pickle by value.)"""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -89,13 +90,27 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        def decode_pixels(content: bytes):  # inlined: closure pickles by value
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "pixel decode needs an image codec (PIL/libvips); "
+                    "not available in this environment"
+                ) from e
+            import io
+
+            import PIL.Image as Image
+
+            return Image.open(io.BytesIO(content))
+
         for pdf in it:
             rows = []
             for mid, content, w, h in zip(
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
                 if strict:
-                    _decode_pixels(content, "png")  # raises: no codec available
+                    decode_pixels(content)  # raises: no codec available
                 w = int(w) if pd.notna(w) else 0
                 h = int(h) if pd.notna(h) else 0
                 rows.append((mid, w, h, w * h, False))

@@ -20,19 +20,24 @@ if TYPE_CHECKING:  # pragma: no cover
 ZSCORE_SCHEMA = "doc_id long, lang string, n_chars long, z double"
 
 
-def _zscore_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-    mu = pdf["n_chars"].mean()
-    sd = pdf["n_chars"].std(ddof=0)  # population std: matches stddev_pop
-    pdf = pdf.copy()
-    pdf["z"] = 0.0 if sd == 0 else (pdf["n_chars"] - mu) / sd
-    return pdf[["doc_id", "lang", "n_chars", "z"]]
-
-
 def zscore_by_group(docs: DataFrame) -> DataFrame:
     """Per-language z-score of document length via applyInPandas —
-    each language group becomes one pandas frame in one task."""
+    each language group becomes one pandas frame in one task.
+
+    The pandas function is a closure (pickled by value): a module-level
+    function pickles by reference and the Python WORKERS would then
+    have to import this package, which fails whenever the driver's cwd
+    isn't the repo root."""
+
+    def zscore_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=0)  # population std: matches stddev_pop
+        pdf = pdf.copy()
+        pdf["z"] = 0.0 if sd == 0 else (pdf["n_chars"] - mu) / sd
+        return pdf[["doc_id", "lang", "n_chars", "z"]]
+
     return docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
-        _zscore_group, ZSCORE_SCHEMA
+        zscore_group, ZSCORE_SCHEMA
     )
 
 
