@@ -60,4 +60,9 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a default-conf session carries 200 shuffle partitions — far too
+    # many tasks for local test scales (AQE coalesces, but task-launch
+    # overhead remains); arrow speeds any toPandas the caller does
+    spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_CPUS)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
