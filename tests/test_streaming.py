@@ -176,6 +176,29 @@ def test_stream_static_dimension_join(spark, stream_events, batch_events):
     assert got == want and set(got) == {"gold", "basic"}
 
 
+def test_upsert_parquet_sink_across_runs(spark, tmp_path_factory):
+    """Streaming upsert materialization: later batches replace rows by
+    key; the serving table converges across restarts."""
+    from etl_orders_spark.streaming.sinks import upsert_parquet_sink
+
+    root = tmp_path_factory.mktemp("upsert")
+    src = str(root / "src")
+    out = str(root / "table")
+    ckpt = str(root / "ckpt")
+    schema = "id long, v string, ts timestamp"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        upsert_parquet_sink(stream, out, ["id"], ckpt)
+        return {r["id"]: r["v"] for r in spark.read.parquet(out).collect()}
+
+    t1 = run([(1, "a", ts("2024-01-01 10:00:00")), (2, "b", ts("2024-01-01 10:01:00"))])
+    assert t1 == {1: "a", 2: "b"}
+    t2 = run([(2, "B!", ts("2024-01-01 11:00:00")), (3, "c", ts("2024-01-01 11:01:00"))])
+    assert t2 == {1: "a", 2: "B!", 3: "c"}
+
+
 def test_dedup_within_watermark_stream(spark, stream_events, batch_events):
     run_available_now_to_memory(
         dedup_within_watermark(stream_events, ["event_id"]), "t_dedup", output_mode="append"
