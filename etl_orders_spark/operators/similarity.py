@@ -229,6 +229,99 @@ def near_dup_pairs_bucketed(
     return scored.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= tau)
 
 
+def near_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ τ via block-partitioned GEMM.
+
+    The id space is hashed into `n_blocks` blocks; every unordered
+    block pair (i ≤ j) becomes one task, and each task computes its
+    full cosine sub-matrix with one BLAS matrix multiply inside an
+    Arrow-batched `applyInPandas`. This keeps the exact O(n²) answer
+    but moves the per-pair math from interpreted higher-order
+    aggregates to vectorized float64 GEMM (~100× per pair), which is
+    the classic distributed all-pairs-similarity layout: replication
+    factor is `n_blocks` per row, peak task memory is two blocks of
+    vectors, so at 100 TB you raise `n_blocks` until 2·(n/B)·dim·8
+    bytes fits an executor and the job stays GEMM-bound. Prefer
+    `near_dup_pairs_bucketed` when τ is high and the data is
+    clusterable (LSH prunes candidates); prefer this when the answer
+    must be exact or the embedding distribution defeats LSH pruning.
+
+    Output: id_a < id_b, cos (rounded 6); zero-norm vectors score 0.
+    """
+    B = int(n_blocks)
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B)).cast("int").alias("_blk"),
+    )
+    # replicate each row into every task its block participates in:
+    # block k joins tasks (min(k,j), max(k,j)) for j in 0..B-1
+    tasks = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(j)).alias("bi"),
+                F.greatest(F.col("_blk"), F.lit(j)).alias("bj"),
+            )
+            for j in range(B)
+        ]
+    )
+    tagged = (
+        vecs.select("_id", "_v", "_blk", F.explode(F.array_distinct(tasks)).alias("_t"))
+        .select("_id", "_v", "_blk", F.col("_t.bi").alias("_bi"), F.col("_t.bj").alias("_bj"))
+    )
+    tau_f = float(tau)
+
+    def rescore(key, pdf):  # closure: pickled by value (no import-path dependency)
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        bi, bj = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors -> cos 0 by convention
+        unit = mat / norms[:, None]
+        if bi == bj:
+            sim = unit @ unit.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            id_a, id_b, cos = ids[iu], ids[ju], sim[iu, ju]
+        else:
+            left = pdf["_blk"].to_numpy() == bi
+            if not left.any() or left.all():
+                return empty
+            sim = unit[left] @ unit[~left].T
+            la, rb = ids[left], ids[~left]
+            id_a = np.repeat(la, len(rb))
+            id_b = np.tile(rb, len(la))
+            cos = sim.ravel()
+        cos = np.round(cos, 6)
+        keep = cos >= tau_f
+        id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id_a, id_b),
+                "id_b": np.maximum(id_a, id_b),
+                "cos": cos,
+            }
+        )
+
+    return tagged.groupBy("_bi", "_bj").applyInPandas(rescore, "id_a long, id_b long, cos double")
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     id_col: str,

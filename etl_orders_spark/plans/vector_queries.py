@@ -17,6 +17,7 @@ from etl_orders_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    near_dup_pairs_blocked,
     near_dup_pairs_bucketed,
 )
 from etl_orders_spark.plans.registry import register
@@ -105,7 +106,6 @@ _NEAR_DUP_TAU = 0.9
     WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
     """,
     tags=("vector", "dedup"),
-    bench=True,
 )
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs ≥ τ, via LSH-bucketed
@@ -117,6 +117,30 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_bucketed(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         tau=_NEAR_DUP_TAU, dim=64, num_planes=4, num_tables=16,
+    )
+
+
+@register(
+    "near_dup_embeddings_blocked",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= {_NEAR_DUP_TAU}
+    """,
+    tags=("vector", "dedup", "pandas"),
+    bench=True,
+)
+def near_dup_embeddings_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup twin of `near_dup_embeddings` via blocked GEMM:
+    block pairs fan out, each computes its cosine sub-matrix with one
+    BLAS multiply in an Arrow-batched applyInPandas. Same all-pairs
+    oracle; this is the bench path — per-pair cost is a float64 FMA
+    instead of an interpreted higher-order aggregate, and the only
+    shuffle is the B-way block replication."""
+    return near_dup_pairs_blocked(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        tau=_NEAR_DUP_TAU, n_blocks=8,
     )
 
 

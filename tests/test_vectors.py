@@ -86,6 +86,48 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     assert set(per_q.values()) == {5}
 
 
+def test_near_dup_blocked_matches_exact_all_pairs(spark):
+    """Blocked-GEMM near-dup is EXACT: on a planted fixture (including
+    a zero vector and an exact duplicate) it returns precisely the
+    pairs the brute-force cross join finds, at every block count."""
+    import random
+
+    from etl_orders_spark.operators.similarity import near_dup_pairs_blocked
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+        if i < 6:
+            rows.append((100 + i, [float(x + rng.gauss(0, 0.01)) for x in v]))
+    rows.append((200, [0.0] * 16))  # zero vector: cos 0 with everything
+    rows.append((201, rows[0][1]))  # exact duplicate of id 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from pyspark.sql import functions as F
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .select("id_a", "id_b", F.round(cosine_similarity("ea", "eb"), 6).alias("cos"))
+        .filter("cos >= 0.9")
+        .collect()
+    }
+    assert {(i, 100 + i) for i in range(6)} <= exact and (0, 201) in exact
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in near_dup_pairs_blocked(
+                df, "vec_id", "embedding", tau=0.9, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == exact, f"n_blocks={n_blocks}: {got ^ exact}"
+
+
 def test_near_dup_bucketed_finds_planted_pairs(spark):
     """Planted near-dups must survive the bucketed candidate pruning,
     and the plan must stay a keyed join (no BroadcastNestedLoopJoin)."""
