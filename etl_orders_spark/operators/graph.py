@@ -1,0 +1,76 @@
+"""Graph operators for dedup post-processing.
+
+A pair-generating dedup operator (MinHash-LSH, SimHash, n-gram
+Jaccard) emits EDGES; the actual dedup decision needs the connected
+COMPONENT of each document — transitive duplicates (a~b, b~c) must
+collapse into one cluster even when a and c never pair directly.
+
+`connected_components` is iterative min-label propagation with path
+halving (each vertex also adopts its current label's label), so
+convergence is O(log diameter) joins rather than O(diameter) — the
+Hash-to-Min family (Rastogi et al., ICDE'13). Per iteration the only
+shuffles are keyed joins on vertex id; labels monotonically decrease,
+so a stable checksum means a reached fixpoint, and lineage is
+truncated every round with localCheckpoint so the plan doesn't grow
+with the iteration count. At 100 TB the same loop runs with the label
+table staged to parquet per round; duplicate clusters have tiny
+diameters (chains only as long as the near-dup chain itself), so the
+loop count stays single-digit.
+
+The reference has no graph surface; this generalizes its dedup-less
+full-refresh loads (SURVEY.md §2 ABSENT rows) to the cluster step a
+training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex with the MINIMUM vertex id reachable from it
+    (undirected). Edge endpoints must be drawn from `vertices`.
+
+    Output: id_col, component (long) — singletons label themselves.
+    """
+    sym = (
+        edges.select(F.col(src_col).cast("long").alias("_s"), F.col(dst_col).cast("long").alias("_d"))
+        .union(edges.select(F.col(dst_col).cast("long").alias("_s"), F.col(src_col).cast("long").alias("_d")))
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).cast("long").alias("_v"), F.col(id_col).cast("long").alias("_lbl")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        # labels only ever decrease, so a stable sum IS the fixpoint
+        cur_sum = labels.agg(F.sum("_lbl")).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("component"))
+        prev_sum = cur_sum
+        nbr_min = (
+            sym.join(labels.select(F.col("_v").alias("_d"), "_lbl"), "_d")
+            .groupBy("_s")
+            .agg(F.min("_lbl").alias("_nmin"))
+            .withColumnRenamed("_s", "_v")
+        )
+        stepped = labels.join(nbr_min, "_v", "left").select(
+            "_v", F.least("_lbl", F.coalesce("_nmin", "_lbl")).alias("_lbl")
+        )
+        # path halving: also adopt the current label's own label,
+        # collapsing chains in O(log diameter) rounds
+        halved = stepped.join(
+            labels.select(F.col("_v").alias("_lbl"), F.col("_lbl").alias("_lbl2")),
+            "_lbl",
+            "left",
+        ).select("_v", F.least("_lbl", F.coalesce("_lbl2", "_lbl")).alias("_lbl"))
+        labels = halved.localCheckpoint(eager=True)
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

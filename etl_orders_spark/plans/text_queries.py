@@ -27,6 +27,7 @@ from etl_orders_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
+from etl_orders_spark.operators.graph import connected_components
 from etl_orders_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -202,11 +203,10 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.2
 
-
-@register(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH sh AS (
+# CTE chain producing near-dup pairs (id_a, id_b, jaccard) — shared by
+# the pairs query and the connected-components clustering oracle
+_NGRAM_PAIR_CTES = f"""
+    sh AS (
       SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM documents
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
@@ -214,15 +214,20 @@ _JACCARD_THRESHOLD = 0.2
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
-    FROM shared
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
-          >= {_JACCARD_THRESHOLD}
-    """,
+    ), pairs AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+            >= {_JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"WITH {_NGRAM_PAIR_CTES} SELECT id_a, id_b, jaccard FROM pairs",
     tags=("text", "dedup"),
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +252,35 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text",
         k_shingle=3, threshold=_JACCARD_THRESHOLD, df_cap=50,
+    )
+
+
+@register(
+    "dedup_clusters_docs",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES}, edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, u) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON e.s = r.u
+    )
+    SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+    """,
+    tags=("text", "dedup", "graph"),
+)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS: near-dup pairs are edges; the dedup decision
+    needs each doc's connected component (transitive duplicates a~b~c
+    collapse even when a,c never pair). Min-label propagation with
+    path halving — O(log diameter) keyed-join rounds, lineage
+    truncated per round. The oracle is the transitive-closure
+    recursive CTE over the same pair SQL."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=3, threshold=_JACCARD_THRESHOLD)
+    return connected_components(docs.select("doc_id"), pairs, "doc_id").select(
+        "doc_id", F.col("component").alias("cluster_id")
     )
 
 

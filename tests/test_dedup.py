@@ -162,3 +162,30 @@ def test_winnow_short_doc_yields_no_fingerprints(spark):
     # fewer than k+window-1 tokens -> no full window -> empty output
     df = spark.createDataFrame([(1, "only five little tokens here")], "doc_id long, text string")
     assert winnow_fingerprints(df, "doc_id", "text", 3, 4).count() == 0
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Transitive chains collapse to one component; singletons keep
+    their own id; a 40-node chain converges (path halving => O(log D)
+    rounds, far under the iteration cap)."""
+    from etl_orders_spark.operators.graph import connected_components
+
+    n = 40
+    verts = spark.createDataFrame([(i,) for i in range(n + 2)], "id long")
+    # one long chain 0-1-...-39, plus isolated vertices 40, 41
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, edges, "id").collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert got[40] == 40 and got[41] == 41
+
+
+def test_connected_components_two_clusters(spark):
+    from etl_orders_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], "id long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (8, 7), (9, 7)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(verts, edges, "id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
