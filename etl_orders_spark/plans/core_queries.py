@@ -1273,3 +1273,35 @@ def ri_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("line_number"),
         F.col("p_brand").alias("brand"),
     )
+
+
+# --- privacy operators: the redaction step the reference never had
+#     (it loads raw names/emails/phones; reference dags/etl.py:49-66) --------
+
+
+@register(
+    "pseudonymize_customers",
+    """
+    SELECT md5('cust-v1|' || CAST(c_custkey AS VARCHAR)) AS cust_pseudo,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000.0) * 1000.0 AS DOUBLE) AS acctbal_bucket
+    FROM customer
+    """,
+    tags=("privacy", "projection"),
+)
+def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII minimization as a map stage: stable keyed pseudonym for the
+    customer key (joins still work, linkage breaks on salt rotation),
+    digit-masked display name, and the account balance generalized to
+    $1000 buckets. Free-text email/phone redaction lives in
+    functions/privacy.py and is fixture-tested (the driver corpus
+    carries no organic PII)."""
+    from etl_orders_spark.functions.privacy import generalize_numeric, mask_digits, pseudonym
+
+    return T(spark, sf_dir, "customer").select(
+        pseudonym("c_custkey", "cust-v1").alias("cust_pseudo"),
+        mask_digits("c_name").alias("name_masked"),
+        "c_mktsegment",
+        generalize_numeric("c_acctbal", 1000.0).alias("acctbal_bucket"),
+    )

@@ -201,6 +201,148 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ordered (positional, non-distinct) k-grams over normalized tokens,
+# 1-indexed DuckDB arrays — mirrors operators.dedup.ordered_shingles
+def _sql_ordered_grams(k: int) -> str:
+    join = " || ' ' || ".join(f"{_NORM_TOKENS}[i+{j}]" for j in range(k))
+    return f"list_transform(range(1, len({_NORM_TOKENS}) - {k - 2}), i -> {join})"
+
+
+@register(
+    "repetition_stats_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_NORM_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    ), bg AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST({_sql_ordered_grams(2)}) AS g FROM documents)
+      GROUP BY 1, 2
+    ), bs AS (
+      SELECT doc_id, MAX(c) AS max_bg FROM bg GROUP BY doc_id
+    ), tg AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST({_sql_ordered_grams(3)}) AS g FROM documents)
+      GROUP BY 1, 2
+    ), ts AS (
+      SELECT doc_id, COUNT(*) AS n_distinct, SUM(c) AS n_tg FROM tg GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           ROUND(COALESCE(max_bg * 2.0 / NULLIF(t.n_tokens, 0), 0.0), 6) AS top_bigram_frac,
+           ROUND(COALESCE((n_tg - n_distinct) * 1.0 / NULLIF(n_tg, 0), 0.0), 6) AS dup_trigram_frac
+    FROM t LEFT JOIN bs ON bs.doc_id = t.doc_id LEFT JOIN ts ON ts.doc_id = t.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, token
+    form): fraction of tokens covered by the single most frequent
+    bigram, and fraction of trigram occurrences that are repeats.
+    High values flag boilerplate/spam for corpus filtering. Pure
+    relational: posexplode-free ordered k-grams (zipped slices),
+    explode + two-level groupBy — no per-element lambda re-evaluation,
+    shuffles carry (doc_id, gram) only."""
+    from etl_orders_spark.functions.text import normalize_text, tokens
+    from etl_orders_spark.operators.dedup import ordered_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(tokens(normalize_text("text"))).cast("long").alias("n_tokens"))
+    bs = (
+        docs.select("doc_id", F.explode(ordered_shingles("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    ts = (
+        docs.select("doc_id", F.explode(ordered_shingles("text", 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"), F.sum("c").alias("n_tg"))
+    )
+    zero_safe = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(num / F.nullif(den.cast("double"), F.lit(0.0)), F.lit(0.0)), 6
+    )
+    return (
+        t.join(bs, "doc_id", "left")
+        .join(ts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            zero_safe(F.col("max_bg") * 2.0, F.col("n_tokens")).alias("top_bigram_frac"),
+            zero_safe((F.col("n_tg") - F.col("n_distinct")).cast("double"), F.col("n_tg")).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+_CONTAM_K = 5  # benchmark-overlap shingle width
+_BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark set
+
+
+@register(
+    "contamination_screen_docs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct({_sql_ordered_grams(_CONTAM_K)})) AS g FROM documents
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ), train AS (
+      SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY 1
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit FROM train WHERE g IN (SELECT g FROM bench) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           ROUND(COALESCE(n_hit * 1.0 / NULLIF(n_grams, 0), 0.0), 6) AS contaminated_frac
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} <> 0) d
+    LEFT JOIN sizes ON sizes.doc_id = d.doc_id
+    LEFT JOIN hits ON hits.doc_id = d.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def contamination_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: fraction of each training doc's
+    distinct 5-gram shingles that appear anywhere in the held-out
+    benchmark slice (doc_id % 20 == 0 stands in for an eval set).
+    The benchmark gram set is DISTINCT + broadcast — at
+    100 TB the eval corpus stays tiny relative to training data, so
+    the scan side never shuffles; a high fraction is a leakage flag."""
+    from etl_orders_spark.functions.text import shingles
+
+    docs = T(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("g"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("g").distinct()
+    train = sh.filter(~is_bench)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "g", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(
+                F.coalesce(
+                    F.col("n_hit") / F.nullif(F.col("n_grams").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
 _JACCARD_THRESHOLD = 0.2
 
 # CTE chain producing near-dup pairs (id_a, id_b, jaccard) — shared by

@@ -91,3 +91,39 @@ def test_lang_id_tie_breaks_by_language_order(spark):
     assert _one(spark, lang_id("text"), "la") == "es"
     # 'de' is es and de marker; es precedes de
     assert _one(spark, lang_id("text"), "de") == "es"
+
+
+def test_pii_redaction_on_planted_fixtures(spark):
+    """Emails/phones planted in free text are detected and redacted;
+    clean text passes through byte-identical."""
+    from etl_orders_spark.functions.privacy import pii_counts, redact_pii
+
+    rows = [
+        (1, "contact Jo.Smith+spam@ex-ample.co.uk or +1 (415) 555-0199 now"),
+        (2, "two mails a@b.io c.d@e.org and a phone 0049 30 1234567"),
+        (3, "no pii here, just words and numbers like 42"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    ne, np_ = pii_counts("txt")
+    got = {
+        r["id"]: (r["red"], r["ne"], r["np"])
+        for r in df.select(
+            "id", redact_pii("txt").alias("red"), ne.alias("ne"), np_.alias("np")
+        ).collect()
+    }
+    assert got[1] == ("contact <EMAIL> or <PHONE> now", 1, 1)
+    assert got[2] == ("two mails <EMAIL> <EMAIL> and a phone <PHONE>", 2, 1)
+    assert got[3] == ("no pii here, just words and numbers like 42", 0, 0)
+    assert got[4] == ("", 0, 0)
+
+
+def test_pseudonym_stability_and_masking(spark):
+    from etl_orders_spark.functions.privacy import mask_digits, pseudonym
+
+    df = spark.createDataFrame([(7, "Customer#000000007")], "k long, name string")
+    r1 = df.select(pseudonym("k", "s1").alias("p"), mask_digits("name").alias("m")).collect()[0]
+    r2 = df.select(pseudonym("k", "s1").alias("p")).collect()[0]
+    r3 = df.select(pseudonym("k", "s2").alias("p")).collect()[0]
+    assert r1["p"] == r2["p"] and r1["p"] != r3["p"]  # stable per salt, broken across salts
+    assert r1["m"] == "Customer##########"
