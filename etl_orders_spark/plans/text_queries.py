@@ -277,6 +277,60 @@ def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W, _CHUNK_S = 32, 24  # token window + stride (8-token overlap)
+
+
+@register(
+    "chunk_docs_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_RAW_TOKENS} AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), k AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, (GREATEST(n - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) // {_CHUNK_S} + 1)) AS k
+      FROM n
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(len(toks[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}], ' ') AS chunk_text
+    FROM k
+    """,
+    tags=("text", "chunking"),
+)
+def chunk_docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking: every doc becomes ceil(max(n-W,0)/S)+1
+    overlapping W-token chunks at stride S (last chunk may run short, so
+    every token lands in ≥1 chunk) — the doc→context-window step of a
+    training pipeline. Pure map + generate: tokens materialize once per
+    row, chunk slices are relational (no per-element lambda re-eval),
+    nothing shuffles."""
+    from etl_orders_spark.functions.text import tokens
+
+    w, s = _CHUNK_W, _CHUNK_S
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "_kmax",
+            F.floor((F.greatest(F.col("_n") - w, F.lit(0)) + (s - 1)) / s).cast("long"),
+        )
+    )
+    ch = d.select(
+        "doc_id", "_toks", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_kmax"))).alias("chunk_idx")
+    )
+    sl = F.slice("_toks", (F.col("chunk_idx") * s + 1).cast("int"), w)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
 _CONTAM_K = 5  # benchmark-overlap shingle width
 _BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark set
 
