@@ -68,6 +68,7 @@ def _load_all() -> None:
     import etl_orders_spark.plans.media_queries  # noqa: F401
     import etl_orders_spark.plans.text_queries  # noqa: F401
     import etl_orders_spark.plans.time_queries  # noqa: F401
+    import etl_orders_spark.plans.tpch_queries  # noqa: F401
     import etl_orders_spark.plans.vector_queries  # noqa: F401
 
 
