@@ -209,3 +209,48 @@ def canonical_best_doc_per_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("doc_id", order).alias("best_doc"),
         F.max("n_chars").alias("best_len"),
     )
+
+
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90  # percent cut points
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('split|' || md5({_NORM})), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("text", "split", "pipeline"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe 80/10/10 split: the bucket is a
+    portable hash of the document FINGERPRINT (md5 of normalized text),
+    not of doc_id — byte-identical duplicates land in the same split by
+    construction, so an exact dup can never straddle train and test.
+    (For near-dup safety, hash the connected-component representative
+    from dedup_clusters_docs instead — same one-line pattern.) Pure
+    map: no shuffle, no state, reproducible across runs and engines —
+    rerunning on a grown corpus never reassigns an existing doc."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), fingerprint("text"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket")).withColumn(
+        "split",
+        F.when(F.col("bucket") < _SPLIT_TRAIN, "train")
+        .when(F.col("bucket") < _SPLIT_VAL, "val")
+        .otherwise("test"),
+    )

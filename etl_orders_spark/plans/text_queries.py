@@ -331,6 +331,77 @@ def chunk_docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_MIN_DF, _TFIDF_K = 5, 10
+
+
+@register(
+    "top_terms_per_lang",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST({_LOWER_TOKENS}) AS term FROM documents
+    ), n AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), tf AS (
+      SELECT lang, term,
+             CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY lang, term
+    ), s AS (
+      SELECT t.lang, t.term, t.tf, t.df,
+             CAST(t.tf * n.n_docs * 1000 // t.df AS BIGINT) AS score_milli
+      FROM tf t JOIN n USING (lang)
+      WHERE t.df >= {_TFIDF_MIN_DF}
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY score_milli DESC, term) AS rk
+      FROM s
+    )
+    SELECT lang, term, tf, df, score_milli, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_TFIDF_K}
+    """,
+    tags=("text", "tfidf", "topk"),
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive terms: top-10 per language by
+    tf * (N_docs / df), the inverse-document-frequency score with a
+    RATIONAL idf (integer milli-units, single trailing div) instead of
+    ln(N/df) — transcendental functions differ by 1 ulp across engines
+    and would poison the value hash; the ranking they induce is the
+    same monotone order. Scale shape: explode is map-side, the
+    (lang, term) aggregate shuffles on a high-cardinality composite
+    key, and the final per-language top-k runs through the SALTED
+    two-phase operator — a plain window here would be one task per
+    language regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from etl_orders_spark.functions.text import tokens
+    from etl_orders_spark.operators.topk import topk_per_group_salted
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    n = d.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = tok.groupBy("lang", "term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    s = (
+        tf.join(F.broadcast(n), "lang")
+        .filter(F.col("df") >= _TFIDF_MIN_DF)
+        .withColumn("score_milli", F.expr("tf * n_docs * 1000 div df"))
+    )
+    ranked = topk_per_group_salted(
+        s, ["lang"], [F.desc("score_milli"), F.col("term")], _TFIDF_K, salt_on="term"
+    )
+    w = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("score_milli"), "term")
+    )
+    return ranked.select(
+        "lang", "term", "tf", "df", "score_milli", w.cast("long").alias("rk")
+    )
+
+
 _CONTAM_K = 5  # benchmark-overlap shingle width
 _BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark set
 
