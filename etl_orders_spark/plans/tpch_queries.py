@@ -73,6 +73,44 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "tpch"),
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: scan-heavy global aggregate with three range predicates
+    and no join/group-by — the canonical pushdown benchmark. All three
+    predicates reach the parquet scan (PushedFilters min/max pruning);
+    revenue is summed as per-row integer cents so the single-double SUM
+    is order-insensitive and cross-engine exact (a raw double sum is
+    neither). At 100 TB this is the query where row-group statistics
+    skip most of the file: with lineitem laid out partitioned-by
+    l_shipdate month, the scan reads ~1/7 of the data before any CPU."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@register(
     "q7_nation_volume_shipping",
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
