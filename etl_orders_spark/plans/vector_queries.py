@@ -145,6 +145,88 @@ def near_dup_embeddings_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantize_embeddings_int8",
+    """
+    WITH b AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_min(CAST(embedding AS DOUBLE[])) AS mn,
+             list_max(CAST(embedding AS DOUBLE[])) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id, label, ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx,
+           CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(v, x -> CAST(FLOOR((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))
+           END AS q,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE ROUND(list_max(list_transform(v,
+                       x -> abs(x - (mn + FLOOR((x - mn) * 255.0 / (mx - mn) + 0.5) * (mx - mn) / 255.0)))), 6)
+           END AS max_abs_err
+    FROM b
+    """,
+    tags=("vector", "quantize"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization plus worst-case
+    reconstruction error — the 4× storage/bandwidth lever for ANN at
+    100 TB (rescore reads q + two doubles instead of 64 doubles).
+    Pure map stage, no shuffle. Determinism: both engines run the
+    IDENTICAL expression tree in double precision — IEEE ops are
+    bit-exact when the op order matches — and the quantized codes are
+    integers, so the value hash is stable. min/max are computed ONCE
+    into columns before the transform: referencing array_min inside
+    the lambda would re-evaluate it per element (interpreted HOFs
+    don't codegen — an O(d^2) trap)."""
+    e = (
+        T(spark, sf_dir, "embeddings")
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+        .withColumn("_mn", F.array_min("v"))
+        .withColumn("_mx", F.array_max("v"))
+    )
+    q = F.when(
+        F.col("_mx") == F.col("_mn"),
+        F.transform("v", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                (x - F.col("_mn")) * 255.0 / (F.col("_mx") - F.col("_mn")) + 0.5
+            ).cast("long"),
+        )
+    )
+    err = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0)).otherwise(
+        F.round(
+            F.array_max(
+                F.transform(
+                    "v",
+                    lambda x: F.abs(
+                        x
+                        - (
+                            F.col("_mn")
+                            + F.floor(
+                                (x - F.col("_mn")) * 255.0 / (F.col("_mx") - F.col("_mn"))
+                                + 0.5
+                            )
+                            * (F.col("_mx") - F.col("_mn"))
+                            / 255.0
+                        )
+                    ),
+                )
+            ),
+            6,
+        )
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round("_mn", 6).alias("mn"),
+        F.round("_mx", 6).alias("mx"),
+        q.alias("q"),
+        err.alias("max_abs_err"),
+    )
+
+
+@register(
     "lsh_ann_topk",
     None,  # approximate by construction: recall measured in tests, not vs an oracle
     tags=("vector", "topk", "lsh"),

@@ -1,0 +1,64 @@
+"""HLL sketch contracts: accuracy envelope, mergeability, persistence.
+
+These pin what the rows-only registry entries (`hll_daily_users`,
+`hll_rollup_total_users`) can't check against DuckDB: the estimate
+must sit within the published HLL error envelope of the exact count,
+union-of-partials must equal sketching the union directly (the whole
+point of persisting partials at 100 TB), and the binary sketch column
+must survive a parquet round-trip so rollups can be incremental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_orders_spark.plans.sketch_queries import (
+    hll_daily_users,
+    hll_rollup_total_users,
+)
+from etl_orders_spark.sources.readers import load_table
+
+# lgK=12 -> relative standard error ~0.81%/sqrt(2^12)*... published RSE is
+# 1.04/sqrt(2^lgK) ~= 1.6%; 5 sigma gives a deterministic-safe 8.2% bound.
+_REL_TOL = 0.082
+
+
+def test_daily_estimates_within_envelope(spark, sf_dir):
+    rows = hll_daily_users(spark, sf_dir).collect()
+    assert rows, "events table produced no days"
+    for r in rows:
+        assert r.est_users > 0
+        assert abs(r.est_users - r.exact_users) <= max(3, _REL_TOL * r.exact_users), (
+            f"day {r.day}: est {r.est_users} vs exact {r.exact_users}"
+        )
+
+
+def test_union_of_partials_equals_direct_sketch(spark, sf_dir):
+    row = hll_rollup_total_users(spark, sf_dir).collect()[0]
+    # HLL union is lossless at equal lgK: merging per-day partials must give
+    # the same estimate as sketching the full column in one pass.
+    assert row.est_merged == row.est_direct
+    assert abs(row.est_merged - row.exact_total) <= max(3, _REL_TOL * row.exact_total)
+
+
+def test_sketch_column_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("uid")
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("uid", F.lit(12)).alias("sk"))
+    path = str(tmp_path / "daily_sketches")
+    daily.write.mode("overwrite").parquet(path)
+
+    # merge the PERSISTED partials (what an incremental rollup reads back)
+    est_persisted = (
+        spark.read.parquet(path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("e"))
+        .collect()[0]
+        .e
+    )
+    est_live = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("uid", F.lit(12))).cast("long").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est_persisted == est_live
