@@ -1305,3 +1305,93 @@ def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         generalize_numeric("c_acctbal", 1000.0).alias("acctbal_bucket"),
     )
+
+
+# --- window frames over event time + relational unpivot ---------------------
+
+
+@register(
+    "rolling_7day_revenue",
+    """
+    WITH daily AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day, day_cents,
+           CAST(SUM(day_cents) OVER (
+             ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling7_cents
+    FROM daily
+    """,
+    tags=("window", "frame", "time"),
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: daily order totals with a
+    trailing 7-day rolling sum. The frame is RANGE over an epoch-day
+    integer (not ROWS): calendar gaps contribute nothing instead of
+    silently widening the window. Scale shape: the aggregate shrinks
+    the fact table to one row per day BEFORE the window runs, so the
+    unpartitioned window sorts only ~date-range rows — the pattern
+    that keeps global time-series windows viable at 100 TB (partition
+    the window by tenant/series key when one exists)."""
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("day_cents")
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day", "day_cents", F.sum("day_cents").over(w).cast("long").alias("rolling7_cents")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             ROUND(AVG(l_quantity), 2) AS avg_qty,
+             ROUND(AVG(l_extendedprice), 2) AS avg_price,
+             ROUND(AVG(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'avg_qty' AS metric, avg_qty AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'avg_price' AS metric, avg_price AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS value FROM m
+    """,
+    tags=("unpivot", "agg"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (the inverse of pivot_revenue_by_status):
+    aggregate first — three doubles per group — then melt columns to
+    (metric, value) rows via DataFrame.unpivot, a zero-shuffle local
+    expansion. Aggregate-then-round keeps the doubles cross-engine
+    stable."""
+    m = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+    return m.unpivot(
+        ids=["l_returnflag"],
+        values=["avg_qty", "avg_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
