@@ -196,3 +196,101 @@ def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("f_ts") > F.col("e_ts")) & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- event analytics: ordered funnels and retention cohorts -----------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    v AS (SELECT user_id, MIN(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS users_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS users_purchase
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first view precedes a
+    click that precedes a purchase (strict event-time order, not mere
+    co-occurrence). Each stage is an aggregate-then-join on user_id —
+    the stage tables shrink monotonically, so every join after the
+    first is small-side broadcastable at scale; nothing ever pays an
+    unkeyed pairwise comparison."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("users_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("users_click")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("users_purchase")))
+    )
+
+
+_COHORT_EPOCH = "2024-01-01"  # week-0 anchor for the driver events fixture
+
+
+@register(
+    "retention_cohorts_weekly",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+    ),
+    f AS (
+      SELECT user_id,
+             CAST(FLOOR(DATEDIFF('day', DATE '{_COHORT_EPOCH}', MIN(d)) / 7) AS BIGINT) AS cohort_week
+      FROM e GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(DATEDIFF('day', DATE '{_COHORT_EPOCH}', d) / 7) AS BIGINT) AS week
+      FROM e
+    )
+    SELECT cohort_week, week, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM f JOIN a USING (user_id)
+    GROUP BY cohort_week, week
+    """,
+    tags=("events", "cohort", "analytics"),
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    counted as active in each later week. Two shuffles on user_id
+    (first-seen aggregate, distinct user-weeks) + one keyed join; the
+    output is cohorts x weeks — tiny regardless of input scale, which
+    is what makes cohort dashboards cheap to refresh incrementally."""
+    wk = lambda col: F.floor(  # noqa: E731
+        F.datediff(col, F.lit(_COHORT_EPOCH).cast("date")) / 7
+    ).cast("long")
+    e = T(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    f = e.groupBy("user_id").agg(wk(F.min("d")).alias("cohort_week"))
+    a = e.select("user_id", wk(F.col("d")).alias("week")).distinct()
+    return (
+        f.join(a, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
