@@ -14,6 +14,7 @@ windowed instead of unbounded; session windows use the native
 """
 
 from etl_orders_spark.streaming.windows import (
+    attribute_conversions,
     dedup_within_watermark,
     run_available_now_to_memory,
     session_window_stats,
@@ -22,6 +23,7 @@ from etl_orders_spark.streaming.windows import (
 )
 
 __all__ = [
+    "attribute_conversions",
     "dedup_within_watermark",
     "run_available_now_to_memory",
     "session_window_stats",

@@ -100,6 +100,38 @@ def dedup_within_watermark(
     return events.dropDuplicates(keys)
 
 
+def attribute_conversions(
+    clicks: DataFrame,
+    conversions: DataFrame,
+    horizon: str = "1 hour",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each conversion to every
+    click by the same user within `horizon` BEFORE it. The equality
+    conjunct on `key` keeps the join hash-partitioned; the event-time
+    band both bounds the physical join AND (with the two watermarks)
+    lets the state store expire rows — the pair of constraints that
+    makes an unbounded stream⋈stream join run in finite state. Inner
+    stream-stream joins emit in append mode as matches arrive. Batch
+    inputs run the identical plan as a normal interval equi-join."""
+    c = _with_watermark(clicks, ts_col, watermark).select(
+        F.col(key).alias("c_key"), F.col(ts_col).alias("click_ts")
+    )
+    v = _with_watermark(conversions, ts_col, watermark).select(
+        F.col(key).alias("v_key"), F.col(ts_col).alias("conv_ts")
+    )
+    cond = (
+        (F.col("c_key") == F.col("v_key"))
+        & (F.col("click_ts") <= F.col("conv_ts"))
+        & (F.col("click_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(v, cond).select(
+        F.col("c_key").alias(key), "click_ts", "conv_ts"
+    )
+
+
 def run_available_now_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -205,3 +205,27 @@ def test_dedup_within_watermark_stream(spark, stream_events, batch_events):
     )
     assert spark.table("t_dedup").count() == 5  # 6 rows, one duplicate id
     assert dedup_within_watermark(batch_events, ["event_id"]).count() == 5
+
+
+def test_stream_stream_interval_join_equals_batch(spark, batch_events, stream_events):
+    """Stream⋈stream attribution: clicks joined to later views by the
+    same user within 1 hour, both sides watermarked — must equal the
+    identical interval join run in batch. (user 1's 11:05 view matches
+    both its 10:05 and 10:15 clicks — the 10:05 one exactly at the 1h
+    boundary; user 2's view is 2.5h after its click and the duplicated
+    copy of it is equally out of horizon, so neither emits.)"""
+    from etl_orders_spark.streaming import attribute_conversions
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "view"),
+        )
+
+    run_available_now_to_memory(
+        attribute_conversions(*split(stream_events)), "t_attr", output_mode="append"
+    )
+    got = _rows(spark.table("t_attr"), "user_id", "click_ts", "conv_ts")
+    want = _rows(attribute_conversions(*split(batch_events)), "user_id", "click_ts", "conv_ts")
+    assert got == want
+    assert len(got) == 2  # user 1's two clicks; the exact-1h one is kept
