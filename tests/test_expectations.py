@@ -1,0 +1,86 @@
+"""Expectations operator: violation arithmetic on deliberately dirty
+data (the registry's dq_orders_lineitem runs on clean fixtures, so the
+counting itself must be proven here), NULL-predicate semantics, and
+the single-aggregate plan shape."""
+
+from __future__ import annotations
+
+from etl_orders_spark.operators.expectations import (
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    ref_integrity,
+    run_row_checks,
+    violating_rows,
+)
+
+_SCHEMA = "id long, grade string, score double"
+_ROWS = [
+    (1, "A", 10.0),
+    (2, "B", -5.0),   # range violation
+    (3, None, 20.0),  # null grade, in_set/matches violations too
+    (3, "Z", None),   # dup id, bad grade, null score (range counts NULL as violation)
+]
+
+
+def _result(df):
+    return {r.check: (r.violations, r.total) for r in df.collect()}
+
+
+def test_row_checks_count_violations(spark):
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    got = _result(
+        run_row_checks(
+            df,
+            [
+                not_null("grade"),
+                in_set("grade", ["A", "B"]),
+                matches("grade", "^[A-C]$"),
+                in_range("score", 0.0, 100.0),
+            ],
+            unique_keys=["id"],
+        )
+    )
+    assert got == {
+        "not_null:grade": (1, 4),
+        "in_set:grade": (2, 4),    # NULL and 'Z'
+        "matches:grade": (2, 4),   # NULL and 'Z'
+        "in_range:score": (2, 4),  # -5.0 and NULL
+        "unique:id": (1, 4),
+    }
+
+
+def test_clean_table_passes(spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    got = _result(
+        run_row_checks(
+            load_table(spark, sf_dir, "orders"),
+            [not_null("o_orderdate"), in_set("o_orderstatus", ["O", "F", "P"])],
+            unique_keys=["o_orderkey"],
+        )
+    )
+    assert all(v == 0 for v, _ in got.values())
+
+
+def test_ref_integrity_counts_orphans(spark):
+    fact = spark.createDataFrame([(1, "x"), (2, "y"), (9, "z"), (9, "w")], "fk long, v string")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = ref_integrity(fact, "fk", dim, "pk").collect()[0]
+    assert (row.check, row.violations, row.total) == ("ref:fk->pk", 2, 4)
+
+
+def test_violating_rows_includes_null_predicates(spark):
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    bad = violating_rows(df, in_range("score", 0.0, 100.0))
+    assert sorted(r.id for r in bad.collect()) == [2, 3]
+
+
+def test_row_checks_single_aggregate_plan(spark):
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    plan = run_row_checks(
+        df, [not_null("grade"), in_range("score", 0.0, 100.0)], unique_keys=["id"]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # every check folds into ONE Aggregate node - no per-check scans
+    assert plan.count("Aggregate") == 1
