@@ -741,3 +741,123 @@ def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "documents"), "doc_id", "text",
         k_shingle=_WINNOW_K, window=_WINNOW_W, portable=True,
     )
+
+
+# --- BM25-style retrieval -----------------------------------------------
+
+
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+_SEARCHES = {
+    "spark_join": ["spark", "join"],
+    "window_agg_merge": ["window", "agg", "merge"],
+    "stream_filter": ["stream", "filter"],
+}
+_SEARCH_VALUES = ", ".join(
+    f"('{q}', '{t}')" for q, ts in sorted(_SEARCHES.items()) for t in ts
+)
+
+
+@register(
+    "bm25_search_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS term,
+             len({_LOWER_TOKENS}) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+      FROM tok GROUP BY doc_id, term
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM (SELECT doc_id, MAX(dl) AS dl FROM tok GROUP BY doc_id)
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dft FROM tok GROUP BY term
+    ), q(query_id, term) AS (VALUES {_SEARCH_VALUES}),
+    term_scores AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(FLOOR(
+               ((stats.n_docs - CAST(dfreq.dft AS DOUBLE) + 0.5) / (CAST(dfreq.dft AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0}
+                  / (CAST(tf.tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * CAST(tf.dl AS DOUBLE) / stats.avgdl)))
+               * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+      FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+    ), scored AS (
+      SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+      FROM term_scores GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_micro,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= {_BM25_TOPK}
+    """,
+    tags=("text", "search", "topk"),
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval for a fixed query set, with a RATIONAL
+    idf — (N - df + 0.5)/(df + 0.5) without the log — because ln()
+    differs by ulps across engines and would poison the value hash;
+    per-term scores floor to exact integer micro-units BEFORE the
+    per-document sum, so aggregation order can't flip a bit. Scale
+    shape: tf and df are one shuffle each over (doc, term) / term;
+    query terms and the 2-double corpus stats broadcast; scoring
+    touches only docs containing a query term (inverted-index
+    semantics, never a corpus scan per query)."""
+    from pyspark.sql import Window
+
+    from etl_orders_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    tok = d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    docs = tok.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_SEARCHES.items()) for t in ts],
+        "query_id string, term string",
+    )
+    # df only for QUERY terms: the full-vocab df table is unbounded at scale
+    # and must never broadcast; restricting first also shrinks the
+    # count-distinct shuffle to the terms that can contribute to a score.
+    dfreq = (
+        tok.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("dft"))
+    )
+    idf = (F.col("n_docs") - F.col("dft").cast("double") + 0.5) / (
+        F.col("dft").cast("double") + 0.5
+    )
+    sat = (
+        F.col("tf").cast("double")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + _BM25_K1
+            * ((1.0 - _BM25_B) + _BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    term_scores = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf * sat * 1000000.0 + 0.5).cast("long").alias("s_micro"),
+        )
+    )
+    scored = term_scores.groupBy("query_id", "doc_id").agg(
+        F.sum("s_micro").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+    )
