@@ -1395,3 +1395,62 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "cdc_orders_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 50 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ), n AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns,
+             o.o_totalprice AS op, n.o_totalprice AS np
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CASE WHEN in_old AND in_new THEN
+             list_sort(list_filter([
+               CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+               CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END
+             ], x -> x IS NOT NULL))
+           ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j
+    WHERE NOT in_old OR NOT in_new
+       OR os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
+    """,
+    tags=("cdc", "join", "diff"),
+)
+def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two deterministic simulated snapshots
+    of orders: "yesterday" drops every 89th key and recodes the status
+    of keys ending in 50; "today" drops every 97th key. The diff tags
+    the re-appearing 89ths as inserts, the missing 97ths as deletes,
+    and the recoded keys as updates naming the changed column — the
+    typed change feed an incremental downstream consumes instead of a
+    full reload. One co-partitionable full-outer join; see
+    operators/snapshot_diff.py."""
+    from etl_orders_spark.operators.snapshot_diff import snapshot_diff
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 100 == 50, "X").otherwise(F.col("o_orderstatus")),
+    )
+    new = base.filter(F.col("o_orderkey") % 97 != 0)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
