@@ -165,3 +165,28 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     for p in parts[1:]:
         gram = F.zip_with(gram, p, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(gram)
+
+
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST so "&amp;lt;" -> "&lt;" stays literal
+)
+
+
+def strip_html(col: Column | str) -> Column:
+    """Web-corpus boilerplate removal, pure JVM regexp (no parser, no
+    UDF): drops <script>/<style> subtrees CONTENT AND ALL (their text
+    is code, not prose), replaces remaining tags and comments with a
+    space (so '<p>a</p><p>b</p>' keeps a word boundary between a and
+    b), decodes the six entities that survive in plain text, and
+    collapses runs of whitespace. Order matters: subtree kills run
+    before generic tag removal, entity decode runs after all tag
+    removal so decoded '<' can't resurrect a tag."""
+    c = _c(col)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.regexp_replace(F.regexp_replace(c, r"\s+", " "), r"^\s+|\s+$", "")

@@ -294,3 +294,32 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week")
         .agg(F.count("*").cast("long").alias("n_active"))
     )
+
+
+@register(
+    "attribution_click_to_purchase",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT c.user_id, c.ts AS click_ts, v.ts AS conv_ts
+    FROM e c JOIN e v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'purchase'
+     AND c.ts <= v.ts AND c.ts >= v.ts - INTERVAL 1 HOUR
+    """,
+    tags=("events", "join", "attribution"),
+)
+def attribution_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/windows.attribute_conversions): every purchase matched
+    to the same user's clicks in the preceding hour. ONE builder serves
+    both modes — this oracle-checked batch form and the watermarked
+    streaming form tested in test_streaming — so attribution logic
+    can't drift between the backfill and the live path."""
+    from etl_orders_spark.streaming.windows import attribute_conversions
+
+    ev = T(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )

@@ -127,3 +127,33 @@ def test_pseudonym_stability_and_masking(spark):
     r3 = df.select(pseudonym("k", "s2").alias("p")).collect()[0]
     assert r1["p"] == r2["p"] and r1["p"] != r3["p"]  # stable per salt, broken across salts
     assert r1["m"] == "Customer##########"
+
+
+class TestStripHtml:
+    def _one(self, spark, raw: str) -> str:
+        from etl_orders_spark.functions.text import strip_html
+
+        return spark.createDataFrame([(raw,)], "t string").select(
+            strip_html("t").alias("s")
+        ).collect()[0].s
+
+    def test_tags_become_word_boundaries(self, spark):
+        assert self._one(spark, "<p>alpha</p><p>beta</p>") == "alpha beta"
+
+    def test_script_and_style_content_dropped(self, spark):
+        raw = "<html><style>p{color:red}</style>keep<script>var x=1;</script>me</html>"
+        assert self._one(spark, raw) == "keep me"
+
+    def test_comments_and_entities(self, spark):
+        raw = "a <!-- hidden --> b &amp; c &lt;tag&gt; &quot;q&quot; &#39;s&#39;"
+        assert self._one(spark, raw) == "a b & c <tag> \"q\" 's'"
+
+    def test_double_escaped_amp_stays_literal(self, spark):
+        # '&amp;lt;' is the TEXT '&lt;' — decoding &amp; last keeps it that way
+        assert self._one(spark, "x &amp;lt; y") == "x &lt; y"
+
+    def test_decoded_angle_is_not_a_tag(self, spark):
+        assert self._one(spark, "&lt;b&gt;not bold&lt;/b&gt;") == "<b>not bold</b>"
+
+    def test_plain_text_unchanged(self, spark):
+        assert self._one(spark, "  just   text  ") == "just text"
