@@ -308,19 +308,32 @@ def simhash_near_pairs(
         F.col("_id").alias("id_b"),
         F.col("simhash").alias("sh_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_idx") == F.col("_bi2"))
-            & (F.col("band_val") == F.col("_bv2"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = a.join(
+        b,
+        (F.col("band_idx") == F.col("_bi2"))
+        & (F.col("band_val") == F.col("_bv2"))
+        & (F.col("id_a") < F.col("id_b")),
     )
+    # Emit each pair from its FIRST shared band only: a pair sharing k
+    # bands appears k times at the join output, but all copies except
+    # the one whose earlier bands all differ are dropped MAP-SIDE here —
+    # replacing the dropDuplicates shuffle (which carried every
+    # candidate copy) with 3 integer comparisons per copy.
+    def _band(col: str, i: int) -> F.Column:
+        return F.shiftright(col, i * band_bits).bitwiseAND(F.lit(mask))
+
+    first_band = [
+        (F.col("band_idx") <= i) | (_band("sh_a", i) != _band("sh_b", i))
+        for i in range(4)
+    ]
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    out = cand
+    for cond in first_band:
+        out = out.filter(cond)
+    return (
+        out.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
