@@ -1454,3 +1454,82 @@ def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, ["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
     )
+
+
+_BASKET_TOPK = 20
+
+
+@register(
+    "market_basket_pairs",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {_BASKET_TOPK}
+    """,
+    tags=("basket", "join", "agg", "topk"),
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, ranked by support. The self-join is keyed on l_orderkey —
+    a co-partitionable fact⋈fact shuffle, never a cross join; per-order
+    distinct parts first so a part repeated in one order can't inflate
+    support. At 100 TB the guard that matters is basket width: pair
+    fan-out is quadratic per order, so pathological mega-baskets get
+    capped upstream (the same df-cap idea as hot shingles). Top-k is
+    a TakeOrderedAndProject over the aggregated pairs."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("ok", "part_a")
+    b = li.toDF("ok", "part_b")
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(_BASKET_TOPK)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("events", "window", "analytics"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition counts (the Markov matrix behind
+    path/flow analysis): one window partitioned by user_id — state
+    scales with users, not events — then a 25-cell aggregate.
+    Tie-broken by event_id so simultaneous events order identically in
+    both engines."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
