@@ -14,7 +14,12 @@ Determinism conventions shared by every pair:
 - timestamps reduced to DATE or grouped via epoch-aligned windows;
   session timezone pinned to UTC before every build;
 - any top-k / limit ordered by a rounded measure plus a unique key so
-  tie-breaking is identical in both engines.
+  tie-breaking is identical in both engines;
+- intermediate columns that an output alias would shadow get
+  underscore names (`_mn`): Spark resolves a later select item's
+  column reference against EARLIER aliases in the same list (lateral
+  column aliases), so `F.round("mn", 6).alias("mn")` silently rebinds
+  subsequent `F.col("mn")` to the rounded value.
 """
 
 from __future__ import annotations

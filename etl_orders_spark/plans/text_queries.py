@@ -861,3 +861,48 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _BM25_TOPK)
     )
+
+
+@register(
+    "mad_doclen_by_lang",
+    """
+    WITH d AS (
+      SELECT lang, CAST(length(text) AS DOUBLE) AS len FROM documents
+    ), med AS (
+      SELECT lang, quantile_cont(len, 0.5) AS med_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY lang
+    )
+    SELECT d.lang, med.n_docs,
+           ROUND(med.med_len, 2) AS med_len,
+           ROUND(quantile_cont(abs(d.len - med.med_len), 0.5), 2) AS mad_len
+    FROM d JOIN med USING (lang)
+    GROUP BY d.lang, med.n_docs, med.med_len
+    """,
+    tags=("text", "stats", "robust"),
+)
+def mad_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per language: median absolute deviation of
+    document length — the outlier-resistant scale estimate quality
+    filters should threshold on instead of stddev (one mega-document
+    shifts a stddev, not a MAD). Two grouped exact percentiles with
+    the tiny per-language medians broadcast back between them; both
+    engines interpolate percentiles linearly (Spark `percentile` ==
+    DuckDB `quantile_cont`), so values hash-match after rounding."""
+    d = T(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("double").alias("len")
+    )
+    med = d.groupBy("lang").agg(
+        F.percentile("len", F.lit(0.5)).alias("med_len"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return (
+        d.join(F.broadcast(med), "lang")
+        .groupBy("lang", "n_docs", "med_len")
+        .agg(
+            F.round(F.percentile(F.abs(F.col("len") - F.col("med_len")), F.lit(0.5)), 2).alias(
+                "mad_len"
+            )
+        )
+        .select("lang", "n_docs", F.round("med_len", 2).alias("med_len"), "mad_len")
+    )
