@@ -1533,3 +1533,93 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "mom_revenue_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, rev_cents,
+           CAST(FLOOR((rev_cents - LAG(rev_cents) OVER (ORDER BY month)) * 1000.0
+                      / LAG(rev_cents) OVER (ORDER BY month) + 0.5) AS BIGINT) AS growth_milli
+    FROM m
+    """,
+    tags=("window", "time", "agg"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in milli-units: the aggregate
+    shrinks the fact table to one row per month before the lag window,
+    so the unpartitioned window sorts ~tens of rows at any input scale.
+    The ratio uses one double division then FLOOR(x+0.5) — identical
+    in both engines for negative growth too, where integer-division
+    truncation rules differ."""
+    m = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        "rev_cents",
+        F.floor((F.col("rev_cents") - prev) * 1000.0 / prev + 0.5)
+        .cast("long")
+        .alias("growth_milli"),
+    )
+
+
+@register(
+    "customer_revenue_deciles",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ), d AS (
+      SELECT o_custkey, rev_cents,
+             CAST(NTILE(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS BIGINT) AS decile
+      FROM c
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_cents) AS BIGINT) AS decile_rev_cents,
+           CAST(MIN(rev_cents) AS BIGINT) AS floor_cents
+    FROM d GROUP BY decile
+    """,
+    tags=("window", "ntile", "agg"),
+)
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value deciles (the LTV segmentation cut): lifetime
+    revenue per customer, NTILE(10) over the deterministic
+    (revenue desc, key) order, then per-decile totals. The per-customer
+    aggregate is the only fact-scale shuffle; the window runs over the
+    already-aggregated customer table. At 100 TB an unpartitioned
+    NTILE would single-task — swap in the percent_rank bucketing over
+    a pre-sorted range partitioning if customers outgrow one task."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy(F.desc("rev_cents"), "o_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("rev_cents").cast("long").alias("decile_rev_cents"),
+            F.min("rev_cents").cast("long").alias("floor_cents"),
+        )
+    )
