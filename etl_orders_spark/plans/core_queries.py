@@ -1623,3 +1623,30 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rev_cents").cast("long").alias("floor_cents"),
         )
     )
+
+
+@register(
+    "conditional_aggregates",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "conditional"),
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface: count_if, bool_or,
+    bool_and, count-distinct in one grouped pass — the predicates fold
+    into the same two-phase aggregate as plain counts (no extra scan
+    per condition, the same property the DQ gate exploits)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000).cast("long").alias("n_big"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+    )
