@@ -1650,3 +1650,36 @@ def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
     )
+
+
+@register(
+    "calendar_features_orders",
+    """
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+    SELECT day,
+           CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+           CAST(quarter(day) AS BIGINT) AS quarter,
+           CAST(weekofyear(day) AS BIGINT) AS iso_week,
+           last_day(day) AS month_end,
+           day = last_day(day) AS is_month_end
+    FROM d
+    """,
+    tags=("date", "scalar"),
+)
+def calendar_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction over the distinct order dates — the
+    derived columns a date dimension or seasonality model needs, all
+    JVM scalar expressions. Cross-engine alignment is explicit where
+    conventions differ: Spark dayofweek is 1=Sunday while DuckDB's dow
+    is 0=Sunday (oracle adds 1); weekofyear is ISO in both."""
+    d = T(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    ).distinct()
+    return d.select(
+        "day",
+        F.dayofweek("day").cast("long").alias("dow"),
+        F.quarter("day").cast("long").alias("quarter"),
+        F.weekofyear("day").cast("long").alias("iso_week"),
+        F.last_day("day").alias("month_end"),
+        (F.col("day") == F.last_day("day")).alias("is_month_end"),
+    )
