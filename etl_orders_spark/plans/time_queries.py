@@ -323,3 +323,35 @@ def attribution_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.filter(F.col("event_type") == "purchase"),
         horizon="1 hour",
     )
+
+
+_HIST_WIDTH, _HIST_BUCKETS = 2.0, 10
+
+
+@register(
+    "events_value_histogram",
+    f"""
+    SELECT LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT), {_HIST_BUCKETS - 1}) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "agg", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values with a clamped overflow
+    bucket — one grouped aggregate (two-phase, constant result size),
+    the shape dashboards bin on. Bucketing is FLOOR over a single
+    double division, identical in both engines; no width_bucket
+    dependency (DuckDB lacks it)."""
+    ev = T(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / _HIST_WIDTH).cast("long"), F.lit(_HIST_BUCKETS - 1)
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
