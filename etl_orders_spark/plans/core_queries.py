@@ -1683,3 +1683,88 @@ def calendar_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("day").alias("month_end"),
         (F.col("day") == F.last_day("day")).alias("is_month_end"),
     )
+
+
+@register(
+    "pareto_customer_revenue",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT o_custkey, rev_cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey) AS BIGINT) AS rk,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      FROM c
+    )
+    SELECT rk, o_custkey, rev_cents, cum_cents,
+           CAST(cum_cents * 1000 // (SELECT SUM(rev_cents) FROM c) AS BIGINT) AS cum_share_milli
+    FROM r
+    WHERE rk <= 100
+    """,
+    tags=("window", "running", "topk"),
+)
+def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve head: top-100 customers with running revenue share
+    (the 80/20 audit). Customers aggregate first (the only fact-scale
+    shuffle); the running sum orders by (revenue desc, key) so the
+    cumulative share is deterministic; shares are integer milli-units
+    via truncating division — exact in both engines for positive
+    sums."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    total = c.agg(F.sum("rev_cents").cast("long").alias("_total"))
+    w = Window.orderBy(F.desc("rev_cents"), "o_custkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("cum_cents", F.sum("rev_cents").over(wsum).cast("long"))
+        .filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rk",
+            "o_custkey",
+            "rev_cents",
+            "cum_cents",
+            F.expr("cum_cents * 1000 div _total").cast("long").alias("cum_share_milli"),
+        )
+    )
+
+
+@register(
+    "salted_join_status_counts",
+    """
+    SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew", "agg"),
+)
+def salted_join_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join operator routed through the correctness gate:
+    lineitem⋈orders executed with the big side salted 8 ways and the
+    small side replicated — the plan-level fallback when one key owns a
+    pathological share of a 100 TB fact and AQE's split isn't enough.
+    The oracle is the PLAIN join: salting must be semantically
+    invisible, which is exactly what the value hash certifies."""
+    from etl_orders_spark.operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )
