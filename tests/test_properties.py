@@ -93,3 +93,31 @@ def test_recode_matches_dict_get(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v string")
     rows = df.select(recode("v", mapping).alias("r")).collect()
     assert [r["r"] for r in rows] == [mapping.get(v, v) for v in values]
+
+
+_PLAIN_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789.,!?", min_size=1, max_size=8)
+
+
+@given(st.lists(st.lists(_PLAIN_WORD, min_size=1, max_size=8), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_strip_html_is_identity_on_tagless_text(spark, word_lists):
+    """Text with no markup characters and single-space word separation
+    must pass through strip_html byte-identically — the stripper may
+    only ever REMOVE markup, never mangle prose."""
+    from etl_orders_spark.functions.text import strip_html
+
+    texts = [" ".join(ws) for ws in word_lists]
+    rows = _eval(spark, texts, strip_html("text"))
+    assert [r["c0"] for r in rows] == texts
+
+
+@given(st.lists(_PLAIN_WORD, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_strip_html_tag_wrap_roundtrip(spark, words):
+    """Wrapping each word in a tag pair then stripping must recover the
+    words with single-space separation, regardless of the word content."""
+    from etl_orders_spark.functions.text import strip_html
+
+    raw = "".join(f"<span>{w}</span>" for w in words)
+    rows = _eval(spark, [raw], strip_html("text"))
+    assert rows[0]["c0"] == " ".join(words)
