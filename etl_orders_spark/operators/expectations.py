@@ -72,13 +72,19 @@ def run_row_checks(df: DataFrame, checks: list[Check], unique_keys: list[str] | 
 
 def ref_integrity(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
     """Orphan count for fact.fk against dim.pk, as one long-form row.
-    The dim key set broadcasts; the fact side never shuffles."""
-    orphans = fact.join(
-        F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()), fk, "left_anti"
+    The dim key set broadcasts; the fact side never shuffles and is
+    scanned ONCE — a left join marks hits and a conditional aggregate
+    counts orphans and total together."""
+    keys = dim.select(F.col(pk).alias(fk)).distinct().withColumn("_hit", F.lit(True))
+    return (
+        fact.select(fk)
+        .join(F.broadcast(keys), fk, "left")
+        .agg(
+            F.count_if(F.col("_hit").isNull()).cast("long").alias("violations"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+        .select(F.lit(f"ref:{fk}->{pk}").alias("check"), "violations", "total")
     )
-    return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).crossJoin(
-        fact.agg(F.count(F.lit(1)).cast("long").alias("total"))
-    ).select(F.lit(f"ref:{fk}->{pk}").alias("check"), "violations", "total")
 
 
 def violating_rows(df: DataFrame, check: Check) -> DataFrame:

@@ -100,3 +100,33 @@ def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     assert "(ship_month" in plan.split("PartitionFilters")[1][:120]
     want = li.filter(F.col("ship_month") == "1995-06").count()
     assert back.count() == want and want > 0
+
+
+def test_new_join_families_never_nested_loop(plans):
+    """The round's new join-bearing queries must all keep an equality
+    conjunct driving a hash/sort-merge join — a missing equi half
+    silently degrades to BroadcastNestedLoopJoin and dies at scale."""
+    for name in (
+        "fuzzy_match_customers",
+        "market_basket_pairs",
+        "attribution_click_to_purchase",
+        "cdc_orders_snapshot_diff",
+        "salted_join_status_counts",
+    ):
+        p = plans(name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    # bm25's one BNLJ is the broadcast of the 1-ROW corpus-stats aggregate
+    # (n_docs, avgdl) — constant-size by construction; the tf/df joins must
+    # stay keyed
+    p = plans("bm25_search_docs")
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_dq_gate_scan_count_constant(plans):
+    """8 expectations over two tables must cost four scans (orders row
+    checks, lineitem row checks, RI fact + dim) — per-check scans
+    would make validation cost scale with check count."""
+    p = plans("dq_orders_lineitem")
+    assert p.count("FileScan parquet") <= 4
