@@ -60,3 +60,18 @@ def test_zorder_preserves_content_and_tightens_both_dims(spark, sf_dir, tmp_path
         assert cf_plain > 0.8, f"{col}: baseline unexpectedly clustered ({cf_plain})"
         assert cf_z < 0.55, f"{col}: z-order clustering factor {cf_z}"
         assert cf_z < cf_plain * 0.6, f"{col}: {cf_z} vs plain {cf_plain}"
+
+
+def test_zorder_handles_constant_and_single_row(spark, tmp_path):
+    """A constant column (span 0) must bucket to 0 everywhere instead of
+    dividing by zero, and a single-row frame must survive the
+    range-partition path."""
+    df = spark.createDataFrame(
+        [(i, 7, i % 3) for i in range(50)], "a long, const long, b long"
+    )
+    out = zorder_by(df, ["a", "const", "b"], n_files=4)
+    assert out.count() == 50
+    assert out.columns == ["a", "const", "b"]  # helper columns dropped
+
+    one = spark.createDataFrame([(1, 2)], "a long, b long")
+    assert zorder_by(one, ["a", "b"], n_files=2).count() == 1
