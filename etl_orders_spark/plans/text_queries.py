@@ -280,9 +280,7 @@ def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W, _CHUNK_S = 32, 24  # token window + stride (8-token overlap)
 
 
-@register(
-    "chunk_docs_windows",
-    f"""
+_CHUNKS_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_RAW_TOKENS} AS toks FROM documents
     ), n AS (
@@ -296,7 +294,12 @@ _CHUNK_W, _CHUNK_S = 32, 24  # token window + stride (8-token overlap)
            CAST(len(toks[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT) AS n_chunk_tokens,
            array_to_string(toks[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}], ' ') AS chunk_text
     FROM k
-    """,
+"""
+
+
+@register(
+    "chunk_docs_windows",
+    _CHUNKS_SQL,
     tags=("text", "chunking"),
 )
 def chunk_docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,4 +908,38 @@ def mad_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("lang", "n_docs", F.round("med_len", 2).alias("med_len"), "mad_len")
+    )
+
+
+@register(
+    "boilerplate_chunks",
+    f"""
+    WITH chunks AS ({_CHUNKS_SQL})
+    SELECT md5(chunk_text) AS chunk_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM chunks
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    tags=("text", "chunking", "dedup"),
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup (boilerplate detection): fingerprint the
+    sliding token windows and keep those occurring more than once —
+    repeated headers/footers/templates that document-level dedup can't
+    see because the surrounding text differs. Composes the chunking
+    builder with a fingerprint groupBy; the shuffle carries (32-hex,
+    ids), never chunk text. At 100 TB this is the pass that feeds a
+    chunk-blocklist back into the prep pipeline."""
+    ch = chunk_docs_windows(spark, sf_dir)
+    return (
+        ch.groupBy(F.md5("chunk_text").alias("chunk_fp"))
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
     )
