@@ -87,6 +87,16 @@ def read_json_envelope(
     return raw.select(F.explode(F.col(array_field)).alias("_rec")).select("_rec.*")
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S2 variant — newline-delimited JSON (one record per line), the
+    bulk-interchange format the envelope form doesn't cover: JSONL
+    splits by line, so a single file parallelizes across tasks, while
+    a multiLine envelope document is one split by construction. Schema
+    is declared, never inferred (inference is an extra full pass and a
+    nondeterminism source at scale)."""
+    return spark.read.schema(schema).json(path)
+
+
 def from_json_strings(df: DataFrame, column: str, schema: T.StructType | str) -> DataFrame:
     """S2 variant — parse a string column of embedded JSON (e.g. events.props)
     into a struct column named ``parsed`` via `from_json` (JVM-side, no UDF)."""

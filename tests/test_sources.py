@@ -153,3 +153,26 @@ def test_agg_sum_invariant_under_repartition(spark, sf_dir):
     a = li.agg(F.sum("l_quantity")).collect()[0][0]
     b = li.repartition(13).agg(F.sum("l_quantity")).collect()[0][0]
     assert a == b
+
+
+def test_jsonl_roundtrip_with_declared_schema(spark, tmp_path):
+    """JSONL reader: line-splittable bulk format with explicit schema;
+    missing fields surface as NULLs, never as inference surprises."""
+    from etl_orders_spark.sources.readers import read_jsonl
+    from pyspark.sql import types as T
+
+    p = tmp_path / "recs.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 1.5}\n'
+        '{"id": 2, "name": "b"}\n'
+        '{"id": 3, "score": 2.5, "extra": "ignored"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = {r.id: (r.name, r.score) for r in read_jsonl(spark, str(p), schema).collect()}
+    assert rows == {1: ("a", 1.5), 2: ("b", None), 3: (None, 2.5)}
