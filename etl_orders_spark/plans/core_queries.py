@@ -1768,3 +1768,28 @@ def salted_join_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
+
+
+@register(
+    "listagg_priorities_by_status",
+    """
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "string"),
+)
+def listagg_priorities_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG shape): the distinct priorities per
+    status, sorted before joining so the concatenated string is
+    order-insensitive — collect_list alone is partition-order-dependent
+    and would break both determinism and the cross-engine hash."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("o_orderpriority"))), ","
+        ).alias("priorities"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
