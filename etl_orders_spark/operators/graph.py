@@ -45,6 +45,10 @@ def connected_components(
         edges.select(F.col(src_col).cast("long").alias("_s"), F.col(dst_col).cast("long").alias("_d"))
         .union(edges.select(F.col(dst_col).cast("long").alias("_s"), F.col(src_col).cast("long").alias("_d")))
         .distinct()
+        # edges are consumed once per round: materialize them eagerly or the
+        # whole upstream pair-generation plan (e.g. MinHash-LSH) re-executes
+        # every iteration; at 100 TB this is the stage-to-parquet handoff
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col(id_col).cast("long").alias("_v"), F.col(id_col).cast("long").alias("_lbl")

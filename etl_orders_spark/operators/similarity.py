@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,8 @@ def brute_force_topk(
     Output: query_id, neighbor_id, cos (rounded 6; ties break by
     neighbor id so results are deterministic). Self-pairs excluded.
     """
+    from etl_orders_spark.functions.vectors import cosine_batch
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
@@ -48,7 +52,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cos"),
+            F.round(cosine_batch("q_vec", "c_vec"), 6).alias("cos"),
         )
     )
     return topk_per_group(scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k)
@@ -81,23 +85,142 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     return sum(bits[1:], start=bits[0]).cast("long")
 
 
-def _assign_nearest(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n: int = 1
+def _bucket_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    dim: int,
 ) -> DataFrame:
-    """Score every vector against the broadcast centroid set and keep
-    the `n` nearest (by cosine, ties to lower cluster id). Map-side:
-    |C| is small by construction, the corpus never shuffles here."""
-    scored = (
-        vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "_vid",
-            "_v",
-            "cluster",
-            cosine_similarity("_v", "cvec").alias("_cos"),
-        )
+    """All hash tables' bucket ids in ONE Arrow pass: the (tables·planes,
+    dim) plane matrix multiplies each batch once, sign bits pack per
+    table, and posexplode fans each row out to its `num_tables`
+    (table, bucket) assignments.
+
+    The per-plane Column-expression form (`_bucket_expr`) costs
+    tables·planes interpreted HOF dots per row — at 32+ hashes that
+    dwarfs the actual candidate scoring; this batch form is one GEMM.
+    Output: _id, _vec, _table, _bucket."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)], dtype=np.float64
+    ).reshape(num_tables * num_planes, dim)
+    weights = (2 ** np.arange(num_planes)).astype(np.float64)
+
+    @pandas_udf("array<long>")
+    def bucket_ids(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(s.to_numpy()).astype(np.float64)
+        bits = (m @ planes.T) >= 0  # (n, tables·planes)
+        packed = bits.reshape(len(m), num_tables, num_planes).astype(np.float64) @ weights
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.posexplode(bucket_ids(F.col(vec_col))).alias("_table", "_bucket"),
     )
-    return topk_per_group(scored, ["_vid"], [F.desc("_cos"), F.asc("cluster")], n)
+
+
+def _gemm_topk_cogrouped(
+    queries: DataFrame,
+    corpus: DataFrame,
+    keys: list[str],
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Per-group exact cosine top-k via one BLAS GEMM per cogroup.
+
+    `queries` carries keys + (query_id, q_vec); `corpus` carries keys +
+    (neighbor_id, c_vec). Both sides shuffle on the group keys once;
+    inside each group the full cosine sub-matrix is one float64 matrix
+    multiply in an Arrow batch, then each query keeps its k best
+    candidates by (cos desc, neighbor_id asc) on the 6-rounded score.
+
+    Why: per-pair `aggregate`/`zip_with` dots run on the JVM expression
+    interpreter (HOFs don't codegen) — at 10⁶ candidate pairs that is
+    minutes; the GEMM form is ~100× per pair and its memory is bounded
+    by the group size, which the caller controls via bucketing. Local
+    top-k per group then a global top-k merge is EXACT over the candidate
+    union: a globally top-k candidate has <k better candidates in every
+    group it shares with the query."""
+
+    def score(qpdf, cpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        cpdf = cpdf.sort_values("neighbor_id")  # ties in the stable sort below → lower id
+        qi = qpdf["query_id"].to_numpy()
+        ci = cpdf["neighbor_id"].to_numpy()
+        qm = np.vstack(qpdf["q_vec"].to_numpy()).astype(np.float64)
+        cm = np.vstack(cpdf["c_vec"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        cn = np.linalg.norm(cm, axis=1)
+        qz, cz = qn == 0.0, cn == 0.0
+        qn[qz], cn[cz] = 1.0, 1.0
+        sim = np.round((qm / qn[:, None]) @ (cm / cn[:, None]).T, 6)
+        if qz.any() or cz.any():  # zero-norm convention: cos = 0
+            sim[qz, :] = 0.0
+            sim[:, cz] = 0.0
+        if exclude_self:
+            sim[qi[:, None] == ci[None, :]] = -np.inf
+        kk = min(k, sim.shape[1])
+        # candidates are id-ascending, so one stable row-wise argsort on
+        # -cos yields (cos desc, neighbor_id asc) for every query at once
+        idx = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
+        top_c = np.take_along_axis(sim, idx, axis=1).ravel()
+        top_n = ci[idx].ravel()
+        top_q = np.repeat(qi, kk)
+        keep = np.isfinite(top_c)
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"query_id": top_q[keep], "neighbor_id": top_n[keep], "cos": top_c[keep]}
+        )
+
+    return (
+        queries.groupBy(*keys)
+        .cogroup(corpus.groupBy(*keys))
+        .applyInPandas(score, "query_id long, neighbor_id long, cos double")
+    )
+
+
+def _assign_nearest(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n: int = 1, n_blocks: int = 32
+) -> DataFrame:
+    """Nearest-`n` centroid per vector (by cosine, ties to lower cluster
+    id). The corpus hash-partitions into `n_blocks` blocks; the tiny
+    centroid set replicates into every block (the relational analog of a
+    broadcast), and each block scores with one GEMM — the corpus never
+    shuffles on anything but its block id."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("_blk"),
+    )
+    c = centroids.select(
+        F.col("cluster").cast("long").alias("neighbor_id"),
+        F.col("cvec").alias("c_vec"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("_blk"),
+    )
+    return _gemm_topk_cogrouped(v, c, ["_blk"], n, exclude_self=False).select(
+        F.col("query_id").alias("_vid"),
+        F.col("neighbor_id").cast("int").alias("cluster"),
+        F.col("cos").alias("_cos"),
+    )
 
 
 def ivf_topk(
@@ -123,6 +246,7 @@ def ivf_topk(
     """
     total = df.count()
     stride = max(total // n_centroids, 1)
+    vecs = df.select(F.col(id_col).cast("long").alias("_vid"), F.col(vec_col).alias("_v"))
     # deterministic hash-stride sample (~n_centroids rows) — the window
     # numbering runs over the tiny sample only, never the full corpus
     sample = df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")).filter(
@@ -134,7 +258,7 @@ def ivf_topk(
         .select(F.col("_rn").alias("cluster"), F.col("_cv").alias("cvec"))
     )
     if refine:
-        assigned = _assign_nearest(df, seeds, id_col, vec_col, 1)
+        assigned = _assign_nearest(df, seeds, id_col, vec_col, 1).join(vecs, "_vid")
         dims = assigned.select("cluster", F.posexplode("_v").alias("d", "x"))
         means = dims.groupBy("cluster", "d").agg(F.avg("x").alias("m"))
         seeds = (
@@ -145,16 +269,26 @@ def ivf_topk(
                 F.transform("_pairs", lambda p: p["m"].cast("float")).alias("cvec"),
             )
         )
-    cells = _assign_nearest(df, seeds, id_col, vec_col, 1).select(
-        F.col("_vid").alias("neighbor_id"), F.col("_v").alias("c_vec"), "cluster"
+    # one assignment pass: every vector's nprobe nearest cells; its top-1
+    # cell is its inverted-file home, so `cells` is a rank-1 filter of the
+    # same result rather than a second scoring job
+    near = _assign_nearest(df, seeds, id_col, vec_col, nprobe).localCheckpoint(eager=True)
+    home = topk_per_group(near, ["_vid"], [F.desc("_cos"), F.asc("cluster")], 1)
+    # toDF re-aliases every column (fresh exprIds) so the probes/cells
+    # self-join out of the same assignment table isn't flagged ambiguous
+    cells = (
+        home.join(vecs, "_vid")
+        .select("_vid", "_v", "cluster")
+        .toDF("neighbor_id", "c_vec", "cluster")
     )
-    probes = _assign_nearest(df, seeds, id_col, vec_col, nprobe).select(
-        F.col("_vid").alias("query_id"), F.col("_v").alias("q_vec"), "cluster"
+    probes = (
+        near.join(vecs, "_vid")
+        .select("_vid", "_v", "cluster")
+        .toDF("query_id", "q_vec", "cluster")
     )
-    cand = probes.join(cells, "cluster").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id", "neighbor_id", F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cos")
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = _gemm_topk_cogrouped(probes, cells, ["cluster"], k).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
     return topk_per_group(scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k)
 
 
@@ -177,56 +311,50 @@ def near_dup_pairs_bucketed(
     planes=4, tables=16 it is ~4e-6 — tight enough that the exact
     all-pairs oracle still matches; raise `num_tables` to push it
     further. Output: id_a < id_b, cos (rounded 6).
+
+    Plan shape: one Arrow pass assigns all 16 bucket ids per vector,
+    vectors shuffle once on (table, bucket), and each bucket computes
+    its own cosine sub-matrix with a single GEMM, emitting only pairs
+    ≥ τ — the candidate pair set is never materialized or shuffled, so
+    the only wide exchanges are the bucket shuffle and the final
+    (id_a, id_b) dedup of emitted pairs. Skew caveat at 100 TB: a
+    degenerate bucket holding m vectors costs O(m²) in one task —
+    raise `num_planes` (more, smaller buckets) and compensate with
+    `num_tables` to keep recall.
     """
-    tables = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + t)
-        tables.append(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).alias("_vec"),
-                F.lit(t).alias("_table"),
-                _bucket_expr(vec_col, planes).alias("_bucket"),
-            )
+    buckets = _bucket_assign(df, id_col, vec_col, num_planes, num_tables, seed, dim)
+    tau_f = float(tau)
+
+    def emit_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
         )
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
-    # candidate id-pairs first (narrow shuffle: table, bucket, id only);
-    # vectors and precomputed norms join back onto the deduped pairs, so
-    # the exact rescore computes ONE array dot per pair instead of three
-    # (dot + 2 norms) — interpreted higher-order aggregates are the cost
-    a = buckets.select("_table", "_bucket", F.col("_id").alias("id_a"))
-    b = buckets.select(
-        F.col("_table").alias("_t2"),
-        F.col("_bucket").alias("_b2"),
-        F.col("_id").alias("id_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("_table") == F.col("_t2"))
-            & (F.col("_bucket") == F.col("_b2"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        mat = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors -> cos 0 by convention
+        unit = mat / norms[:, None]
+        sim = np.round(unit @ unit.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = sim[iu, ju]
+        keep = cos >= tau_f
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": cos[keep]})
+
+    return (
+        buckets.groupBy("_table", "_bucket")
+        .applyInPandas(emit_pairs, "id_a long, id_b long, cos double")
         .dropDuplicates(["id_a", "id_b"])
     )
-    from etl_orders_spark.functions.vectors import dot, l2_norm
-
-    vecs = df.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_n")
-    )
-    va = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("ea"), F.col("_n").alias("na"))
-    vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("eb"), F.col("_n").alias("nb"))
-    scored = cand.join(va, "id_a").join(vb, "id_b")
-    cos = F.round(
-        F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)).otherwise(
-            dot("ea", "eb") / (F.col("na") * F.col("nb"))
-        ),
-        6,
-    )
-    return scored.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= tau)
 
 
 def near_dup_pairs_blocked(
@@ -338,40 +466,21 @@ def lsh_bucketed_topk(
     Output: query_id, neighbor_id, cos — the approximate top-k per
     vector. Recall measured against `brute_force_topk` in tests.
     """
-    tables = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + t)
-        tables.append(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).alias("_vec"),
-                F.lit(t).alias("_table"),
-                _bucket_expr(vec_col, planes).alias("_bucket"),
-            )
-        )
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
+    # both cogroup sides read the assignment table: materialize it once
+    # or the Arrow bucket-id pass runs twice
+    buckets = _bucket_assign(df, id_col, vec_col, num_planes, num_tables, seed, dim).localCheckpoint(
+        eager=True
+    )
+    # one GEMM per (table, bucket) cogroup replaces the pair-explosion
+    # join + per-pair interpreted dot: each bucket's cosine sub-matrix is
+    # one BLAS multiply, each query keeps k per bucket, and the global
+    # merge over ≤ tables·k candidates per query is exact (see helper)
     a = buckets.select(
-        F.col("_table"), F.col("_bucket"), F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec")
+        "_table", "_bucket", F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec")
     )
     b = buckets.select(
-        F.col("_table").alias("_table2"),
-        F.col("_bucket").alias("_bucket2"),
-        F.col("_id").alias("neighbor_id"),
-        F.col("_vec").alias("c_vec"),
+        "_table", "_bucket", F.col("_id").alias("neighbor_id"), F.col("_vec").alias("c_vec")
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("_table") == F.col("_table2"))
-            & (F.col("_bucket") == F.col("_bucket2"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id", "neighbor_id", F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cos")
-    )
-    return topk_per_group(scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k)
+    local = _gemm_topk_cogrouped(a, b, ["_table", "_bucket"], k)
+    merged = local.dropDuplicates(["query_id", "neighbor_id"])
+    return topk_per_group(merged, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k)

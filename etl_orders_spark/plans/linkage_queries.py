@@ -55,10 +55,15 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name_b"),
         F.col("c_nationkey").alias("nk"),
     )
+    # threshold form early-abandons each DP row at dist > _MAX_DIST
+    # (returns -1 instead), turning the per-pair cost from O(len²) into
+    # O(len·k) — the dominant term when the block join emits millions of
+    # candidate pairs
+    dist = F.levenshtein("name_a", "name_b", _MAX_DIST).cast("long")
     return (
         a.join(b, "nk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= _MAX_DIST)
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _MAX_DIST))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )

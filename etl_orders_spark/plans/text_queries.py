@@ -814,10 +814,16 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     )
     tok = d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl")
+    # tf is the inverted index every downstream branch reads (corpus stats,
+    # df, scoring); materialize it ONCE — without this the tokenize+explode
+    # subtree re-executes three times. At 100 TB this is the stage you
+    # persist to parquet and share across query batches.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=True)
     )
-    docs = tok.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    docs = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     stats = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
@@ -827,12 +833,13 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, term string",
     )
     # df only for QUERY terms: the full-vocab df table is unbounded at scale
-    # and must never broadcast; restricting first also shrinks the
-    # count-distinct shuffle to the terms that can contribute to a score.
+    # and must never broadcast; restricting first also shrinks the shuffle
+    # to the terms that can contribute to a score. tf already holds one row
+    # per (doc, term), so df(term) is a plain row count.
     dfreq = (
-        tok.join(F.broadcast(q.select("term").distinct()), "term")
+        tf.join(F.broadcast(q.select("term").distinct()), "term")
         .groupBy("term")
-        .agg(F.count_distinct("doc_id").cast("long").alias("dft"))
+        .agg(F.count("*").cast("long").alias("dft"))
     )
     idf = (F.col("n_docs") - F.col("dft").cast("double") + 0.5) / (
         F.col("dft").cast("double") + 0.5
