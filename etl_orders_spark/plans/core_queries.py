@@ -1793,3 +1793,99 @@ def listagg_priorities_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priorities"),
         F.count("*").cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "anomaly_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ), stats AS (
+      SELECT AVG(CAST(rev_cents AS DOUBLE)) AS mu,
+             stddev_pop(CAST(rev_cents AS DOUBLE)) AS sigma
+      FROM daily
+    )
+    SELECT day, rev_cents,
+           ROUND(CASE WHEN sigma = 0 THEN 0.0
+                      ELSE (CAST(rev_cents AS DOUBLE) - mu) / sigma END, 3) + 0.0 AS z,
+           (CASE WHEN sigma = 0 THEN 0.0
+                 ELSE abs(CAST(rev_cents AS DOUBLE) - mu) / sigma END) >= 2.0 AS is_anomaly
+    FROM daily CROSS JOIN stats
+    """,
+    tags=("time", "agg", "anomaly"),
+)
+def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: z-score each day's revenue
+    against the whole series, flag |z| ≥ 2. The series aggregates to
+    integer cents first (exact partial sums), and the 2-double stats
+    row joins back as a broadcast — NOT an empty-frame window, which
+    would drag the full series into a single partition. At 100 TB the
+    same shape works per-key (seasonal baselines) by turning the cross
+    join into an equi-join on the season key."""
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    stats = daily.agg(
+        F.avg(F.col("rev_cents").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("rev_cents").cast("double")).alias("sigma"),
+    )
+    z_raw = F.when(F.col("sigma") == 0, F.lit(0.0)).otherwise(
+        (F.col("rev_cents").cast("double") - F.col("mu")) / F.col("sigma")
+    )
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "rev_cents",
+        # + 0.0 collapses IEEE -0.0 (ROUND of a tiny negative z) to 0.0
+        # so both engines print the same canonical zero
+        (F.round(z_raw, 3) + F.lit(0.0)).alias("z"),
+        (F.abs(z_raw) >= 2.0).alias("is_anomaly"),
+    )
+
+
+@register(
+    "analytic_customer_ranks",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND(c_acctbal, 2) AS bal,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           ROUND(first_value(c_acctbal) OVER wf, 2) AS min_bal,
+           ROUND(nth_value(c_acctbal, 2) OVER wf, 2) AS second_bal,
+           ROUND(last_value(c_acctbal) OVER wf, 2) AS max_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+           wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def analytic_customer_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function surface beyond rank/lag: percent_rank,
+    cume_dist, first/nth/last value with an explicit full-partition
+    ROWS frame (the default RANGE frame stops at CURRENT ROW, which
+    engines disagree about for nth/last). Ordering is (acctbal,
+    custkey) so ties cannot reorder across engines. One shuffle on
+    nation, both windows share it."""
+    from pyspark.sql import Window
+
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.first("c_acctbal").over(wf), 2).alias("min_bal"),
+        F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias("second_bal"),
+        F.round(F.last("c_acctbal").over(wf), 2).alias("max_bal"),
+    )

@@ -1,0 +1,200 @@
+"""Corpus-curation queries: PII redaction, LM-based quality scoring,
+and near-dup canonicalization — the decision layer a training-data
+pipeline runs after the detection layer (dedup/quality/lang) has done
+its work.
+
+The reference has no text surface at all (its richest transform is a
+gender recode, reference: dags/etl.py:60); these generalize SURVEY.md
+§2.2's value-recode/projection rows to the operations a 100 TB corpus
+actually needs before tokens reach a trainer.
+
+Determinism conventions follow plans/registry.py: per-term log scores
+floor to integer micro-nats BEFORE summing (ln() ulps must not reach a
+float hash), regex patterns are the RE2∩Java common dialect so Spark
+and DuckDB extract identical spans, and every ranking orders by a
+rounded measure plus doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_orders_spark.functions.text import quality_score, tokens
+from etl_orders_spark.operators.dedup import ngram_jaccard_pairs
+from etl_orders_spark.operators.graph import connected_components
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.plans.text_queries import (
+    _JACCARD_THRESHOLD,
+    _LOWER_TOKENS,
+    _NGRAM_PAIR_CTES,
+    _QUALITY,
+)
+from etl_orders_spark.sources.readers import load_table as T
+
+# --- PII redaction ----------------------------------------------------------
+# Patterns restricted to the RE2 ∩ Java-regex common dialect (no
+# lookaround, no backrefs) so Spark and DuckDB match identical spans.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ()]{7,}\d"
+
+
+@register(
+    "pii_redact_docs",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redact_fp
+    FROM documents
+    """,
+    tags=("text", "privacy"),
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: count and redact emails, IPv4s, and
+    phone-shaped digit runs per document. Pure map stage — zero
+    shuffles, scales linearly with scanned bytes; the redacted text is
+    fingerprinted (md5) so the full output stays narrow. Replacement
+    order is fixed (email → ip → phone) because the phone pattern can
+    overlap digits inside an IP; counts are measured on the ORIGINAL
+    text so they are order-independent."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phone"),
+        F.md5(redacted).alias("redact_fp"),
+    )
+
+
+# --- unigram-LM surprisal ---------------------------------------------------
+
+
+@register(
+    "unigram_surprisal_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), freq AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM freq
+    ), m AS (
+      SELECT term,
+             CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM freq CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * micro) AS BIGINT) AS surprisal_micro
+    FROM tf JOIN m USING (term) GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def unigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the classic cheap "perplexity" quality score (high surprisal =
+    rare-token soup, low = repetitive boilerplate). Per-TERM surprisal
+    floors to integer micro-nats before the per-document sum, so
+    neither ln() ulps nor summation order can flip the value hash
+    (same trick as bm25_search_docs). Scale shape: one (doc, term)
+    shuffle for tf, one term shuffle for the LM, one term-keyed join
+    back — no broadcast of the unbounded vocabulary, and the 1-row
+    total joins as a broadcast literal."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)  # read by the LM branch and the scoring join
+    )
+    freq = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    lm = freq.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.floor(-F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("micro"),
+    )
+    return (
+        tf.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("micro")).cast("long").alias("surprisal_micro"),
+        )
+    )
+
+
+# --- near-dup canonicalization ---------------------------------------------
+
+
+@register(
+    "near_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES}, edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, u) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON e.s = r.u
+    ), clusters AS (
+      SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+    ), scored AS (
+      SELECT c.cluster_id, d.doc_id,
+             CAST(FLOOR(({_QUALITY}) * 10000.0 + 0.5) AS BIGINT) AS q_um,
+             CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id, q_um, n_members FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q_um DESC, doc_id) = 1
+    """,
+    tags=("text", "dedup", "graph"),
+)
+def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: collapse each near-dup cluster (transitive
+    n-gram-Jaccard pairs) to its single best survivor by quality score,
+    ties to lower doc_id. This is what actually ships to the trainer —
+    detection (pairs), clustering (connected components), and selection
+    (rank-1 per cluster) in one plan. The oracle replays the whole
+    chain as a recursive CTE. Quality scores floor to integer
+    10⁻⁴-units before ranking/output — per-row ROUND(double, n) is
+    HALF_UP in Spark but half-even in DuckDB."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=3, threshold=_JACCARD_THRESHOLD)
+    clusters = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    scored = clusters.join(docs, "doc_id").select(
+        F.col("component").alias("cluster_id"),
+        "doc_id",
+        F.floor(quality_score("text") * 10000.0 + 0.5).cast("long").alias("q_um"),
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = scored.withColumn("n_members", F.count("*").over(w).cast("long")).withColumn(
+        "_rk", F.row_number().over(w.orderBy(F.desc("q_um"), F.asc("doc_id")))
+    )
+    return ranked.filter(F.col("_rk") == 1).select("cluster_id", "doc_id", "q_um", "n_members")

@@ -69,7 +69,9 @@ def register(
 def _load_all() -> None:
     """Import every query module for registration side effects."""
     import etl_orders_spark.plans.core_queries  # noqa: F401
+    import etl_orders_spark.plans.curation_queries  # noqa: F401
     import etl_orders_spark.plans.dq_queries  # noqa: F401
+    import etl_orders_spark.plans.layout_queries  # noqa: F401
     import etl_orders_spark.plans.linkage_queries  # noqa: F401
     import etl_orders_spark.plans.llm_pipeline  # noqa: F401
     import etl_orders_spark.plans.media_queries  # noqa: F401
