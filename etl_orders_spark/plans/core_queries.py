@@ -1889,3 +1889,48 @@ def analytic_customer_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias("second_bal"),
         F.round(F.last("c_acctbal").over(wf), 2).alias("max_bal"),
     )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    tags=("rollup", "incremental", "agg"),
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: yesterday's daily
+    revenue rollup (built from a snapshot missing every 97th order) is
+    brought up to date by recomputing ONLY the days touched by new
+    orders — untouched days are carried over as-is, never rescanned.
+    The oracle is the full recompute over today's data: equality proves
+    the incremental path is lossless. At 100 TB this is the difference
+    between reprocessing a day's partition and reprocessing years;
+    integer-cents sums make carried-over and recomputed days combine
+    exactly."""
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    old = base.filter(F.col("o_orderkey") % 97 != 0)
+    new = base  # today's snapshot: the missing keys have arrived
+    rollup_old = old.groupBy("day").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    # days touched by the delta — the only partitions that get rebuilt
+    touched = new.filter(F.col("o_orderkey") % 97 == 0).select("day").distinct()
+    carried = rollup_old.join(touched, "day", "left_anti")
+    rebuilt = (
+        new.join(touched, "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    return carried.unionByName(rebuilt)

@@ -198,3 +198,37 @@ def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_rk", F.row_number().over(w.orderBy(F.desc("q_um"), F.asc("doc_id")))
     )
     return ranked.filter(F.col("_rk") == 1).select("cluster_id", "doc_id", "q_um", "n_members")
+
+
+_SAMPLE_K = 5
+
+
+@register(
+    "sample_per_group_docs",
+    f"""
+    SELECT source, doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+    FROM documents
+    QUALIFY rk <= {_SAMPLE_K}
+    """,
+    tags=("sampling", "window"),
+)
+def sample_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling: k docs per source, ordered by
+    a hash of the id — statistically uniform, reproducible across runs
+    and engines (unlike rand()-based sampleBy), and one shuffle on the
+    group key with no global sort. The inspection/eval-set primitive:
+    at 100 TB "show me 5 random docs per source" must not scan-and-sort
+    the corpus. Window top-k per group prunes to k rows per partition
+    before the final merge."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+    )

@@ -80,3 +80,64 @@ def hll_rollup_total_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("long").alias("exact_total"),
     )
     return merged.crossJoin(direct)
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 256, 20
+_CMS_TOKENS = (
+    r"CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = '' "
+    r"THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END"
+)
+_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT)"
+    f" % {_CMS_WIDTH}"
+)
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST({_CMS_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY 1
+    ), rows AS (
+      SELECT * FROM (VALUES (0), (1), (2), (3)) r(row)
+    ), cells AS (
+      SELECT row, {_CMS_BUCKET} AS bucket, CAST(SUM(exact) AS BIGINT) AS cnt
+      FROM tf CROSS JOIN rows GROUP BY 1, 2
+    ), top AS (
+      SELECT term, exact FROM tf ORDER BY exact DESC, term LIMIT {_CMS_TOPK}
+    ), probes AS (
+      SELECT term, exact, row, {_CMS_BUCKET} AS bucket FROM top CROSS JOIN rows
+    )
+    SELECT p.term, MAX(p.exact) AS exact,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN cells c USING (row, bucket)
+    GROUP BY p.term
+    """,
+    tags=("sketch", "text", "agg"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation for the corpus's top terms next
+    to their exact counts — est ≥ exact always (collisions only ever
+    ADD), which is the guarantee a frequency-capping curation rule
+    needs. Unlike the binary HLL sketches above, the md5-portable
+    hashes make the whole d×w matrix oracle-checkable cell by cell.
+    Scale shape: the matrix build is explode(d) + groupBy(row, bucket)
+    with partial aggregation capping the shuffle at d·w cells per
+    upstream partition; the 20 probes broadcast against the matrix."""
+    from etl_orders_spark.functions.text import tokens
+    from etl_orders_spark.operators.countmin import countmin_build, countmin_estimate
+
+    tf = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact"))
+        .localCheckpoint(eager=True)  # read by the sketch build AND the probe top-k
+    )
+    sketch = countmin_build(tf, "term", "exact", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    top = tf.orderBy(F.desc("exact"), F.asc("term")).limit(_CMS_TOPK)
+    est = countmin_estimate(sketch, top, "term", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return top.join(est, "term").select("term", "exact", "est")
