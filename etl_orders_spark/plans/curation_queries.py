@@ -232,3 +232,161 @@ def sample_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _SAMPLE_K)
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 30
+
+
+@register(
+    "pmi_bigrams_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_LOWER_TOKENS} AS t FROM documents
+    ), bg AS (
+      SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), uni AS (
+      SELECT UNNEST(t) AS term FROM toks
+    ), cb AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1
+    ), cu AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1
+    ), tb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS t FROM cb),
+    tu AS (SELECT CAST(SUM(c) AS DOUBLE) AS u FROM cu),
+    scored AS (
+      SELECT cb.bigram, cb.c_ab,
+             CAST(FLOOR(ln(CAST(cb.c_ab AS DOUBLE) / tb.t) * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(ca.c AS DOUBLE) / tu.u) * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(cbb.c AS DOUBLE) / tu.u) * 1000000.0 + 0.5) AS BIGINT)
+               AS pmi_micro
+      FROM cb
+      JOIN cu ca ON ca.term = string_split(cb.bigram, ' ')[1]
+      JOIN cu cbb ON cbb.term = string_split(cb.bigram, ' ')[2]
+      CROSS JOIN tb CROSS JOIN tu
+      WHERE cb.c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_ab, pmi_micro FROM scored
+    ORDER BY pmi_micro DESC, bigram LIMIT {_PMI_TOPK}
+    """,
+    tags=("text", "lm", "collocation"),
+)
+def pmi_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information
+    — the classic signal for multi-word expressions worth protecting
+    from tokenizer splits. Each of the three log terms floors to
+    integer micro-nats SEPARATELY, so the PMI is an exact integer
+    difference and no cross-engine float ever reaches the hash. Scale
+    shape: bigram and unigram counts are one shuffle each; the two
+    scalar totals broadcast; the per-bigram join keys on the component
+    terms (never a cross join)."""
+    toks = T(spark, sf_dir, "documents").select(
+        tokens(F.lower(F.col("text"))).alias("t")
+    )
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    uni = toks.select(F.explode("t").alias("term"))
+    cb = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("c_ab"))
+    cu = uni.groupBy("term").agg(F.count("*").cast("long").alias("c")).localCheckpoint(
+        eager=True
+    )  # probed twice (left + right component of each bigram)
+    tb = cb.agg(F.sum("c_ab").cast("double").alias("t"))
+    tu = cu.agg(F.sum("c").cast("double").alias("u"))
+
+    def _micro(num: F.Column, den: F.Column) -> F.Column:
+        return F.floor(F.log(num.cast("double") / den) * 1000000.0 + 0.5).cast("long")
+
+    ca = cu.select(F.col("term").alias("_ta"), F.col("c").alias("_cca"))
+    cbb = cu.select(F.col("term").alias("_tb"), F.col("c").alias("_ccb"))
+    scored = (
+        cb.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .withColumn("_ta", F.split("bigram", " ").getItem(0))
+        .withColumn("_tb", F.split("bigram", " ").getItem(1))
+        .join(ca, "_ta")
+        .join(cbb, "_tb")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "bigram",
+            "c_ab",
+            (
+                _micro(F.col("c_ab"), F.col("t"))
+                - _micro(F.col("_cca"), F.col("u"))
+                - _micro(F.col("_ccb"), F.col("u"))
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), F.asc("bigram")).limit(_PMI_TOPK)
+
+
+_FORGET_MOD = 1000
+_FORGET_REMAINDER = 7
+
+
+@register(
+    "gdpr_forget_report",
+    f"""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {_FORGET_MOD} = {_FORGET_REMAINDER}
+    ), purged_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_before,
+           CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS rows_purged
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM purged_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM purged_orders)) AS BIGINT)
+    """,
+    tags=("privacy", "join", "anti"),
+)
+def gdpr_forget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: a simulated deletion
+    request set (every customer key ≡ {_FORGET_REMAINDER} mod
+    {_FORGET_MOD}) cascades customer → orders → lineitem, and the
+    report counts what each hop would purge. The cascade is two
+    semi-joins — the forget set broadcasts, the fact tables are never
+    shuffled — which is the only affordable shape when the request set
+    is thousands of keys against 100 TB of facts. (The actual purge is
+    the same plan with left_anti + overwrite.)"""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % _FORGET_MOD == _FORGET_REMAINDER).select(
+        "c_custkey"
+    )
+    purged_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    purged_li = li.join(F.broadcast(purged_orders), li.l_orderkey == purged_orders.o_orderkey, "left_semi")
+
+    def _row(name: str, total, purged) -> DataFrame:
+        return total.crossJoin(purged).select(
+            F.lit(name).alias("tbl"),
+            F.col("_n").cast("long").alias("rows_before"),
+            F.col("_p").cast("long").alias("rows_purged"),
+        )
+
+    rows = [
+        _row("customer", cust.agg(F.count("*").alias("_n")), forget.agg(F.count("*").alias("_p"))),
+        _row("orders", orders.agg(F.count("*").alias("_n")), purged_orders.agg(F.count("*").alias("_p"))),
+        _row("lineitem", li.agg(F.count("*").alias("_n")), purged_li.agg(F.count("*").alias("_p"))),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
