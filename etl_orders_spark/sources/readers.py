@@ -12,6 +12,7 @@ partition pruning for free.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,21 +36,53 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+@lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    """True iff the events file stores ``ts`` as TIMESTAMP(NANOS).
+
+    Different testdata generations encode ``ts`` differently (INT64
+    TIMESTAMP(NANOS) vs plain TIMESTAMP(MICROS)); one driver-side footer
+    read (pyarrow, no data pages) disambiguates so the declared Spark
+    schema always matches the physical type. Cached per path — at 100 TB
+    this is one footer, not a scan.
+    """
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
+        if not parts:
+            return False
+        target = os.path.join(path, parts[0])
+    field = pq.ParquetFile(target).schema_arrow.field("ts")
+    return getattr(field.type, "unit", None) == "ns"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver testdata table by name with its declared schema.
 
-    `events.ts` is stored as INT64 TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects as TimestampType; with `spark.sql.legacy.parquet.
-    nanosAsLong=true` it scans as long and is converted here to a
-    microsecond timestamp (`ts div 1000` — integer division, matching
-    DuckDB's truncating TIMESTAMP_NS→TIMESTAMP cast).
+    ``events.ts`` needs physical-type dispatch: when stored as INT64
+    TIMESTAMP(NANOS) (which Spark's parquet reader rejects as
+    TimestampType) it is scanned as long via `spark.sql.legacy.parquet.
+    nanosAsLong=true` and converted here (`ts div 1000` — integer
+    division, matching DuckDB's truncating TIMESTAMP_NS→TIMESTAMP cast);
+    when stored as TIMESTAMP(MICROS) it reads natively as TimestampType.
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
-    df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), TESTDATA_SCHEMAS[name])
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = TESTDATA_SCHEMAS[name]
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        if _events_ts_is_nanos(path):
+            df = read_parquet(spark, path, schema)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
+                for f in schema.fields
+            ]
+        )
+    return read_parquet(spark, path, schema)
 
 
 def read_csv(

@@ -82,8 +82,10 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # stored as INT64 TIMESTAMP(NANOS); read via nanosAsLong and
-            # converted to a real timestamp in load_table
+            # physical type varies by testdata generation: INT64
+            # TIMESTAMP(NANOS) (read via nanosAsLong as this LongType,
+            # converted in load_table) or TIMESTAMP(MICROS) (load_table
+            # swaps this field to TimestampType after a footer sniff)
             T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
