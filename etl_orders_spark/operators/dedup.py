@@ -199,6 +199,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ τ via PREFIX FILTERING (Chaudhuri et
+    al. ICDE'06 / Bayardo et al. WWW'07 "Scaling Up All Pairs"): order
+    every document's shingles by a single global total order (document
+    frequency ascending, shingle string as tie-break) and index only
+    each doc's first ``n - ceil(τ·n) + 1`` shingles. Two sets with
+    Jaccard ≥ τ must collide on at least one prefix element under any
+    shared total order, so candidate generation is *provably complete*
+    — unlike the df-cap heuristic — while the join keys are by
+    construction the RAREST shingles each document has: the inverted
+    index self-join gets rare keys (small buckets) instead of the
+    stopword-shingle hot keys that skew the uncapped index at 100 TB.
+
+    Cost shape: one explode, one df-count aggregate, one per-doc window
+    (shuffle on id), a rare-key self-join, then exact verification that
+    joins the full shingle arrays for candidate pairs only.
+
+    Output: id_a < id_b, jaccard (rounded 6) filtered ≥ threshold.
+    """
+    from pyspark.sql import Window as W
+
+    docs = df.select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("sh_set"))
+    ex = docs.select("_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(dfreq, "sh").withColumn(
+        "rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "sh"))
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("_id", "sh")
+    cand = (
+        prefix.toDF("id_a", "sh")
+        .join(prefix.toDF("id_b", "sh2"), (F.col("sh") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.toDF("id_a", "sh_a")
+    b = docs.toDF("id_b", "sh_b")
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
 def ordered_shingles(col: Column | str, k: int = 3) -> Column:
     """Positional (non-distinct) word k-grams — winnowing needs document
     order preserved, unlike the set-semantics `shingles`."""

@@ -509,6 +509,25 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_prefix",
+    f"WITH {_NGRAM_PAIR_CTES} SELECT id_a, id_b, jaccard FROM pairs",
+    tags=("text", "dedup"),
+)
+def ngram_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join: provably the SAME pairs as
+    the exact all-pairs form (same oracle SQL), but the inverted index
+    holds only each doc's rarest ``n - ceil(τ·n) + 1`` shingles — the
+    principled scale path: complete (unlike the df-cap) AND the join
+    keys are rare by construction (no hot-shingle skew)."""
+    from etl_orders_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        k_shingle=3, threshold=_JACCARD_THRESHOLD,
+    )
+
+
+@register(
     "ngram_jaccard_pairs_capped",
     None,  # approximate under the cap by design; equality with the exact
     # form on the fixture corpus is pinned in tests/test_dedup.py

@@ -355,3 +355,198 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@register(
+    "activity_streaks_users",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM d
+    ), streaks AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("events", "window", "analytics"),
+)
+def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user via the
+    classic date-minus-row_number island anchor. One distinct on
+    (user, day) then one keyed window — both shuffle on user_id only,
+    and the day-grain distinct bounds state at 365 rows/user/year no
+    matter how many raw events arrive."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    isl = d.withColumn("anchor", F.date_sub(F.col("d"), rn))
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+@register(
+    "concurrent_sessions_peak",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_idx, MIN(ts) AS s, MAX(ts) AS e
+      FROM numbered GROUP BY user_id, session_idx
+    ), pts AS (
+      SELECT CAST(s AS DATE) AS day, s AS ts, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT CAST(s AS DATE) AS day, e AS ts, -1 AS delta FROM sessions
+    ), swept AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+      FROM pts
+    )
+    SELECT day, CAST(MAX(open_now) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY day
+    """,
+    tags=("events", "window", "sessionize", "analytics"),
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day by sweep line: sessionize
+    (30-min gap), emit +1 at session start and -1 at session end
+    (closed interval — starts sort before ends at equal timestamps, so
+    a single-event session still registers concurrency 1; both points
+    attributed to the start day so the sweep partitions cleanly by
+    day), running-sum ordered by (ts, delta DESC) with a RANGE frame —
+    tie groups collapse to one summed value, so the per-day max is
+    deterministic in both engines. Every stage is keyed (user_id, then
+    day): no global sort at any scale."""
+    from pyspark.sql import Window as W
+
+    sess = session_stats(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0
+    )
+    day = F.to_date("session_start").alias("day")
+    pts = sess.select(day, F.col("session_start").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        sess.select(day, F.col("session_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        W.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = pts.select("day", F.sum("delta").over(w).alias("open_now"))
+    return swept.groupBy("day").agg(F.max("open_now").cast("long").alias("peak_concurrent"))
+
+
+_PR_DAMP, _PR_ITERS = 0.85, 3
+
+
+def _transition_edges(ev: DataFrame) -> DataFrame:
+    """Directed event-type transition edges weighted by count: for each
+    user's time-ordered stream, (prev event_type -> event_type)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "src", F.lag("event_type").over(w)
+    )
+    return (
+        steps.filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-PageRank SQL: the iteration count is a compile-time
+    constant, so each step is one CTE — no recursion needed."""
+    base = """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+    ), steps AS (
+      SELECT event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM ev
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM steps WHERE src IS NOT NULL GROUP BY src, dst
+    ), outw AS (
+      SELECT src, SUM(w) AS w_out FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM ev
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), pr0 AS (
+      SELECT node, 1.0 / n.n AS pr FROM nodes, n
+    )"""
+    for i in range(_PR_ITERS):
+        base += f""", pr{i + 1} AS (
+      SELECT nodes.node,
+             (1.0 - {_PR_DAMP}) / n.n
+             + {_PR_DAMP} * COALESCE(SUM(pr{i}.pr * e.w / outw.w_out), 0.0) AS pr
+      FROM nodes CROSS JOIN n
+      LEFT JOIN edges e ON e.dst = nodes.node
+      LEFT JOIN outw ON outw.src = e.src
+      LEFT JOIN pr{i} ON pr{i}.node = e.src
+      GROUP BY nodes.node, n.n
+    )"""
+    return base + f"""
+    SELECT node AS event_type, ROUND(pr, 6) AS pagerank FROM pr{_PR_ITERS}
+    """
+
+
+@register(
+    "pagerank_event_types",
+    _pagerank_oracle(),
+    tags=("events", "graph", "iterative"),
+)
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph, 3 unrolled
+    iterations (damping 0.85). The scale-bearing stage is the graph
+    CONTRACTION — a keyed window + one aggregate collapse billions of
+    raw events into an edges table keyed by event-type pairs — after
+    which each iteration is a join on a table whose size is the number
+    of distinct event types, independent of input scale. Dangling mass
+    is dropped identically on both sides (pure link-follow formula)."""
+    ev = T(spark, sf_dir, "events")
+    edges = _transition_edges(ev).withColumn("w", F.col("w").cast("double"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    edges = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n = nodes.count()
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
+        )
+        pr = nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left").select(
+            "node",
+            (F.lit((1.0 - _PR_DAMP) / n) + F.lit(_PR_DAMP) * F.coalesce("mass", F.lit(0.0))).alias(
+                "pr"
+            ),
+        )
+    return pr.select(F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank"))

@@ -189,3 +189,44 @@ def test_connected_components_two_clusters(spark):
     edges = spark.createDataFrame([(2, 1), (2, 3), (8, 7), (9, 7)], "id_a long, id_b long")
     got = {r["id"]: r["component"] for r in connected_components(verts, edges, "id").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_prefix_filter_equals_exact_all_pairs(docs):
+    """Prefix filtering is provably complete for Jaccard >= tau: the
+    pair set (and scores) must equal the exact inverted-index form
+    bit-for-bit at several thresholds."""
+    from etl_orders_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    for tau in (0.1, 0.2, 0.5, 0.9):
+        exact = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, tau).collect()))
+        pref = sorted(
+            map(tuple, prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, tau).collect())
+        )
+        assert exact == pref, f"tau={tau}"
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.1).count() > 0
+
+
+def test_prefix_filter_indexes_fewer_postings(spark):
+    """The prefix index must be strictly smaller than the full inverted
+    index at a high threshold (that is the point of the operator)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.text import shingles
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = df.select(F.explode(shingles("text", 3)).alias("sh")).count()
+    ex = df.select(
+        F.col("doc_id"), F.size(shingles("text", 3)).alias("n_sh"),
+        F.explode(shingles("text", 3)).alias("sh"),
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(dfreq, "sh").withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "sh"))
+    )
+    tau = 0.8
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(tau)) + 1
+    ).count()
+    assert pref < full

@@ -1,0 +1,77 @@
+"""Tests for the event analytics shapes: streaks, concurrency sweep,
+PageRank over the transition graph."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_orders_spark.plans.time_queries import (
+    _transition_edges,
+    activity_streaks_users,
+    concurrent_sessions_peak,
+    pagerank_event_types,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaks_invariants(spark):
+    out = activity_streaks_users(spark, SF)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        assert r["n_streaks"] <= r["n_active_days"]
+
+
+def test_streaks_islands_inline(spark):
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 10), 1),
+        (1, d(2024, 1, 2, 10), 2),  # 2-day island
+        (1, d(2024, 1, 5, 10), 3),  # singleton island
+        (2, d(2024, 1, 1, 10), 4),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    ev.createOrReplaceTempView("_streak_ev")
+    from pyspark.sql import Window as W
+
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    isl = days.withColumn("anchor", F.date_sub(F.col("d"), rn))
+    got = {
+        (r["user_id"], r["n"])
+        for r in isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_concurrency_peak_bounds(spark):
+    peaks = concurrent_sessions_peak(spark, SF)
+    rows = peaks.collect()
+    assert rows
+    # peak concurrency can never exceed the number of sessions that day
+    # and is at least 1 whenever any session started
+    assert all(r["peak_concurrent"] >= 1 for r in rows)
+
+
+def test_transition_edges_and_pagerank_mass(spark):
+    d = datetime.datetime
+    rows = [  # user 1: a -> b -> a ; user 2: a -> b
+        (1, d(2024, 1, 1, 0, 0), 1, "a"),
+        (1, d(2024, 1, 1, 0, 1), 2, "b"),
+        (1, d(2024, 1, 1, 0, 2), 3, "a"),
+        (2, d(2024, 1, 1, 0, 0), 4, "a"),
+        (2, d(2024, 1, 1, 0, 1), 5, "b"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    edges = {(r["src"], r["dst"]): r["w"] for r in _transition_edges(ev).collect()}
+    assert edges == {("a", "b"): 2, ("b", "a"): 1}
+
+    pr = pagerank_event_types(spark, SF)
+    vals = [r["pagerank"] for r in pr.collect()]
+    assert vals and all(v > 0 for v in vals)
+    # link-follow PageRank drops dangling mass, so total is in (0, 1]
+    assert sum(vals) <= 1.000001
