@@ -1934,3 +1934,76 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return carried.unionByName(rebuilt)
+
+
+_RFM_ANCHOR = "1998-12-01"  # constant "as of" date for recency
+
+
+@register(
+    "rfm_segments",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)), DATE '{_RFM_ANCHOR}') AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ), q AS (
+      SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(CAST(monetary_cents AS DOUBLE), [0.25, 0.5, 0.75]) AS mq
+      FROM per_cust
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           CAST(1 + CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+           CAST(1 + CASE WHEN frequency > fq[1] THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > fq[2] THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > fq[3] THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+           CAST(1 + CASE WHEN monetary_cents > mq[1] THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_cents > mq[2] THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_cents > mq[3] THEN 1 ELSE 0 END AS BIGINT) AS m_score
+    FROM per_cust CROSS JOIN q
+    """,
+    tags=("agg", "analytics", "segmentation"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartile scores
+    per customer (1 = most recent; 4 = most frequent / highest spend).
+    Scores come from comparing against EXACT percentile boundaries
+    computed in one aggregate and broadcast back — not a global NTILE,
+    whose single-partition window is exactly what dies at 100 TB.
+    Monetary is integer cents so both engines sum exactly."""
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(F.lit(_RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date")))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    q = per_cust.agg(
+        F.expr("percentile(CAST(recency_days AS DOUBLE), array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(CAST(frequency AS DOUBLE), array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(CAST(monetary_cents AS DOUBLE), array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def score(col: str, bounds: str):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + F.when(F.col(col) > F.element_at(bounds, i), 1).otherwise(0)
+        return s.cast("long")
+
+    return per_cust.crossJoin(F.broadcast(q)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", "rq").alias("r_score"),
+        score("frequency", "fq").alias("f_score"),
+        score("monetary_cents", "mq").alias("m_score"),
+    )

@@ -550,3 +550,67 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return pr.select(F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank"))
+
+
+_PATHS_TOP = 10
+
+
+@register(
+    "top_session_paths",
+    f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    ), tri AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w2 AS e2,
+             LEAD(event_type, 2) OVER w2 AS e3
+      FROM numbered
+      WINDOW w2 AS (PARTITION BY user_id, session_idx ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT {_PATHS_TOP}
+    """,
+    tags=("events", "sessionize", "analytics", "topk"),
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {TOP} three-step event paths WITHIN sessions (30-min gap):
+    sessionize, slide a length-3 window down each session's ordered
+    stream via lead(), aggregate path counts globally. Both windows are
+    keyed by user (then session) — the only global operation is the
+    final top-{TOP} over the path-count table, whose cardinality is
+    bounded by |event_type|^3, not by input size."""
+    from etl_orders_spark.operators.sessionize import sessionize
+    from pyspark.sql import Window as W
+
+    s = sessionize(T(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0)
+    w2 = W.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    tri = s.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w2).alias("e2"),
+        F.lead("event_type", 2).over(w2).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        tri.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATHS_TOP)
+    )
+
+
+top_session_paths.__doc__ = top_session_paths.__doc__.format(TOP=_PATHS_TOP)

@@ -256,3 +256,132 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         k=_ANN_K, n_centroids=16, nprobe=4,
     )
+
+
+_KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd's k-means SQL: init = the K lowest vec_ids, each
+    iteration = one assignment CTE (argmin of an exactly-mirrored
+    |x|^2 - 2x.c + |c|^2 distance, round-6 + cid tie-break) and one
+    centroid CTE (per-dim mean, components rounded to 6 so FP
+    accumulation-order noise can't leak into the next assignment)."""
+    dot = "list_inner_product({a}, {b})"
+    sql = f"""
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             v AS c
+      FROM x ORDER BY vec_id LIMIT {_KM_K}
+    )"""
+    for i in range(_KM_ITERS):
+        d2 = (
+            f"{dot.format(a='x.v', b='x.v')} - 2 * {dot.format(a='x.v', b='c.c')}"
+            f" + {dot.format(a='c.c', b='c.c')}"
+        )
+        sql += f""", assign{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT x.vec_id, x.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY ROUND({d2}, 6), c.cid) AS rn
+        FROM x CROSS JOIN cent{i} c
+      ) WHERE rn = 1
+    ), cent{i + 1} AS (
+      SELECT cid, list(m ORDER BY i) AS c FROM (
+        SELECT cid, i, ROUND(AVG(v[i]), 6) AS m
+        FROM assign{i} CROSS JOIN range(1, {_KM_DIM + 1}) t(i)
+        GROUP BY cid, i
+      ) GROUP BY cid
+    )"""
+    last = _KM_ITERS
+    d2 = (
+        f"{dot.format(a='x.v', b='x.v')} - 2 * {dot.format(a='x.v', b='c.c')}"
+        f" + {dot.format(a='c.c', b='c.c')}"
+    )
+    return sql + f""", final_assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT x.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY ROUND({d2}, 6), c.cid) AS rn
+        FROM x CROSS JOIN cent{last} c
+      ) WHERE rn = 1
+    )
+    SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(sqrt({dot.format(a='c.c', b='c.c')}), 6) AS centroid_norm
+    FROM final_assign f JOIN cent{last} c USING (cid)
+    GROUP BY f.cid, c.c
+    """
+
+
+@register(
+    "kmeans_embeddings",
+    _km_oracle(),
+    tags=("vector", "iterative", "clustering"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, {K} clusters, {I} unrolled iterations, expressed
+    relationally: centroids stay a K-row DataFrame that BROADCASTS into
+    the assignment cross join (the only scan-sized stage — a map over
+    the vectors), and the update is one (cid, dim) aggregate. Unlike
+    driver-side MLlib-style loops, every iteration is lazy Catalyst
+    lineage; nothing but the K x dim centroid table ever leaves the
+    executors. Init is deterministic (K lowest vec_ids); centroid
+    components round to 6 each iteration so both engines' FP
+    accumulation noise is quashed before it can flip an assignment."""
+    from pyspark.sql import Window as W
+
+    x = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        x.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).cast("long").alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+    def assign(cent_df):
+        j = x.crossJoin(F.broadcast(cent_df))
+        d2 = dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("c")) + dot(
+            F.col("c"), F.col("c")
+        )
+        rn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.round(d2, 6), "cid"))
+        return j.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+
+    for _ in range(_KM_ITERS):
+        a = assign(cent)
+        cent = (
+            a.select("cid", F.posexplode("v").alias("i", "comp"))
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("comp"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("c")
+            )
+        )
+        # K rows; caching truncates re-execution of the whole prior
+        # iteration's assignment every time this table is referenced
+        cent = cent.cache()
+    final = assign(cent)
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .join(cent, "cid")
+        .select(
+            "cid",
+            "n_points",
+            F.round(F.sqrt(dot(F.col("c"), F.col("c"))), 6).alias("centroid_norm"),
+        )
+    )
+
+
+kmeans_embeddings.__doc__ = kmeans_embeddings.__doc__.format(K=_KM_K, I=_KM_ITERS)

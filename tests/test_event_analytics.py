@@ -75,3 +75,33 @@ def test_transition_edges_and_pagerank_mass(spark):
     assert vals and all(v > 0 for v in vals)
     # link-follow PageRank drops dangling mass, so total is in (0, 1]
     assert sum(vals) <= 1.000001
+
+
+def test_top_session_paths_shape(spark):
+    rows = __import__("etl_orders_spark.plans.time_queries", fromlist=["top_session_paths"]).top_session_paths(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["path"].split(">")) == 3 for r in rows)
+
+
+def test_rfm_scores_in_range(spark):
+    from etl_orders_spark.plans.core_queries import rfm_segments
+
+    rows = rfm_segments(spark, SF).collect()
+    assert rows
+    for r in rows:
+        for s in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[s] <= 4
+    # every quartile score level should be populated on real data
+    assert {r["r_score"] for r in rows} == {1, 2, 3, 4}
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    from etl_orders_spark.plans.vector_queries import kmeans_embeddings
+    from etl_orders_spark.sources.readers import load_table
+
+    total = load_table(spark, SF, "embeddings").count()
+    rows = kmeans_embeddings(spark, SF).collect()
+    assert sum(r["n_points"] for r in rows) == total
+    assert all(r["centroid_norm"] > 0 for r in rows)
