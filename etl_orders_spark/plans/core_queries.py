@@ -2007,3 +2007,120 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "fq").alias("f_score"),
         score("monetary_cents", "mq").alias("m_score"),
     )
+
+
+@register(
+    "triangle_count_copurchase",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e e1
+                 JOIN e e2 ON e2.p1 = e1.p2
+                 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+    """,
+    tags=("graph", "join", "analytics"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase graph (parts sharing an
+    order are adjacent), using DEGREE-ORDERED edge orientation (Cohen
+    '09 / Suri-Vassilvitskii WWW'11): every edge points from its
+    lower-(degree, id) endpoint to the higher one, so each node
+    generates wedges only among its out-neighbors — out-degree is
+    O(sqrt(m)) for ANY graph under this orientation, which is what
+    keeps the wedge (candidate) stage from exploding on hub nodes at
+    100 TB. Each triangle has exactly one node with two out-edges, so
+    every triangle is emitted once; the closing lookup joins the
+    unordered edge set. The oracle is the orientation-free p1<p2<p3
+    three-way self-join."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("o", "p1")
+    b = li.toDF("o2", "p2")
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") < F.col("p2")))
+        .select("p1", "p2")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.toDF("p1", "deg1")
+    d2 = deg.toDF("p2", "deg2")
+    # orient each edge from the lower-(degree, id) endpoint to the higher
+    lo_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        edges.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    w1 = oriented.toDF("u", "v")
+    w2 = oriented.toDF("u2", "w")
+    wedges = w1.join(w2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("w"))).select(
+        "u", "v", "w"
+    )
+    closing = edges.toDF("e_lo", "e_hi")
+    tri = wedges.join(
+        closing, (F.col("e_lo") == F.col("v")) & (F.col("e_hi") == F.col("w")), "inner"
+    )
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+
+
+_EWMA_ALPHA, _EWMA_SPAN = 0.2, 30
+
+
+@register(
+    "ewma_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT d.day,
+           d.rev_cents,
+           ROUND(SUM(e.rev_cents * {_EWMA_ALPHA} * POWER({1 - _EWMA_ALPHA}, DATEDIFF('day', e.day, d.day))), 2)
+             AS ewma_cents
+    FROM daily d JOIN daily e
+      ON e.day <= d.day AND e.day > d.day - {_EWMA_SPAN}
+    GROUP BY d.day, d.rev_cents
+    """,
+    tags=("timeseries", "window", "analytics"),
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue,
+    truncated to a 30-day span (weights below (1-a)^30 ~= 1e-3 of the
+    head are dropped IDENTICALLY in both engines, making the
+    recursion-free formulation exact): a range self-join on the
+    day-grain aggregate — which is tiny regardless of raw input scale,
+    so the quadratic-in-span join cost is bounded by 30x the number of
+    days, never by the number of orders. Integer-cents revenue; the
+    weighted sum rounds to 2 with ~1e-8 relative FP noise on ~1e7
+    magnitudes — 6 orders below the rounding grain."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    d = daily.toDF("day", "rev_cents")
+    e = daily.toDF("e_day", "e_rev")
+    k = F.datediff(F.col("day"), F.col("e_day"))
+    w = F.lit(_EWMA_ALPHA) * F.pow(F.lit(1 - _EWMA_ALPHA), k)
+    return (
+        d.join(e, (F.col("e_day") <= F.col("day")) & (F.col("e_day") > F.date_sub(F.col("day"), _EWMA_SPAN)))
+        .groupBy("day", "rev_cents")
+        .agg(F.round(F.sum(F.col("e_rev") * w), 2).alias("ewma_cents"))
+    )

@@ -105,3 +105,18 @@ def test_kmeans_partitions_all_vectors(spark):
     rows = kmeans_embeddings(spark, SF).collect()
     assert sum(r["n_points"] for r in rows) == total
     assert all(r["centroid_norm"] > 0 for r in rows)
+
+
+def test_triangle_count_nonnegative(spark):
+    from etl_orders_spark.plans.core_queries import triangle_count_copurchase
+
+    r = triangle_count_copurchase(spark, SF).collect()[0]
+    assert r["n_edges"] > 0 and r["n_triangles"] >= 0
+
+
+def test_ewma_first_day_is_alpha_times_revenue(spark):
+    from etl_orders_spark.plans.core_queries import ewma_daily_revenue
+
+    rows = ewma_daily_revenue(spark, SF).collect()
+    first = min(rows, key=lambda r: r["day"])
+    assert abs(first["ewma_cents"] - round(0.2 * first["rev_cents"], 2)) < 1e-6
