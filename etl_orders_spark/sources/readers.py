@@ -85,6 +85,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, path, schema)
 
 
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load_table(..., "events")``.
+
+    Same footer-sniff dispatch as the batch path (the sniff itself is a
+    driver-side pyarrow read, legal before the stream starts): NANOS
+    files scan as long and convert with the identical truncating
+    ``ts div 1000``; MICROS files read natively as TimestampType. The
+    file source wants a directory, so the single table file is selected
+    with pathGlobFilter.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = TESTDATA_SCHEMAS["events"]
+    nanos = _events_ts_is_nanos(path)
+    if not nanos:
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
+                for f in schema.fields
+            ]
+        )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -133,20 +133,12 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path_factory):
 
 def test_stream_real_events_table(spark, sf_dir):
     """The driver's actual events.parquet as a streaming source: the
-    nanos-as-long read + ns→µs conversion works under readStream too,
-    and the streamed tumbling aggregate equals the batch query."""
-    from pyspark.sql import functions as F
+    footer-sniffed ts dispatch (NANOS long + ns→µs conversion vs native
+    MICROS) works under readStream too, and the streamed tumbling
+    aggregate equals the batch query."""
+    from etl_orders_spark.sources.readers import load_events_stream, load_table
 
-    from etl_orders_spark.sources.readers import load_table
-    from etl_orders_spark.sources.schemas import TESTDATA_SCHEMAS
-
-    # the streaming file source wants a directory; glob-filter to the one file
-    raw = (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = load_events_stream(spark, sf_dir)
     assert stream.isStreaming
     run_available_now_to_memory(tumbling_agg(stream), "t_real_events")
     got = _rows(spark.table("t_real_events"), "win_start", "event_type", "n")
