@@ -76,6 +76,7 @@ def _load_all() -> None:
     import etl_orders_spark.plans.llm_pipeline  # noqa: F401
     import etl_orders_spark.plans.media_queries  # noqa: F401
     import etl_orders_spark.plans.sketch_queries  # noqa: F401
+    import etl_orders_spark.plans.stats_queries  # noqa: F401
     import etl_orders_spark.plans.text_queries  # noqa: F401
     import etl_orders_spark.plans.time_queries  # noqa: F401
     import etl_orders_spark.plans.tpch_queries  # noqa: F401

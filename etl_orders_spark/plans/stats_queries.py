@@ -1,0 +1,421 @@
+"""Distribution / rank / allocation analytics: the statistical query
+shapes an analyst layers on the star schema once the plain aggregates
+(core_queries) exist.
+
+The reference computes no statistics at all (its only numeric work is
+carrying `Price` through joins, reference: dags/etl.py:109-122); these
+generalize SURVEY.md §2.4's ABSENT aggregation rows into the
+distribution-auditing surface a 100 TB warehouse actually runs:
+dominance frontiers, digit-law conformance, gap interpolation, exact
+integer allocation, categorical entropy, and rank correlation.
+
+Determinism conventions follow plans/registry.py: money is integer
+cents (FLOOR(x*100+0.5)), shares are integer milli/tenk units via
+truncating division on non-negative operands (identical in Spark `div`
+and DuckDB `//`), and every ln/log10 term is floored to an integer
+unit before any further arithmetic so ulp noise cannot reach the value
+hash. Window orderings always carry a unique-key tiebreak.
+
+Scale notes (100 TB) per query are in each docstring; the shared
+theme: every global (single-partition) window here runs on a table
+whose size is bounded by the *domain* (distinct order counts, 9
+digits, days, 25 nations, |event_type|), never by the input row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_orders_spark.functions.text import quality_score
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.plans.text_queries import _QUALITY
+from etl_orders_spark.sources.readers import load_table as T
+
+
+def _cents(col: F.Column) -> F.Column:
+    """floor(x*100 + 0.5) integer cents — bit-identical in Spark and
+    DuckDB (per-row ROUND(double, 2) is not: HALF_UP vs half-even)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+# --- skyline (Pareto dominance frontier) ------------------------------------
+
+
+@register(
+    "skyline_customers",
+    """
+    WITH c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT b.o_custkey, b.n_orders, b.rev_cents
+    FROM c b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c a
+      WHERE a.n_orders >= b.n_orders AND a.rev_cents >= b.rev_cents
+        AND (a.n_orders > b.n_orders OR a.rev_cents > b.rev_cents)
+    )
+    """,
+    tags=("window", "skyline", "analytics"),
+)
+def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline: customers not dominated on (order count,
+    total revenue) by any other customer.
+
+    The textbook formulation is the oracle's quadratic NOT EXISTS
+    self-join; the Spark plan is O(n log n) with a domain-bounded
+    global step: for a fixed order count only the max-revenue pair can
+    be undominated, so candidates collapse to one row per DISTINCT
+    n_orders (grouped max — a map-side-combinable aggregate). The
+    single-partition window then scans a table bounded by
+    max-orders-per-customer (hundreds), not by customer count: sorted
+    by n_orders desc, a candidate is on the skyline iff its revenue
+    exceeds the running max over all strictly-higher counts. Surviving
+    (n_orders, rev_cents) pairs broadcast back as a semi-join filter,
+    so ties all surface and the fact-scale data is never globally
+    sorted."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"),
+        )
+    )
+    cand = c.groupBy("n_orders").agg(F.max("rev_cents").alias("rev_cents"))
+    w = Window.orderBy(F.desc("n_orders")).rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        cand.withColumn("_mx", F.max("rev_cents").over(w))
+        .filter(F.col("_mx").isNull() | (F.col("_mx") < F.col("rev_cents")))
+        .drop("_mx")
+    )
+    return c.join(F.broadcast(sky), ["n_orders", "rev_cents"], "semi").select(
+        "o_custkey", "n_orders", "rev_cents"
+    )
+
+
+# --- Benford first-digit conformance ----------------------------------------
+
+
+@register(
+    "benford_price_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+    SELECT digit, n,
+           CAST(n * 1000 // total AS BIGINT) AS share_milli,
+           CAST(FLOOR(LOG10(1.0 + 1.0 / digit) * 1000) AS BIGINT) AS benford_milli,
+           CAST(ABS(n * 1000 // total - CAST(FLOOR(LOG10(1.0 + 1.0 / digit) * 1000) AS BIGINT)) AS BIGINT) AS dev_milli
+    FROM d, t
+    """,
+    tags=("dq", "analytics"),
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of extended prices: observed first-digit
+    share vs the log10(1+1/d) expectation, as a fraud/synthetic-data
+    smell test (generalizes SURVEY.md §2.4 A1/A5).
+
+    The first significant digit is taken from the decimal string of
+    integer cents — no float log on data values, so the digit is
+    bit-identical across engines; log10 touches only the nine digit
+    constants, floored to milli-units away from any integer boundary.
+    One map-side-combinable aggregate to 9 rows; everything after is
+    constant-size."""
+    d = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.substring(_cents(F.col("l_extendedprice")).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = d.agg(F.sum("n").cast("long").alias("_total"))
+    benford = F.floor(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * 1000).cast("long")
+    return (
+        d.crossJoin(F.broadcast(total))
+        .withColumn("share_milli", F.expr("n * 1000 div _total").cast("long"))
+        .withColumn("benford_milli", benford)
+        .select(
+            "digit",
+            "n",
+            "share_milli",
+            "benford_milli",
+            F.abs(F.col("share_milli") - F.col("benford_milli")).cast("long").alias("dev_milli"),
+        )
+    )
+
+
+# --- gap interpolation over the day spine -----------------------------------
+
+
+@register(
+    "interp_daily_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+    spine AS (SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+    j AS (SELECT s.day, d.rev_cents FROM spine s LEFT JOIN d ON s.day = d.day),
+    f AS (
+      SELECT day, rev_cents,
+             LAST_VALUE(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pday,
+             LAST_VALUE(rev_cents IGNORE NULLS) OVER wp AS pval,
+             FIRST_VALUE(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nday,
+             FIRST_VALUE(rev_cents IGNORE NULLS) OVER wn AS nval
+      FROM j
+      WINDOW wp AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT day,
+           CAST(CASE WHEN rev_cents IS NOT NULL THEN rev_cents
+                     WHEN pval IS NULL THEN nval
+                     WHEN nval IS NULL THEN pval
+                     ELSE (pval * (nday - day) + nval * (day - pday)) // (nday - pday)
+                END AS BIGINT) AS rev_cents_filled,
+           CAST(rev_cents IS NULL AS INTEGER) AS is_interp
+    FROM f
+    """,
+    tags=("window", "timeseries", "analytics"),
+)
+def interp_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing days in the daily-revenue
+    series: build the full day spine, carry the nearest observed value
+    from each side (last/first IGNORE NULLS), and fill gaps with the
+    exact integer lerp (pval·(next-day) + nval·(day-prev)) div span —
+    the weighted form keeps the numerator non-negative so truncating
+    division matches across engines (the testdata has real gap days,
+    so the interpolation branch is exercised, not vacuous).
+
+    Scale: the fact table collapses to day grain first (the only
+    fact-scale shuffle, map-side-combinable); the spine join and the
+    two single-partition windows run on the day table, bounded by the
+    calendar (years × 365), not by order count."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"))
+    )
+    bounds = d.agg(F.min("day").alias("_mn"), F.max("day").alias("_mx"))
+    spine = bounds.select(F.explode(F.sequence("_mn", "_mx")).alias("day"))
+    j = spine.join(d, "day", "left")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("rev_cents").isNotNull(), F.col("day"))
+    f = j.select(
+        "day",
+        "rev_cents",
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pday"),
+        F.last("rev_cents", ignorenulls=True).over(wp).alias("pval"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nday"),
+        F.first("rev_cents", ignorenulls=True).over(wn).alias("nval"),
+    )
+    lerp = F.expr(
+        "(pval * datediff(nday, day) + nval * datediff(day, pday)) div datediff(nday, pday)"
+    )
+    filled = (
+        F.when(F.col("rev_cents").isNotNull(), F.col("rev_cents"))
+        .when(F.col("pval").isNull(), F.col("nval"))
+        .when(F.col("nval").isNull(), F.col("pval"))
+        .otherwise(lerp)
+    )
+    return f.select(
+        "day",
+        filled.cast("long").alias("rev_cents_filled"),
+        F.col("rev_cents").isNull().cast("int").alias("is_interp"),
+    )
+
+
+# --- largest-remainder integer allocation -----------------------------------
+
+
+@register(
+    "alloc_nation_budget",
+    """
+    WITH n AS (
+      SELECT na.n_nationkey, na.n_name,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation na ON c.c_nationkey = na.n_nationkey
+      GROUP BY 1, 2
+    ), t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM n),
+    b AS (
+      SELECT n_nationkey, n_name, rev_cents,
+             CAST(rev_cents * 10000 // total AS BIGINT) AS base,
+             CAST(rev_cents * 10000 % total AS BIGINT) AS rem
+      FROM n, t
+    ), s AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS short FROM b)
+    SELECT n_name, rev_cents,
+           CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, n_nationkey) <= short
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc_slots
+    FROM b, s
+    """,
+    tags=("window", "allocation", "analytics"),
+)
+def alloc_nation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment: allocate exactly 10,000 budget
+    slots across nations proportionally to revenue — floor shares
+    first, then one extra slot to the largest remainders until the
+    total is exact. All arithmetic is integer (scaled div/mod on
+    non-negative operands), so the allocation sums to precisely 10,000
+    in both engines; remainder ties break on nation key.
+
+    Scale: facts aggregate to 25 nation rows before any window; the
+    customer join shuffles on the natural key and nation broadcasts.
+    The scaled product rev_cents*10000 stays far inside int64 until
+    global revenue exceeds ~9·10^14 cents per slot-unit — at which
+    point the same plan runs on a coarser money unit."""
+    n = (
+        T(spark, sf_dir, "orders")
+        .join(
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"))
+    )
+    total = n.agg(F.sum("rev_cents").cast("long").alias("_total"))
+    b = (
+        n.crossJoin(F.broadcast(total))
+        .withColumn("base", F.expr("rev_cents * 10000 div _total").cast("long"))
+        .withColumn("rem", F.expr("rev_cents * 10000 % _total").cast("long"))
+    )
+    short = b.agg((F.lit(10000) - F.sum("base")).cast("long").alias("_short"))
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "n_nationkey"))
+    return (
+        b.crossJoin(F.broadcast(short))
+        .withColumn("_rk", rk)
+        .select(
+            "n_name",
+            "rev_cents",
+            (F.col("base") + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc_slots"),
+        )
+    )
+
+
+# --- categorical entropy per user -------------------------------------------
+
+
+@register(
+    "entropy_user_event_types",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY 1
+    )
+    SELECT u.user_id, u.total AS n_events, u.n_types,
+           CAST(SUM(CAST(FLOOR(c.n * LN(CAST(u.total AS DOUBLE) / c.n) * 1000000.0) AS BIGINT)) // u.total AS BIGINT) AS entropy_micronats
+    FROM c JOIN u ON c.user_id = u.user_id
+    GROUP BY u.user_id, u.total, u.n_types
+    """,
+    tags=("agg", "entropy", "analytics"),
+)
+def entropy_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (H = Σ p·ln 1/p),
+    the behavioral-diversity signal feeding bot/anomaly detection.
+
+    Per-term n·ln(total/n) floors to integer micro-nats BEFORE the sum
+    (the registry's ln-ulp convention), then one truncating division
+    by the user total — so accumulation order can't perturb the hash.
+    Scale: two map-side-combinable aggregates keyed by user (the
+    second reuses the first's (user_id, event_type) partitioning — no
+    extra shuffle under AQE) and a user-keyed join; no global step at
+    all."""
+    ev = T(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    term = F.floor(
+        F.col("n") * F.log(F.col("total").cast("double") / F.col("n")) * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        c.join(u, "user_id")
+        .groupBy("user_id", "total", "n_types")
+        .agg(F.sum(term).alias("_s"))
+        .select(
+            "user_id",
+            F.col("total").alias("n_events"),
+            "n_types",
+            F.expr("_s div total").cast("long").alias("entropy_micronats"),
+        )
+    )
+
+
+# --- Spearman rank correlation ----------------------------------------------
+
+
+@register(
+    "spearman_quality_length",
+    f"""
+    WITH r AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ({_QUALITY}) DESC, doc_id) AS rq,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rc
+      FROM documents
+    ), s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM((rq - rc) * (rq - rc)) AS BIGINT) AS sd2
+      FROM r GROUP BY 1
+    )
+    SELECT lang, n_docs, sd2,
+           CAST(FLOOR((1.0 - 6.0 * sd2 / (n_docs * (n_docs * n_docs - 1))) * 10000.0) AS BIGINT) AS rho_tenk
+    FROM s WHERE n_docs >= 3
+    """,
+    tags=("window", "stats", "text", "analytics"),
+)
+def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quality score and document
+    length, per language — does the quality heuristic just re-rank by
+    length? Ranks are ROW_NUMBER with doc_id tiebreaks (a permutation,
+    so Σd² is exact integer); ρ = 1 − 6Σd²/(n(n²−1)) evaluates the
+    same double expression from exact-in-double integers in both
+    engines, floored to tenths-of-permille.
+
+    Scale: both rank windows partition by lang — same shuffle key, one
+    exchange; Σd² then aggregates per lang. n³ stays exact in double
+    up to ~200k docs per language; beyond that the same query runs on
+    a per-language sample or a wider integer unit."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", quality_score("text").alias("_q")
+    )
+    wq = Window.partitionBy("lang").orderBy(F.desc("_q"), "doc_id")
+    wc = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    r = docs.select(
+        "lang",
+        F.row_number().over(wq).alias("rq"),
+        F.row_number().over(wc).alias("rc"),
+    )
+    s = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("rq") - F.col("rc")) * (F.col("rq") - F.col("rc"))).cast("long").alias("sd2"),
+    )
+    rho = F.floor(
+        (
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sd2")
+            / (F.col("n_docs") * (F.col("n_docs") * F.col("n_docs") - 1))
+        )
+        * F.lit(10000.0)
+    ).cast("long")
+    return s.filter(F.col("n_docs") >= 3).select("lang", "n_docs", "sd2", rho.alias("rho_tenk"))

@@ -1,0 +1,170 @@
+"""Unit tests for the distribution/rank/allocation shapes
+(plans/stats_queries.py) — semantic invariants the oracle hash can't
+see, plus plan-shape pins for the scale-critical pieces."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_orders_spark.plans.registry import query_map
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return query_map()
+
+
+def test_skyline_matches_bruteforce(q, spark, sf_dir):
+    rows = q["skyline_customers"](spark, sf_dir).collect()
+    got = {(r.o_custkey, r.n_orders, r.rev_cents) for r in rows}
+    # brute-force dominance over the same per-customer aggregate
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("rev"),
+        )
+        .collect()
+    )
+    pts = [(r.o_custkey, r.n, r.rev) for r in c]
+    want = {
+        (k, n, rev)
+        for k, n, rev in pts
+        if not any(
+            an >= n and arev >= rev and (an > n or arev > rev) for _, an, arev in pts
+        )
+    }
+    assert got == want and got  # non-empty, exact
+
+
+def test_skyline_is_mutually_nondominated(q, spark, sf_dir):
+    rows = q["skyline_customers"](spark, sf_dir).collect()
+    for a in rows:
+        for b in rows:
+            dominated = (
+                a.n_orders >= b.n_orders
+                and a.rev_cents >= b.rev_cents
+                and (a.n_orders > b.n_orders or a.rev_cents > b.rev_cents)
+            )
+            assert not dominated
+
+
+def test_benford_shares_cover_all_digits(q, spark, sf_dir):
+    rows = {r.digit: r for r in q["benford_price_digits"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 10))
+    # expected milli-shares are the floored Benford values
+    for d, r in rows.items():
+        assert r.benford_milli == math.floor(math.log10(1 + 1 / d) * 1000)
+        assert r.dev_milli == abs(r.share_milli - r.benford_milli)
+
+
+def test_interpolation_fills_every_day_and_flags_gaps(q, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    out = q["interp_daily_revenue"](spark, sf_dir)
+    days = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+        F.sum("is_interp").alias("n_interp"),
+    ).collect()[0]
+    assert days.n == days.span + 1  # spine is dense
+    observed = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert days.n_interp == days.n - observed
+    # interpolated values sit within the neighboring observed range
+    assert out.filter("rev_cents_filled < 0 or rev_cents_filled is null").count() == 0
+
+
+def test_interpolation_exact_lerp_on_synthetic_gap(spark):
+    # days 1,4 observed (100, 400 cents) -> day2=200, day3=300
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-04", 4.0)], "d string, price double"
+    ).select(F.to_date("d").alias("o_orderdate"), F.col("price").alias("o_totalprice"))
+    import etl_orders_spark.plans.stats_queries as S
+
+    # run the same plan body against the tiny frame via monkeypatched loader
+    orig = S.T
+    S.T = lambda spark_, sf_, name: df  # noqa: E731
+    try:
+        got = {
+            str(r.day): (r.rev_cents_filled, r.is_interp)
+            for r in S.interp_daily_revenue(spark, "unused").collect()
+        }
+    finally:
+        S.T = orig
+    assert got == {
+        "2024-01-01": (100, 0),
+        "2024-01-02": (200, 1),
+        "2024-01-03": (300, 1),
+        "2024-01-04": (400, 0),
+    }
+
+
+def test_allocation_sums_exactly_and_is_monotone(q, spark, sf_dir):
+    rows = q["alloc_nation_budget"](spark, sf_dir).collect()
+    assert sum(r.alloc_slots for r in rows) == 10000
+    # more revenue never gets fewer slots than less revenue +1 (largest
+    # remainder keeps allocations within 1 slot of proportional)
+    by_rev = sorted(rows, key=lambda r: r.rev_cents)
+    for lo, hi in zip(by_rev, by_rev[1:]):
+        assert hi.alloc_slots >= lo.alloc_slots - 1
+
+
+def test_entropy_bounds_and_uniform_case(q, spark, sf_dir):
+    rows = q["entropy_user_event_types"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= ln(n_types), in micro-nats (floor slack of n_types µnat)
+        assert -r.n_types <= r.entropy_micronats <= math.log(r.n_types) * 1e6 + 1
+        if r.n_types == 1:
+            assert r.entropy_micronats == 0
+
+
+def test_spearman_perfect_and_reversed(spark):
+    # quality rank == length rank -> rho 1; reversed -> rho -1
+    import etl_orders_spark.plans.stats_queries as S
+
+    docs = spark.createDataFrame(
+        [
+            # lang "up": longer text => higher quality (same order)
+            (1, "aa bb", "up"),
+            (2, "aa bb cc dd", "up"),
+            (3, "aa bb cc dd ee ff", "up"),
+            # lang "dn": quality strictly increases as length decreases —
+            # punct soup (len 17, q~0.01) < no-stopword letters (len 11,
+            # q~0.31) < all-stopwords (len 10, q~0.61)
+            (4, "!!!! !!!! !!!! !!", "dn"),
+            (5, "zz qq ww rr", "dn"),
+            (6, "the of and", "dn"),
+        ],
+        "doc_id long, text string, lang string",
+    ).selectExpr("doc_id", "text", "lang", "CAST(length(text) AS LONG) AS n_chars")
+    orig = S.T
+    S.T = lambda spark_, sf_, name: docs  # noqa: E731
+    try:
+        got = {r.lang: r.rho_tenk for r in S.spearman_quality_length(spark, "unused").collect()}
+    finally:
+        S.T = orig
+    assert got["up"] == 10000
+    assert got["dn"] == -10000
+
+
+def test_skyline_plan_has_no_nested_loop(q, spark, sf_dir):
+    p = q["skyline_customers"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
