@@ -1,0 +1,216 @@
+"""Co-purchase graph analytics beyond the counting primitives
+(triangles and PageRank live in core/time modules): bounded-depth
+reachability and item-item similarity — the "customers also bought"
+layer built from the same relational edges.
+
+The reference's only graph is its task DAG (reference:
+dags/etl.py:292-298); these generalize the join surface (SURVEY.md
+§2.3) into iterative-shape queries expressed as unrolled,
+key-partitioned joins — no driver-side iteration, no collect.
+
+Determinism: every similarity score is floored to integer micro-units
+from exact-in-double integers (sqrt/division are correctly-rounded
+IEEE ops, identical across engines); all rankings tie-break on key
+columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.sources.readers import load_table as T
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-purchase edges: distinct ordered part pairs sharing
+    an order. Keyed self-join on l_orderkey (co-partitionable); per-
+    order distinct parts first so multi-line orders don't multiply."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.toDF("ok", "src")
+    b = li.toDF("ok", "dst")
+    return a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+
+
+_KHOP_SAMPLE_MOD = 50  # sources = parts with key % MOD == 0 (landmark sample)
+
+_KHOP_EDGE_CTES = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+"""
+
+
+@register(
+    "khop_reachability_parts",
+    _KHOP_EDGE_CTES
+    + f""",
+    s AS (SELECT DISTINCT src FROM e WHERE src % {_KHOP_SAMPLE_MOD} = 0),
+    h1 AS (SELECT e.src, e.dst FROM e JOIN s ON e.src = s.src),
+    c2 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM h1
+        UNION ALL
+        SELECT h1.src AS src, e.dst AS dst FROM h1 JOIN e ON h1.dst = e.src
+      ) u WHERE dst <> src
+    ),
+    c3 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM c2
+        UNION ALL
+        SELECT c2.src AS src, e.dst AS dst FROM c2 JOIN e ON c2.dst = e.src
+      ) u WHERE dst <> src
+    )
+    SELECT s.src AS partkey,
+           CAST(COALESCE(n1.n, 0) AS BIGINT) AS n_1hop,
+           CAST(COALESCE(n2.n, 0) AS BIGINT) AS n_2hop,
+           CAST(COALESCE(n3.n, 0) AS BIGINT) AS n_3hop
+    FROM s
+    LEFT JOIN (SELECT src, COUNT(*) AS n FROM h1 GROUP BY 1) n1 ON s.src = n1.src
+    LEFT JOIN (SELECT src, COUNT(*) AS n FROM c2 GROUP BY 1) n2 ON s.src = n2.src
+    LEFT JOIN (SELECT src, COUNT(*) AS n FROM c3 GROUP BY 1) n3 ON s.src = n3.src
+    """,
+    tags=("graph", "join", "analytics"),
+)
+def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative k-hop neighborhood sizes (k=1..3) from a landmark
+    sample of source parts — the reach/influence metric behind
+    recommendation coverage, as unrolled frontier joins.
+
+    Each hop is one join keyed on the frontier's dst (shuffle on node
+    id) plus a distinct — never a driver loop. The landmark sample
+    (key % 50) bounds the frontier tables at |sources| × |V| while
+    still traversing the full edge set; at 100 TB the next step is the
+    HyperANF move — replace the exact distinct per source with a
+    mergeable HLL sketch (the hll_* queries show that primitive) so
+    the frontier state drops to |sources| × sketch bytes. Self is
+    excluded from every cumulative set."""
+    e = _edges(spark, sf_dir)
+    s = e.select("src").filter(F.col("src") % _KHOP_SAMPLE_MOD == 0).distinct()
+    h1 = e.join(s, "src").select("src", "dst")
+
+    def expand(cum: DataFrame) -> DataFrame:
+        step = (
+            cum.withColumnRenamed("dst", "mid")
+            .join(e.toDF("mid", "dst2"), "mid")
+            .select("src", F.col("dst2").alias("dst"))
+        )
+        return (
+            cum.unionByName(step).filter(F.col("dst") != F.col("src")).distinct()
+        )
+
+    c2 = expand(h1)
+    c3 = expand(c2)
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    out = (
+        s.join(counts(h1, "n_1hop"), "src", "left")
+        .join(counts(c2, "n_2hop"), "src", "left")
+        .join(counts(c3, "n_3hop"), "src", "left")
+        .select(
+            F.col("src").alias("partkey"),
+            F.coalesce("n_1hop", F.lit(0)).cast("long").alias("n_1hop"),
+            F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+            F.coalesce("n_3hop", F.lit(0)).cast("long").alias("n_3hop"),
+        )
+    )
+    return out
+
+
+_COSINE_TOPK = 5
+
+
+@register(
+    "item_item_cosine_topk",
+    _KHOP_EDGE_CTES
+    + f""",
+    deg AS (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS d FROM li GROUP BY 1),
+    sup AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS support
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT pa AS i, pb AS j, support FROM sup
+      UNION ALL
+      SELECT pb AS i, pa AS j, support FROM sup
+    ),
+    scored AS (
+      SELECT b.i, b.j, b.support,
+             CAST(FLOOR(b.support / SQRT(CAST(di.d * dj.d AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_micro
+      FROM sym b JOIN deg di ON b.i = di.pk JOIN deg dj ON b.j = dj.pk
+      WHERE b.support >= 2
+    )
+    SELECT i AS partkey, j AS similar_partkey, support, cos_micro
+    FROM (
+      SELECT i, j, support, cos_micro,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos_micro DESC, j) AS rk
+      FROM scored
+    ) r WHERE rk <= {_COSINE_TOPK}
+    """,
+    tags=("graph", "similarity", "topk", "analytics"),
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 co-purchase neighbors
+    per part by cosine over order-membership vectors — cos(i,j) =
+    support_ij / √(deg_i·deg_j), computed only for pairs that actually
+    co-occur (the inverted-index trick: the orderkey join IS the
+    candidate generator, so the |P|² matrix is never materialized).
+
+    support ≥ 2 prunes noise pairs before the degree joins; the top-k
+    window partitions by item (no global sort). At 100 TB the
+    mega-basket cap from market_basket_pairs applies unchanged, and
+    the degree join broadcasts (|P| ≪ |lineitem|). Scores floor to
+    micro-units from exact-in-double integers; ties break on the
+    neighbor key."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a = li.toDF("ok", "pa")
+    b = li.toDF("ok", "pb")
+    sup = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    both = sup.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "support"
+    ).unionByName(sup.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "support"))
+    di = deg.toDF("i", "di")
+    dj = deg.toDF("j", "dj")
+    scored = (
+        both.filter(F.col("support") >= 2)
+        .join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            "support",
+            F.floor(
+                F.col("support")
+                / F.sqrt((F.col("di") * F.col("dj")).cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cos_micro"), "j")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _COSINE_TOPK)
+        .select(
+            F.col("i").alias("partkey"),
+            F.col("j").alias("similar_partkey"),
+            "support",
+            "cos_micro",
+        )
+    )

@@ -71,6 +71,7 @@ def _load_all() -> None:
     import etl_orders_spark.plans.core_queries  # noqa: F401
     import etl_orders_spark.plans.curation_queries  # noqa: F401
     import etl_orders_spark.plans.dq_queries  # noqa: F401
+    import etl_orders_spark.plans.graph_queries  # noqa: F401
     import etl_orders_spark.plans.layout_queries  # noqa: F401
     import etl_orders_spark.plans.linkage_queries  # noqa: F401
     import etl_orders_spark.plans.llm_pipeline  # noqa: F401

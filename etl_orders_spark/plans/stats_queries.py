@@ -361,6 +361,219 @@ def entropy_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- chi-square independence test -------------------------------------------
+
+
+@register(
+    "chi2_status_priority",
+    """
+    WITH c AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), r AS (SELECT status, CAST(SUM(n) AS BIGINT) AS rt FROM c GROUP BY 1),
+    k AS (SELECT priority, CAST(SUM(n) AS BIGINT) AS ct FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.status, c.priority, c.n,
+           CAST(FLOOR(CAST(r.rt * k.ct AS DOUBLE) / total * 1000.0) AS BIGINT) AS expected_milli,
+           CAST(FLOOR((c.n - CAST(r.rt * k.ct AS DOUBLE) / total)
+                      * (c.n - CAST(r.rt * k.ct AS DOUBLE) / total)
+                      / (CAST(r.rt * k.ct AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS chi2_micro
+    FROM c JOIN r ON c.status = r.status JOIN k ON c.priority = k.priority, t
+    """,
+    tags=("dq", "stats", "analytics"),
+)
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the status × priority
+    contingency table: per-cell observed count, expected count under
+    independence (row·col/N), and the χ² contribution — the drift
+    check that catches a generator or upstream filter coupling two
+    supposedly independent categoricals.
+
+    One fact-scale aggregate to |status|×|priority| cells; marginals
+    and the grand total derive from the cell table (no second fact
+    scan) and broadcast back. Expected values and χ² terms evaluate
+    the same double expression from exact integers in both engines,
+    floored to milli/micro units. rt·ct stays in int64 until N²
+    exceeds ~9·10^18 — at which point the marginals move to a coarser
+    unit before the product."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = c.groupBy("status").agg(F.sum("n").cast("long").alias("rt"))
+    k = c.groupBy("priority").agg(F.sum("n").cast("long").alias("ct"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("total")
+    return (
+        c.join(F.broadcast(r), "status")
+        .join(F.broadcast(k), "priority")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "status",
+            "priority",
+            "n",
+            F.floor(e * F.lit(1000.0)).cast("long").alias("expected_milli"),
+            F.floor((F.col("n") - e) * (F.col("n") - e) / e * F.lit(1000000.0))
+            .cast("long")
+            .alias("chi2_micro"),
+        )
+    )
+
+
+# --- two-proportion z-test (A/B) --------------------------------------------
+
+
+@register(
+    "abtest_conversion_ztest",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM events GROUP BY user_id, day, variant
+    ), g AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY 1
+    ), w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM g
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(FLOOR((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                / SQRT(CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                       * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 / n0 + 1.0 / n1)) * 1000000.0) AS BIGINT) AS z_micro
+    FROM w
+    """,
+    tags=("stats", "events", "analytics"),
+)
+def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between the
+    user_id-parity variants — the A/B readout every experimentation
+    stack runs. The analysis unit is the user-day (did this user
+    purchase on this day): per-user "ever purchased" saturates to
+    p=1 on a long-enough window, which both degenerates the pooled
+    variance and is the real-world reason experiment readouts bucket
+    exposure by period.
+
+    Two map-side-combinable aggregates reduce the fact table to four
+    integers; the z statistic is then constant-size double math
+    (pooled-variance form), identical bitwise across engines, floored
+    to micro-units. Nothing here grows with data volume except the
+    first aggregate's shuffle on user_id."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted")
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (
+        (F.col("c1").cast("double") / F.col("n1") - F.col("c0").cast("double") / F.col("n0"))
+        / F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")))
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1", F.floor(z * F.lit(1000000.0)).cast("long").alias("z_micro")
+    )
+
+
+# --- exact-integer OLS trend ------------------------------------------------
+
+
+@register(
+    "ols_daily_revenue_trend",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), m AS (SELECT MIN(day) AS d0 FROM d),
+    xy AS (SELECT CAST(day - d0 AS BIGINT) AS x, y FROM d, m),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy
+    ), q AS (
+      SELECT n, sy, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s
+    )
+    SELECT n AS n_days,
+           CAST(CASE WHEN num >= 0
+                     THEN (num // den) * 1000 + (num % den) * 1000 // den
+                     ELSE -(((-num) // den) * 1000 + ((-num) % den) * 1000 // den)
+                END AS BIGINT) AS slope_milli_cents_per_day,
+           CAST(sy // n AS BIGINT) AS mean_daily_cents
+    FROM q
+    """,
+    tags=("stats", "timeseries", "analytics"),
+)
+def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of daily revenue, in exact integer
+    arithmetic end-to-end: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over
+    (day-index, daily-cents) pairs, emitted as truncated milli-cents
+    per day via the quotient/remainder split — (q·1000 + r·1000 div
+    den) never overflows int64 where num·1000 would, and the abs/sign
+    branch keeps truncation direction identical across engines.
+
+    Scale: the fact table reduces to day grain (map-side-combinable),
+    then one 5-integer aggregate; the regression itself is constant
+    work regardless of volume. No doubles anywhere, so there is no
+    accumulation-order caveat at all — this is the pattern for any
+    closed-form sufficient-statistic model at 100 TB."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    m = d.agg(F.min("day").alias("d0"))
+    xy = d.crossJoin(F.broadcast(m)).select(
+        F.datediff("day", "d0").cast("long").alias("x"), "y"
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    q = s.select(
+        "n",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    slope = F.when(
+        F.col("num") >= 0,
+        F.expr("(num div den) * 1000 + (num % den) * 1000 div den"),
+    ).otherwise(-F.expr("((-num) div den) * 1000 + ((-num) % den) * 1000 div den"))
+    return q.select(
+        F.col("n").alias("n_days"),
+        slope.cast("long").alias("slope_milli_cents_per_day"),
+        F.expr("sy div n").cast("long").alias("mean_daily_cents"),
+    )
+
+
 # --- Spearman rank correlation ----------------------------------------------
 
 

@@ -168,3 +168,68 @@ def test_skyline_plan_has_no_nested_loop(q, spark, sf_dir):
     p = q["skyline_customers"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_khop_counts_monotone(q, spark, sf_dir):
+    rows = q["khop_reachability_parts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_1hop <= r.n_2hop <= r.n_3hop
+
+
+def test_item_item_topk_bounds(q, spark, sf_dir):
+    from collections import Counter
+
+    rows = q["item_item_cosine_topk"](spark, sf_dir).collect()
+    assert rows
+    per_item = Counter(r.partkey for r in rows)
+    assert max(per_item.values()) <= 5
+    for r in rows:
+        assert 0 < r.cos_micro <= 1_000_000  # cosine in (0, 1]
+        assert r.partkey != r.similar_partkey
+
+
+def test_chi2_cells_cover_orders(q, spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = q["chi2_status_priority"](spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    # expected counts also sum to ~N (floor slack < n_cells milli-units)
+    assert abs(sum(r.expected_milli for r in rows) / 1000 - n_orders) < len(rows)
+    assert all(r.chi2_micro >= 0 for r in rows)
+
+
+def test_abtest_z_matches_python(q, spark, sf_dir):
+    r = q["abtest_conversion_ztest"](spark, sf_dir).collect()[0]
+    p = (r.c0 + r.c1) / (r.n0 + r.n1)
+    z = (r.c1 / r.n1 - r.c0 / r.n0) / math.sqrt(p * (1 - p) * (1 / r.n0 + 1 / r.n1))
+    assert r.z_micro == math.floor(z * 1_000_000)
+
+
+def test_ols_slope_matches_python(q, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("y"))
+        .collect()
+    )
+    d0 = min(r.day for r in daily)
+    pts = [((r.day - d0).days, r.y) for r in daily]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    sgn = 1 if num >= 0 else -1
+    a = abs(num)
+    want = sgn * ((a // den) * 1000 + (a % den) * 1000 // den)
+    got = q["ols_daily_revenue_trend"](spark, sf_dir).collect()[0]
+    assert got.n_days == n
+    assert got.slope_milli_cents_per_day == want
+    assert got.mean_daily_cents == sy // n
