@@ -28,6 +28,7 @@ from etl_orders_spark.plans.text_queries import (
     _JACCARD_THRESHOLD,
     _LOWER_TOKENS,
     _NGRAM_PAIR_CTES,
+    _NORM,
     _QUALITY,
 )
 from etl_orders_spark.sources.readers import load_table as T
@@ -390,3 +391,130 @@ def gdpr_forget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- per-source curation report ---------------------------------------------
+
+
+@register(
+    "source_quality_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars, md5({_NORM}) AS f,
+             CAST(FLOOR(({_QUALITY}) * 1000.0) AS BIGINT) AS q_milli
+      FROM documents
+    ), cnt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+    r AS (
+      SELECT d.source, d.n_chars, d.q_milli,
+             CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END AS is_dup,
+             ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.n_chars, d.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY d.source) AS n
+      FROM d JOIN cnt ON d.f = cnt.f
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(q_milli) // MAX(n) AS BIGINT) AS mean_quality_milli,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50_chars
+    FROM r GROUP BY source
+    """,
+    tags=("text", "curation", "dq"),
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: doc count, exact-dup membership
+    count (fingerprint shared with ANY doc corpus-wide), mean quality
+    (per-doc milli-scores floored before the truncating mean), and
+    the exact lower-median length via the rank window — the table a
+    data curator reads before deciding per-source sampling weights.
+
+    Scale: the fingerprint count join shuffles on the 32-char md5 key
+    (never text); the median comes from one source-partitioned window
+    — state scales with the biggest single source, and a skewed mega-
+    source falls back to the sketch path (approx_percentile) without
+    changing the report schema."""
+    from etl_orders_spark.functions.text import fingerprint
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        fingerprint("text").alias("f"),
+        F.floor(quality_score("text") * F.lit(1000.0)).cast("long").alias("q_milli"),
+    )
+    cnt = d.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    j = d.join(cnt, "f").withColumn(
+        "is_dup", F.when(F.col("c") > 1, 1).otherwise(0)
+    )
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = j.select(
+        "source",
+        "n_chars",
+        "q_milli",
+        "is_dup",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.expr("sum(q_milli) div max(n)").cast("long").alias("mean_quality_milli"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("n_chars")))
+        .cast("long")
+        .alias("p50_chars"),
+    )
+
+
+# --- incremental crawl dedup ------------------------------------------------
+
+
+@register(
+    "dedup_incremental_docs",
+    f"""
+    WITH d AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+    base AS (SELECT DISTINCT f FROM d WHERE doc_id % 10 <> 0),
+    batch AS (
+      SELECT d.doc_id, d.f,
+             CASE WHEN base.f IS NOT NULL THEN 1 ELSE 0 END AS in_base,
+             ROW_NUMBER() OVER (PARTITION BY d.f ORDER BY d.doc_id) AS rk
+      FROM d LEFT JOIN base ON d.f = base.f
+      WHERE d.doc_id % 10 = 0
+    )
+    SELECT doc_id, f,
+           CASE WHEN in_base = 1 THEN 'dup_of_base'
+                WHEN rk > 1 THEN 'dup_in_batch'
+                ELSE 'accepted' END AS status
+    FROM batch
+    """,
+    tags=("text", "dedup", "curation"),
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (nightly-crawl) dedup: a new batch (doc_id % 10 = 0
+    stands in for today's crawl) is screened against the accumulated
+    base corpus's fingerprint set, then within itself — each batch doc
+    labeled accepted / dup_of_base / dup_in_batch, the decision feed
+    an append-only corpus actually consumes.
+
+    Scale: the base side is fingerprints only (32-char keys, the big
+    sorted/bucketed table in production); the membership check is a
+    key-partitioned left join — with the base bucketed by f it is
+    exchange-free on that side — and in-batch dedup is a window over
+    the (small) daily batch. Text never shuffles."""
+    from etl_orders_spark.functions.text import fingerprint
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("f")
+    )
+    base = d.filter(F.col("doc_id") % 10 != 0).select("f").distinct()
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    j = batch.join(
+        base.withColumn("_hit", F.lit(1)), "f", "left"
+    ).withColumn("rk", F.row_number().over(Window.partitionBy("f").orderBy("doc_id")))
+    return j.select(
+        "doc_id",
+        "f",
+        F.when(F.col("_hit") == 1, "dup_of_base")
+        .when(F.col("rk") > 1, "dup_in_batch")
+        .otherwise("accepted")
+        .alias("status"),
+    )

@@ -632,3 +632,89 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(10000.0)
     ).cast("long")
     return s.filter(F.col("n_docs") >= 3).select("lang", "n_docs", "sd2", rho.alias("rho_tenk"))
+
+
+# --- winsorized robust mean -------------------------------------------------
+
+
+@register(
+    "winsorized_nation_revenue",
+    """
+    WITH o AS (
+      SELECT na.n_nationkey, na.n_name, oo.o_orderkey,
+             CAST(FLOOR(oo.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders oo
+      JOIN customer c ON oo.o_custkey = c.c_custkey
+      JOIN nation na ON c.c_nationkey = na.n_nationkey
+    ), r AS (
+      SELECT n_nationkey, n_name, cents,
+             ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY cents, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY n_nationkey) AS n
+      FROM o
+    ), b AS (
+      SELECT n_nationkey, n_name, CAST(MAX(n) AS BIGINT) AS n_orders,
+             CAST(MAX(CASE WHEN rk = (n * 5 + 99) // 100 THEN cents END) AS BIGINT) AS p05_cents,
+             CAST(MAX(CASE WHEN rk = (n * 95 + 99) // 100 THEN cents END) AS BIGINT) AS p95_cents
+      FROM r GROUP BY n_nationkey, n_name
+    )
+    SELECT b.n_name, b.n_orders, b.p05_cents, b.p95_cents,
+           CAST(SUM(LEAST(GREATEST(o.cents, b.p05_cents), b.p95_cents)) // b.n_orders AS BIGINT) AS winsor_mean_cents
+    FROM o JOIN b ON o.n_nationkey = b.n_nationkey
+    GROUP BY b.n_name, b.n_orders, b.p05_cents, b.p95_cents
+    """,
+    tags=("stats", "window", "robust", "analytics"),
+)
+def winsorized_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order value per nation: clamp each order's
+    cents into the nation's exact [p5, p95] band (rank-based
+    percentiles: value at row ceil(q·n) under a keyed ordering, so no
+    interpolation and no float quantiles), then a truncating integer
+    mean — the outlier-robust revenue readout.
+
+    Scale: both the rank window and the aggregate shuffle on the same
+    nation key, so AQE coalesces them into one exchange; percentile
+    bounds are |nations| rows broadcast back to the clamp join. The
+    exact window state scales with the biggest nation's orders —
+    the documented fallback for a mega-partition is approx_percentile
+    with the same output schema."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .join(
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_nationkey", "n_name", "o_orderkey", _cents(F.col("o_totalprice")).alias("cents"))
+    )
+    wr = Window.partitionBy("n_nationkey").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("n_nationkey")
+    r = o.select(
+        "n_nationkey",
+        "n_name",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.groupBy("n_nationkey", "n_name").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max(F.when(F.col("rk") == F.expr("(n * 5 + 99) div 100"), F.col("cents")))
+        .cast("long")
+        .alias("p05_cents"),
+        F.max(F.when(F.col("rk") == F.expr("(n * 95 + 99) div 100"), F.col("cents")))
+        .cast("long")
+        .alias("p95_cents"),
+    )
+    return (
+        o.join(F.broadcast(b.drop("n_name")), "n_nationkey")
+        .groupBy("n_name", "n_orders", "p05_cents", "p95_cents")
+        .agg(
+            F.expr(
+                "sum(least(greatest(cents, p05_cents), p95_cents)) div n_orders"
+            )
+            .cast("long")
+            .alias("winsor_mean_cents")
+        )
+    )

@@ -154,3 +154,29 @@ def test_gdpr_forget_report_consistency(spark, sf_dir):
     # cascade sanity: purging zero customers would purge zero facts
     if rep["customer"]["rows_purged"] == 0:
         assert rep["orders"]["rows_purged"] == 0
+
+
+def test_source_quality_report_covers_corpus(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = query_map()["source_quality_report"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert r.p50_chars is not None and 0 <= r.mean_quality_milli <= 1000
+
+
+def test_dedup_incremental_statuses_partition_batch(spark, sf_dir):
+    from collections import Counter
+
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["dedup_incremental_docs"](spark, sf_dir).collect()
+    assert rows and {r.status for r in rows} <= {"accepted", "dup_of_base", "dup_in_batch"}
+    # accepted fingerprints are unique within the batch
+    acc = Counter(r.f for r in rows if r.status == "accepted")
+    assert not acc or max(acc.values()) == 1
+    # every batch doc got exactly one status row
+    assert len({r.doc_id for r in rows}) == len(rows)

@@ -233,3 +233,11 @@ def test_ols_slope_matches_python(q, spark, sf_dir):
     assert got.n_days == n
     assert got.slope_milli_cents_per_day == want
     assert got.mean_daily_cents == sy // n
+
+
+def test_winsorized_mean_within_bounds(q, spark, sf_dir):
+    rows = q["winsorized_nation_revenue"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p05_cents <= r.p95_cents
+        assert r.p05_cents <= r.winsor_mean_cents <= r.p95_cents
