@@ -718,3 +718,85 @@ def winsorized_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winsor_mean_cents")
         )
     )
+
+
+# --- CUSUM changepoint ------------------------------------------------------
+
+
+@register(
+    "cusum_revenue_changepoint",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy FROM d),
+    c AS (
+      SELECT day,
+             SUM(n * y - sy) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      FROM d, s
+    ), cp AS (
+      SELECT day, CAST(ABS(st) AS BIGINT) AS cusum_scaled
+      FROM c ORDER BY ABS(st) DESC, day LIMIT 1
+    )
+    SELECT cp.day AS changepoint_day, cp.cusum_scaled,
+           CAST(SUM(CASE WHEN d.day <= cp.day THEN y END)
+                // SUM(CASE WHEN d.day <= cp.day THEN 1 END) AS BIGINT) AS mean_before_cents,
+           CAST(SUM(CASE WHEN d.day > cp.day THEN y END)
+                // SUM(CASE WHEN d.day > cp.day THEN 1 END) AS BIGINT) AS mean_after_cents
+    FROM d, cp GROUP BY cp.day, cp.cusum_scaled
+    """,
+    tags=("stats", "timeseries", "analytics"),
+)
+def cusum_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue: the day t maximizing
+    |Σ_{i≤t}(y_i − ȳ)| — the classic single-changepoint estimator.
+    Deviations are scaled by n (n·y_i − Σy) so the statistic stays
+    exact integer with no rational mean anywhere; ties resolve to the
+    earliest day; the split means report the level before/after.
+
+    Scale: the fact table reduces to day grain first; the running sum
+    is one single-partition window over the calendar-bounded day
+    table, and the argmax is a TakeOrderedAndProject (top-1), not a
+    global sort. n·Σy stays inside int64 past ~10^6 days × 10^12
+    daily cents."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.crossJoin(F.broadcast(s)).withColumn(
+        "st", F.sum(F.col("n") * F.col("y") - F.col("sy")).over(w)
+    )
+    cp = (
+        c.select("day", F.abs("st").cast("long").alias("cusum_scaled"))
+        .orderBy(F.desc("cusum_scaled"), "day")
+        .limit(1)
+        .withColumnRenamed("day", "cp_day")
+    )
+    return (
+        d.crossJoin(F.broadcast(cp))
+        .groupBy("cp_day", "cusum_scaled")
+        .agg(
+            F.expr(
+                "sum(CASE WHEN day <= cp_day THEN y END) div sum(CASE WHEN day <= cp_day THEN 1 END)"
+            )
+            .cast("long")
+            .alias("mean_before_cents"),
+            F.expr(
+                "sum(CASE WHEN day > cp_day THEN y END) div sum(CASE WHEN day > cp_day THEN 1 END)"
+            )
+            .cast("long")
+            .alias("mean_after_cents"),
+        )
+        .select(
+            F.col("cp_day").alias("changepoint_day"),
+            "cusum_scaled",
+            "mean_before_cents",
+            "mean_after_cents",
+        )
+    )

@@ -241,3 +241,23 @@ def test_winsorized_mean_within_bounds(q, spark, sf_dir):
     for r in rows:
         assert r.p05_cents <= r.p95_cents
         assert r.p05_cents <= r.winsor_mean_cents <= r.p95_cents
+
+
+def test_cusum_changepoint_on_synthetic_step(spark):
+    # level 100 for 5 days then 200 for 5 days -> changepoint at day 5
+    from pyspark.sql import functions as F
+
+    import etl_orders_spark.plans.stats_queries as S
+
+    rows = [(f"2024-01-{i:02d}", 1.0 if i <= 5 else 2.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "d string, price double").select(
+        F.to_date("d").alias("o_orderdate"), F.col("price").alias("o_totalprice")
+    )
+    orig = S.T
+    S.T = lambda spark_, sf_, name: df  # noqa: E731
+    try:
+        r = S.cusum_revenue_changepoint(spark, "unused").collect()[0]
+    finally:
+        S.T = orig
+    assert str(r.changepoint_day) == "2024-01-05"
+    assert r.mean_before_cents == 100 and r.mean_after_cents == 200
