@@ -132,6 +132,49 @@ def read_csv(
     return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardened for production ingestion: CSV scan with a
+    quarantine lane. Malformed rows (arity mismatch, unparseable
+    values) land in ``_corrupt_record`` under PERMISSIVE mode instead
+    of failing the load or silently nulling — the caller gets
+    ``(good, bad)``: good rows with the declared schema, bad rows as
+    (raw_line,) for a dead-letter sink.
+
+    At 100 TB a malformed row is a certainty, not an edge case; the
+    reference's ``pd.read_csv`` (reference: dags/etl.py:41-43) simply
+    crashes the task. The parsed scan is cached: Spark's analyzer
+    rejects any plan whose file scan would read ONLY the internal
+    corrupt column (the bad lane after pruning), and the documented
+    contract is to cache the parse first. That is also the honest
+    cost model — the quarantine split is two consumers of one parse,
+    and the production form writes both lanes write-through in one
+    job (foreachBatch / two .write calls over this same cached frame)
+    rather than holding a 100 TB cache interactively."""
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(aug)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**options)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
 def read_json_envelope(
     spark: SparkSession,
     path: str,

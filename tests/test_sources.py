@@ -176,3 +176,29 @@ def test_jsonl_roundtrip_with_declared_schema(spark, tmp_path):
     )
     rows = {r.id: (r.name, r.score) for r in read_jsonl(spark, str(p), schema).collect()}
     assert rows == {1: ("a", 1.5), 2: ("b", None), 3: (None, 2.5)}
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_orders_spark.sources.readers import read_csv_quarantine
+
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as f:
+        f.write("id,name,score\n")
+        f.write("1,alice,2.5\n")
+        f.write("not_a_number,bob,1.0\n")  # unparseable id -> quarantine
+        f.write("2,carol,3.5\n")
+        f.write("3,dave,oops\n")  # unparseable score -> quarantine
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, p, schema)
+    assert good.columns == ["id", "name", "score"]
+    assert {r.id for r in good.collect()} == {1, 2}
+    bad_lines = {r.raw_line for r in bad.collect()}
+    assert bad_lines == {"not_a_number,bob,1.0", "3,dave,oops"}
