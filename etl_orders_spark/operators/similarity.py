@@ -484,3 +484,75 @@ def lsh_bucketed_topk(
     local = _gemm_topk_cogrouped(a, b, ["_table", "_bucket"], k)
     merged = local.dropDuplicates(["query_id", "neighbor_id"])
     return topk_per_group(merged, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k)
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedy selection
+    maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the
+    standard retrieval re-ranker that stops near-duplicate passages
+    from crowding out coverage (RAG context assembly, eval-set
+    construction).
+
+    Two stages: the exact broadcast top-`pool` candidate generator
+    (brute_force_topk — swap in lsh_bucketed_topk at scale; MMR only
+    ever sees `pool` rows per query), then one Arrow-batched
+    applyInPandas per query group that runs the O(pool²·k) greedy loop
+    on a dense numpy matrix. State per task = pool × dim floats —
+    independent of corpus size, so the operator's scale ceiling is the
+    candidate generator's, not MMR's. Ties break on neighbor id;
+    scores round to 6 so output is stable across partitionings.
+
+    Output: query_id, neighbor_id, cos, mmr_rank (1-based), mmr_score.
+    """
+    cands = brute_force_topk(queries, corpus, id_col, vec_col, k=pool)
+    withv = cands.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cos", "nv")
+
+    out_schema = (
+        "query_id long, neighbor_id long, cos double, mmr_rank int, mmr_score double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: relevance desc, id asc
+        pdf = pdf.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        v = np.stack(pdf["nv"].to_numpy())
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        v = v / norms[:, None]
+        sims = v @ v.T
+        rel = pdf["cos"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        taken = np.zeros(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if not chosen:
+                mmr = rel.copy()
+            else:
+                penalty = sims[:, chosen].max(axis=1)
+                mmr = lam * rel - (1.0 - lam) * penalty
+            mmr = np.where(taken, -np.inf, mmr)
+            # argmax with id tiebreak: numpy argmax takes the first
+            # occurrence in candidate order (already id-sorted per score)
+            best = int(np.argmax(np.round(mmr, 9)))
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            taken[best] = True
+        sel = pdf.iloc[chosen][["query_id", "neighbor_id", "cos"]].copy()
+        sel["mmr_rank"] = np.arange(1, len(chosen) + 1, dtype="int32")
+        sel["mmr_score"] = np.round(np.array(scores), 6)
+        return sel
+
+    return withv.groupBy("query_id").applyInPandas(pick, schema=out_schema)

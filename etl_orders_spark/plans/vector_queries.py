@@ -385,3 +385,23 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 kmeans_embeddings.__doc__ = kmeans_embeddings.__doc__.format(K=_KM_K, I=_KM_ITERS)
+
+
+@register(
+    "mmr_diverse_topk",
+    None,  # greedy argmax selection is iterative, not SQL-expressible
+    tags=("vector", "topk", "rerank"),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 per query (λ=0.7, pool=50) over the
+    embeddings table — the RAG re-rank stage. Candidate generation is
+    the exact broadcast top-pool; the greedy loop runs Arrow-batched
+    per query group (state = pool × dim, corpus-size independent).
+    Rows-only check; the operator's invariants (rank-1 = top cosine,
+    no duplicate picks, diversity on clustered fixtures) are pinned in
+    tests/test_vectors.py."""
+    from etl_orders_spark.operators.similarity import mmr_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return mmr_topk(queries, emb, "vec_id", "embedding", k=10, pool=50, lam=0.7)

@@ -148,3 +148,48 @@ def test_near_dup_bucketed_finds_planted_pairs(spark):
     assert {(i, 100 + i) for i in range(5)} <= pairs
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_rank1_is_top_cosine_and_no_dups(spark, sf_dir):
+    from collections import Counter
+
+    from etl_orders_spark.plans.registry import query_map
+
+    q = query_map()
+    mmr = q["mmr_diverse_topk"](spark, sf_dir).collect()
+    ann = q["ann_topk_cosine"](spark, sf_dir).collect()
+    top1_ann: dict = {}
+    for r in ann:  # ann is top-5 per query, unordered: reduce to the max
+        cur = top1_ann.get(r.query_id)
+        if cur is None or (r.cos, -r.neighbor_id) > (cur[0], -cur[1]):
+            top1_ann[r.query_id] = (r.cos, r.neighbor_id)
+    top1_ann = {qid: nid for qid, (_, nid) in top1_ann.items()}
+    by_query = {}
+    for r in mmr:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        ranks = sorted(r.mmr_rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        ids = Counter(r.neighbor_id for r in rows)
+        assert max(ids.values()) == 1  # greedy never re-picks
+        rank1 = next(r for r in rows if r.mmr_rank == 1)
+        # rank 1 is pure relevance: matches the brute-force top-1
+        assert rank1.neighbor_id == top1_ann[qid]
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    from etl_orders_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # query
+        (1, [1.0, 0.1, 0.0]),      # a1: most relevant
+        (2, [1.0, 0.1, 0.001]),    # a2: near-duplicate of a1
+        (3, [1.0, -0.5, 0.0]),     # b: less relevant, diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_topk(
+        df.filter("vec_id = 0"), df, "vec_id", "embedding", k=2, pool=3, lam=0.5
+    ).collect()
+    picks = {r.mmr_rank: r.neighbor_id for r in out}
+    assert picks[1] == 1  # pure relevance first
+    assert picks[2] == 3  # diversity beats the near-duplicate
