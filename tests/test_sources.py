@@ -202,3 +202,39 @@ def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
     assert {r.id for r in good.collect()} == {1, 2}
     bad_lines = {r.raw_line for r in bad.collect()}
     assert bad_lines == {"not_a_number,bob,1.0", "3,dave,oops"}
+
+
+def test_events_ts_dispatch_handles_nanos_and_micros(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_orders_spark.sources.readers import load_events_stream, load_table
+    from etl_orders_spark.streaming.windows import run_available_now_to_memory
+
+    base = 1_704_103_200  # 2024-01-01 10:00:00 UTC, epoch seconds
+    for unit, store in [("ns", "nanos"), ("us", "micros")]:
+        d = tmp_path / store
+        d.mkdir()
+        mult = 1_000_000_000 if unit == "ns" else 1_000_000
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([base * mult, (base + 60) * mult], pa.timestamp(unit)),
+                "user_id": pa.array([7, 7], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        got = load_table(spark, str(d), "events").select("event_id", "ts").collect()
+        stamps = {r.event_id: r.ts for r in got}
+        assert stamps[2].minute - stamps[1].minute == 1
+        assert stamps[1].year == 2024, f"{store}: batch read wrong epoch"
+        # streaming twin dispatches identically
+        stream = load_events_stream(spark, str(d))
+        run_available_now_to_memory(
+            stream.select("event_id", "ts"), f"t_disp_{store}", output_mode="append"
+        )
+        srows = {r.event_id: r.ts for r in spark.table(f"t_disp_{store}").collect()}
+        assert srows == stamps, f"{store}: stream/batch ts mismatch"
