@@ -121,3 +121,83 @@ def test_strip_html_tag_wrap_roundtrip(spark, words):
     raw = "".join(f"<span>{w}</span>" for w in words)
     rows = _eval(spark, [raw], strip_html("text"))
     assert rows[0]["c0"] == " ".join(words)
+
+
+# --- stats-layer properties (plans/stats_queries.py) -------------------------
+
+_PTS = st.lists(
+    st.tuples(st.integers(1, 20), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pts=_PTS)
+@settings(**SETTINGS)
+def test_skyline_window_equals_bruteforce(spark, pts):
+    """The domain-bounded window skyline == quadratic dominance scan,
+    for arbitrary (count, revenue) multisets including ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, n, r) for i, (n, r) in enumerate(pts)], "k long, n long, rev long"
+    )
+    cand = df.groupBy("n").agg(F.max("rev").alias("rev"))
+    w = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        cand.withColumn("_mx", F.max("rev").over(w))
+        .filter(F.col("_mx").isNull() | (F.col("_mx") < F.col("rev")))
+        .drop("_mx")
+    )
+    got = {
+        (r.k, r.n, r.rev)
+        for r in df.join(sky, ["n", "rev"], "semi").collect()
+    }
+    want = {
+        (k, n, rev)
+        for k, n, rev in ((i, n, r) for i, (n, r) in enumerate(pts))
+        if not any(
+            an >= n and ar >= rev and (an > n or ar > rev) for an, ar in pts
+        )
+    }
+    assert got == want
+
+
+_REVS = st.lists(st.integers(1, 10**9), min_size=1, max_size=30)
+
+
+@given(revs=_REVS)
+@settings(**SETTINGS)
+def test_largest_remainder_allocation_exact(spark, revs):
+    """Largest-remainder apportionment always sums to exactly 10000
+    and stays within 1 slot of the proportional share."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(revs)], "k long, rev long")
+    total = df.agg(F.sum("rev").cast("long").alias("_total"))
+    b = (
+        df.crossJoin(F.broadcast(total))
+        .withColumn("base", F.expr("rev * 10000 div _total").cast("long"))
+        .withColumn("rem", F.expr("rev * 10000 % _total").cast("long"))
+    )
+    short = b.agg((F.lit(10000) - F.sum("base")).cast("long").alias("_short"))
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "k"))
+    out = (
+        b.crossJoin(F.broadcast(short))
+        .withColumn("_rk", rk)
+        .select(
+            "k",
+            "rev",
+            (F.col("base") + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)).alias(
+                "alloc"
+            ),
+        )
+        .collect()
+    )
+    tot = sum(revs)
+    assert sum(r.alloc for r in out) == 10000
+    for r in out:
+        exact = r.rev * 10000 / tot
+        assert exact - 1 <= r.alloc <= exact + 1
