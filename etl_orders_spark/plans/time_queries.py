@@ -614,3 +614,60 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 top_session_paths.__doc__ = top_session_paths.__doc__.format(TOP=_PATHS_TOP)
+
+
+@register(
+    "dau_mau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (SELECT DISTINCT day FROM ud),
+    mau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day > d.day - INTERVAL 28 DAY
+      GROUP BY d.day
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT d.day, dau.dau, mau.mau,
+           CAST(dau.dau * 1000 // mau.mau AS BIGINT) AS stickiness_milli
+    FROM days d JOIN dau ON d.day = dau.day JOIN mau ON d.day = mau.day
+    """,
+    tags=("events", "timeseries", "analytics"),
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily actives over 28-day rolling
+    actives, the engagement ratio product analytics watches. The fact
+    stream first collapses to the distinct user-day grain (the only
+    event-scale shuffle); the 28-day membership is a range join from
+    the day spine to user-days — banded, never a cross join — and
+    the ratio is an integer milli-unit via truncating division.
+
+    Scale: user-day is the bounded intermediate (users × window days,
+    ~3 orders of magnitude under raw events); the range join's
+    per-day state is one month of user-days. Beyond that the exact
+    COUNT(DISTINCT) swaps for the mergeable HLL rollup
+    (hll_rollup_total_users) with the same output schema."""
+    ud = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    u = ud.toDF("uid", "uday")
+    mau = (
+        days.join(
+            u,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.date_sub(F.col("day"), 28)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("uid").cast("long").alias("mau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select("day", "dau", "mau", F.expr("dau * 1000 div mau").cast("long").alias("stickiness_milli"))
+    )

@@ -120,3 +120,13 @@ def test_ewma_first_day_is_alpha_times_revenue(spark):
     rows = ewma_daily_revenue(spark, SF).collect()
     first = min(rows, key=lambda r: r["day"])
     assert abs(first["ewma_cents"] - round(0.2 * first["rev_cents"], 2)) < 1e-6
+
+
+def test_dau_mau_stickiness_bounds(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["dau_mau_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.mau  # DAU is a subset of the 28-day actives
+        assert 0 < r.stickiness_milli <= 1000
