@@ -640,30 +640,35 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: daily actives over 28-day rolling
     actives, the engagement ratio product analytics watches. The fact
     stream first collapses to the distinct user-day grain (the only
-    event-scale shuffle); the 28-day membership is a range join from
-    the day spine to user-days — banded, never a cross join — and
-    the ratio is an integer milli-unit via truncating division.
+    event-scale shuffle). The 28-day membership is NOT an inequality
+    join (Spark plans that as a nested loop over |days| × |user-days|
+    — quadratic); instead each user-day explodes into the ≤28 target
+    days it contributes to (`sequence` + explode, a map stage), and
+    one keyed distinct-count per target day finishes the job — linear
+    in user-days, shuffled on day.
 
     Scale: user-day is the bounded intermediate (users × window days,
-    ~3 orders of magnitude under raw events); the range join's
-    per-day state is one month of user-days. Beyond that the exact
+    ~3 orders of magnitude under raw events); the explode multiplies
+    it by the window length only. Beyond exact-count scale the
     COUNT(DISTINCT) swaps for the mergeable HLL rollup
-    (hll_rollup_total_users) with the same output schema."""
+    (hll_rollup_total_users) with the same output schema. The oracle
+    keeps the quadratic range-join formulation — readable SQL is the
+    point there."""
     ud = (
         T(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
     )
     days = ud.select("day").distinct()
-    u = ud.toDF("uid", "uday")
     mau = (
-        days.join(
-            u,
-            (F.col("uday") <= F.col("day"))
-            & (F.col("uday") > F.date_sub(F.col("day"), 28)),
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 27))).alias(
+                "tday"
+            ),
         )
-        .groupBy("day")
-        .agg(F.countDistinct("uid").cast("long").alias("mau"))
+        .groupBy(F.col("tday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
     )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     return (

@@ -130,3 +130,15 @@ def test_dau_mau_stickiness_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.dau <= r.mau  # DAU is a subset of the 28-day actives
         assert 0 < r.stickiness_milli <= 1000
+
+
+def test_dau_mau_plan_has_no_nested_loop(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    p = (
+        query_map()["dau_mau_stickiness"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in p  # explode form, not range join
