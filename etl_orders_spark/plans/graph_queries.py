@@ -155,6 +155,7 @@ _COSINE_TOPK = 5
     ) r WHERE rk <= {_COSINE_TOPK}
     """,
     tags=("graph", "similarity", "topk", "analytics"),
+    bench=True,
 )
 def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering: top-5 co-purchase neighbors

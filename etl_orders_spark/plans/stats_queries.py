@@ -59,6 +59,7 @@ def _cents(col: F.Column) -> F.Column:
     )
     """,
     tags=("window", "skyline", "analytics"),
+    bench=True,
 )
 def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto skyline: customers not dominated on (order count,
@@ -663,6 +664,7 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.n_name, b.n_orders, b.p05_cents, b.p95_cents
     """,
     tags=("stats", "window", "robust", "analytics"),
+    bench=True,
 )
 def winsorized_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean order value per nation: clamp each order's

@@ -635,6 +635,7 @@ top_session_paths.__doc__ = top_session_paths.__doc__.format(TOP=_PATHS_TOP)
     FROM days d JOIN dau ON d.day = dau.day JOIN mau ON d.day = mau.day
     """,
     tags=("events", "timeseries", "analytics"),
+    bench=True,
 )
 def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day: daily actives over 28-day rolling
