@@ -802,3 +802,188 @@ def cusum_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after_cents",
         )
     )
+
+
+# --- seasonal-naive backtest ------------------------------------------------
+
+
+@register(
+    "seasonal_naive_backtest",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), j AS (
+      SELECT a.day, a.y, p.y AS yhat
+      FROM d a JOIN d p ON a.day = p.day + 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(y - yhat) * 1000 // y) // COUNT(*) AS BIGINT) AS mape_milli,
+           CAST(SUM(y - yhat) * 1000 // SUM(y) AS BIGINT) AS bias_milli
+    FROM j
+    """,
+    tags=("stats", "timeseries", "forecast", "analytics"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict each day
+    with the value 7 days earlier): MAPE and signed bias in integer
+    milli-units — the evaluation loop every forecasting pipeline runs
+    before anything fancier earns its keep. The week-ago lookup is an
+    equi-join on day = day+7 (calendar join, correct across gap days,
+    unlike a 7-ROW lag), and every per-day error term is integer
+    division on non-negative cents, so the whole metric is exact.
+
+    Scale: day-grain reduction first; the self-join and the final
+    aggregate run on the calendar-bounded day table."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    p = d.select(F.date_add("day", 7).alias("day"), F.col("y").alias("yhat"))
+    j = d.join(p, "day")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.expr("sum(abs(y - yhat) * 1000 div y) div count(*)")
+        .cast("long")
+        .alias("mape_milli"),
+        F.expr("sum(y - yhat) * 1000 div sum(y)").cast("long").alias("bias_milli"),
+    )
+
+
+# --- Pearson correlation from sufficient statistics -------------------------
+
+
+@register(
+    "discount_quantity_correlation",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           CAST(FLOOR((n * sxy - sx * sy)
+                / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0) AS BIGINT) AS pearson_micro
+    FROM s
+    """,
+    tags=("stats", "analytics"),
+)
+def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between discount and quantity from the five
+    sufficient statistics in one exact-integer aggregate (discount as
+    integer cents, quantity integral by construction) — is the
+    discount policy actually moving volume? The final r evaluates one
+    identical double expression from exact-in-double integers, floored
+    to micro-units.
+
+    Scale: a single map-side-combinable aggregate; nothing after it
+    grows with data. The n·Σxy products cap int64 around 10^11 rows ×
+    this value range — past that the sums move to per-partition
+    partials in DECIMAL(38) with the same closed form."""
+    x = _cents(F.col("l_discount"))
+    y = F.col("l_quantity").cast("long")
+    s = T(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    r = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+        )
+    )
+    return s.select(
+        "n", F.floor(r * F.lit(1000000.0)).cast("long").alias("pearson_micro")
+    )
+
+
+# --- cohort LTV curve -------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), firsts AS (
+      SELECT o_custkey, MIN(wk) AS cohort_week FROM o GROUP BY 1
+    ), sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_customers FROM firsts GROUP BY 1
+    ), wkrev AS (
+      SELECT f.cohort_week,
+             CAST((o.wk - f.cohort_week) // 7 AS BIGINT) AS weeks_since,
+             CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+      FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+      WHERE (o.wk - f.cohort_week) // 7 <= 52
+      GROUP BY 1, 2
+    )
+    SELECT w.cohort_week, w.weeks_since, s.n_customers,
+           CAST(SUM(w.rev_cents) OVER (PARTITION BY w.cohort_week ORDER BY w.weeks_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents,
+           CAST(SUM(w.rev_cents) OVER (PARTITION BY w.cohort_week ORDER BY w.weeks_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // s.n_customers AS BIGINT) AS ltv_cents
+    FROM wkrev w JOIN sizes s ON w.cohort_week = s.cohort_week
+    """,
+    tags=("window", "cohort", "analytics"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    week, cumulative revenue per cohort over the first 52 weeks,
+    normalized to per-customer LTV cents (truncating division) — the
+    payback-period readout behind acquisition budgeting. Week
+    arithmetic is Monday-truncated dates both engines, so
+    weeks_since = (week − cohort_week)/7 is exact.
+
+    Scale: first-order week is one keyed aggregate; the curve windows
+    run on the (cohort × ≤52 weeks) grain — bounded by calendar², not
+    by customers or orders."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("wk").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    wkrev = (
+        o.join(firsts, "o_custkey")
+        .withColumn(
+            "weeks_since", (F.datediff("wk", "cohort_week") / 7).cast("long")
+        )
+        .filter(F.col("weeks_since") <= 52)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        wkrev.join(F.broadcast(sizes), "cohort_week")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("long"))
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_customers",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents div n_customers").cast("long").alias("ltv_cents"),
+        )
+    )

@@ -261,3 +261,29 @@ def test_cusum_changepoint_on_synthetic_step(spark):
         S.T = orig
     assert str(r.changepoint_day) == "2024-01-05"
     assert r.mean_before_cents == 100 and r.mean_after_cents == 200
+
+
+def test_seasonal_naive_backtest_sane(q, spark, sf_dir):
+    r = q["seasonal_naive_backtest"](spark, sf_dir).collect()[0]
+    assert r.n_days_scored > 0
+    assert 0 <= r.mape_milli  # MAPE is non-negative
+    assert r.bias_milli is not None  # signed bias computed over the same join
+
+
+def test_pearson_within_unit_interval(q, spark, sf_dir):
+    r = q["discount_quantity_correlation"](spark, sf_dir).collect()[0]
+    assert -1_000_000 <= r.pearson_micro <= 1_000_000
+
+
+def test_cohort_ltv_monotone_per_cohort(q, spark, sf_dir):
+    rows = q["cohort_ltv_curve"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r.weeks_since)
+        for a, b in zip(curve, curve[1:]):
+            assert b.cum_rev_cents >= a.cum_rev_cents  # cumulative never dips
+            assert b.n_customers == a.n_customers  # cohort size constant
+        assert curve[0].weeks_since == 0  # cohort's first week always present
