@@ -9,7 +9,7 @@ noise can't flip a rank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.vectors import l2_norm
@@ -405,3 +405,87 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return mmr_topk(queries, emb, "vec_id", "embedding", k=10, pool=50, lam=0.7)
+
+
+_CN_POS, _CN_HARD_LO, _CN_HARD_HI, _CN_EASY = 5, 5, 15, 5
+
+
+@register(
+    "contrastive_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND({_cos_sql("qv", "cv")}, 6) AS cos
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ), easy AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CAST(('0x' || substr(md5('neg|' || query_id || ':' || neighbor_id), 1, 8)) AS BIGINT),
+               neighbor_id) AS hrk
+      FROM ranked WHERE rk > {_CN_HARD_HI}
+    )
+    SELECT query_id, neighbor_id, cos, 'pos' AS role FROM ranked WHERE rk <= {_CN_POS}
+    UNION ALL
+    SELECT query_id, neighbor_id, cos, 'hard_neg' AS role FROM ranked
+    WHERE rk > {_CN_HARD_LO} AND rk <= {_CN_HARD_HI}
+    UNION ALL
+    SELECT query_id, neighbor_id, cos, 'easy_neg' AS role FROM easy WHERE hrk <= {_CN_EASY}
+    """,
+    tags=("vector", "training", "topk"),
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining per query vector: top-5
+    positives, ranks 6-15 as hard negatives (close but wrong — the
+    pairs that actually teach a retriever), and 5 deterministic
+    pseudo-random easy negatives drawn from the remainder by portable
+    md5 order (the repo's cross-engine hash convention, so the
+    "random" sample is oracle-checkable). The standard training-data
+    emitter for embedding-model fine-tuning.
+
+    Scale: candidate scoring is the broadcast query batch (swap in
+    the LSH generator past brute-force scale); both rank windows
+    partition by query. The easy-negative draw never materializes a
+    shuffle of its own — same partitioning as the rank window."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    from etl_orders_spark.operators.similarity import brute_force_topk
+
+    # rank the full corpus per query (pool = corpus) via the same scorer
+    scored = brute_force_topk(q, emb, "vec_id", "embedding", k=2_000_000_000)
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    ranked = scored.withColumn("rk", F.row_number().over(wr))
+    pos = ranked.filter(F.col("rk") <= _CN_POS).select(
+        "query_id", "neighbor_id", "cos", F.lit("pos").alias("role")
+    )
+    hard = ranked.filter(
+        (F.col("rk") > _CN_HARD_LO) & (F.col("rk") <= _CN_HARD_HI)
+    ).select("query_id", "neighbor_id", "cos", F.lit("hard_neg").alias("role"))
+    hkey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg|"),
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neighbor_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    we = Window.partitionBy("query_id").orderBy(hkey.asc(), F.col("neighbor_id").asc())
+    easy = (
+        ranked.filter(F.col("rk") > _CN_HARD_HI)
+        .withColumn("hrk", F.row_number().over(we))
+        .filter(F.col("hrk") <= _CN_EASY)
+        .select("query_id", "neighbor_id", "cos", F.lit("easy_neg").alias("role"))
+    )
+    return pos.unionByName(hard).unionByName(easy)

@@ -115,6 +115,19 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def with_provenance(df: DataFrame, batch_id: str) -> DataFrame:
+    """Stamp ingestion provenance onto a scanned frame: the source
+    file each row came from (`_source_file`, from the scan's file
+    split — zero-cost, no shuffle) and the caller-supplied batch id
+    (`_ingest_batch`). The audit columns every regulated 100 TB lake
+    carries so a bad upstream file can be traced and surgically
+    re-ingested; the reference loses all provenance at its first XCom
+    hop (reference: dags/etl.py:45)."""
+    return df.withColumn("_source_file", F.input_file_name()).withColumn(
+        "_ingest_batch", F.lit(batch_id)
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

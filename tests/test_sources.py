@@ -238,3 +238,14 @@ def test_events_ts_dispatch_handles_nanos_and_micros(spark, tmp_path):
         )
         srows = {r.event_id: r.ts for r in spark.table(f"t_disp_{store}").collect()}
         assert srows == stamps, f"{store}: stream/batch ts mismatch"
+
+
+def test_with_provenance_stamps_file_and_batch(spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table, with_provenance
+
+    df = with_provenance(load_table(spark, sf_dir, "region"), "batch-42")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r._source_file.endswith("region.parquet") or "region.parquet/" in r._source_file
+        assert r._ingest_batch == "batch-42"

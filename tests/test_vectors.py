@@ -193,3 +193,24 @@ def test_mmr_prefers_diverse_over_near_duplicate(spark):
     picks = {r.mmr_rank: r.neighbor_id for r in out}
     assert picks[1] == 1  # pure relevance first
     assert picks[2] == 3  # diversity beats the near-duplicate
+
+
+def test_contrastive_roles_disjoint_and_sized(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["contrastive_negatives"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        roles = {}
+        for r in rs:
+            roles.setdefault(r.role, set()).add(r.neighbor_id)
+        assert len(roles["pos"]) == 5 and len(roles["hard_neg"]) == 10
+        assert len(roles["easy_neg"]) == 5
+        # roles never overlap, and positives beat hard negatives on cos
+        assert not (roles["pos"] & roles["hard_neg"])
+        assert not ((roles["pos"] | roles["hard_neg"]) & roles["easy_neg"])
+        min_pos = min(r.cos for r in rs if r.role == "pos")
+        max_hard = max(r.cos for r in rs if r.role == "hard_neg")
+        assert min_pos >= max_hard
