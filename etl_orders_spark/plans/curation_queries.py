@@ -518,3 +518,61 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("accepted")
         .alias("status"),
     )
+
+
+# --- per-language quality threshold calibration ------------------------------
+
+
+@register(
+    "calibrated_quality_thresholds",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(FLOOR(({_QUALITY}) * 1000.0) AS BIGINT) AS q_milli
+      FROM documents
+    ), r AS (
+      SELECT lang, q_milli,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q_milli DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rk = (n * 80 + 99) // 100 THEN q_milli END) AS BIGINT) AS q80_threshold_milli,
+           CAST(SUM(CASE WHEN rk <= (n * 80 + 99) // 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM r GROUP BY lang
+    """,
+    tags=("text", "curation", "stats"),
+)
+def calibrated_quality_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff calibration per language: the score at the 80%
+    keep-rate (rank-based, exact) and the kept count — computed
+    per-language because a single global threshold silently starves
+    low-resource languages (their score distributions sit lower).
+    This is the knob-setting query run before llm_prep_corpus's
+    filter stage.
+
+    Scale: one lang-partitioned rank window over (lang, q_milli) —
+    state bounded by the largest language; the documented mega-
+    partition fallback is approx_percentile with identical schema."""
+    from etl_orders_spark.functions.text import quality_score
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(quality_score("text") * F.lit(1000.0)).cast("long").alias("q_milli"),
+    )
+    wr = Window.partitionBy("lang").orderBy(F.desc("q_milli"), "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "q_milli",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kth = F.expr("(n * 80 + 99) div 100")
+    return r.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max(F.when(F.col("rk") == kth, F.col("q_milli")))
+        .cast("long")
+        .alias("q80_threshold_milli"),
+        F.sum(F.when(F.col("rk") <= kth, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )

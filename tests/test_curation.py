@@ -180,3 +180,14 @@ def test_dedup_incremental_statuses_partition_batch(spark, sf_dir):
     assert not acc or max(acc.values()) == 1
     # every batch doc got exactly one status row
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_calibrated_thresholds_keep_rate(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["calibrated_quality_thresholds"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # ceil(0.8 * n) docs kept, exactly
+        assert r.n_kept == (r.n_docs * 80 + 99) // 100
+        assert 0 <= r.q80_threshold_milli <= 1000
