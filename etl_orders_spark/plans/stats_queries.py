@@ -987,3 +987,180 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_rev_cents div n_customers").cast("long").alias("ltv_cents"),
         )
     )
+
+
+# --- SLA latency percentiles ------------------------------------------------
+
+
+@register(
+    "sla_ship_latency_percentiles",
+    """
+    WITH l AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(CAST(li.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS latency_days,
+             li.l_orderkey, li.l_linenumber
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      WHERE li.l_shipdate >= o.o_orderdate
+    ), r AS (
+      SELECT priority, latency_days,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY latency_days, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM l
+    )
+    SELECT priority, CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN latency_days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN latency_days END) AS BIGINT) AS p90_days,
+           CAST(MAX(latency_days) AS BIGINT) AS max_days
+    FROM r GROUP BY priority
+    """,
+    tags=("stats", "window", "sla", "analytics"),
+)
+def sla_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA readout per priority class: exact
+    rank-based p50/p90/max of shipping delay in days — the ops
+    dashboard behind "are URGENT orders actually shipping faster?".
+    Negative latencies (data errors) are excluded at the scan.
+
+    Scale: the fact⋈fact join co-partitions on orderkey; both the
+    rank window and the final aggregate shuffle once on the 5-value
+    priority key. 5 partitions is the definition of skew — the
+    documented mega-partition fallback is approx_percentile, same
+    schema."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("latency_days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wr = Window.partitionBy("priority").orderBy("latency_days", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("priority")
+    r = l.select(
+        "priority",
+        "latency_days",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.max(F.when(F.col("rk") == F.expr("(n * 50 + 99) div 100"), F.col("latency_days")))
+        .cast("long")
+        .alias("p50_days"),
+        F.max(F.when(F.col("rk") == F.expr("(n * 90 + 99) div 100"), F.col("latency_days")))
+        .cast("long")
+        .alias("p90_days"),
+        F.max("latency_days").cast("long").alias("max_days"),
+    )
+
+
+# --- weekday seasonality index ----------------------------------------------
+
+
+@register(
+    "weekday_seasonality_index",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), k AS (
+      SELECT CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow_idx, y FROM d
+    ), g AS (
+      SELECT dow_idx, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(y) AS BIGINT) AS sum_cents
+      FROM k GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS nt, CAST(SUM(sum_cents) AS BIGINT) AS st FROM g)
+    SELECT dow_idx, n_days, sum_cents,
+           CAST(sum_cents * nt * 1000 // (n_days * st) AS BIGINT) AS index_milli
+    FROM g, t
+    """,
+    tags=("stats", "timeseries", "analytics"),
+)
+def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: each weekday's average daily revenue
+    relative to the overall average, as an exact integer milli-index
+    ((sum_dow · total_days · 1000) div (days_dow · total_sum) — one
+    truncating division, no intermediate rational). Weekday is the
+    portable epoch-modulo form ((day − 1970-01-01) % 7, 0=Thursday):
+    engines disagree on DAYOFWEEK conventions, epoch arithmetic they
+    cannot disagree on.
+
+    Scale: day-grain reduction, then constant-size math on 7 rows."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    g = (
+        d.select(
+            (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+            .cast("long")
+            .alias("dow_idx"),
+            "y",
+        )
+        .groupBy("dow_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("y").cast("long").alias("sum_cents"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_days").cast("long").alias("nt"), F.sum("sum_cents").cast("long").alias("st")
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow_idx",
+        "n_days",
+        "sum_cents",
+        F.expr("sum_cents * nt * 1000 div (n_days * st)").cast("long").alias("index_milli"),
+    )
+
+
+# --- repeat-purchase interval distribution ----------------------------------
+
+
+@register(
+    "repeat_purchase_intervals",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_orderkey FROM orders
+    ), iv AS (
+      SELECT o_custkey,
+             CAST(day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS BIGINT) AS gap_days
+      FROM o
+    )
+    SELECT CAST(gap_days // 7 AS BIGINT) AS gap_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM iv WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of time between a customer's consecutive orders,
+    bucketed by week: the repurchase-cycle histogram behind churn
+    windows and re-engagement timing. One customer-keyed lag window
+    (state scales with a customer's orders), then a bucket aggregate
+    whose cardinality is bounded by the date span in weeks."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    iv = o.select(
+        "o_custkey",
+        F.datediff("day", F.lag("day").over(w)).cast("long").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        iv.groupBy(F.expr("gap_days div 7").cast("long").alias("gap_weeks"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )

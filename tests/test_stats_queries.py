@@ -287,3 +287,33 @@ def test_cohort_ltv_monotone_per_cohort(q, spark, sf_dir):
             assert b.cum_rev_cents >= a.cum_rev_cents  # cumulative never dips
             assert b.n_customers == a.n_customers  # cohort size constant
         assert curve[0].weeks_since == 0  # cohort's first week always present
+
+
+def test_sla_latency_percentiles_ordered(q, spark, sf_dir):
+    rows = q["sla_ship_latency_percentiles"](spark, sf_dir).collect()
+    assert len(rows) == 5  # five priority classes
+    for r in rows:
+        assert 0 <= r.p50_days <= r.p90_days <= r.max_days
+
+
+def test_weekday_index_centers_on_1000(q, spark, sf_dir):
+    rows = q["weekday_seasonality_index"](spark, sf_dir).collect()
+    assert len(rows) == 7 and {r.dow_idx for r in rows} == set(range(7))
+    # weighted mean of the index is ~1000 by construction
+    num = sum(r.index_milli * r.n_days for r in rows)
+    den = sum(r.n_days for r in rows)
+    assert abs(num / den - 1000) < 5
+
+
+def test_repeat_intervals_account_for_all_followup_orders(q, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = q["repeat_purchase_intervals"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_customers = o.select("o_custkey").distinct().count()
+    # every order beyond a customer's first contributes exactly one interval
+    assert sum(r.n_intervals for r in rows) == n_orders - n_customers
+    assert all(r.gap_weeks >= 0 for r in rows)
