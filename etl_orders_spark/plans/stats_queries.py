@@ -1164,3 +1164,56 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").cast("long").alias("n_customers"),
         )
     )
+
+
+# --- Herfindahl market concentration ----------------------------------------
+
+
+@register(
+    "hhi_brand_concentration",
+    """
+    WITH b AS (
+      SELECT p.p_type AS category, p.p_brand AS brand,
+             CAST(SUM(CAST(FLOOR(li.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT category, CAST(SUM(rev_cents) AS BIGINT) AS cat_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_brands
+      FROM b GROUP BY 1
+    )
+    SELECT b.category, c.n_brands, c.cat_cents,
+           CAST(SUM((b.rev_cents * 10000 // c.cat_cents) * (b.rev_cents * 10000 // c.cat_cents)) AS BIGINT) AS hhi
+    FROM b JOIN c ON b.category = c.category
+    GROUP BY b.category, c.n_brands, c.cat_cents
+    """,
+    tags=("stats", "agg", "analytics"),
+)
+def hhi_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of brand concentration within each
+    part category: Σ (brand share in basis points)², the antitrust-
+    standard 0–10⁸ concentration scale (10⁸ = monopoly). Shares
+    truncate to integer basis points before squaring, so the index is
+    exact and the classic >2,500-points-squared screening threshold
+    is directly comparable.
+
+    Scale: unlike Gini (which needs a global rank), HHI is pure
+    aggregation — lineitem⋈part co-partitions, two keyed aggregates,
+    a broadcast-back of |category| totals. No sort anywhere."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("category"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("rev_cents"))
+    )
+    c = b.groupBy("category").agg(
+        F.sum("rev_cents").cast("long").alias("cat_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    share_bp = F.expr("rev_cents * 10000 div cat_cents")
+    return (
+        b.join(F.broadcast(c), "category")
+        .groupBy("category", "n_brands", "cat_cents")
+        .agg(F.sum(share_bp * share_bp).cast("long").alias("hhi"))
+    )

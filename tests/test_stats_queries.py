@@ -317,3 +317,12 @@ def test_repeat_intervals_account_for_all_followup_orders(q, spark, sf_dir):
     # every order beyond a customer's first contributes exactly one interval
     assert sum(r.n_intervals for r in rows) == n_orders - n_customers
     assert all(r.gap_weeks >= 0 for r in rows)
+
+
+def test_hhi_bounds(q, spark, sf_dir):
+    rows = q["hhi_brand_concentration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI in (0, 10^8]; at least 1/n_brands of max under equal shares
+        assert 0 < r.hhi <= 100_000_000
+        assert r.hhi >= 100_000_000 // r.n_brands - r.n_brands * 20_000  # floor slack
