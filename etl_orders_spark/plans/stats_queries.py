@@ -1217,3 +1217,163 @@ def hhi_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category", "n_brands", "cat_cents")
         .agg(F.sum(share_bp * share_bp).cast("long").alias("hhi"))
     )
+
+
+# --- growth accounting ------------------------------------------------------
+
+
+@register(
+    "growth_accounting_monthly",
+    """
+    WITH cm AS (
+      SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ), mx AS (SELECT MAX(month) AS max_month FROM cm),
+    flagged AS (
+      SELECT o_custkey, month, rev_cents,
+             MIN(month) OVER (PARTITION BY o_custkey) AS first_month,
+             LAG(month) OVER (PARTITION BY o_custkey ORDER BY month) AS prev_month,
+             LEAD(month) OVER (PARTITION BY o_custkey ORDER BY month) AS next_month
+      FROM cm
+    ), active AS (
+      SELECT month,
+             CASE WHEN month = first_month THEN 'new'
+                  WHEN prev_month = month - INTERVAL 1 MONTH THEN 'retained'
+                  ELSE 'resurrected' END AS class,
+             rev_cents
+      FROM flagged
+    ), churn AS (
+      SELECT CAST(f.month + INTERVAL 1 MONTH AS DATE) AS month,
+             'churned' AS class,
+             -f.rev_cents AS rev_cents
+      FROM flagged f, mx
+      WHERE (f.next_month IS NULL OR f.next_month > f.month + INTERVAL 1 MONTH)
+        AND CAST(f.month + INTERVAL 1 MONTH AS DATE) <= mx.max_month
+    )
+    SELECT month, class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+    FROM (SELECT CAST(month AS DATE) AS month, class, rev_cents FROM active
+          UNION ALL SELECT month, class, rev_cents FROM churn) u
+    GROUP BY month, class
+    """,
+    tags=("window", "growth", "analytics"),
+)
+def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue growth accounting: every active customer-month is
+    classified new (first month ever), retained (active the month
+    before), or resurrected (returning after a gap); churned rows
+    carry NEGATIVE revenue one month after a customer goes quiet —
+    the standard MRR-movement decomposition where the classes sum to
+    net revenue change. Churn months are clipped at the dataset's
+    last month so the final period isn't all phantom churn.
+
+    Scale: one customer-keyed window pass over the customer-month
+    grain (state = one customer's months); the output is months ×
+    4 classes."""
+    cm = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"))
+    )
+    mx = cm.agg(F.max("month").alias("max_month"))
+    wc = Window.partitionBy("o_custkey")
+    wo = wc.orderBy("month")
+    flagged = cm.select(
+        "o_custkey",
+        "month",
+        "rev_cents",
+        F.min("month").over(wc).alias("first_month"),
+        F.lag("month").over(wo).alias("prev_month"),
+        F.lead("month").over(wo).alias("next_month"),
+    )
+    active = flagged.select(
+        "month",
+        F.when(F.col("month") == F.col("first_month"), "new")
+        .when(F.col("prev_month") == F.add_months(F.col("month"), -1), "retained")
+        .otherwise("resurrected")
+        .alias("class"),
+        "rev_cents",
+    )
+    churn = (
+        flagged.crossJoin(F.broadcast(mx))
+        .filter(
+            (
+                F.col("next_month").isNull()
+                | (F.col("next_month") > F.add_months(F.col("month"), 1))
+            )
+            & (F.add_months(F.col("month"), 1) <= F.col("max_month"))
+        )
+        .select(
+            F.add_months(F.col("month"), 1).alias("month"),
+            F.lit("churned").alias("class"),
+            (-F.col("rev_cents")).alias("rev_cents"),
+        )
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy("month", "class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+        )
+    )
+
+
+# --- Gini coefficient -------------------------------------------------------
+
+
+@register(
+    "gini_customer_revenue",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS BIGINT) AS rk FROM c
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(rk * y) AS BIGINT) AS s1
+      FROM r
+    )
+    SELECT n AS n_customers,
+           CAST((2 * s1 - (n + 1) * sy) * 1000 // (n * sy) AS BIGINT) AS gini_milli
+    FROM s
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the
+    rank formula G = (2Σi·yᵢ − (n+1)Σy)/(nΣy) on ascending-sorted
+    integer cents — exact end-to-end, one truncating division at the
+    very end. The inequality companion to the Pareto head and the HHI.
+
+    Scale: the global rank here is a single sort of the CUSTOMER
+    aggregate (3+ orders of magnitude under fact rows). Past that,
+    exact global ranks come from the two-pass range-partitioned sort
+    (per-partition counts → offsets — Spark's sort machinery), or the
+    binned approximation on a revenue histogram; 2Σi·y caps int64
+    around 10^9 customers at typical revenue — then the sums move to
+    DECIMAL(38) partials."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    r = c.select(
+        "y", F.row_number().over(Window.orderBy("y", "o_custkey")).cast("long").alias("rk")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("rk") * F.col("y")).cast("long").alias("s1"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.expr("(2 * s1 - (n + 1) * sy) * 1000 div (n * sy)").cast("long").alias("gini_milli"),
+    )

@@ -326,3 +326,51 @@ def test_hhi_bounds(q, spark, sf_dir):
         # HHI in (0, 10^8]; at least 1/n_brands of max under equal shares
         assert 0 < r.hhi <= 100_000_000
         assert r.hhi >= 100_000_000 // r.n_brands - r.n_brands * 20_000  # floor slack
+
+
+def test_growth_accounting_conservation(q, spark, sf_dir):
+    """Active classes sum to each month's total revenue; churned rows
+    are negative and reference the prior month's revenue."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = q["growth_accounting_monthly"](spark, sf_dir).collect()
+    assert {r["class"] for r in rows} == {"new", "retained", "resurrected", "churned"}
+    monthly_active = {}
+    for r in rows:
+        if r["class"] != "churned":
+            monthly_active[r.month] = monthly_active.get(r.month, 0) + r.rev_cents
+        else:
+            assert r.rev_cents < 0
+    want = {
+        r.month: r.total
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("total")
+        )
+        .collect()
+    }
+    assert monthly_active == want
+
+
+def test_gini_on_synthetic_distributions(spark):
+    import etl_orders_spark.plans.stats_queries as S
+    from pyspark.sql import functions as F
+
+    def run(prices):
+        df = spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(prices)],
+            "o_custkey long, o_totalprice double",
+        )
+        orig = S.T
+        S.T = lambda spark_, sf_, name: df  # noqa: E731
+        try:
+            return S.gini_customer_revenue(spark, "unused").collect()[0].gini_milli
+        finally:
+            S.T = orig
+
+    assert run([5.0] * 10) == 0  # perfect equality
+    # extreme concentration: one customer has everything -> G = (n-1)/n
+    assert run([0.0] * 9 + [100.0]) == 900
