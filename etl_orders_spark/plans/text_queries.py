@@ -14,7 +14,7 @@ engine-specific ops (approximate sketches, streaming state).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.text import (
@@ -968,4 +968,83 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
         .filter(F.col("n_occurrences") > 1)
+    )
+
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "zipf_slope_corpus",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST({_LOWER_TOKENS}) AS term FROM documents
+    ), freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rk FROM freq
+    ), pts AS (
+      SELECT CAST(FLOOR(LN(CAST(rk AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+             CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+      FROM ranked WHERE rk <= {_ZIPF_TOP}
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts
+    ), q AS (SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s)
+    SELECT n AS n_terms,
+           CAST(CASE WHEN num >= 0
+                     THEN (num // den) * 1000 + (num % den) * 1000 // den
+                     ELSE -(((-num) // den) * 1000 + ((-num) % den) * 1000 // den)
+                END AS BIGINT) AS zipf_slope_milli
+    FROM q
+    """,
+    tags=("text", "stats", "lm"),
+)
+def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit of the corpus: OLS slope of ln(freq) on ln(rank) over
+    the top-1000 terms — natural text sits near −1; a corpus of
+    boilerplate or generator droppings drifts off it, making this a
+    one-number corpus-health probe. Log points floor to integer
+    milli-units first (the ln-ulp convention), then the regression is
+    the same exact-integer quotient/remainder OLS as
+    ols_daily_revenue_trend — no doubles past the pointwise logs.
+
+    Scale: term counting is the standard (term) shuffle; the rank
+    window runs on the frequency table (vocabulary-bounded, and only
+    the top-1000 head feeds the fit)."""
+    from etl_orders_spark.functions.text import tokens as _tokens
+
+    freq = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "term")).alias("rk")
+    ).filter(F.col("rk") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.floor(F.log(F.col("rk").cast("double")) * F.lit(1000.0)).cast("long").alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * F.lit(1000.0)).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    q = s.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    slope = F.when(
+        F.col("num") >= 0,
+        F.expr("(num div den) * 1000 + (num % den) * 1000 div den"),
+    ).otherwise(-F.expr("((-num) div den) * 1000 + ((-num) % den) * 1000 div den"))
+    return q.select(
+        F.col("n").alias("n_terms"), slope.cast("long").alias("zipf_slope_milli")
     )

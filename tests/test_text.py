@@ -157,3 +157,13 @@ class TestStripHtml:
 
     def test_plain_text_unchanged(self, spark):
         assert self._one(spark, "  just   text  ") == "just text"
+
+
+def test_zipf_slope_negative_and_sane(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    r = query_map()["zipf_slope_corpus"](spark, sf_dir).collect()[0]
+    # rank-frequency slope must be negative; natural-ish text sits
+    # between -2 and -0.2 (the synthetic corpus is flatter than prose)
+    assert -2500 < r.zipf_slope_milli < -100
+    assert r.n_terms > 20  # sf0.001 fixture has a tiny vocabulary
