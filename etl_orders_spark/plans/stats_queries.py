@@ -1377,3 +1377,52 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         F.expr("(2 * s1 - (n + 1) * sy) * 1000 div (n * sy)").cast("long").alias("gini_milli"),
     )
+
+
+# --- burstiness (Fano factor) -----------------------------------------------
+
+
+@register(
+    "burstiness_user_activity",
+    """
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM ud GROUP BY 1
+    )
+    SELECT user_id, n AS n_active_days, sx AS n_events,
+           CAST((n * sxx - sx * sx) * 1000 // (sx * (n - 1)) AS BIGINT) AS fano_milli
+    FROM s WHERE n >= 2
+    """,
+    tags=("stats", "events", "analytics"),
+)
+def burstiness_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each user's daily activity: the Fano factor
+    (variance/mean of events-per-active-day) in exact integer
+    milli-units — sample variance × mean⁻¹ folded into one truncating
+    division, (n·Σx² − (Σx)²)·1000 div (Σx·(n−1)). ≈1000 means
+    Poisson-like organic use; ≫1000 means bursts (scrapers, incident
+    spikes); ≪1000 means metronomic automation. The dispersion
+    companion to entropy_user_event_types in a bot-score feature set.
+
+    Scale: two map-side-combinable aggregates keyed by user — the
+    same shape (and shuffle) as every per-user feature here."""
+    ud = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    s = ud.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").alias("n_active_days"),
+        F.col("sx").alias("n_events"),
+        F.expr("(n * sxx - sx * sx) * 1000 div (sx * (n - 1))").cast("long").alias("fano_milli"),
+    )

@@ -374,3 +374,30 @@ def test_gini_on_synthetic_distributions(spark):
     assert run([5.0] * 10) == 0  # perfect equality
     # extreme concentration: one customer has everything -> G = (n-1)/n
     assert run([0.0] * 9 + [100.0]) == 900
+
+
+def test_burstiness_poisson_and_burst_fixtures(spark):
+    import etl_orders_spark.plans.stats_queries as S
+    from pyspark.sql import functions as F
+
+    # user 1: perfectly even (1/day x4) -> variance 0 -> fano 0
+    # user 2: one burst day (8) among three quiet (1) -> fano >> 1000
+    rows = []
+    eid = 0
+    for d in range(1, 5):
+        rows.append((eid, f"2024-01-{d:02d} 10:00:00", 1)); eid += 1
+    for d in range(1, 4):
+        rows.append((eid, f"2024-01-{d:02d} 10:00:00", 2)); eid += 1
+    for i in range(8):
+        rows.append((eid, f"2024-01-04 1{i}:00:00", 2)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    orig = S.T
+    S.T = lambda spark_, sf_, name: df  # noqa: E731
+    try:
+        got = {r.user_id: r.fano_milli for r in S.burstiness_user_activity(spark, "unused").collect()}
+    finally:
+        S.T = orig
+    assert got[1] == 0
+    assert got[2] > 3000  # (4*66 - 121)*1000 // (11*3) = 4333
