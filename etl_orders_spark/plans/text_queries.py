@@ -1048,3 +1048,42 @@ def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         F.col("n").alias("n_terms"), slope.cast("long").alias("zipf_slope_milli")
     )
+
+
+@register(
+    "lexical_diversity_docs",
+    f"""
+    SELECT doc_id,
+           CAST(len({_LOWER_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_LOWER_TOKENS})) AS BIGINT) AS n_types,
+           CAST(CASE WHEN len({_LOWER_TOKENS}) = 0 THEN 0
+                ELSE CAST(len(list_distinct({_LOWER_TOKENS})) AS BIGINT) * 1000
+                     // CAST(len({_LOWER_TOKENS}) AS BIGINT) END AS BIGINT) AS ttr_milli
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def lexical_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document (distinct words / words, integer
+    milli) — the lexical-diversity quality signal that separates
+    repetitive boilerplate (low TTR) from natural prose, complementing
+    the repetition n-gram stats. Pure JVM map stage: tokenize,
+    array_distinct, two sizes, one truncating division — zero
+    shuffles, linear in scanned bytes."""
+    from etl_orders_spark.functions.text import tokens as _tokens
+
+    t = _tokens(F.lower(F.col("text")))
+    base = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_types"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.expr("n_types * 1000 div n_tokens"))
+        .cast("long")
+        .alias("ttr_milli"),
+    )

@@ -677,3 +677,138 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mau, "day")
         .select("day", "dau", "mau", F.expr("dau * 1000 div mau").cast("long").alias("stickiness_milli"))
     )
+
+
+@register(
+    "signup_to_purchase_survival",
+    """
+    WITH su AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), fp AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= su.signup_ts
+      GROUP BY 1
+    ), delay AS (
+      SELECT su.user_id,
+             CAST(CASE WHEN fp.purchase_ts IS NULL THEN NULL
+                  ELSE CAST(fp.purchase_ts AS DATE) - CAST(su.signup_ts AS DATE) END AS BIGINT) AS days
+      FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM delay),
+    weeks AS (SELECT CAST(UNNEST(generate_series(0, 4)) AS BIGINT) AS week)
+    SELECT w.week,
+           CAST(SUM(CASE WHEN d.days IS NOT NULL AND d.days // 7 <= w.week THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           t.n_total,
+           CAST((t.n_total - SUM(CASE WHEN d.days IS NOT NULL AND d.days // 7 <= w.week THEN 1 ELSE 0 END)) * 1000
+                // t.n_total AS BIGINT) AS survival_milli
+    FROM weeks w CROSS JOIN delay d CROSS JOIN t
+    GROUP BY w.week, t.n_total
+    """,
+    tags=("events", "survival", "analytics"),
+)
+def signup_to_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-first-purchase survival curve: share of signed-up users
+    still unconverted at the end of each week since signup (weeks
+    0–4). Users with no qualifying purchase stay in the at-risk pool
+    at every horizon — right-censored observations simply never leave
+    the numerator, which is the correct treatment when every user's
+    window extends past the horizon (the full KM product estimator
+    only matters under staggered censoring).
+
+    Scale: two event-scale aggregates keyed by user; the curve itself
+    is a 5-row broadcast join against the per-user delay table —
+    cost is horizons × users, with horizons a constant."""
+    ev = T(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    delay = su.join(fp, "user_id", "left").select(
+        "user_id",
+        F.datediff(F.to_date("purchase_ts"), F.to_date("signup_ts"))
+        .cast("long")
+        .alias("days"),
+    )
+    t = delay.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    weeks = spark.range(0, 5).select(F.col("id").cast("long").alias("week"))
+    conv = F.when(
+        F.col("days").isNotNull() & (F.expr("days div 7") <= F.col("week")), 1
+    ).otherwise(0)
+    return (
+        F.broadcast(weeks)
+        .crossJoin(delay)
+        .crossJoin(F.broadcast(t))
+        .groupBy("week", "n_total")
+        .agg(F.sum(conv).cast("long").alias("n_converted"))
+        .select(
+            "week",
+            "n_converted",
+            "n_total",
+            F.expr("(n_total - n_converted) * 1000 div n_total")
+            .cast("long")
+            .alias("survival_milli"),
+        )
+    )
+
+
+@register(
+    "bounce_rate_daily",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx,
+             ts
+      FROM flagged
+    ), per AS (
+      SELECT user_id, session_idx,
+             CAST(MIN(ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS bounce_milli
+    FROM per GROUP BY day
+    """,
+    tags=("events", "sessionize", "analytics"),
+)
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min gap rule, same
+    sessionizer as session_stats_events) containing exactly one event,
+    keyed by the session's start day — the engagement-quality metric
+    next to DAU/MAU. Composes the existing sessionization operator;
+    one user-keyed window then a day-grain aggregate."""
+    from etl_orders_spark.operators.sessionize import session_stats
+
+    per = session_stats(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0
+    ).select(F.to_date("session_start").alias("day"), "n_events")
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.expr(
+            "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000 div count(*)"
+        )
+        .cast("long")
+        .alias("bounce_milli"),
+    )

@@ -142,3 +142,34 @@ def test_dau_mau_plan_has_no_nested_loop(spark, sf_dir):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in p  # explode form, not range join
+
+
+def test_survival_curve_monotone_nonincreasing(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = sorted(
+        query_map()["signup_to_purchase_survival"](spark, sf_dir).collect(),
+        key=lambda r: r.week,
+    )
+    assert [r.week for r in rows] == [0, 1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival_milli <= a.survival_milli  # more time, never fewer converts
+        assert b.n_total == a.n_total
+    for r in rows:
+        assert 0 <= r.survival_milli <= 1000 and r.n_converted <= r.n_total
+
+
+def test_bounce_rate_consistent_with_sessionizer(spark, sf_dir):
+    from etl_orders_spark.operators.sessionize import session_stats
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = query_map()["bounce_rate_daily"](spark, sf_dir).collect()
+    n_sessions = sum(r.n_sessions for r in rows)
+    want = session_stats(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0
+    ).count()
+    assert n_sessions == want
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert r.bounce_milli == r.n_bounces * 1000 // r.n_sessions

@@ -167,3 +167,26 @@ def test_zipf_slope_negative_and_sane(spark, sf_dir):
     # between -2 and -0.2 (the synthetic corpus is flatter than prose)
     assert -2500 < r.zipf_slope_milli < -100
     assert r.n_terms > 20  # sf0.001 fixture has a tiny vocabulary
+
+
+def test_lexical_diversity_bounds_and_edges(spark):
+    import etl_orders_spark.plans.text_queries as TQ
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # one type, four tokens -> 250
+            (2, "all words are unique here"),  # ttr 1000
+            (3, ""),                           # empty -> 0 tokens, ttr 0
+        ],
+        "doc_id long, text string",
+    )
+    orig = TQ.T
+    TQ.T = lambda spark_, sf_, name: df  # noqa: E731
+    try:
+        got = {r.doc_id: (r.n_tokens, r.n_types, r.ttr_milli)
+               for r in TQ.lexical_diversity_docs(spark, "unused").collect()}
+    finally:
+        TQ.T = orig
+    assert got[1] == (4, 1, 250)
+    assert got[2] == (5, 5, 1000)
+    assert got[3] == (0, 0, 0)
