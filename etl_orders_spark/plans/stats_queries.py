@@ -1426,3 +1426,142 @@ def burstiness_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("n_events"),
         F.expr("(n * sxx - sx * sx) * 1000 div (sx * (n - 1))").cast("long").alias("fano_milli"),
     )
+
+
+# --- ABC classification -----------------------------------------------------
+
+
+@register(
+    "abc_part_classification",
+    """
+    WITH p AS (
+      SELECT l_partkey, CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM p),
+    r AS (
+      SELECT l_partkey, rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000 // t.total AS BIGINT) AS cum_milli
+      FROM p, t
+    )
+    SELECT CASE WHEN cum_milli <= 800 THEN 'A'
+                WHEN cum_milli <= 950 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents
+    FROM r GROUP BY 1
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts bucketed by cumulative
+    revenue share (A ≤ 80%, B ≤ 95%, C tail) — the stocking-policy
+    segmentation every supply chain runs. Cumulative shares are
+    integer milli via truncating division; the running sum orders by
+    (revenue desc, partkey) so class boundaries are deterministic.
+
+    Scale: same posture as pareto_customer_revenue — the global
+    window runs on the part-grain aggregate (orders of magnitude
+    under fact rows; the two-pass range-partitioned rank takes over
+    past that), and the output is three rows."""
+    p = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("rev"))
+    )
+    t = p.agg(F.sum("rev").cast("long").alias("_total"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = (
+        p.crossJoin(F.broadcast(t))
+        .withColumn("cum_milli", F.expr("sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000 div _total").cast("long"))
+    )
+    cls = (
+        F.when(F.col("cum_milli") <= 800, "A")
+        .when(F.col("cum_milli") <= 950, "B")
+        .otherwise("C")
+    )
+    return r.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("long").alias("rev_cents"),
+    )
+
+
+# --- price/volume mix decomposition -----------------------------------------
+
+
+@register(
+    "price_volume_decomposition",
+    """
+    WITH li AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, p.p_type AS category,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+    ), mm AS (
+      SELECT MAX(month) AS m1 FROM li
+    ), g AS (
+      SELECT category,
+             CAST(SUM(CASE WHEN li.month = mm.m1 - INTERVAL 1 MONTH THEN cents ELSE 0 END) AS BIGINT) AS r0,
+             CAST(SUM(CASE WHEN li.month = mm.m1 - INTERVAL 1 MONTH THEN qty ELSE 0 END) AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN li.month = mm.m1 THEN cents ELSE 0 END) AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN li.month = mm.m1 THEN qty ELSE 0 END) AS BIGINT) AS q1
+      FROM li, mm GROUP BY 1
+    )
+    SELECT category, r0, r1, q0, q1,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           CAST((q1 - q0) * (r0 * 1000 // q0) // 1000 AS BIGINT) AS volume_effect_cents,
+           CAST(q1 * (r1 * 1000 // q1 - r0 * 1000 // q0) // 1000 AS BIGINT) AS price_effect_cents
+    FROM g WHERE q0 > 0 AND q1 > 0
+    """,
+    tags=("stats", "decomposition", "analytics"),
+)
+def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue-change decomposition per category:
+    volume effect (quantity change at the old unit price) and price
+    effect (new quantity times the unit-price change) — the "why did
+    revenue move" bridge analysts build first. Unit prices are
+    truncated milli-cents (r·1000 div q), so both effects are exact
+    integers under a stated convention; the residual (rounding bridge)
+    is delta − volume − price and its magnitude is bounded by
+    q1/1000 cents.
+
+    Scale: the lineitem⋈part join co-partitions/broadcasts; one
+    conditional aggregate per category covers both months in a
+    single pass (no month self-join)."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            F.col("p_type").alias("category"),
+            _cents(F.col("l_extendedprice")).alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    mm = li.agg(F.max("month").alias("m1"))
+    j = li.crossJoin(F.broadcast(mm))
+    in_m0 = F.col("month") == F.add_months(F.col("m1"), -1)
+    in_m1 = F.col("month") == F.col("m1")
+    g = j.groupBy("category").agg(
+        F.sum(F.when(in_m0, F.col("cents")).otherwise(0)).cast("long").alias("r0"),
+        F.sum(F.when(in_m0, F.col("qty")).otherwise(0)).cast("long").alias("q0"),
+        F.sum(F.when(in_m1, F.col("cents")).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(in_m1, F.col("qty")).otherwise(0)).cast("long").alias("q1"),
+    )
+    return g.filter((F.col("q0") > 0) & (F.col("q1") > 0)).select(
+        "category",
+        "r0",
+        "r1",
+        "q0",
+        "q1",
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+        F.expr("(q1 - q0) * (r0 * 1000 div q0) div 1000").cast("long").alias("volume_effect_cents"),
+        F.expr("q1 * (r1 * 1000 div q1 - r0 * 1000 div q0) div 1000")
+        .cast("long")
+        .alias("price_effect_cents"),
+    )

@@ -1087,3 +1087,76 @@ def lexical_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ttr_milli"),
     )
+
+
+_KW_TOPK = 3
+
+
+@register(
+    "doc_keywords_tfidf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000.0) AS BIGINT) AS score_micro
+      FROM tf JOIN df ON tf.term = df.term, n
+    )
+    SELECT doc_id, term, score_micro,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, term, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rk
+      FROM scored WHERE score_micro > 0
+    ) r WHERE rk <= {_KW_TOPK}
+    """,
+    tags=("text", "retrieval", "topk"),
+)
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the per-doc counterpart
+    of top_terms_per_lang, i.e. the tag/snippet extractor a search or
+    labeling pipeline runs. Per-term scores floor to integer
+    micro-units (tf·ln(N/df), the registry's ln convention) before
+    ranking; corpus-wide terms (df = N, score 0) are excluded so
+    stopwords can't tie into the top-k.
+
+    Scale: the same (term) shuffle as every TF-IDF shape — the df
+    table is never broadcast (vocabulary is unbounded); the rank
+    window partitions by doc."""
+    from etl_orders_spark.functions.text import tokens as _tokens
+
+    docs = T(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .filter(F.col("score_micro") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "term")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _KW_TOPK)
+        .select("doc_id", "term", "score_micro", F.col("_rk").cast("long").alias("rank"))
+    )

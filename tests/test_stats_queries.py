@@ -401,3 +401,26 @@ def test_burstiness_poisson_and_burst_fixtures(spark):
         S.T = orig
     assert got[1] == 0
     assert got[2] > 3000  # (4*66 - 121)*1000 // (11*3) = 4333
+
+
+def test_abc_classes_partition_parts(q, spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = {r.abc_class: r for r in q["abc_part_classification"](spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    # A-class is the dense head: fewer parts, more revenue than C
+    assert rows["A"].n_parts < rows["C"].n_parts or rows["A"].rev_cents > rows["C"].rev_cents
+
+
+def test_price_volume_bridge_closes(q, spark, sf_dir):
+    rows = q["price_volume_decomposition"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_cents == r.r1 - r.r0
+        # residual bounded by the stated truncation convention (~q1/1000 cents + 2)
+        resid = abs(r.delta_cents - r.volume_effect_cents - r.price_effect_cents)
+        assert resid <= r.q1 // 1000 + abs(r.q1 - r.q0) // 1000 + 2

@@ -190,3 +190,16 @@ def test_lexical_diversity_bounds_and_edges(spark):
     assert got[1] == (4, 1, 250)
     assert got[2] == (5, 5, 1000)
     assert got[3] == (0, 0, 0)
+
+
+def test_doc_keywords_exclude_ubiquitous_terms(spark, sf_dir):
+    from collections import Counter
+
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["doc_keywords_tfidf"](spark, sf_dir).collect()
+    assert rows
+    per_doc = Counter(r.doc_id for r in rows)
+    assert max(per_doc.values()) <= 3
+    for r in rows:
+        assert r.score_micro > 0 and 1 <= r.rank <= 3
