@@ -215,3 +215,70 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_micro",
         )
     )
+
+
+@register(
+    "pmi_copurchase_parts",
+    _KHOP_EDGE_CTES
+    + """,
+    deg AS (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS d FROM li GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+    sup AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS support
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT s.pa AS part_a, s.pb AS part_b, s.support,
+           CAST(FLOOR(LN(CAST(s.support AS DOUBLE) * nb.n_baskets
+                / (CAST(da.d AS DOUBLE) * db.d)) * 1000.0) AS BIGINT) AS pmi_milli
+    FROM sup s JOIN deg da ON s.pa = da.pk JOIN deg db ON s.pb = db.pk, nb
+    WHERE s.support >= 3
+    """,
+    tags=("graph", "basket", "analytics"),
+)
+def pmi_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of co-purchased part pairs:
+    ln(P(a,b)/(P(a)P(b))) over order baskets, in floored milli-nats —
+    positive PMI marks genuine complements that raw support conflates
+    with mere popularity (the normalization item_item_cosine doesn't
+    apply). support ≥ 3 keeps the log out of small-sample noise.
+
+    Scale: same inverted co-occurrence shape as the basket family —
+    the orderkey self-join generates only realized pairs, degrees
+    broadcast, and the single ln evaluates one identical expression
+    from exact integers both engines."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    nb = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    a = li.toDF("ok", "pa")
+    b = li.toDF("ok", "pb")
+    sup = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    da = deg.toDF("pa", "da")
+    db = deg.toDF("pb", "db")
+    pmi = F.floor(
+        F.log(
+            F.col("support").cast("double")
+            * F.col("n_baskets")
+            / (F.col("da").cast("double") * F.col("db"))
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    return (
+        sup.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "support",
+            pmi.alias("pmi_milli"),
+        )
+    )

@@ -1565,3 +1565,79 @@ def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_effect_cents"),
     )
+
+
+# --- per-customer trend classification --------------------------------------
+
+
+@register(
+    "customer_spend_trends",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), base AS (
+      SELECT o_custkey, MIN(day) AS d0 FROM o GROUP BY 1
+    ), xy AS (
+      SELECT o.o_custkey, CAST(o.day - b.d0 AS BIGINT) AS x, o.cents AS y
+      FROM o JOIN base b ON o.o_custkey = b.o_custkey
+    ), s AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy GROUP BY 1
+    ), cls AS (
+      SELECT o_custkey,
+             CASE WHEN n < 3 OR n * sxx - sx * sx = 0 THEN 'flat'
+                  WHEN n * sxy - sx * sy > 0 THEN 'rising'
+                  WHEN n * sxy - sx * sy < 0 THEN 'falling'
+                  ELSE 'flat' END AS trend
+      FROM s
+    )
+    SELECT trend, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM cls GROUP BY trend
+    """,
+    tags=("stats", "analytics"),
+)
+def customer_spend_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-value trend classification (rising, falling,
+    flat) from the SIGN of each customer's exact-integer OLS slope —
+    the churn-risk early signal. The pattern to note for 100 TB: a
+    regression per key needs NO window and NO per-key sort, just one
+    groupBy collecting the five sufficient statistics, because the
+    slope's sign is the sign of n·Σxy − ΣxΣy (the denominator is
+    always ≥ 0). Customers with <3 orders or a single order day are
+    'flat' (no meaningful trend).
+
+    Scale: two customer-keyed aggregates and a join — the same
+    shuffle the per-customer RFM features already pay."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    base = o.groupBy("o_custkey").agg(F.min("day").alias("d0"))
+    xy = o.join(base, "o_custkey").select(
+        "o_custkey",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    s = xy.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    trend = (
+        F.when((F.col("n") < 3) | (den == 0), "flat")
+        .when(num > 0, "rising")
+        .when(num < 0, "falling")
+        .otherwise("flat")
+    )
+    return s.select(trend.alias("trend")).groupBy("trend").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )

@@ -1160,3 +1160,65 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") <= _KW_TOPK)
         .select("doc_id", "term", "score_micro", F.col("_rk").cast("long").alias("rank"))
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(n_shared * 20 // (sa.n_sh + sb.n_sh - n_shared) AS BIGINT) AS bucket_5pct,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "dq"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-yield sweep: histogram of candidate-pair Jaccard in 5%
+    buckets (bucket k covers [k/20, (k+1)/20)) over every pair sharing
+    at least one shingle — the curve an operator reads before picking
+    τ, since pair yield is brutally threshold-sensitive. Buckets are
+    pure integer arithmetic (20·shared div union), no float Jaccard
+    anywhere, so the histogram is exact.
+
+    Scale: the unfiltered inverted index is the upper-bound cost of
+    the dedup family — this query IS the measurement of that cost;
+    production sweeps run it on a hash-sampled doc subset (the
+    sample_per_group pattern) rather than the full corpus."""
+    from etl_orders_spark.functions.text import shingles as _shingles
+
+    sh = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.toDF("id_a", "sh")
+    b = sh.toDF("id_b", "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.toDF("id_a", "na")
+    sb = sizes.toDF("id_b", "nb")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.expr("n_shared * 20 div (na + nb - n_shared)")
+            .cast("long")
+            .alias("bucket_5pct")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

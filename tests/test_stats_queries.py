@@ -424,3 +424,14 @@ def test_price_volume_bridge_closes(q, spark, sf_dir):
         # residual bounded by the stated truncation convention (~q1/1000 cents + 2)
         resid = abs(r.delta_cents - r.volume_effect_cents - r.price_effect_cents)
         assert resid <= r.q1 // 1000 + abs(r.q1 - r.q0) // 1000 + 2
+
+
+def test_spend_trends_cover_all_customers(q, spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = {r.trend: r.n_customers for r in q["customer_spend_trends"](spark, sf_dir).collect()}
+    assert set(rows) <= {"rising", "falling", "flat"}
+    n_customers = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(rows.values()) == n_customers

@@ -203,3 +203,16 @@ def test_doc_keywords_exclude_ubiquitous_terms(spark, sf_dir):
     assert max(per_doc.values()) <= 3
     for r in rows:
         assert r.score_micro > 0 and 1 <= r.rank <= 3
+
+
+def test_threshold_sweep_accounts_for_registered_pairs(spark, sf_dir):
+    """Pairs at or above the registered τ=0.2 threshold must equal the
+    sweep's mass in buckets >= 4 (0.2 = bucket 4 boundary, both exact)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    q = query_map()
+    sweep = q["dedup_threshold_sweep"](spark, sf_dir).collect()
+    high = sum(r.n_pairs for r in sweep if r.bucket_5pct >= 4)
+    registered = q["ngram_jaccard_pairs"](spark, sf_dir).count()
+    assert high == registered
+    assert all(0 <= r.bucket_5pct <= 20 for r in sweep)
