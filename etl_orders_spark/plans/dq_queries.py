@@ -9,6 +9,7 @@ is exercised with corrupted fixtures in tests/test_expectations.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_orders_spark.operators.expectations import (
     in_range,
@@ -97,4 +98,72 @@ def dq_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_checks.withColumnRenamed("check", "check_name")
         .unionByName(l_checks.withColumnRenamed("check", "check_name"))
         .unionByName(ri.withColumnRenamed("check", "check_name"))
+    )
+
+
+@register(
+    "reconcile_order_totals",
+    """
+    WITH li AS (
+      SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS li_cents
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents,
+             COALESCE(li.li_cents, 0) AS li_cents
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    ), d AS (
+      SELECT o_cents, li_cents,
+             ABS(o_cents - li_cents) * 1000 // GREATEST(o_cents, 1) AS rel_milli
+      FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_cents = li_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN rel_milli <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(SUM(ABS(o_cents - li_cents)) AS BIGINT) AS total_abs_diff_cents
+    FROM d
+    """,
+    tags=("dq", "reconciliation"),
+)
+def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: does each order's header
+    total equal the sum of its line extended prices? Reports exact
+    matches, matches within 1% relative, and the absolute drift in
+    cents — the double-entry audit a warehouse runs between every
+    fact table and its rollup (and the check that catches partial
+    loads the row-count DQ gate can't see).
+
+    Scale: one keyed aggregate of lineitem and a co-partitioned
+    orderkey join; the summary is a single conditional aggregate."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("li_cents")
+        )
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("o_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_cents", F.coalesce("li_cents", F.lit(0)).alias("li_cents")
+    )
+    d = j.withColumn(
+        "rel_milli",
+        F.expr("abs(o_cents - li_cents) * 1000 div greatest(o_cents, 1)"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("o_cents") == F.col("li_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("rel_milli") <= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.sum(F.abs(F.col("o_cents") - F.col("li_cents")))
+        .cast("long")
+        .alias("total_abs_diff_cents"),
     )

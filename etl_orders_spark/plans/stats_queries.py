@@ -1641,3 +1641,80 @@ def customer_spend_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(trend.alias("trend")).groupBy("trend").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )
+
+
+# --- rank churn (movers & shakers) ------------------------------------------
+
+
+@register(
+    "part_rank_movers",
+    """
+    WITH mx AS (SELECT CAST(date_trunc('month', MAX(l_shipdate)) AS DATE) AS m1 FROM lineitem),
+    rev AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(date_trunc('month', l_shipdate) AS DATE) >= mx.m1 - INTERVAL 12 MONTH
+                  THEN 'recent' ELSE 'prior' END AS period,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem, mx GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_partkey, period, rev,
+             ROW_NUMBER() OVER (PARTITION BY period ORDER BY rev DESC, l_partkey) AS rk
+      FROM rev
+    )
+    SELECT a.l_partkey AS partkey,
+           CAST(p.rk AS BIGINT) AS rank_prior, CAST(a.rk AS BIGINT) AS rank_recent,
+           CAST(p.rk - a.rk AS BIGINT) AS rank_gain
+    FROM ranked a JOIN ranked p
+      ON a.l_partkey = p.l_partkey AND a.period = 'recent' AND p.period = 'prior'
+    ORDER BY ABS(p.rk - a.rk) DESC, a.l_partkey
+    LIMIT 20
+    """,
+    tags=("stats", "window", "topk", "analytics"),
+)
+def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers & shakers: the 20 parts whose revenue rank shifted most
+    between the trailing 12 months and everything before — rank churn
+    surfaces trend breaks that absolute revenue deltas hide (a small
+    part tripling matters; a giant part wobbling doesn't). Positive
+    rank_gain = climbing.
+
+    Scale: one conditional aggregate to (part, period) grain, two
+    period-partitioned rank windows over the part table, a part-keyed
+    self-join, and a top-20 TakeOrderedAndProject."""
+    mx = T(spark, sf_dir, "lineitem").agg(
+        F.date_trunc("month", F.max("l_shipdate")).cast("date").alias("m1")
+    )
+    rev = (
+        T(spark, sf_dir, "lineitem")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(
+            "l_partkey",
+            F.when(
+                F.date_trunc("month", "l_shipdate").cast("date")
+                >= F.add_months(F.col("m1"), -12),
+                "recent",
+            )
+            .otherwise("prior")
+            .alias("period"),
+        )
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("rev"))
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("rev"), "l_partkey")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("period") == "recent").select(
+        F.col("l_partkey").alias("partkey"), F.col("rk").cast("long").alias("rank_recent")
+    )
+    p = ranked.filter(F.col("period") == "prior").select(
+        F.col("l_partkey").alias("partkey"), F.col("rk").cast("long").alias("rank_prior")
+    )
+    return (
+        a.join(p, "partkey")
+        .select(
+            "partkey",
+            "rank_prior",
+            "rank_recent",
+            (F.col("rank_prior") - F.col("rank_recent")).cast("long").alias("rank_gain"),
+        )
+        .orderBy(F.abs(F.col("rank_gain")).desc(), "partkey")
+        .limit(20)
+    )

@@ -84,3 +84,14 @@ def test_row_checks_single_aggregate_plan(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     # every check folds into ONE Aggregate node - no per-check scans
     assert plan.count("Aggregate") == 1
+
+
+def test_reconciliation_counts_consistent(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    r = query_map()["reconcile_order_totals"](spark, sf_dir).collect()[0]
+    assert r.n_orders == load_table(spark, sf_dir, "orders").count()
+    assert 0 <= r.n_exact <= r.n_within_1pct <= r.n_orders
+    if r.n_exact == r.n_orders:
+        assert r.total_abs_diff_cents == 0

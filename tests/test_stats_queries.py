@@ -435,3 +435,12 @@ def test_spend_trends_cover_all_customers(q, spark, sf_dir):
         load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert sum(rows.values()) == n_customers
+
+
+def test_rank_movers_sorted_by_abs_gain(q, spark, sf_dir):
+    rows = q["part_rank_movers"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    gains = [abs(r.rank_gain) for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    for r in rows:
+        assert r.rank_gain == r.rank_prior - r.rank_recent
