@@ -1718,3 +1718,150 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rank_gain")).desc(), "partkey")
         .limit(20)
     )
+
+
+# --- weighted median --------------------------------------------------------
+
+
+@register(
+    "weighted_median_price_by_priority",
+    """
+    WITH l AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(FLOOR(li.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(li.l_quantity AS BIGINT) AS w,
+             li.l_orderkey, li.l_linenumber
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    ), r AS (
+      SELECT priority, cents, w,
+             SUM(w) OVER (PARTITION BY priority ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY priority) AS tw
+      FROM l
+    )
+    SELECT priority, CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT) AS wmedian_cents
+    FROM r GROUP BY priority
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def weighted_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per priority class: the
+    first value whose running weight reaches half the total (lower
+    weighted median, integer-exact via 2·cw ≥ tw — no halving
+    division). Weighted medians answer "what does the typical UNIT
+    sell at" where the unweighted median answers "the typical LINE" —
+    they diverge whenever big-quantity lines price differently.
+
+    Scale: same keyed-window posture as the percentile family — one
+    shuffle on the 5-value priority key, with the approx fallback for
+    a mega-partition."""
+    l = (
+        T(spark, sf_dir, "lineitem")
+        .join(
+            T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            _cents(F.col("l_extendedprice")).alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wc = Window.partitionBy("priority").orderBy("cents", "l_orderkey", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("priority")
+    r = l.select(
+        "priority",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return r.groupBy("priority").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+    )
+
+
+# --- two-sample Kolmogorov-Smirnov ------------------------------------------
+
+
+@register(
+    "ks_price_urgent_vs_low",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), n AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM s
+    ), v AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM s GROUP BY cents
+    ), c AS (
+      SELECT cents,
+             SUM(d1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(d2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM v
+    )
+    SELECT n.n1, n.n2,
+           CAST(MAX(ABS(c1 * n.n2 - c2 * n.n1)) * 1000 // (n.n1 * n.n2) AS BIGINT) AS ks_milli
+    FROM c, n GROUP BY n.n1, n.n2
+    """,
+    tags=("stats", "analytics"),
+)
+def ks_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between URGENT and LOW
+    order-value distributions: D = max |F₁ − F₂|, computed exactly as
+    max |c₁·n₂ − c₂·n₁| over the merged sorted sample (the cross-
+    multiplied form keeps everything integer until one final
+    truncating division). D ≈ 0 means priority doesn't shift the
+    money distribution at all.
+
+    The ECDF steps are evaluated on the DISTINCT-value grain (counts
+    per value first, then the ordered cumsum) — tie-free by
+    construction, where a row-level cumsum would make intermediate
+    values depend on engine-specific ordering within equal-value
+    runs. Scale: exact KS is inherently a sorted scan of distinct
+    values; past memory-scale the documented route is the binned ECDF
+    (value histogram) whose D error is bounded by bin width."""
+    s = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(2).alias("grp"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    v = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = v.select(
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr("max(abs(c1 * n2 - c2 * n1)) * 1000 div (n1 * n2)")
+            .cast("long")
+            .alias("ks_milli")
+        )
+        .select("n1", "n2", "ks_milli")
+    )

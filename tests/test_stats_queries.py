@@ -444,3 +444,32 @@ def test_rank_movers_sorted_by_abs_gain(q, spark, sf_dir):
     assert gains == sorted(gains, reverse=True)
     for r in rows:
         assert r.rank_gain == r.rank_prior - r.rank_recent
+
+
+def test_weighted_median_within_range(q, spark, sf_dir):
+    rows = q["weighted_median_price_by_priority"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.wmedian_cents is not None and r.total_weight > 0
+
+
+def test_ks_identical_and_disjoint_fixtures(spark):
+    import etl_orders_spark.plans.stats_queries as S
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+        orig = S.T
+        S.T = lambda spark_, sf_, name: df  # noqa: E731
+        try:
+            return S.ks_price_urgent_vs_low(spark, "unused").collect()[0].ks_milli
+        finally:
+            S.T = orig
+
+    same = [("1-URGENT", float(v)) for v in (1, 2, 3, 4)] + [
+        ("5-LOW", float(v)) for v in (1, 2, 3, 4)
+    ]
+    assert run(same) == 0  # identical distributions
+    disjoint = [("1-URGENT", float(v)) for v in (1, 2)] + [
+        ("5-LOW", float(v)) for v in (10, 20)
+    ]
+    assert run(disjoint) == 1000  # fully separated -> D = 1
