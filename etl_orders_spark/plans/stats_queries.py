@@ -1865,3 +1865,150 @@ def ks_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n1", "n2", "ks_milli")
     )
+
+
+# --- Mann-Whitney U / AUC ---------------------------------------------------
+
+
+@register(
+    "mannwhitney_price_urgent_vs_low",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), v AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM s GROUP BY cents
+    ), c AS (
+      SELECT d1, d2,
+             SUM(d1 + d2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v
+    ), agg AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
+             CAST(SUM(d1 * (2 * cum - (d1 + d2) + 1)) AS BIGINT) AS r1_x2
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST((r1_x2 - n1 * (n1 + 1)) * 1000 // (2 * n1 * n2) AS BIGINT) AS auc_milli
+    FROM agg
+    """,
+    tags=("stats", "analytics"),
+)
+def mannwhitney_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between URGENT and LOW order values, exactly:
+    average ranks on the distinct-value grain give the doubled rank
+    sum 2R₁ = Σ d₁·(2c − d + 1) as a pure integer (the ×2 absorbs the
+    tie half-ranks), and U₁/(n₁n₂) — reported in milli — is the
+    AUC-style effect size P(X₁>X₂) + ½P(tie). The nonparametric
+    companion to the KS statistic: KS asks "any distribution shift?",
+    U asks "is one stochastically larger?".
+
+    Scale: identical machinery to ks_price_urgent_vs_low — value-
+    grain aggregate, one ordered cumsum over distinct values, a
+    constant-size final reduction; same binned-ECDF fallback."""
+    s = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(2).alias("grp"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+    )
+    v = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = v.select(
+        "d1", "d2", F.sum(F.col("d1") + F.col("d2")).over(w).alias("cum")
+    )
+    agg = c.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+        F.sum(F.col("d1") * (2 * F.col("cum") - (F.col("d1") + F.col("d2")) + 1))
+        .cast("long")
+        .alias("r1_x2"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("r1_x2 - n1 * (n1 + 1)").cast("long").alias("u1_x2"),
+        F.expr("(r1_x2 - n1 * (n1 + 1)) * 1000 div (2 * n1 * n2)")
+        .cast("long")
+        .alias("auc_milli"),
+    )
+
+
+# --- lag-7 autocorrelation --------------------------------------------------
+
+
+@register(
+    "autocorr_weekly_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) // 1000 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), p AS (
+      SELECT a.y AS x, b.y AS z
+      FROM d a JOIN d b ON a.day = b.day + 7
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(z * z) AS BIGINT) AS szz, CAST(SUM(x * z) AS BIGINT) AS sxz
+      FROM p
+    )
+    SELECT n AS n_pairs,
+           CAST(FLOOR((n * sxz - sx * sz)
+                / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * SQRT(CAST(n * szz - sz * sz AS DOUBLE))) * 1000000.0) AS BIGINT) AS acf7_micro
+    FROM s
+    """,
+    tags=("stats", "timeseries", "analytics"),
+)
+def autocorr_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily revenue: Pearson r between each
+    day and the same weekday a week earlier, via the calendar
+    self-join (gap-correct) and the five-sum sufficient-statistic
+    form — the one-number test for weekly seasonality that justifies
+    (or kills) the seasonal-naive forecaster and the weekday index.
+    Daily values truncate to kilocent units first: Σy² on raw cents
+    overflows int64 once daily revenue passes ~10⁶ cents × 2,400
+    days, and the correlation is invariant to the unit anyway (the
+    truncation itself perturbs r below the floored micro digit).
+
+    Scale: day-grain reduction then a calendar-bounded self-join and
+    one constant-size aggregate; the final r is one identical double
+    expression floored to micro-units."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.expr(
+            "CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) div 1000 AS BIGINT)"
+        ).alias("y"))
+    )
+    b = d.select(F.date_add("day", 7).alias("day"), F.col("y").alias("z"))
+    p = d.join(b, "day").select(F.col("y").alias("x"), "z")
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+    )
+    r = (
+        (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz"))
+        / (
+            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            * F.sqrt((F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).cast("double"))
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.floor(r * F.lit(1000000.0)).cast("long").alias("acf7_micro"),
+    )
