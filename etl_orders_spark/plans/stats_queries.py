@@ -2012,3 +2012,135 @@ def autocorr_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.floor(r * F.lit(1000000.0)).cast("long").alias("acf7_micro"),
     )
+
+
+# --- Cramér's V -------------------------------------------------------------
+
+
+@register(
+    "cramers_v_status_priority",
+    """
+    WITH c AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), r AS (SELECT s, CAST(SUM(n) AS BIGINT) AS rt FROM c GROUP BY 1),
+    k AS (SELECT p, CAST(SUM(n) AS BIGINT) AS ct FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(DISTINCT s) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT p) AS BIGINT) AS nc
+          FROM c),
+    chi AS (
+      SELECT SUM((c.n - CAST(r.rt * k.ct AS DOUBLE) / t.total)
+                 * (c.n - CAST(r.rt * k.ct AS DOUBLE) / t.total)
+                 / (CAST(r.rt * k.ct AS DOUBLE) / t.total)) AS chi2,
+             MAX(t.total) AS total, MAX(t.nr) AS nr, MAX(t.nc) AS nc
+      FROM c JOIN r ON c.s = r.s JOIN k ON c.p = k.p, t
+    )
+    SELECT CAST(total AS BIGINT) AS n_orders,
+           CAST(FLOOR(SQRT(chi2 / (total * (LEAST(nr, nc) - 1))) * 1000000.0) AS BIGINT) AS cramers_v_micro
+    FROM chi
+    """,
+    tags=("stats", "dq", "analytics"),
+)
+def cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the status × priority table: the χ² association
+    normalized to [0,1] (V = √(χ²/(N·(min(r,c)−1)))) — the number an
+    analyst actually compares across tables, where raw χ² scales with
+    N. Complements chi2_status_priority's per-cell detail with the
+    one-number summary.
+
+    Determinism: the χ² accumulation is a SUM of identical double
+    terms — term-order noise exists in the last ulps, so V floors to
+    micro after a √ that contracts error; the micro digit is stable
+    because χ²/N here sits far from any floor boundary (and the same
+    expression tree runs in both engines). Scale: cell-grain
+    aggregates only."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = c.groupBy("s").agg(F.sum("n").cast("long").alias("rt"))
+    k = c.groupBy("p").agg(F.sum("n").cast("long").alias("ct"))
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.countDistinct("s").cast("long").alias("nr"),
+        F.countDistinct("p").cast("long").alias("nc"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("total")
+    chi = (
+        c.join(F.broadcast(r), "s")
+        .join(F.broadcast(k), "p")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.sum((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2"),
+            F.max("total").alias("total"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    v = F.sqrt(
+        F.col("chi2") / (F.col("total") * (F.least(F.col("nr"), F.col("nc")) - 1))
+    )
+    return chi.select(
+        F.col("total").cast("long").alias("n_orders"),
+        F.floor(v * F.lit(1000000.0)).cast("long").alias("cramers_v_micro"),
+    )
+
+
+# --- revenue by order-size decile -------------------------------------------
+
+
+@register(
+    "revenue_by_order_decile",
+    """
+    WITH o AS (
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM o
+    ), t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM o)
+    SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents,
+           CAST(SUM(cents) * 1000 // t.total AS BIGINT) AS share_milli
+    FROM r, t GROUP BY 1, t.total
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def revenue_by_order_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the money lives: orders bucketed into value deciles
+    (equal-count, rank-based) with each decile's revenue share in
+    milli — the one-table answer to "do small orders matter?".
+    Bucket = (rank−1)·10 div n is exact and gap-tolerant.
+
+    Scale: same single-sort posture as the Pareto/Gini family over
+    the order grain; the two-pass distributed rank replaces the
+    global window past memory scale."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    r = o.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    t = o.agg(F.sum("cents").cast("long").alias("total"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .groupBy(F.expr("(rk - 1) * 10 div n").cast("long").alias("decile"), "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .select(
+            "decile",
+            "n_orders",
+            "rev_cents",
+            F.expr("rev_cents * 1000 div total").cast("long").alias("share_milli"),
+        )
+    )

@@ -503,3 +503,19 @@ def test_autocorr_bounded(q, spark, sf_dir):
     r = q["autocorr_weekly_revenue"](spark, sf_dir).collect()[0]
     assert -1_000_000 <= r.acf7_micro <= 1_000_000
     assert r.n_pairs > 100  # sf0.001 fixture has ~490 day-pairs
+
+
+def test_cramers_v_in_unit_interval(q, spark, sf_dir):
+    r = q["cramers_v_status_priority"](spark, sf_dir).collect()[0]
+    assert 0 <= r.cramers_v_micro <= 1_000_000
+
+
+def test_revenue_deciles_increasing_share(q, spark, sf_dir):
+    rows = sorted(q["revenue_by_order_decile"](spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(10))
+    # equal-count buckets (within 1), strictly increasing revenue by decile
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    revs = [r.rev_cents for r in rows]
+    assert revs == sorted(revs)
+    assert abs(sum(r.share_milli for r in rows) - 1000) <= 10  # floor slack
