@@ -2144,3 +2144,62 @@ def revenue_by_order_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("rev_cents * 1000 div total").cast("long").alias("share_milli"),
         )
     )
+
+
+# --- concentration trend ----------------------------------------------------
+
+
+@register(
+    "concentration_trend_yearly",
+    """
+    WITH cy AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT yr, rev,
+             ROW_NUMBER() OVER (PARTITION BY yr ORDER BY rev DESC, o_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY yr) AS n,
+             SUM(rev) OVER (PARTITION BY yr) AS total
+      FROM cy
+    )
+    SELECT yr, CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN rk * 10 <= n THEN rev ELSE 0 END) * 1000 // MAX(total) AS BIGINT) AS top_decile_share_milli
+    FROM r GROUP BY yr
+    """,
+    tags=("stats", "window", "timeseries", "analytics"),
+)
+def concentration_trend_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-concentration trend: the revenue share of each year's
+    top-10% customers — is the business getting more dependent on its
+    whales? The time-sliced companion to Gini/Pareto (a single global
+    coefficient hides drift).
+
+    Scale: per-year rank windows partition by year — bounded state
+    per partition is the year's customer aggregate; the top-decile
+    membership test rk·10 ≤ n is pure integers."""
+    cy = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            "o_custkey",
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev"))
+    )
+    wy = Window.partitionBy("yr")
+    wr = wy.orderBy(F.desc("rev"), "o_custkey")
+    r = cy.select(
+        "yr",
+        "rev",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wy).alias("n"),
+        F.sum("rev").over(wy).alias("total"),
+    )
+    return r.groupBy("yr").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.expr(
+            "sum(CASE WHEN rk * 10 <= n THEN rev ELSE 0 END) * 1000 div max(total)"
+        )
+        .cast("long")
+        .alias("top_decile_share_milli"),
+    )

@@ -8,7 +8,7 @@ etl_orders_spark/streaming/ and reuse the same aggregation logic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.operators.asof import asof_join, range_join
@@ -811,4 +811,90 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("bounce_milli"),
+    )
+
+
+@register(
+    "session_entry_exit_flows",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    ), numbered AS (
+      SELECT user_id, session_idx, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_idx ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM sess
+    ), ends AS (
+      SELECT user_id, session_idx,
+             MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+             MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM ends GROUP BY 1, 2
+    """,
+    tags=("events", "sessionize", "analytics"),
+)
+def session_entry_exit_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry→exit flow matrix per session (which event type opens a
+    session vs which closes it) — the Sankey feed behind landing/exit
+    analysis. First/last events resolve via forward/backward
+    ROW_NUMBER with (ts, event_id) tiebreaks, so simultaneous events
+    order identically in both engines; sessions come from the same
+    30-min-gap sessionizer as the rest of the time layer.
+
+    Scale: the extra rank windows share the sessionizer's user-keyed
+    shuffle (same partitioning, AQE reuses the exchange); the output
+    is |event_type|² flows."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+                > 1800000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("is_new").over(wc).alias("session_idx"),
+    )
+    ws = Window.partitionBy("user_id", "session_idx")
+    numbered = sess.select(
+        "user_id",
+        "session_idx",
+        "event_type",
+        F.row_number().over(ws.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number().over(ws.orderBy(F.desc("ts"), F.desc("event_id"))).alias("rn_d"),
+    )
+    ends = numbered.groupBy("user_id", "session_idx").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("entry_type"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("exit_type"),
+    )
+    return ends.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
     )

@@ -173,3 +173,17 @@ def test_bounce_rate_consistent_with_sessionizer(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_bounces <= r.n_sessions
         assert r.bounce_milli == r.n_bounces * 1000 // r.n_sessions
+
+
+def test_session_flows_conserve_sessions(spark, sf_dir):
+    from etl_orders_spark.operators.sessionize import session_stats
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = query_map()["session_entry_exit_flows"](spark, sf_dir).collect()
+    total = sum(r.n_sessions for r in rows)
+    want = session_stats(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0
+    ).count()
+    assert total == want
+    assert all(r.entry_type and r.exit_type for r in rows)

@@ -519,3 +519,11 @@ def test_revenue_deciles_increasing_share(q, spark, sf_dir):
     revs = [r.rev_cents for r in rows]
     assert revs == sorted(revs)
     assert abs(sum(r.share_milli for r in rows) - 1000) <= 10  # floor slack
+
+
+def test_concentration_trend_bounds(q, spark, sf_dir):
+    rows = q["concentration_trend_yearly"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # top decile holds at least its pro-rata share, at most everything
+        assert 100 <= r.top_decile_share_milli <= 1000
