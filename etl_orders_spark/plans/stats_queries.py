@@ -2203,3 +2203,122 @@ def concentration_trend_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_decile_share_milli"),
     )
+
+
+# --- one-pass correlation matrix --------------------------------------------
+
+_CORR_PAIRS = (
+    ("qty", "price"),
+    ("qty", "disc"),
+    ("qty", "tax"),
+    ("price", "disc"),
+    ("price", "tax"),
+    ("disc", "tax"),
+)
+
+
+def _corr_micro_sql(a: str, b: str) -> str:
+    # products evaluate in DOUBLE on both engines (identical rounding);
+    # pure int64 would overflow at n*sum(price^2), and DuckDB's int128
+    # would otherwise diverge from Spark's double path in the last ulp
+    return (
+        f"CAST(FLOOR((CAST(n AS DOUBLE) * s_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+        f" / (SQRT(CAST(n AS DOUBLE) * s_{a}_{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+        f" * SQRT(CAST(n AS DOUBLE) * s_{b}_{b} - CAST(s_{b} AS DOUBLE) * s_{b})) * 1000000.0) AS BIGINT)"
+    )
+
+
+@register(
+    "correlation_matrix_lineitem",
+    """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS price,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+             CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tax
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qty) AS BIGINT) AS s_qty, CAST(SUM(price) AS BIGINT) AS s_price,
+             CAST(SUM(disc) AS BIGINT) AS s_disc, CAST(SUM(tax) AS BIGINT) AS s_tax,
+             CAST(SUM(qty * qty) AS BIGINT) AS s_qty_qty,
+             CAST(SUM(price * price) AS BIGINT) AS s_price_price,
+             CAST(SUM(disc * disc) AS BIGINT) AS s_disc_disc,
+             CAST(SUM(tax * tax) AS BIGINT) AS s_tax_tax,
+             CAST(SUM(qty * price) AS BIGINT) AS s_qty_price,
+             CAST(SUM(qty * disc) AS BIGINT) AS s_qty_disc,
+             CAST(SUM(qty * tax) AS BIGINT) AS s_qty_tax,
+             CAST(SUM(price * disc) AS BIGINT) AS s_price_disc,
+             CAST(SUM(price * tax) AS BIGINT) AS s_price_tax,
+             CAST(SUM(disc * tax) AS BIGINT) AS s_disc_tax
+      FROM v
+    )
+    SELECT 'qty' AS col_a, 'price' AS col_b, {qp} AS r_micro FROM s
+    UNION ALL SELECT 'qty', 'disc', {qd} FROM s
+    UNION ALL SELECT 'qty', 'tax', {qt} FROM s
+    UNION ALL SELECT 'price', 'disc', {pd} FROM s
+    UNION ALL SELECT 'price', 'tax', {pt} FROM s
+    UNION ALL SELECT 'disc', 'tax', {dt} FROM s
+    """.format(
+        qp=_corr_micro_sql("qty", "price"),
+        qd=_corr_micro_sql("qty", "disc"),
+        qt=_corr_micro_sql("qty", "tax"),
+        pd=_corr_micro_sql("price", "disc"),
+        pt=_corr_micro_sql("price", "tax"),
+        dt=_corr_micro_sql("disc", "tax"),
+    ),
+    tags=("stats", "profile", "analytics"),
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson matrix over lineitem's numeric measures
+    (quantity, price-in-dollars, discount, tax) in ONE scan: a single
+    aggregate collects all 14 sufficient sums, then each of the six
+    correlations is constant-size double math floored to micro-units.
+    This is the one-pass trick that makes a wide-table correlation
+    audit O(columns²) CPU but O(1) scans — the multi-pair sibling of
+    the profile operator.
+
+    The 14 sums stay exact int64 (price truncated to dollars keeps
+    Σprice² inside range); the final n·Σ products evaluate in DOUBLE
+    on both engines at identical expression positions — n·Σprice²
+    exceeds both int64 and double's exact range, so the invariant
+    that matters is same-rounding, not exactness, and IEEE gives
+    exactly that. Correlations are unit-invariant so the dollar
+    truncation loses nothing."""
+    v = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("price"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("disc"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long").alias("tax"),
+    )
+    cols = ["qty", "price", "disc", "tax"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(c).cast("long").alias(f"s_{c}") for c in cols]
+    seen = set()
+    for a in cols:
+        for b in cols:
+            key = tuple(sorted((a, b)))
+            if key in seen:
+                continue
+            seen.add(key)
+            aggs.append(F.sum(F.col(a) * F.col(b)).cast("long").alias(f"s_{a}_{b}"))
+    s = v.agg(*aggs)
+
+    def r_micro(a: str, b: str) -> F.Column:
+        ab = f"s_{a}_{b}" if f"s_{a}_{b}" in s.columns else f"s_{b}_{a}"
+
+        def dd(name: str) -> F.Column:
+            return F.col(name).cast("double")
+
+        num = dd("n") * F.col(ab) - dd(f"s_{a}") * F.col(f"s_{b}")
+        da = dd("n") * F.col(f"s_{a}_{a}") - dd(f"s_{a}") * F.col(f"s_{a}")
+        db = dd("n") * F.col(f"s_{b}_{b}") - dd(f"s_{b}") * F.col(f"s_{b}")
+        return F.floor(num / (F.sqrt(da) * F.sqrt(db)) * F.lit(1000000.0)).cast("long")
+
+    out = None
+    for a, b in _CORR_PAIRS:
+        row = s.select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), r_micro(a, b).alias("r_micro")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -527,3 +527,20 @@ def test_concentration_trend_bounds(q, spark, sf_dir):
     for r in rows:
         # top decile holds at least its pro-rata share, at most everything
         assert 100 <= r.top_decile_share_milli <= 1000
+
+
+def test_correlation_matrix_pairs_and_symmetry(q, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = {(r.col_a, r.col_b): r.r_micro for r in q["correlation_matrix_lineitem"](spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for v in rows.values():
+        assert -1_000_000 <= v <= 1_000_000
+    # spot-check one pair against Spark's built-in corr (float tolerance)
+    li = load_table(spark, sf_dir, "lineitem")
+    want = li.select(
+        F.corr(F.col("l_quantity"), F.floor(F.col("l_extendedprice") + F.lit(0.5))).alias("r")
+    ).collect()[0].r
+    assert abs(rows[("qty", "price")] / 1e6 - want) < 1e-4
