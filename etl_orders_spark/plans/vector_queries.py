@@ -489,3 +489,71 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos", F.lit("easy_neg").alias("role"))
     )
     return pos.unionByName(hard).unionByName(easy)
+
+
+@register(
+    "embedding_drift_halves",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(vec_id % 2 AS BIGINT) AS half, embedding FROM embeddings
+    ), comp AS (
+      SELECT e.label, e.half, t.dim - 1 AS dim,
+             CAST(FLOOR(CAST(e.embedding[t.dim] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+      FROM e, UNNEST(generate_series(1, len(e.embedding))) AS t(dim)
+    ), cent AS (
+      SELECT label, half, dim, CAST(SUM(v) AS BIGINT) AS s
+      FROM comp GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT a.label, a.dim, a.s AS s0, b.s AS s1
+      FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(FLOOR(SUM(CAST(s0 AS DOUBLE) * s1)
+                / (SQRT(SUM(CAST(s0 AS DOUBLE) * s0)) * SQRT(SUM(CAST(s1 AS DOUBLE) * s1)))
+                * 1000000.0) AS BIGINT) AS centroid_cos_micro
+    FROM pairs GROUP BY label
+    """,
+    tags=("vector", "dq", "drift"),
+)
+def embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: cosine between the per-label centroid
+    of the even-id half and the odd-id half (two batches standing in
+    for yesterday/today) — the representation-stability check run
+    after every embedder re-deploy; cosine near 1 means the space
+    didn't move for that class.
+
+    Components floor to micro-units BEFORE summing so the distributed
+    centroid sums are exact integers (raw float accumulation order
+    would differ between engines); only the final dot/norm ratio runs
+    in double, identically on both sides. Scale: one narrow
+    (label, half, dim) aggregate after a posexplode — rows =
+    vectors × dims, the same shape the GEMM rescore already pays."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).cast("long").alias("half"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    cent = (
+        e.select(
+            "label",
+            "half",
+            "dim",
+            F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long").alias("v"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    a = cent.filter(F.col("half") == 0).select("label", "dim", F.col("s").alias("s0"))
+    b = cent.filter(F.col("half") == 1).select("label", "dim", F.col("s").alias("s1"))
+    pairs = a.join(b, ["label", "dim"])
+    cos = (
+        F.sum(F.col("s0").cast("double") * F.col("s1"))
+        / (
+            F.sqrt(F.sum(F.col("s0").cast("double") * F.col("s0")))
+            * F.sqrt(F.sum(F.col("s1").cast("double") * F.col("s1")))
+        )
+    )
+    return pairs.groupBy("label").agg(
+        F.floor(cos * F.lit(1000000.0)).cast("long").alias("centroid_cos_micro")
+    )

@@ -32,3 +32,25 @@ def sql(spark: SparkSession, sf_dir: str, query: str, prefix: str = "") -> DataF
     """One-shot: register views, run the query, return the DataFrame."""
     register_views(spark, sf_dir, prefix)
     return spark.sql(query)
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Scale-audit summary of a DataFrame's physical plan: the facts
+    that must stay true at 100 TB, as data instead of a wall of text.
+    Used by the plan-regression tests and handy interactively
+    (`plan_summary(q(spark, sf))["nested_loop_joins"] == 0`)."""
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": p.count("Exchange"),
+        "reused_exchanges": p.count("ReusedExchange"),
+        "broadcast_hash_joins": p.count("BroadcastHashJoin"),
+        "sort_merge_joins": p.count("SortMergeJoin"),
+        "nested_loop_joins": p.count("BroadcastNestedLoopJoin"),
+        "cartesian_products": p.count("CartesianProduct"),
+        "scans": p.count("FileScan"),
+        "pushed_filters": "PushedFilters: [" in p
+        and "PushedFilters: []" not in p,
+        # note: under AQE the codegen markers only appear post-execution
+        "whole_stage_codegen": "WholeStageCodegen" in p,
+        "take_ordered": "TakeOrderedAndProject" in p,
+    }

@@ -35,3 +35,15 @@ def test_sql_views_push_filters(spark, sf_dir):
 def test_sql_events_view_has_converted_timestamp(spark, sf_dir):
     df = sql(spark, sf_dir, "SELECT MIN(ts) AS t0 FROM events")
     assert df.schema["t0"].dataType.typeName() == "timestamp"
+
+
+def test_plan_summary_reports_scale_facts(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sql import plan_summary
+
+    s = plan_summary(query_map()["q5_region_revenue"](spark, sf_dir))
+    assert s["broadcast_hash_joins"] == 5
+    assert s["sort_merge_joins"] == 0
+    assert s["nested_loop_joins"] == 0
+    t = plan_summary(query_map()["orderby_limit"](spark, sf_dir))
+    assert t["take_ordered"]

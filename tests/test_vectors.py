@@ -214,3 +214,27 @@ def test_contrastive_roles_disjoint_and_sized(spark, sf_dir):
         min_pos = min(r.cos for r in rs if r.role == "pos")
         max_hard = max(r.cos for r in rs if r.role == "hard_neg")
         assert min_pos >= max_hard
+
+
+def test_embedding_drift_identical_halves_fixture(spark):
+    import etl_orders_spark.plans.vector_queries as V
+
+    # even and odd ids carry identical vectors per label -> cosine 1
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 2.0, 3.0] if i % 4 < 2 else [3.0, 2.0, 1.0], i % 2 + 10))
+    # label 10 gets [1,2,3] on both halves? construct explicitly instead:
+    rows = [
+        (0, [1.0, 2.0, 3.0], 1), (1, [1.0, 2.0, 3.0], 1),
+        (2, [1.0, 2.0, 3.0], 1), (3, [1.0, 2.0, 3.0], 1),
+        (4, [1.0, 0.0, 0.0], 2), (5, [0.0, 1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = V.T
+    V.T = lambda spark_, sf_, name: df  # noqa: E731
+    try:
+        got = {r.label: r.centroid_cos_micro for r in V.embedding_drift_halves(spark, "unused").collect()}
+    finally:
+        V.T = orig
+    assert got[1] >= 999_999  # identical centroids -> cos 1 (floor slack 1)
+    assert got[2] <= 1  # orthogonal halves -> cos 0
