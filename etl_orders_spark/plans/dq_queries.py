@@ -167,3 +167,48 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_abs_diff_cents"),
     )
+
+
+_TABLE_KEYS = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+@register(
+    "table_fingerprints",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {k}) AS BIGINT) AS key_ndv,
+               CAST(MIN({k}) AS BIGINT) AS key_min, CAST(MAX({k}) AS BIGINT) AS key_max
+        FROM {t}"""
+        for t, k in _TABLE_KEYS
+    ),
+    tags=("dq", "profile"),
+)
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row fingerprint per testdata table: row count, key
+    cardinality, key range — the cheap cross-table drift guard a
+    pipeline snapshots every load and diffs against yesterday's
+    (key_ndv < n_rows flags duplicate keys; a shifted key range flags
+    a partial or doubled load). Ten independent single-pass
+    aggregates unioned; each is map-side combinable and none touches
+    another table's data."""
+    out = None
+    for t, k in _TABLE_KEYS:
+        row = T(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(k).cast("long").alias("key_ndv"),
+            F.min(k).cast("long").alias("key_min"),
+            F.max(k).cast("long").alias("key_max"),
+        ).select(F.lit(t).alias("tbl"), "n_rows", "key_ndv", "key_min", "key_max")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -95,3 +95,14 @@ def test_reconciliation_counts_consistent(spark, sf_dir):
     assert 0 <= r.n_exact <= r.n_within_1pct <= r.n_orders
     if r.n_exact == r.n_orders:
         assert r.total_abs_diff_cents == 0
+
+
+def test_table_fingerprints_cover_all_tables(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import TABLES
+
+    rows = {r.tbl: r for r in query_map()["table_fingerprints"](spark, sf_dir).collect()}
+    assert set(rows) == set(TABLES)
+    for t, r in rows.items():
+        assert r.n_rows > 0 and r.key_min <= r.key_max
+        assert r.key_ndv <= r.n_rows
