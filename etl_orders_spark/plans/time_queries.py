@@ -898,3 +898,98 @@ def session_entry_exit_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ends.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+@register(
+    "session_gap_sensitivity",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM ev
+    ), u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN gap_ms > 5 * 60000 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+             CAST(SUM(CASE WHEN gap_ms > 15 * 60000 THEN 1 ELSE 0 END) AS BIGINT) AS b15,
+             CAST(SUM(CASE WHEN gap_ms > 30 * 60000 THEN 1 ELSE 0 END) AS BIGINT) AS b30,
+             CAST(SUM(CASE WHEN gap_ms > 60 * 60000 THEN 1 ELSE 0 END) AS BIGINT) AS b60
+      FROM gaps WHERE gap_ms IS NOT NULL
+    )
+    SELECT 5 AS gap_minutes, b5 + n_users AS n_sessions FROM g, u
+    UNION ALL SELECT 15, b15 + n_users FROM g, u
+    UNION ALL SELECT 30, b30 + n_users FROM g, u
+    UNION ALL SELECT 60, b60 + n_users FROM g, u
+    """,
+    tags=("events", "sessionize", "analytics"),
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionizer parameter sensitivity: session counts at 5/15/30/60
+    minute inactivity gaps from ONE window pass — every session count
+    is (#inter-event gaps exceeding g) + (#users), so all four
+    thresholds are conditional sums over the same lag column instead
+    of four sessionization runs. The calibration curve read before
+    fixing the 30-minute rule the rest of the time layer uses.
+
+    Scale: one user-keyed lag window and a constant-size aggregate —
+    a 4× cheaper sweep than re-running the sessionizer per gap."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    u = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+
+    def b(minutes: int) -> F.Column:
+        return (
+            F.sum(F.when(F.col("gap_ms") > minutes * 60000, 1).otherwise(0))
+            .cast("long")
+            .alias(f"b{minutes}")
+        )
+
+    g = gaps.agg(b(5), b(15), b(30), b(60))
+    base = g.crossJoin(F.broadcast(u))
+    out = None
+    for m in (5, 15, 30, 60):
+        row = base.select(
+            F.lit(m).cast("int").alias("gap_minutes"),
+            (F.col(f"b{m}") + F.col("n_users")).cast("long").alias("n_sessions"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "promo_revenue_share_monthly",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(SUM(CASE WHEN l_discount > 0 THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CASE WHEN l_discount > 0 THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) ELSE 0 END) * 1000
+                // SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS promo_share_milli
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("agg", "timeseries", "analytics"),
+)
+def promo_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue sold under any discount, by ship month — the
+    promo-dependence trend a merchandising team tracks. One
+    map-side-combinable conditional aggregate at month grain; shares
+    are integer milli."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    promo = F.when(F.col("l_discount") > 0, cents).otherwise(F.lit(0))
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.sum(cents).cast("long").alias("rev_cents"),
+            F.sum(promo).cast("long").alias("promo_cents"),
+        )
+        .select(
+            "month",
+            "rev_cents",
+            "promo_cents",
+            F.expr("promo_cents * 1000 div rev_cents").cast("long").alias("promo_share_milli"),
+        )
+    )

@@ -187,3 +187,19 @@ def test_session_flows_conserve_sessions(spark, sf_dir):
     ).count()
     assert total == want
     assert all(r.entry_type and r.exit_type for r in rows)
+
+
+def test_gap_sensitivity_monotone_and_consistent_with_sessionizer(spark, sf_dir):
+    from etl_orders_spark.operators.sessionize import session_stats
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = {r.gap_minutes: r.n_sessions for r in query_map()["session_gap_sensitivity"](spark, sf_dir).collect()}
+    assert list(sorted(rows)) == [5, 15, 30, 60]
+    # tighter gap => at least as many sessions
+    assert rows[5] >= rows[15] >= rows[30] >= rows[60]
+    # the 30-minute point must equal the real sessionizer's count
+    want = session_stats(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0
+    ).count()
+    assert rows[30] == want
