@@ -576,3 +576,47 @@ def calibrated_quality_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("q80_threshold_milli"),
         F.sum(F.when(F.col("rk") <= kth, 1).otherwise(0)).cast("long").alias("n_kept"),
     )
+
+
+# --- cross-source duplication matrix ----------------------------------------
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH fp AS (
+      SELECT DISTINCT source, md5({_NORM}) AS f FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("text", "dedup", "curation"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: how many distinct normalized
+    fingerprints each source PAIR shares — the syndication/mirroring
+    map that decides which source to drop when two crawls overlap
+    (complementing source_quality_report's per-source dup counts with
+    WHO duplicates WHOM).
+
+    Scale: per-source distinct fingerprints first (text never leaves
+    the scan), then a fingerprint-keyed self-join — the join key is
+    the 32-hex md5, and only fingerprints present in 2+ sources
+    produce any join output."""
+    from etl_orders_spark.functions.text import fingerprint
+
+    fp = (
+        T(spark, sf_dir, "documents")
+        .select("source", fingerprint("text").alias("f"))
+        .distinct()
+    )
+    a = fp.toDF("source_a", "f")
+    b = fp.toDF("source_b", "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+    )

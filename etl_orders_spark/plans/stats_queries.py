@@ -2322,3 +2322,82 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- order-sequence uplift --------------------------------------------------
+
+
+@register(
+    "order_sequence_uplift",
+    """
+    WITH r AS (
+      SELECT o_custkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq
+      FROM orders
+    )
+    SELECT CAST(seq AS BIGINT) AS order_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+    FROM r WHERE seq <= 5 GROUP BY seq
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def order_sequence_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean order value by order sequence number (1st, 2nd, … 5th
+    order per customer): do customers spend more as they mature? The
+    repeat-purchase economics curve next to cohort LTV. One
+    customer-keyed rank window and a 5-row aggregate; truncating
+    integer means."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = T(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.row_number().over(w).alias("seq"),
+    )
+    return (
+        r.filter(F.col("seq") <= 5)
+        .groupBy(F.col("seq").cast("long").alias("order_seq"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr("sum(cents) div count(*)").cast("long").alias("mean_cents"),
+        )
+    )
+
+
+# --- monthly return rate ----------------------------------------------------
+
+
+@register(
+    "return_rate_monthly",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) ELSE 0 END) * 1000
+                // SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS returned_value_milli
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("agg", "timeseries", "dq", "analytics"),
+)
+def return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate trend by ship month: returned line count and the
+    returned share of revenue in milli — the quality-of-sales metric
+    whose drift flags fulfillment or fraud problems. One conditional
+    month-grain aggregate."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(ret, 1).otherwise(0)).cast("long").alias("n_returned"),
+            F.sum(F.when(ret, cents).otherwise(0)).alias("_rc"),
+            F.sum(cents).alias("_tc"),
+        )
+        .select(
+            "month",
+            "n_lines",
+            "n_returned",
+            F.expr("_rc * 1000 div _tc").cast("long").alias("returned_value_milli"),
+        )
+    )

@@ -191,3 +191,45 @@ def test_calibrated_thresholds_keep_rate(spark, sf_dir):
         # ceil(0.8 * n) docs kept, exactly
         assert r.n_kept == (r.n_docs * 80 + 99) // 100
         assert 0 <= r.q80_threshold_milli <= 1000
+
+
+def test_cross_source_dup_matrix_planted_overlap(spark):
+    import etl_orders_spark.plans.curation_queries as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared syndicated article", "siteA"),
+            (2, "Shared   syndicated ARTICLE", "siteB"),  # same after normalize
+            (3, "shared syndicated article", "siteC"),
+            (4, "unique to a", "siteA"),
+            (5, "unique to b", "siteB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    orig = C.T
+    C.T = lambda spark_, sf_, name: docs  # noqa: E731
+    try:
+        got = {
+            (r.source_a, r.source_b): r.n_shared_fps
+            for r in C.cross_source_dup_matrix(spark, "unused").collect()
+        }
+    finally:
+        C.T = orig
+    assert got == {
+        ("siteA", "siteB"): 1,
+        ("siteA", "siteC"): 1,
+        ("siteB", "siteC"): 1,
+    }
+
+
+def test_order_sequence_first_rows_cover_everyone(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = {r.order_seq: r for r in query_map()["order_sequence_uplift"](spark, sf_dir).collect()}
+    n_customers = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert rows[1].n_customers == n_customers  # everyone has a first order
+    # cohort shrinks monotonically with sequence number
+    for s in range(1, 5):
+        if s + 1 in rows:
+            assert rows[s + 1].n_customers <= rows[s].n_customers
