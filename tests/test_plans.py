@@ -130,3 +130,63 @@ def test_dq_gate_scan_count_constant(plans):
     would make validation cost scale with check count."""
     p = plans("dq_orders_lineitem")
     assert p.count("FileScan parquet") <= 4
+
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin:
+# every instance is a CONSTANT-side cross join (a 1-row aggregate of
+# totals/bounds, a K-row centroid/horizon table, or the deliberate
+# cross-join operator). Anything else appearing here is a scale bug.
+_BNLJ_ALLOWED = {
+    "benford_price_digits": 1,
+    "bm25_search_docs": 1,
+    "chi2_status_priority": 1,
+    "contrastive_negatives": 3,
+    "cramers_v_status_priority": 1,
+    "cusum_revenue_changepoint": 2,
+    "doc_keywords_tfidf": 1,
+    "ewma_daily_revenue": 1,
+    "funnel_view_click_purchase": 2,
+    "gdpr_forget_report": 3,
+    "growth_accounting_monthly": 1,
+    "hll_rollup_total_users": 1,
+    "join_cross_region_status": 1,  # the deliberate CROSS JOIN operator
+    "kmeans_embeddings": 5,  # K-row centroid table per unrolled iteration
+    "ks_price_urgent_vs_low": 1,
+    "mmr_diverse_topk": 1,  # broadcast query batch (candidate generator)
+    "ols_daily_revenue_trend": 1,
+    "pareto_customer_revenue": 1,
+    "part_rank_movers": 2,
+    "pmi_bigrams_docs": 2,
+    "pmi_copurchase_parts": 1,
+    "price_volume_decomposition": 1,
+    "q22_global_sales_opportunity": 1,
+    "revenue_by_order_decile": 1,
+    "rfm_segments": 1,
+    "session_gap_sensitivity": 4,  # four threshold rows off one aggregate
+    "signup_to_purchase_survival": 2,  # 5-row horizon spine
+    "triangle_count_copurchase": 1,
+    "unigram_surprisal_docs": 1,
+    "weekday_seasonality_index": 1,
+    "ann_topk_cosine": 1,  # broadcast query batch (exactness baseline)
+    "alloc_nation_budget": 3,  # 1-row total/shortfall tables
+    "abc_part_classification": 1,  # 1-row total
+    "anomaly_daily_revenue": 1,
+}
+
+
+def test_no_query_plans_an_unvetted_nested_loop(spark, sf_dir):
+    """Fleet-wide scale net: every registered query's physical plan is
+    free of CartesianProduct, and BroadcastNestedLoopJoin appears only
+    in the audited constant-side cases above (and never more of them).
+    A new query that accidentally plans an input x input nested loop
+    fails here instead of at 100 TB."""
+    from etl_orders_spark.plans.registry import query_map
+
+    offenders = {}
+    for name, builder in query_map().items():
+        plan = builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        cart = plan.count("CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if cart or bnlj > _BNLJ_ALLOWED.get(name, 0):
+            offenders[name] = (bnlj, cart)
+    assert not offenders, f"unvetted nested-loop/cartesian plans: {offenders}"
