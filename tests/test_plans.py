@@ -182,6 +182,13 @@ def test_no_query_plans_an_unvetted_nested_loop(spark, sf_dir):
     fails here instead of at 100 TB."""
     from etl_orders_spark.plans.registry import query_map
 
+    # self-sufficient plan environment: earlier tests may leave cached
+    # relations (operator-internal .cache()/localCheckpoint) whose
+    # InMemoryRelation stats flip broadcast decisions, and may touch
+    # the broadcast threshold — reset both so plans are deterministic
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     offenders = {}
     for name, builder in query_map().items():
         plan = builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
