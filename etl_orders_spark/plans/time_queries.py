@@ -993,3 +993,72 @@ def promo_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("promo_cents * 1000 div rev_cents").cast("long").alias("promo_share_milli"),
         )
     )
+
+
+@register(
+    "engagement_decay_scores",
+    """
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    ev AS (
+      SELECT user_id,
+             CAST(FLOOR(POWER(0.5, CAST(mx.d1 - CAST(ts AS DATE) AS DOUBLE) / 7.0) * 1000000.0) AS BIGINT) AS w
+      FROM events, mx
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w) AS BIGINT) AS decay_score_micro
+    FROM ev GROUP BY user_id
+    """,
+    tags=("events", "analytics"),
+)
+def engagement_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user: each event counts
+    0.5^(age_days/7) — a 7-day half-life — so the score is dominated
+    by the latest week but never forgets history entirely; the ranking
+    signal behind "active users" lists that a raw 7-day count whipsaws.
+    Ages anchor to the dataset's last day (no wall-clock dependence).
+
+    Per-event weights floor to integer micro-units BEFORE the per-user
+    sum, so distributed accumulation order cannot move the hash; the
+    power evaluates one identical double expression per row in both
+    engines. One map stage + one user-keyed aggregate."""
+    ev = T(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("d1"))
+    w = F.floor(
+        F.pow(F.lit(0.5), F.datediff(F.col("d1"), F.to_date("ts")).cast("double") / F.lit(7.0))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w").cast("long").alias("decay_score_micro"),
+        )
+    )
+
+
+@register(
+    "activity_heatmap_dow_hour",
+    """
+    SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS dow_idx,
+           CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_utc,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "analytics"),
+)
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour activity heatmap (the dashboard grid behind
+    staffing and batch-window decisions): one map-side-combinable
+    aggregate to at most 7×24 cells. Weekday uses the portable
+    epoch-modulo form (0=Thursday) and hours are UTC — the session
+    timezone is pinned, so extraction is identical in both engines."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("dow_idx"),
+        F.hour("ts").cast("long").alias("hour_utc"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))

@@ -203,3 +203,23 @@ def test_gap_sensitivity_monotone_and_consistent_with_sessionizer(spark, sf_dir)
         load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0
     ).count()
     assert rows[30] == want
+
+
+def test_decay_scores_bounded_by_event_counts(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["engagement_decay_scores"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # each event contributes (0, 1e6]; score <= n_events * 1e6
+        assert 0 < r.decay_score_micro <= r.n_events * 1_000_000
+
+
+def test_heatmap_covers_events_exactly(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = query_map()["activity_heatmap_dow_hour"](spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 0 <= r.dow_idx <= 6 and 0 <= r.hour_utc <= 23
