@@ -170,6 +170,7 @@ _BNLJ_ALLOWED = {
     "ann_topk_cosine": 1,  # broadcast query batch (exactness baseline)
     "alloc_nation_budget": 3,  # 1-row total/shortfall tables
     "abc_part_classification": 1,  # 1-row total
+    "engagement_decay_scores": 1,  # 1-row max-date anchor
     "anomaly_daily_revenue": 1,
 }
 
