@@ -2401,3 +2401,99 @@ def return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_rc * 1000 div _tc").cast("long").alias("returned_value_milli"),
         )
     )
+
+
+# --- intra-order fulfillment spread -----------------------------------------
+
+
+@register(
+    "order_ship_spread_histogram",
+    """
+    WITH o AS (
+      SELECT l_orderkey,
+             CAST(MAX(CAST(l_shipdate AS DATE)) - MIN(CAST(l_shipdate AS DATE)) AS BIGINT) AS spread_days
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(spread_days // 7 AS BIGINT) AS spread_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM o GROUP BY 1
+    """,
+    tags=("agg", "sla", "analytics"),
+)
+def order_ship_spread_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How split are shipments within one order: histogram of the
+    first-to-last ship-date spread per order, in week buckets — wide
+    spreads mean multi-shipment orders (packaging cost, partial-
+    delivery complaints). One orderkey aggregate then a bucket
+    rollup bounded by the date span."""
+    o = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.datediff(F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate")))
+            .cast("long")
+            .alias("spread_days")
+        )
+    )
+    return o.groupBy(
+        F.expr("spread_days div 7").cast("long").alias("spread_weeks")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+# --- customers covering half the revenue ------------------------------------
+
+
+@register(
+    "customers_to_half_revenue",
+    """
+    WITH c AS (
+      SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS total,
+             COUNT(*) OVER () AS n
+      FROM c
+    )
+    SELECT CAST(MIN(CASE WHEN 2 * cum >= total THEN rk END) AS BIGINT) AS customers_to_half,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN rk END) * 1000 // MAX(n) AS BIGINT) AS share_of_base_milli
+    FROM r
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def customers_to_half_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-dependency index: the minimum number of customers whose
+    combined revenue reaches half the total (first rank where
+    2·cum ≥ total — no halving division), plus that count as a share
+    of the customer base. The single number executives quote from the
+    Pareto curve.
+
+    Scale: same customer-grain global-window posture as Pareto/Gini,
+    with the two-pass distributed rank past memory scale."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev"))
+    )
+    w = Window.orderBy(F.desc("rev"), "o_custkey")
+    r = c.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("rk")))
+        .cast("long")
+        .alias("customers_to_half"),
+        F.max("n").cast("long").alias("n_customers"),
+        F.expr(
+            "min(CASE WHEN 2 * cum >= total THEN rk END) * 1000 div max(n)"
+        )
+        .cast("long")
+        .alias("share_of_base_milli"),
+    )

@@ -544,3 +544,39 @@ def test_correlation_matrix_pairs_and_symmetry(q, spark, sf_dir):
         F.corr(F.col("l_quantity"), F.floor(F.col("l_extendedprice") + F.lit(0.5))).alias("r")
     ).collect()[0].r
     assert abs(rows[("qty", "price")] / 1e6 - want) < 1e-4
+
+
+def test_ship_spread_covers_all_orders(q, spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = q["order_ship_spread_histogram"](spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert all(r.spread_weeks >= 0 for r in rows)
+
+
+def test_customers_to_half_revenue_is_minimal(q, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    r = q["customers_to_half_revenue"](spark, sf_dir).collect()[0]
+    assert 1 <= r.customers_to_half <= r.n_customers
+    # verify minimality against a collected cumulative
+    revs = sorted(
+        (
+            row.rev
+            for row in load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("rev"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    total, cum, k = sum(revs), 0, 0
+    for v in revs:
+        cum += v
+        k += 1
+        if 2 * cum >= total:
+            break
+    assert r.customers_to_half == k
