@@ -1062,3 +1062,91 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dow_idx"),
         F.hour("ts").cast("long").alias("hour_utc"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+@register(
+    "return_latency_median",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), starts AS (
+      SELECT user_id, MIN(ts) AS session_start
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+      ) s GROUP BY user_id, session_idx
+    ), gaps AS (
+      SELECT user_id,
+             epoch_ms(session_start)
+             - LAG(epoch_ms(session_start)) OVER (PARTITION BY user_id ORDER BY session_start) AS gap_ms
+      FROM starts
+    ), g AS (
+      SELECT user_id, gap_ms,
+             ROW_NUMBER() OVER (ORDER BY gap_ms, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM gaps WHERE gap_ms IS NOT NULL
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN gap_ms END) // 60000 AS BIGINT) AS median_return_minutes
+    FROM g
+    """,
+    tags=("events", "sessionize", "analytics"),
+)
+def return_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time between a user's consecutive sessions (session
+    start to next session start): the return-latency number that
+    anchors push/re-engagement timing, complementing the
+    gap-sensitivity sweep. Exact lower median via the rank window
+    over inter-session gaps; reported in whole minutes.
+
+    Scale: sessionization and the inter-session lag share the
+    user-keyed shuffle; only the final median ranks globally — over
+    the SESSION-GAP table (≪ events), with the sketch fallback past
+    memory scale."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    starts = sess.groupBy("user_id", "session_idx").agg(F.min("ts").alias("session_start"))
+    wg = Window.partitionBy("user_id").orderBy("session_start")
+    gaps = starts.select(
+        "user_id",
+        (
+            F.unix_millis("session_start")
+            - F.unix_millis(F.lag("session_start").over(wg))
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    wr = Window.orderBy("gap_ms", "user_id")
+    g = gaps.select(
+        "gap_ms",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return g.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.expr("max(CASE WHEN rk = (n + 1) div 2 THEN gap_ms END) div 60000")
+        .cast("long")
+        .alias("median_return_minutes"),
+    )

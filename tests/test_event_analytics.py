@@ -223,3 +223,18 @@ def test_heatmap_covers_events_exactly(spark, sf_dir):
     assert sum(r.n_events for r in rows) == load_table(spark, sf_dir, "events").count()
     for r in rows:
         assert 0 <= r.dow_idx <= 6 and 0 <= r.hour_utc <= 23
+
+
+def test_return_latency_consistent_with_session_counts(spark, sf_dir):
+    from etl_orders_spark.operators.sessionize import session_stats
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    r = query_map()["return_latency_median"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    n_sessions = session_stats(ev, "user_id", "ts", "event_id", gap_minutes=30.0).count()
+    n_users = ev.select("user_id").distinct().count()
+    # one inter-session gap per session beyond a user's first
+    assert r.n_gaps == n_sessions - n_users
+    # a gap between sessions is > the 30-minute inactivity threshold
+    assert r.median_return_minutes >= 30
