@@ -2497,3 +2497,106 @@ def customers_to_half_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_of_base_milli"),
     )
+
+
+# --- part seasonality -------------------------------------------------------
+
+
+@register(
+    "seasonal_parts_top20",
+    """
+    WITH pm AS (
+      SELECT l_partkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mon,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, CAST(SUM(n) AS BIGINT) AS total FROM pm GROUP BY 1
+    ), peak AS (
+      SELECT pm.l_partkey, pt.total,
+             MAX(pm.n * 1000 // pt.total) AS peak_share_milli
+      FROM pm JOIN pt ON pm.l_partkey = pt.l_partkey
+      GROUP BY pm.l_partkey, pt.total
+    )
+    SELECT l_partkey AS partkey, total AS n_lines,
+           CAST(peak_share_milli AS BIGINT) AS peak_month_share_milli
+    FROM peak WHERE total >= 24
+    ORDER BY peak_share_milli DESC, l_partkey
+    LIMIT 20
+    """,
+    tags=("stats", "timeseries", "topk", "analytics"),
+)
+def seasonal_parts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most seasonal parts: highest single-calendar-month share
+    of lifetime sales (uniform = ~83 milli, pure-seasonal = 1000),
+    among parts with enough history (≥ 24 lines) for the share to
+    mean anything — the planning list for inventory pre-positioning.
+
+    Scale: two part-keyed aggregates (month grain then peak), shares
+    in integer milli, and a top-20 TakeOrderedAndProject."""
+    pm = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", F.month("l_shipdate").cast("long").alias("mon"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pt = pm.groupBy("l_partkey").agg(F.sum("n").cast("long").alias("total"))
+    peak = (
+        pm.join(pt, "l_partkey")
+        .groupBy("l_partkey", "total")
+        .agg(F.max(F.expr("n * 1000 div total")).cast("long").alias("peak_share_milli"))
+    )
+    return (
+        peak.filter(F.col("total") >= 24)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("total").alias("n_lines"),
+            F.col("peak_share_milli").alias("peak_month_share_milli"),
+        )
+        .orderBy(F.desc("peak_month_share_milli"), "partkey")
+        .limit(20)
+    )
+
+
+# --- discount-band effectiveness --------------------------------------------
+
+
+@register(
+    "discount_band_effectiveness",
+    """
+    WITH l AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT CASE WHEN disc_cents = 0 THEN '0-none'
+                WHEN disc_cents <= 3 THEN '1-low'
+                WHEN disc_cents <= 6 THEN '2-mid'
+                ELSE '3-deep' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) * 1000 // COUNT(*) AS BIGINT) AS mean_qty_milli,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_line_cents
+    FROM l GROUP BY 1
+    """,
+    tags=("agg", "analytics"),
+)
+def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount effectiveness by band: mean quantity (milli-units,
+    truncating) and mean line value per discount tier — the banded
+    view behind the discount-quantity correlation number, showing
+    WHERE any volume response lives. One conditional aggregate."""
+    l = T(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("disc_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    band = (
+        F.when(F.col("disc_cents") == 0, "0-none")
+        .when(F.col("disc_cents") <= 3, "1-low")
+        .when(F.col("disc_cents") <= 6, "2-mid")
+        .otherwise("3-deep")
+    )
+    return l.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.expr("sum(qty) * 1000 div count(*)").cast("long").alias("mean_qty_milli"),
+        F.expr("sum(cents) div count(*)").cast("long").alias("mean_line_cents"),
+    )

@@ -580,3 +580,23 @@ def test_customers_to_half_revenue_is_minimal(q, spark, sf_dir):
         if 2 * cum >= total:
             break
     assert r.customers_to_half == k
+
+
+def test_seasonal_parts_shares_sane(q, spark, sf_dir):
+    rows = q["seasonal_parts_top20"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    shares = [r.peak_month_share_milli for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    for r in rows:
+        # peak month share is at least the uniform 1/12 and at most all
+        assert 83 <= r.peak_month_share_milli <= 1000
+        assert r.n_lines >= 24
+
+
+def test_discount_bands_partition_lineitem(q, spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = {r.band: r for r in q["discount_band_effectiveness"](spark, sf_dir).collect()}
+    assert set(rows) == {"0-none", "1-low", "2-mid", "3-deep"}
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_lines for r in rows.values()) == total
