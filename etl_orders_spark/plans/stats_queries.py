@@ -2600,3 +2600,49 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(qty) * 1000 div count(*)").cast("long").alias("mean_qty_milli"),
         F.expr("sum(cents) div count(*)").cast("long").alias("mean_line_cents"),
     )
+
+
+# --- sourcing concentration -------------------------------------------------
+
+
+@register(
+    "sourcing_concentration_parts",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(MAX(n) AS BIGINT) AS top_n
+      FROM ps GROUP BY 1
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(top_n * 1000 // total) // COUNT(*) AS BIGINT) AS mean_top_supplier_share_milli
+    FROM pt GROUP BY n_suppliers
+    """,
+    tags=("stats", "agg", "analytics"),
+)
+def sourcing_concentration_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain risk profile: parts grouped by how many suppliers
+    ship them, with the mean top-supplier share per group — the
+    single-source-dependency report (n_suppliers = 1 rows are the
+    risk register). Two keyed aggregates, both map-side combinable;
+    argmax-by-count folds into MAX on the (part, supplier) grain."""
+    ps = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    return pt.groupBy(F.col("n_suppliers").cast("long").alias("n_suppliers")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.expr("sum(top_n * 1000 div total) div count(*)")
+        .cast("long")
+        .alias("mean_top_supplier_share_milli"),
+    )

@@ -1150,3 +1150,35 @@ def return_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_return_minutes"),
     )
+
+
+@register(
+    "props_key_coverage",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS coverage_milli
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "json", "dq"),
+)
+def props_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-drift guard: per event type, the share
+    of events whose JSON props actually contain the key `k` that
+    downstream queries extract — the coverage number that catches a
+    producer silently dropping or renaming a field (the plain
+    row-count DQ gate can't see inside the JSON). JVM-side
+    get_json_object, one conditional aggregate."""
+    ev = T(spark, sf_dir, "events")
+    has_k = F.get_json_object("props", "$.k").isNotNull()
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(has_k, 1).otherwise(0)).cast("long").alias("n_with_k"),
+        F.expr(
+            "sum(CASE WHEN get_json_object(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) * 1000 div count(*)"
+        )
+        .cast("long")
+        .alias("coverage_milli"),
+    )

@@ -238,3 +238,14 @@ def test_return_latency_consistent_with_session_counts(spark, sf_dir):
     assert r.n_gaps == n_sessions - n_users
     # a gap between sessions is > the 30-minute inactivity threshold
     assert r.median_return_minutes >= 30
+
+
+def test_props_coverage_bounds(spark, sf_dir):
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = query_map()["props_key_coverage"](spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 0 <= r.n_with_k <= r.n_events
+        assert r.coverage_milli == r.n_with_k * 1000 // r.n_events

@@ -600,3 +600,14 @@ def test_discount_bands_partition_lineitem(q, spark, sf_dir):
     assert set(rows) == {"0-none", "1-low", "2-mid", "3-deep"}
     total = load_table(spark, sf_dir, "lineitem").count()
     assert sum(r.n_lines for r in rows.values()) == total
+
+
+def test_sourcing_concentration_partitions_parts(q, spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = q["sourcing_concentration_parts"](spark, sf_dir).collect()
+    n_parts = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == n_parts
+    for r in rows:
+        # top share is at least the uniform share and at most everything
+        assert 1000 // r.n_suppliers <= r.mean_top_supplier_share_milli <= 1000
