@@ -2646,3 +2646,72 @@ def sourcing_concentration_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_top_supplier_share_milli"),
     )
+
+
+# --- market-segment dashboard -----------------------------------------------
+
+
+@register(
+    "segment_performance_report",
+    """
+    WITH cr AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END AS BIGINT) AS neg_bal,
+             CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS rev
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT segment, rev, neg_bal,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY rev, c_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM cr
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN rev END) AS BIGINT) AS median_customer_cents,
+           CAST(SUM(neg_bal) * 1000 // MAX(n) AS BIGINT) AS neg_balance_milli
+    FROM r GROUP BY segment
+    """,
+    tags=("stats", "window", "analytics"),
+)
+def segment_performance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment dashboard: customer count, total revenue, the
+    exact median customer revenue (rank window; zero for never-
+    ordered customers, kept via the LEFT join so the median reflects
+    the whole base), and the negative-account-balance share — the
+    one-screen segment health view.
+
+    Scale: customer⋈orders co-partitions on the key; the median
+    window partitions by the 5-value segment (the documented approx
+    fallback applies to a mega-segment)."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).cast("long").alias("neg_bal"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    cr = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("segment", "c_custkey", "neg_bal")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("rev"))
+    )
+    wr = Window.partitionBy("segment").orderBy("rev", "c_custkey")
+    wn = Window.partitionBy("segment")
+    r = cr.select(
+        "segment",
+        "rev",
+        "neg_bal",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("rev").cast("long").alias("rev_cents"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("rev")))
+        .cast("long")
+        .alias("median_customer_cents"),
+        F.expr("sum(neg_bal) * 1000 div max(n)").cast("long").alias("neg_balance_milli"),
+    )

@@ -611,3 +611,14 @@ def test_sourcing_concentration_partitions_parts(q, spark, sf_dir):
     for r in rows:
         # top share is at least the uniform share and at most everything
         assert 1000 // r.n_suppliers <= r.mean_top_supplier_share_milli <= 1000
+
+
+def test_segment_report_covers_customer_base(q, spark, sf_dir):
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = q["segment_performance_report"](spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_customers for r in rows) == n_customers
+    for r in rows:
+        assert 0 <= r.neg_balance_milli <= 1000
+        assert 0 <= r.median_customer_cents  # never-ordered customers allowed
