@@ -751,7 +751,7 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CAST(len({_DOC_TOKENS}) AS INT) AS n_toks,
-           list_slice(list_sort({_DOC_TOKENS}), 1, 3) AS first3_sorted,
+           array_to_string(list_slice(list_sort({_DOC_TOKENS}), 1, 3), ',') AS first3_sorted,
            list_contains({_DOC_TOKENS}, 'the') AS has_the,
            CAST(len(list_distinct({_DOC_TOKENS})) AS INT) AS n_uniq
     FROM documents
@@ -760,14 +760,17 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar surface (A5): size/sort/slice/contains/distinct over
-    the tokenized text — all higher-order-free JVM array ops."""
+    the tokenized text — all higher-order-free JVM array ops. The array
+    output column is serialized with array_join on both engine and
+    oracle sides because the driver's pandas canonicalizer cannot sort
+    raw array cells (unhashable numpy.ndarray)."""
     from etl_orders_spark.functions.text import tokens
 
     toks = tokens(F.lower("text"))
     return T(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(toks).alias("n_toks"),
-        F.slice(F.array_sort(toks), 1, 3).alias("first3_sorted"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), ",").alias("first3_sorted"),
         F.array_contains(toks, "the").alias("has_the"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
     )
@@ -777,20 +780,21 @@ def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_status_sets",
     """
     SELECT o_custkey AS custkey,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey
     """,
     tags=("agg", "array"),
 )
 def collect_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set → sorted array per key (sorted so the value hash is
-    order-insensitive across engines)."""
+    """collect_set → sorted array per key, serialized with array_join
+    (sorted so the value hash is order-insensitive across engines;
+    joined because the driver's canonicalizer cannot hash array cells)."""
     return (
         T(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

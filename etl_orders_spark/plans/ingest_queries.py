@@ -1,0 +1,173 @@
+"""S1/S2 ingestion queries — the reference's actual extract path, oracle-checked.
+
+The reference's primary ingestion is CSV + a JSON envelope (reference:
+dags/etl.py:34-43); until this module the engine's CSV/JSON readers
+were exercised only by pytest. Here both scans are registered queries:
+Spark reads the deterministic fixture files through the engine's S1/S2
+readers while the DuckDB oracle reads the very same files with
+``read_csv``/``read_json``, so the value hash certifies the ingestion
+path end-to-end, not just the downstream plan.
+
+Scale notes: CSV/JSON are the landing formats, not the processing
+formats — the readers declare explicit schemas (no inference pass),
+dimension joins broadcast, and the production pattern stages landed
+data to parquet immediately (sources/writers.py). The fixture staging
+is driver-side pure Python by design: the envelope form is a single
+whole-file document, so at 100 TB it arrives as many files, each one a
+split of the multiLine JSON relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_orders_spark.plans.registry import register
+from etl_orders_spark.sources.fixtures import (
+    ORDERS_CSV,
+    PRODUCTS_CSV,
+    USER_INFO_JSON,
+    USERS_CSV,
+    ensure_ingest_fixtures,
+)
+from etl_orders_spark.sources.readers import read_csv, read_json_envelope
+
+# Stage at import: registration happens in both the Spark and the
+# DuckDB halves of the driver, so the fixture bytes exist (and are
+# identical — idempotent, versioned) before either engine scans them.
+ensure_ingest_fixtures()
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("Fecha", T.StringType()),
+        T.StructField("Product_ID", T.LongType()),
+        T.StructField("User_ID", T.LongType()),
+    ]
+)
+PRODUCTS_SCHEMA = T.StructType(
+    [
+        T.StructField("Id", T.LongType()),
+        T.StructField("Name", T.StringType()),
+        T.StructField("Category", T.StringType()),
+        T.StructField("Price", T.LongType()),
+    ]
+)
+USERS_SCHEMA = T.StructType(
+    [
+        T.StructField("Id", T.LongType()),
+        T.StructField("Document", T.LongType()),
+    ]
+)
+USER_INFO_ENVELOPE = T.StructType(
+    [
+        T.StructField("status", T.IntegerType()),
+        T.StructField(
+            "data",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("document", T.LongType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("birthday", T.StringType()),
+                        T.StructField("gender", T.StringType()),
+                        T.StructField("email", T.StringType()),
+                        T.StructField("phone", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_ORDERS_COLS = "{'Fecha':'VARCHAR','Product_ID':'BIGINT','User_ID':'BIGINT'}"
+_PRODUCTS_COLS = "{'Id':'BIGINT','Name':'VARCHAR','Category':'VARCHAR','Price':'BIGINT'}"
+_USERS_COLS = "{'Id':'BIGINT','Document':'BIGINT'}"
+
+
+@register(
+    "csv_star_ingest",
+    f"""
+    SELECT o.Fecha AS order_date,
+           o.User_ID AS user_id,
+           o.Product_ID AS product_id,
+           p.Name AS product_name,
+           p.Category AS category,
+           p.Price AS price
+    FROM read_csv('{ORDERS_CSV}', header=true, columns={_ORDERS_COLS}) o
+    JOIN read_csv('{PRODUCTS_CSV}', header=true, columns={_PRODUCTS_COLS}) p
+      ON o.Product_ID = p.Id
+    JOIN read_csv('{USERS_CSV}', header=true, columns={_USERS_COLS}) u
+      ON o.User_ID = u.Id
+    """,
+    tags=("source", "csv", "join", "projection"),
+)
+def csv_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — CSV scan feeding the reference's 3-way star denormalization
+    (reference: dags/etl.py:41-43 extract, 109-122 transform): orders ⋈
+    products on Product_ID=Id (inner join sheds dangling FKs 1/9/10 —
+    the reference's RI-filter semantics, SURVEY.md §1.4) then ⋈ users
+    on User_ID=Id, projected to the reference's final 6 columns.
+
+    Explicit schemas (never inferSchema — one fewer pass, no type
+    drift); both dims broadcast so the fact side never shuffles.
+    """
+    ensure_ingest_fixtures()
+    orders = read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA)
+    products = F.broadcast(read_csv(spark, PRODUCTS_CSV, PRODUCTS_SCHEMA))
+    users = F.broadcast(read_csv(spark, USERS_CSV, USERS_SCHEMA))
+    return (
+        orders.join(products, orders["Product_ID"] == products["Id"], "inner")
+        .join(users, orders["User_ID"] == users["Id"], "inner")
+        .select(
+            F.col("Fecha").alias("order_date"),
+            F.col("User_ID").alias("user_id"),
+            F.col("Product_ID").alias("product_id"),
+            F.col("Name").alias("product_name"),
+            F.col("Category").alias("category"),
+            F.col("Price").alias("price"),
+        )
+    )
+
+
+@register(
+    "json_envelope_ingest",
+    f"""
+    SELECT CASE gender WHEN 'Male' THEN 'M' WHEN 'f' THEN 'F' ELSE gender END AS gender_clean,
+           COUNT(*) AS n,
+           MIN(document) AS min_doc,
+           MAX(document) AS max_doc,
+           MIN(split_part(birthday, 'T', 1)) AS min_birth,
+           MAX(split_part(birthday, 'T', 1)) AS max_birth
+    FROM (SELECT unnest(data, recursive := true) FROM read_json('{USER_INFO_JSON}'))
+    GROUP BY 1
+    """,
+    tags=("source", "json", "scalar", "agg"),
+)
+def json_envelope_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — JSON envelope scan + flatten + the reference's cleanup
+    transforms (reference: dags/etl.py:34-40 extract, 48-66 transform):
+    explode the ``data`` array distributed-side, recode the dirty
+    gender domain (Male→M, f→F; P5), truncate the ISO birthday at 'T'
+    (P6), then profile per clean gender. The reference instead pulls
+    the whole document into driver memory with json.load +
+    pd.json_normalize.
+    """
+    ensure_ingest_fixtures()
+    flat = read_json_envelope(spark, USER_INFO_JSON, USER_INFO_ENVELOPE)
+    g = F.col("gender")
+    return (
+        flat.select(
+            F.when(g == "Male", "M").when(g == "f", "F").otherwise(g).alias("gender_clean"),
+            "document",
+            F.substring_index("birthday", "T", 1).alias("birth"),
+        )
+        .groupBy("gender_clean")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("document").alias("min_doc"),
+            F.max("document").alias("max_doc"),
+            F.min("birth").alias("min_birth"),
+            F.max("birth").alias("max_birth"),
+        )
+    )
