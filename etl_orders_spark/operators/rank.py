@@ -1,0 +1,122 @@
+"""Two-pass distributed global rank / running sum.
+
+``Window.orderBy(...)`` with no partition spec funnels every row
+through ONE task — correct, but a scale ceiling the moment the ranked
+grain grows with the data (orders, customers, vocabulary). This
+operator computes exact global ranks and running sums with no
+single-partition stage, using the classic two-pass construction:
+
+1. **Range-partition** the input on the sort key
+   (``repartitionByRange`` — Spark's sampling RangePartitioner, the
+   same machinery behind a distributed ORDER BY), stamping each row
+   with its physical partition id.
+2. **Local pass**: per-partition ``row_number`` / running sums via a
+   window PARTITIONED by that id — every partition ranks its own rows
+   in parallel.
+3. **Offsets pass**: per-partition row counts / value totals (a
+   P-row aggregate, P = partition count), prefix-summed with a window
+   over those P rows — bounded by cluster layout, not by data — and
+   broadcast-joined back; global rank = partition offset + local rank.
+
+Exactness: the caller's sort key must include a unique tiebreaker so
+the order is total; then offsets + local ranks equal the
+single-partition answer bit-for-bit regardless of where the sampled
+range boundaries fall. The audit marker column ``_tpr_pid`` is how
+the fleet-wide plan test (tests/test_plans.py) recognizes the one
+remaining — provably P-row — global window as vetted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PID = "_tpr_pid"
+_LRK = "_tpr_lrk"
+
+
+def two_pass_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str | None = "rk",
+    cumsum: Mapping[str, Column] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` (and optional running sums) over
+    ``order_by`` without a single-partition window.
+
+    ``order_by``: sort expressions forming a TOTAL order (include a
+    unique tiebreaker — ties split across range partitions would
+    otherwise make ranks partition-dependent).
+    ``rank_col``: name for the 1-based global rank (None to skip).
+    ``cumsum``: {out_col: value column} inclusive running sums in the
+    same order.
+    ``partitions``: range-partition count; defaults to the session's
+    ``spark.sql.shuffle.partitions``.
+    """
+    cumsum = dict(cumsum or {})
+    if rank_col is None and not cumsum:
+        raise ValueError("nothing to compute: rank_col is None and cumsum is empty")
+    spark = df.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ranged = df.repartitionByRange(n_part, *order_by).withColumn(PID, F.spark_partition_id())
+
+    # local pass — parallel per range partition
+    w_loc = Window.partitionBy(PID).orderBy(*order_by)
+    w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ranged.withColumn(_LRK, F.row_number().over(w_loc))
+    for out, col in cumsum.items():
+        local = local.withColumn(f"_tpr_run_{out}", F.sum(col).over(w_run))
+
+    # offsets pass — P rows total (bounded by partition count, not data);
+    # the range exchange is shared with the local pass (ReusedExchange)
+    sizes = ranged.groupBy(PID).agg(
+        F.count(F.lit(1)).alias("_tpr_cnt"),
+        *[F.sum(col).alias(f"_tpr_tot_{out}") for out, col in cumsum.items()],
+    )
+    w_off = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        PID,
+        F.coalesce(F.sum("_tpr_cnt").over(w_off), F.lit(0)).alias("_tpr_off"),
+        *[
+            F.coalesce(F.sum(f"_tpr_tot_{out}").over(w_off), F.lit(0)).alias(f"_tpr_soff_{out}")
+            for out in cumsum
+        ],
+    )
+
+    out_df = local.join(F.broadcast(offsets), PID)
+    if rank_col is not None:
+        out_df = out_df.withColumn(
+            rank_col, (F.col("_tpr_off") + F.col(_LRK)).cast("long")
+        )
+    for out in cumsum:
+        out_df = out_df.withColumn(
+            out, (F.col(f"_tpr_soff_{out}") + F.col(f"_tpr_run_{out}")).cast("long")
+        )
+    drop = [PID, _LRK, "_tpr_off"] + [c for out in cumsum for c in (f"_tpr_run_{out}", f"_tpr_soff_{out}")]
+    return out_df.drop(*drop)
+
+
+def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` from a global rank and the row count —
+    the distributed replacement for ``ntile().over(Window.orderBy(...))``
+    (whose partition-less window single-tasks).
+
+    SQL semantics: with q = n div k and r = n mod k, the first r
+    buckets carry q+1 rows, the rest q — reproduced as pure integer
+    arithmetic on the two-pass rank, so the bucketing matches the
+    oracle's NTILE bit-for-bit. Requires a total order underneath
+    (same contract as two_pass_rank)."""
+    n_l = n.cast("long")
+    rk_l = rk.cast("long")
+    q = F.floor(n_l / F.lit(k)).cast("long")
+    r = n_l - q * F.lit(k)
+    big_span = r * (q + F.lit(1))  # rows covered by the wide buckets
+    return F.when(
+        rk_l <= big_span, F.floor((rk_l - 1) / (q + F.lit(1))).cast("long") + F.lit(1)
+    ).otherwise(r + F.floor((rk_l - big_span - F.lit(1)) / q).cast("long") + F.lit(1)).cast(
+        "long"
+    )

@@ -147,7 +147,13 @@ def _gemm_topk_cogrouped(
     by the group size, which the caller controls via bucketing. Local
     top-k per group then a global top-k merge is EXACT over the candidate
     union: a globally top-k candidate has <k better candidates in every
-    group it shares with the query."""
+    group it shares with the query.
+
+    The output id types mirror the input id columns (not hardcoded
+    long), so string / int / long document ids all pass the Arrow
+    boundary unchanged."""
+    q_id_t = queries.schema["query_id"].dataType.simpleString()
+    c_id_t = corpus.schema["neighbor_id"].dataType.simpleString()
 
     def score(qpdf, cpdf):
         import numpy as np
@@ -155,8 +161,8 @@ def _gemm_topk_cogrouped(
 
         empty = pd.DataFrame(
             {
-                "query_id": np.array([], dtype=np.int64),
-                "neighbor_id": np.array([], dtype=np.int64),
+                "query_id": np.array([], dtype=object),
+                "neighbor_id": np.array([], dtype=object),
                 "cos": np.array([], dtype=np.float64),
             }
         )
@@ -194,7 +200,7 @@ def _gemm_topk_cogrouped(
     return (
         queries.groupBy(*keys)
         .cogroup(corpus.groupBy(*keys))
-        .applyInPandas(score, "query_id long, neighbor_id long, cos double")
+        .applyInPandas(score, f"query_id {q_id_t}, neighbor_id {c_id_t}, cos double")
     )
 
 
@@ -518,8 +524,10 @@ def mmr_topk(
         "neighbor_id",
     ).select("query_id", "neighbor_id", "cos", "nv")
 
+    # id types mirror the caller's id column — string/int/long ids all work
+    id_t = queries.schema[id_col].dataType.simpleString()
     out_schema = (
-        "query_id long, neighbor_id long, cos double, mmr_rank int, mmr_score double"
+        f"query_id {id_t}, neighbor_id {id_t}, cos double, mmr_rank int, mmr_score double"
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:

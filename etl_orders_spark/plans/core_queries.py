@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.cleaning import clean_priority
+from etl_orders_spark.operators.rank import two_pass_rank
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.sources.readers import load_table as T
 
@@ -1115,15 +1116,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_stats_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile/percent_rank/cume_dist)
-    over a deterministic total order. Note: a global (partition-less)
-    window single-partitions — acceptable for a final ranked report,
-    never for a fact table (partition or pre-aggregate first)."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return T(spark, sf_dir, "customer").select(
+    over a deterministic total order — rebuilt from the two-pass
+    range-partitioned rank (operators/rank.py): under a total order
+    (unique tiebreaker, so rank == row_number and cume_dist == rk/n)
+    ntile = ntile_from_rank, percent_rank = (rk−1)/(n−1) — identical
+    values to the window forms, with no single-partition stage."""
+    from etl_orders_spark.operators.rank import ntile_from_rank, two_pass_rank
+
+    cust = T(spark, sf_dir, "customer")
+    ranked = two_pass_rank(cust, [F.col("c_acctbal"), F.col("c_custkey")], rank_col="_rk")
+    n = cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
         F.col("c_custkey").alias("custkey"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(F.col("_rk"), F.col("_n"), 4).cast("int").alias("quartile"),
+        F.round(
+            F.when(F.col("_n") > 1, (F.col("_rk") - 1) / (F.col("_n") - 1)).otherwise(0.0), 6
+        ).alias("pct_rank"),
+        F.round(F.col("_rk") / F.col("_n"), 6).alias("cume"),
     )
 
 
@@ -1604,10 +1613,12 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-value deciles (the LTV segmentation cut): lifetime
     revenue per customer, NTILE(10) over the deterministic
     (revenue desc, key) order, then per-decile totals. The per-customer
-    aggregate is the only fact-scale shuffle; the window runs over the
-    already-aggregated customer table. At 100 TB an unpartitioned
-    NTILE would single-task — swap in the percent_rank bucketing over
-    a pre-sorted range partitioning if customers outgrow one task."""
+    aggregate is the only fact-scale shuffle; the NTILE is rebuilt
+    exactly from the two-pass range-partitioned rank
+    (operators/rank.py ntile_from_rank) — no single-partition window
+    on the customer grain."""
+    from etl_orders_spark.operators.rank import ntile_from_rank, two_pass_rank
+
     c = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1617,9 +1628,11 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    w = Window.orderBy(F.desc("rev_cents"), "o_custkey")
+    ranked = two_pass_rank(c, [F.col("rev_cents").desc(), F.col("o_custkey")], rank_col="rk")
+    n = c.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     return (
-        c.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("decile", ntile_from_rank(F.col("rk"), F.col("_n"), 10))
         .groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
@@ -1713,10 +1726,12 @@ def calendar_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto curve head: top-100 customers with running revenue share
     (the 80/20 audit). Customers aggregate first (the only fact-scale
-    shuffle); the running sum orders by (revenue desc, key) so the
-    cumulative share is deterministic; shares are integer milli-units
-    via truncating division — exact in both engines for positive
-    sums."""
+    shuffle); rank and running sum come from the two-pass
+    range-partitioned rank (operators/rank.py), ordered by
+    (revenue desc, key) so the cumulative share is deterministic —
+    no single-partition window on the customer grain; shares are
+    integer milli-units via truncating division — exact in both
+    engines for positive sums."""
     c = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1727,11 +1742,13 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = c.agg(F.sum("rev_cents").cast("long").alias("_total"))
-    w = Window.orderBy(F.desc("rev_cents"), "o_custkey")
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        c.withColumn("rk", F.row_number().over(w).cast("long"))
-        .withColumn("cum_cents", F.sum("rev_cents").over(wsum).cast("long"))
+        two_pass_rank(
+            c,
+            [F.col("rev_cents").desc(), F.col("o_custkey")],
+            rank_col="rk",
+            cumsum={"cum_cents": F.col("rev_cents")},
+        )
         .filter(F.col("rk") <= 100)
         .crossJoin(F.broadcast(total))
         .select(
@@ -1960,15 +1977,15 @@ _RFM_ANCHOR = "1998-12-01"  # constant "as of" date for recency
       FROM per_cust
     )
     SELECT custkey, recency_days, frequency, monetary_cents,
-           CAST(1 + CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END
-                  + CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END
-                  + CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END AS BIGINT) AS r_score,
-           CAST(1 + CASE WHEN frequency > fq[1] THEN 1 ELSE 0 END
-                  + CASE WHEN frequency > fq[2] THEN 1 ELSE 0 END
-                  + CASE WHEN frequency > fq[3] THEN 1 ELSE 0 END AS BIGINT) AS f_score,
-           CAST(1 + CASE WHEN monetary_cents > mq[1] THEN 1 ELSE 0 END
-                  + CASE WHEN monetary_cents > mq[2] THEN 1 ELSE 0 END
-                  + CASE WHEN monetary_cents > mq[3] THEN 1 ELSE 0 END AS BIGINT) AS m_score
+           CAST(1 + CASE WHEN recency_days * 1000 > FLOOR(rq[1] * 1000 + 0.5) THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days * 1000 > FLOOR(rq[2] * 1000 + 0.5) THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days * 1000 > FLOOR(rq[3] * 1000 + 0.5) THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+           CAST(1 + CASE WHEN frequency * 1000 > FLOOR(fq[1] * 1000 + 0.5) THEN 1 ELSE 0 END
+                  + CASE WHEN frequency * 1000 > FLOOR(fq[2] * 1000 + 0.5) THEN 1 ELSE 0 END
+                  + CASE WHEN frequency * 1000 > FLOOR(fq[3] * 1000 + 0.5) THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+           CAST(1 + CASE WHEN monetary_cents * 1000 > FLOOR(mq[1] * 1000 + 0.5) THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_cents * 1000 > FLOOR(mq[2] * 1000 + 0.5) THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_cents * 1000 > FLOOR(mq[3] * 1000 + 0.5) THEN 1 ELSE 0 END AS BIGINT) AS m_score
     FROM per_cust CROSS JOIN q
     """,
     tags=("agg", "analytics", "segmentation"),
@@ -1979,7 +1996,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores come from comparing against EXACT percentile boundaries
     computed in one aggregate and broadcast back — not a global NTILE,
     whose single-partition window is exactly what dies at 100 TB.
-    Monetary is integer cents so both engines sum exactly."""
+    Monetary is integer cents so both engines sum exactly. Quartile
+    boundaries are compared in integer milli-units (boundary rounded
+    via FLOOR(q·1000 + 0.5) on both sides): interpolated quartiles of
+    integer data are mathematically integral at milli precision, so
+    the rounding erases cross-engine ulp noise that a raw double '>'
+    would let flip a boundary-seated customer's score."""
     o = T(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(F.lit(_RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date")))
@@ -1999,7 +2021,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(col: str, bounds: str):
         s = F.lit(1)
         for i in (1, 2, 3):
-            s = s + F.when(F.col(col) > F.element_at(bounds, i), 1).otherwise(0)
+            b_milli = F.floor(F.element_at(bounds, i) * 1000 + F.lit(0.5))
+            s = s + F.when(F.col(col) * 1000 > b_milli, 1).otherwise(0)
         return s.cast("long")
 
     return per_cust.crossJoin(F.broadcast(q)).select(

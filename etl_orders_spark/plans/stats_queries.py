@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.text import quality_score
+from etl_orders_spark.operators.rank import two_pass_rank
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.plans.text_queries import _QUALITY
 from etl_orders_spark.sources.readers import load_table as T
@@ -1353,21 +1354,17 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents — exact end-to-end, one truncating division at the
     very end. The inequality companion to the Pareto head and the HHI.
 
-    Scale: the global rank here is a single sort of the CUSTOMER
-    aggregate (3+ orders of magnitude under fact rows). Past that,
-    exact global ranks come from the two-pass range-partitioned sort
-    (per-partition counts → offsets — Spark's sort machinery), or the
-    binned approximation on a revenue histogram; 2Σi·y caps int64
-    around 10^9 customers at typical revenue — then the sums move to
-    DECIMAL(38) partials."""
+    Scale: exact global ranks come from the two-pass range-partitioned
+    rank (operators/rank.py) — the customer aggregate sorts in
+    parallel range partitions, no single-partition window; 2Σi·y caps
+    int64 around 10^9 customers at typical revenue — then the sums
+    move to DECIMAL(38) partials."""
     c = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
     )
-    r = c.select(
-        "y", F.row_number().over(Window.orderBy("y", "o_custkey")).cast("long").alias("rk")
-    )
+    r = two_pass_rank(c, [F.col("y"), F.col("o_custkey")], rank_col="rk").select("y", "rk")
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
@@ -1460,22 +1457,21 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer milli via truncating division; the running sum orders by
     (revenue desc, partkey) so class boundaries are deterministic.
 
-    Scale: same posture as pareto_customer_revenue — the global
-    window runs on the part-grain aggregate (orders of magnitude
-    under fact rows; the two-pass range-partitioned rank takes over
-    past that), and the output is three rows."""
+    Scale: same posture as pareto_customer_revenue — the running sum
+    over the part-grain aggregate comes from the two-pass
+    range-partitioned rank (operators/rank.py), no single-partition
+    window; the output is three rows."""
     p = (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("rev"))
     )
     t = p.agg(F.sum("rev").cast("long").alias("_total"))
-    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = two_pass_rank(
+        p, [F.col("rev").desc(), F.col("l_partkey")], rank_col=None, cumsum={"_cum": F.col("rev")}
     )
-    r = (
-        p.crossJoin(F.broadcast(t))
-        .withColumn("cum_milli", F.expr("sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000 div _total").cast("long"))
+    r = cum.crossJoin(F.broadcast(t)).withColumn(
+        "cum_milli", F.expr("_cum * 1000 div _total").cast("long")
     )
     cls = (
         F.when(F.col("cum_milli") <= 800, "A")
@@ -1831,9 +1827,12 @@ def ks_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
     per value first, then the ordered cumsum) — tie-free by
     construction, where a row-level cumsum would make intermediate
     values depend on engine-specific ordering within equal-value
-    runs. Scale: exact KS is inherently a sorted scan of distinct
-    values; past memory-scale the documented route is the binned ECDF
-    (value histogram) whose D error is bounded by bin width."""
+    runs. Scale: the ordered cumsum over distinct values runs through
+    the two-pass range-partitioned rank (operators/rank.py) — no
+    single-partition window even when distinct-value cardinality
+    approaches row cardinality; the binned ECDF (value histogram)
+    remains the documented approximation when even the value grain
+    must shrink."""
     s = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -1850,11 +1849,9 @@ def ks_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("d1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("d2"),
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = v.select(
-        F.sum("d1").over(w).alias("c1"),
-        F.sum("d2").over(w).alias("c2"),
-    )
+    c = two_pass_rank(
+        v, [F.col("cents")], rank_col=None, cumsum={"c1": F.col("d1"), "c2": F.col("d2")}
+    ).select("c1", "c2")
     return (
         c.crossJoin(F.broadcast(n))
         .groupBy("n1", "n2")
@@ -1908,8 +1905,9 @@ def mannwhitney_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFra
     U asks "is one stochastically larger?".
 
     Scale: identical machinery to ks_price_urgent_vs_low — value-
-    grain aggregate, one ordered cumsum over distinct values, a
-    constant-size final reduction; same binned-ECDF fallback."""
+    grain aggregate, the ordered cumsum via the two-pass
+    range-partitioned rank (operators/rank.py), a constant-size final
+    reduction; same binned-ECDF fallback."""
     s = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -1922,10 +1920,9 @@ def mannwhitney_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("d1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("d2"),
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = v.select(
-        "d1", "d2", F.sum(F.col("d1") + F.col("d2")).over(w).alias("cum")
-    )
+    c = two_pass_rank(
+        v, [F.col("cents")], rank_col=None, cumsum={"cum": F.col("d1") + F.col("d2")}
+    ).select("d1", "d2", "cum")
     agg = c.agg(
         F.sum("d1").cast("long").alias("n1"),
         F.sum("d2").cast("long").alias("n2"),
@@ -2117,19 +2114,18 @@ def revenue_by_order_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli — the one-table answer to "do small orders matter?".
     Bucket = (rank−1)·10 div n is exact and gap-tolerant.
 
-    Scale: same single-sort posture as the Pareto/Gini family over
-    the order grain; the two-pass distributed rank replaces the
-    global window past memory scale."""
+    Scale: ranks come from the two-pass range-partitioned rank
+    (operators/rank.py) — no single-partition window anywhere; the
+    order grain sorts in parallel range partitions and only a P-row
+    offsets table is prefix-summed."""
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_orderkey")
-    r = o.select(
-        "cents",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    r = two_pass_rank(o, [F.col("cents"), F.col("o_orderkey")], rank_col="rk")
+    t = o.agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
-    t = o.agg(F.sum("cents").cast("long").alias("total"))
     return (
         r.crossJoin(F.broadcast(t))
         .groupBy(F.expr("(rk - 1) * 10 div n").cast("long").alias("decile"), "total")
@@ -2472,20 +2468,22 @@ def customers_to_half_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the customer base. The single number executives quote from the
     Pareto curve.
 
-    Scale: same customer-grain global-window posture as Pareto/Gini,
-    with the two-pass distributed rank past memory scale."""
+    Scale: ranks and running sums from the two-pass range-partitioned
+    rank (operators/rank.py); base totals are a plain aggregate
+    broadcast back — no single-partition window on the customer
+    grain."""
     c = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev"))
     )
-    w = Window.orderBy(F.desc("rev"), "o_custkey")
-    r = c.select(
-        F.row_number().over(w).alias("rk"),
-        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked = two_pass_rank(
+        c, [F.col("rev").desc(), F.col("o_custkey")], rank_col="rk", cumsum={"cum": F.col("rev")}
     )
+    base = c.agg(
+        F.sum("rev").cast("long").alias("total"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = ranked.crossJoin(F.broadcast(base))
     return r.agg(
         F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("rk")))
         .cast("long")

@@ -1011,10 +1011,12 @@ def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact-integer quotient/remainder OLS as
     ols_daily_revenue_trend — no doubles past the pointwise logs.
 
-    Scale: term counting is the standard (term) shuffle; the rank
-    window runs on the frequency table (vocabulary-bounded, and only
-    the top-1000 head feeds the fit)."""
+    Scale: term counting is the standard (term) shuffle; ranks over
+    the vocabulary grain come from the two-pass range-partitioned
+    rank (operators/rank.py) — the frequency table sorts in parallel
+    range partitions, then only the top-1000 head feeds the fit."""
     from etl_orders_spark.functions.text import tokens as _tokens
+    from etl_orders_spark.operators.rank import two_pass_rank
 
     freq = (
         T(spark, sf_dir, "documents")
@@ -1022,9 +1024,9 @@ def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    ranked = freq.select(
-        "f", F.row_number().over(Window.orderBy(F.desc("f"), "term")).alias("rk")
-    ).filter(F.col("rk") <= _ZIPF_TOP)
+    ranked = two_pass_rank(freq, [F.col("f").desc(), F.col("term")], rank_col="rk").filter(
+        F.col("rk") <= _ZIPF_TOP
+    )
     pts = ranked.select(
         F.floor(F.log(F.col("rk").cast("double")) * F.lit(1000.0)).cast("long").alias("x"),
         F.floor(F.log(F.col("f").cast("double")) * F.lit(1000.0)).cast("long").alias("y"),

@@ -1108,9 +1108,9 @@ def return_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     over inter-session gaps; reported in whole minutes.
 
     Scale: sessionization and the inter-session lag share the
-    user-keyed shuffle; only the final median ranks globally — over
-    the SESSION-GAP table (≪ events), with the sketch fallback past
-    memory scale."""
+    user-keyed shuffle; the final median ranks the session-gap table
+    through the two-pass range-partitioned rank (operators/rank.py)
+    — no single-partition window even though gaps grow with users."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
@@ -1138,12 +1138,11 @@ def return_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_millis(F.lag("session_start").over(wg))
         ).alias("gap_ms"),
     ).filter(F.col("gap_ms").isNotNull())
-    wr = Window.orderBy("gap_ms", "user_id")
-    g = gaps.select(
-        "gap_ms",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    from etl_orders_spark.operators.rank import two_pass_rank
+
+    ranked = two_pass_rank(gaps, [F.col("gap_ms"), F.col("user_id")], rank_col="rk")
+    nn = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = ranked.crossJoin(F.broadcast(nn))
     return g.agg(
         F.max("n").cast("long").alias("n_gaps"),
         F.expr("max(CASE WHEN rk = (n + 1) div 2 THEN gap_ms END) div 60000")

@@ -36,24 +36,31 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
-@lru_cache(maxsize=None)
 def _events_ts_is_nanos(path: str) -> bool:
     """True iff the events file stores ``ts`` as TIMESTAMP(NANOS).
 
     Different testdata generations encode ``ts`` differently (INT64
     TIMESTAMP(NANOS) vs plain TIMESTAMP(MICROS)); one driver-side footer
     read (pyarrow, no data pages) disambiguates so the declared Spark
-    schema always matches the physical type. Cached per path — at 100 TB
-    this is one footer, not a scan.
+    schema always matches the physical type. Cached per (file, mtime,
+    size) — not per path alone, so a fixture regenerated in place with
+    the other encoding (exactly the drift this sniff exists for) is
+    re-sniffed instead of read with a stale schema.
     """
-    import pyarrow.parquet as pq
-
     target = path
     if os.path.isdir(path):
         parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
         if not parts:
             return False
         target = os.path.join(path, parts[0])
+    st = os.stat(target)
+    return _sniff_ts_unit(target, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=None)
+def _sniff_ts_unit(target: str, mtime_ns: int, size: int) -> bool:
+    import pyarrow.parquet as pq
+
     field = pq.ParquetFile(target).schema_arrow.field("ts")
     return getattr(field.type, "unit", None) == "ns"
 
@@ -91,9 +98,14 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same footer-sniff dispatch as the batch path (the sniff itself is a
     driver-side pyarrow read, legal before the stream starts): NANOS
     files scan as long and convert with the identical truncating
-    ``ts div 1000``; MICROS files read natively as TimestampType. The
-    file source wants a directory, so the single table file is selected
-    with pathGlobFilter.
+    ``ts div 1000``; MICROS files read natively as TimestampType.
+
+    Path dispatch mirrors the batch sniff's: when ``events.parquet``
+    is a DIRECTORY of part files the stream reads it directly (the
+    file source accepts a directory); only when it is a single file
+    does the stream fall back to a pathGlobFilter over sf_dir — a
+    glob there with the directory layout would match no leaf files
+    and silently stream zero rows.
     """
     path = os.path.join(sf_dir, "events.parquet")
     schema = TESTDATA_SCHEMAS["events"]
@@ -105,11 +117,14 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in schema.fields
             ]
         )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw

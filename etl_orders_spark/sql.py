@@ -10,6 +10,8 @@ query still gets pushdown/pruning because the views are plain scans.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_orders_spark.session import pin_session_defaults
@@ -41,7 +43,10 @@ def plan_summary(df: DataFrame) -> dict:
     (`plan_summary(q(spark, sf))["nested_loop_joins"] == 0`)."""
     p = df._jdf.queryExecution().executedPlan().toString()
     return {
-        "exchanges": p.count("Exchange"),
+        # lookbehinds: a ReusedExchange is a shuffle AVOIDED, not paid —
+        # don't let it inflate the exchange counts it points at
+        "shuffle_exchanges": len(re.findall(r"(?<!Reused)(?<!Broadcast)Exchange", p)),
+        "broadcast_exchanges": len(re.findall(r"(?<!Reused)BroadcastExchange", p)),
         "reused_exchanges": p.count("ReusedExchange"),
         "broadcast_hash_joins": p.count("BroadcastHashJoin"),
         "sort_merge_joins": p.count("SortMergeJoin"),
@@ -53,4 +58,30 @@ def plan_summary(df: DataFrame) -> dict:
         # note: under AQE the codegen markers only appear post-execution
         "whole_stage_codegen": "WholeStageCodegen" in p,
         "take_ordered": "TakeOrderedAndProject" in p,
+        "global_windows": count_global_windows(p),
     }
+
+
+# In plan text, a window spec lists partition columns BARE before the
+# ordered (ASC/DESC-suffixed) sort columns; with no partition spec the
+# first argument is either a sort column or (unpartitioned+unordered)
+# the frame itself. Both forms funnel all rows into one task.
+_GLOBAL_WINDOW = re.compile(
+    r"windowspecdefinition\((?:[^,()]*\s(?:ASC|DESC)|specifiedwindowframe)"
+)
+
+
+def count_global_windows(plan: str, exempt_marker: str = "_tpr_pid") -> int:
+    """Count single-partition Window specs in a physical-plan string —
+    each is a scale ceiling unless its input is provably bounded.
+
+    Specs ordered by ``exempt_marker`` are excluded: that column is
+    the two-pass rank's partition-id (operators/rank.py), whose
+    offsets window runs over exactly one row per range partition —
+    bounded by cluster layout, not data."""
+    n = 0
+    for m in _GLOBAL_WINDOW.finditer(plan):
+        head = plan[m.start() : m.start() + 120]
+        if exempt_marker not in head:
+            n += 1
+    return n

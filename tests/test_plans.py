@@ -137,12 +137,15 @@ def test_dq_gate_scan_count_constant(plans):
 # totals/bounds, a K-row centroid/horizon table, or the deliberate
 # cross-join operator). Anything else appearing here is a scale bug.
 _BNLJ_ALLOWED = {
+    "abc_part_classification": 1,  # 1-row revenue-total broadcast
     "benford_price_digits": 1,
     "bm25_search_docs": 1,
     "chi2_status_priority": 1,
     "contrastive_negatives": 3,
     "cramers_v_status_priority": 1,
     "cusum_revenue_changepoint": 2,
+    "customer_revenue_deciles": 1,  # 1-row count broadcast for ntile_from_rank
+    "customers_to_half_revenue": 1,  # 1-row total/count broadcast
     "doc_keywords_tfidf": 1,
     "ewma_daily_revenue": 1,
     "funnel_view_click_purchase": 2,
@@ -160,8 +163,10 @@ _BNLJ_ALLOWED = {
     "pmi_copurchase_parts": 1,
     "price_volume_decomposition": 1,
     "q22_global_sales_opportunity": 1,
+    "return_latency_median": 1,  # 1-row gap-count broadcast
     "revenue_by_order_decile": 1,
     "rfm_segments": 1,
+    "window_stats_customers": 1,  # 1-row count broadcast for ntile/pct_rank
     "session_gap_sensitivity": 4,  # four threshold rows off one aggregate
     "signup_to_purchase_survival": 2,  # 5-row horizon spine
     "triangle_count_copurchase": 1,
@@ -198,3 +203,42 @@ def test_no_query_plans_an_unvetted_nested_loop(spark, sf_dir):
         if cart or bnlj > _BNLJ_ALLOWED.get(name, 0):
             offenders[name] = (bnlj, cart)
     assert not offenders, f"unvetted nested-loop/cartesian plans: {offenders}"
+
+
+# Queries whose plans legitimately contain a partition-less Window:
+# every instance runs over a grain BOUNDED by something other than
+# data volume (calendar days/months, the 25-nation dimension, K
+# centroids, distinct small-int values). Growing grains (orders,
+# customers, parts, vocabulary, session gaps) must instead use the
+# two-pass rank (operators/rank.py), whose own P-row offsets window
+# is exempted by its _tpr_pid marker.
+_GLOBAL_WINDOW_ALLOWED = {
+    "alloc_nation_budget": 1,  # 25-nation grain
+    "cusum_revenue_changepoint": 1,  # day grain (calendar-bounded)
+    "interp_daily_revenue": 4,  # day grain
+    "kmeans_embeddings": 2,  # K-centroid grain
+    "mom_revenue_growth": 2,  # month grain
+    "rolling_7day_revenue": 1,  # day grain
+    "skyline_customers": 1,  # distinct order-count grain (collapses first)
+}
+
+
+def test_no_query_plans_an_unvetted_global_window(spark, sf_dir):
+    """Fleet-wide scale net #2: no registered query funnels a
+    data-growing grain through a single-partition Window. Every
+    partition-less window spec must either order by the two-pass
+    rank's _tpr_pid (a P-row offsets table) or appear in the audited
+    bounded-grain allowlist above — and never more of them."""
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sql import count_global_windows
+
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    offenders = {}
+    for name, builder in query_map().items():
+        plan = builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = count_global_windows(plan)
+        if n > _GLOBAL_WINDOW_ALLOWED.get(name, 0):
+            offenders[name] = n
+    assert not offenders, f"unvetted single-partition windows: {offenders}"

@@ -45,5 +45,9 @@ def test_plan_summary_reports_scale_facts(spark, sf_dir):
     assert s["broadcast_hash_joins"] == 5
     assert s["sort_merge_joins"] == 0
     assert s["nested_loop_joins"] == 0
+    # all five dim joins broadcast: every exchange is a broadcast, the
+    # fact side never shuffles (the counts exclude ReusedExchange)
+    assert s["broadcast_exchanges"] >= 1
+    assert s["global_windows"] == 0
     t = plan_summary(query_map()["orderby_limit"](spark, sf_dir))
     assert t["take_ordered"]

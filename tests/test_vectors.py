@@ -195,6 +195,26 @@ def test_mmr_prefers_diverse_over_near_duplicate(spark):
     assert picks[2] == 3  # diversity beats the near-duplicate
 
 
+def test_mmr_accepts_string_ids(spark):
+    """The applyInPandas output schema derives the id type from the
+    caller's id column — string doc ids must survive the Arrow
+    boundary (regression: the schema was hardcoded to long)."""
+    from etl_orders_spark.operators.similarity import mmr_topk
+
+    rows = [
+        ("q", [1.0, 0.0, 0.0]),
+        ("a1", [1.0, 0.1, 0.0]),
+        ("a2", [1.0, 0.1, 0.001]),
+        ("b", [1.0, -0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = mmr_topk(
+        df.filter("vec_id = 'q'"), df, "vec_id", "embedding", k=2, pool=3, lam=0.5
+    ).collect()
+    picks = {r.mmr_rank: r.neighbor_id for r in out}
+    assert picks[1] == "a1" and picks[2] == "b"
+
+
 def test_contrastive_roles_disjoint_and_sized(spark, sf_dir):
     from etl_orders_spark.plans.registry import query_map
 
