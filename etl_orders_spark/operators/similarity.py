@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.vectors import cosine_similarity
+from etl_orders_spark.operators.rank import one_bucket
 from etl_orders_spark.operators.topk import topk_per_group
 
 
@@ -259,7 +260,10 @@ def ivf_topk(
         F.abs(F.xxhash64(F.col("_cid").cast("string"))) % stride == 0
     )
     seeds = (
-        sample.withColumn("_rn", F.row_number().over(Window.orderBy("_cid")) - 1)
+        sample.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(one_bucket("_cid")).orderBy("_cid")) - 1,
+        )
         .filter(F.col("_rn") < n_centroids)
         .select(F.col("_rn").alias("cluster"), F.col("_cv").alias("cvec"))
     )

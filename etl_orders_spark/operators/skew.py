@@ -12,7 +12,7 @@ n_salts-ways instead of landing on one reducer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,3 +40,52 @@ def salted_join(
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     joined = b.join(s, (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]), how)
     return joined.drop("_salt")
+
+
+def cap_group_fanout(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    cap: int,
+    distinct: bool = False,
+) -> DataFrame:
+    """Bound per-group width before a quadratic self-join.
+
+    A self-join keyed on `group_col` (market baskets, co-occurrence
+    candidate generation) fans out quadratically per group: one
+    pathological mega-group — an order with 10k parts, a document with
+    10k shingles — produces 10^8 pairs on a single reducer. This keeps
+    the `cap` smallest rows of each group by `order_col` (deterministic
+    tie order) and drops the tail, turning worst-case fan-out into
+    cap² while leaving every group at or below `cap` untouched.
+
+    ``distinct=True`` additionally drops duplicate (group, order) rows
+    — fused into the SAME single exchange: hash partitioning on
+    `group_col` already co-locates equal (group, order) pairs, so the
+    dedup is a second window over the identical partitioning+sort and
+    costs no extra shuffle (cheaper than a ``.distinct()`` upstream,
+    which would shuffle on the full pair). Both windows compile to
+    WindowGroupLimit (partial + final top-k per group), and the
+    exchange they induce is the one the downstream join needs anyway.
+    Same df-cap idea as the hot-shingle guard in the n-gram dedup
+    index (operators/dedup.py).
+    """
+    out = df
+    if distinct:
+        # explicit repartition on group_col alone: hashpartitioning on a
+        # subset of a window's partition keys satisfies its clustering,
+        # so BOTH windows (and the downstream join) ride this one
+        # exchange — without it the planner would partition on
+        # (group, order) for the dedup window and re-shuffle for the cap
+        w_d = Window.partitionBy(group_col, order_col).orderBy(order_col)
+        out = (
+            out.repartition(F.col(group_col))
+            .withColumn("_cap_dup", F.row_number().over(w_d))
+            .filter(F.col("_cap_dup") == 1)
+        )
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        out.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= cap)
+        .drop("_cap_rn", *(["_cap_dup"] if distinct else []))
+    )

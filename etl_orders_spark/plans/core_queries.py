@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.cleaning import clean_priority
-from etl_orders_spark.operators.rank import two_pass_rank
+from etl_orders_spark.operators.rank import one_bucket, two_pass_rank
+from etl_orders_spark.operators.skew import cap_group_fanout
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.sources.readers import load_table as T
 
@@ -1363,7 +1364,7 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_cents")
         )
     )
-    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    w = Window.partitionBy(one_bucket("day_num")).orderBy("day_num").rangeBetween(-6, 0)
     return daily.select(
         "day", "day_cents", F.sum("day_cents").over(w).cast("long").alias("rolling7_cents")
     )
@@ -1496,13 +1497,17 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a co-partitionable fact⋈fact shuffle, never a cross join; per-order
     distinct parts first so a part repeated in one order can't inflate
     support. At 100 TB the guard that matters is basket width: pair
-    fan-out is quadratic per order, so pathological mega-baskets get
-    capped upstream (the same df-cap idea as hot shingles). Top-k is
-    a TakeOrderedAndProject over the aggregated pairs."""
-    li = (
-        T(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    fan-out is quadratic per order, so baskets are capped at 64 parts
+    (cap_group_fanout — the window reuses the join's orderkey
+    partitioning, and TPC-H baskets are ≤7 parts so the cap never
+    fires on the fixtures). Top-k is a TakeOrderedAndProject over the
+    aggregated pairs."""
+    li = cap_group_fanout(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        64,
+        distinct=True,
     )
     a = li.toDF("ok", "part_a")
     b = li.toDF("ok", "part_b")
@@ -1579,7 +1584,7 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    w = Window.orderBy("month")
+    w = Window.partitionBy(one_bucket("month")).orderBy("month")
     prev = F.lag("rev_cents").over(w)
     return m.select(
         "month",

@@ -19,8 +19,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_orders_spark.operators.skew import cap_group_fanout
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.sources.readers import load_table as T
+
+# Widest basket any pair generator will expand: pair fan-out is
+# quadratic per order, so one pathological mega-basket (an order with
+# 10k parts) would put cap-free generators 10^8 pairs on one reducer.
+# TPC-H baskets are ≤7 parts at every SF, so the cap never fires on
+# the test fixtures (oracles see identical inputs); at 100 TB it
+# bounds worst-case fan-out at cap² per order.
+_MEGA_BASKET_CAP = 64
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,12 +174,20 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator, so the |P|² matrix is never materialized).
 
     support ≥ 2 prunes noise pairs before the degree joins; the top-k
-    window partitions by item (no global sort). At 100 TB the
-    mega-basket cap from market_basket_pairs applies unchanged, and
-    the degree join broadcasts (|P| ≪ |lineitem|). Scores floor to
+    window partitions by item (no global sort). Baskets are capped at
+    _MEGA_BASKET_CAP parts (cap_group_fanout, same orderkey
+    partitioning the join shuffles on — no extra exchange; never fires
+    on TPC-H's ≤7-part baskets so the oracle sees identical input),
+    and the degree join broadcasts (|P| ≪ |lineitem|). Scores floor to
     micro-units from exact-in-double integers; ties break on the
     neighbor key."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = cap_group_fanout(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        _MEGA_BASKET_CAP,
+        distinct=True,
+    )
     deg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -244,10 +261,17 @@ def pmi_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply). support ≥ 3 keeps the log out of small-sample noise.
 
     Scale: same inverted co-occurrence shape as the basket family —
-    the orderkey self-join generates only realized pairs, degrees
-    broadcast, and the single ln evaluates one identical expression
-    from exact integers both engines."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    the orderkey self-join generates only realized pairs (capped at
+    _MEGA_BASKET_CAP parts per basket — never fires on the fixtures),
+    degrees broadcast, and the single ln evaluates one identical
+    expression from exact integers both engines."""
+    li = cap_group_fanout(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        _MEGA_BASKET_CAP,
+        distinct=True,
+    )
     deg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

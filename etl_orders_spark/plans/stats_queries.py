@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.text import quality_score
-from etl_orders_spark.operators.rank import two_pass_rank
+from etl_orders_spark.operators.rank import one_bucket, two_pass_rank
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.plans.text_queries import _QUALITY
 from etl_orders_spark.sources.readers import load_table as T
@@ -87,7 +87,9 @@ def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = c.groupBy("n_orders").agg(F.max("rev_cents").alias("rev_cents"))
-    w = Window.orderBy(F.desc("n_orders")).rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.partitionBy(one_bucket("n_orders")).orderBy(F.desc("n_orders")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     sky = (
         cand.withColumn("_mx", F.max("rev_cents").over(w))
         .filter(F.col("_mx").isNull() | (F.col("_mx") < F.col("rev_cents")))
@@ -209,8 +211,12 @@ def interp_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = d.agg(F.min("day").alias("_mn"), F.max("day").alias("_mx"))
     spine = bounds.select(F.explode(F.sequence("_mn", "_mx")).alias("day"))
     j = spine.join(d, "day", "left")
-    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wn = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wp = Window.partitionBy(one_bucket("day")).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(one_bucket("day")).orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
     obs_day = F.when(F.col("rev_cents").isNotNull(), F.col("day"))
     f = j.select(
         "day",
@@ -296,7 +302,9 @@ def alloc_nation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rem", F.expr("rev_cents * 10000 % _total").cast("long"))
     )
     short = b.agg((F.lit(10000) - F.sum("base")).cast("long").alias("_short"))
-    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "n_nationkey"))
+    rk = F.row_number().over(
+        Window.partitionBy(one_bucket("n_nationkey")).orderBy(F.desc("rem"), "n_nationkey")
+    )
     return (
         b.crossJoin(F.broadcast(short))
         .withColumn("_rk", rk)
@@ -771,7 +779,9 @@ def cusum_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy(one_bucket("day")).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     c = d.crossJoin(F.broadcast(s)).withColumn(
         "st", F.sum(F.col("n") * F.col("y") - F.col("sy")).over(w)
     )

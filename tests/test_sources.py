@@ -249,3 +249,36 @@ def test_with_provenance_stamps_file_and_batch(spark, sf_dir):
     for r in rows:
         assert r._source_file.endswith("region.parquet") or "region.parquet/" in r._source_file
         assert r._ingest_batch == "batch-42"
+
+
+def test_write_jdbc_postgres_dialect_smoke(spark):
+    """S5 against the reference's REAL target dialect (reference:
+    dags/etl.py:272-288 writes Postgres). Derby above proves the sink
+    mechanics; this pins the Postgres type mapping (bigint/text/
+    timestamp/numeric round-trip) and the batched-insert path when a
+    server is reachable. Auto-skips in the sandbox: export
+    ETL_ORDERS_PG_URL as a full JDBC url, e.g.
+    jdbc:postgresql://host:5432/db?user=u&password=p
+    (the postgresql driver jar must be on spark.jars)."""
+    import datetime
+    import decimal
+
+    import pytest
+
+    url = os.environ.get("ETL_ORDERS_PG_URL")
+    if not url:
+        pytest.skip("ETL_ORDERS_PG_URL not set; Postgres smoke runs only against a live server")
+    opts = {"driver": "org.postgresql.Driver", "batchsize": "500"}
+    df = spark.createDataFrame(
+        [
+            (1, "a", datetime.datetime(2024, 1, 1, 10, 0), decimal.Decimal("12.34")),
+            (2, "b", datetime.datetime(2024, 1, 2, 11, 30), decimal.Decimal("0.01")),
+        ],
+        "id long, s string, ts timestamp, amt decimal(10,2)",
+    )
+    write_jdbc(df, url, "etl_orders_pg_smoke", mode="overwrite", **opts)
+    back = spark.read.format("jdbc").options(url=url, dbtable="etl_orders_pg_smoke", **opts).load()
+    assert back.dtypes == [("id", "bigint"), ("s", "string"), ("ts", "timestamp"), ("amt", "decimal(10,2)")]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    write_jdbc(df, url, "etl_orders_pg_smoke", mode="append", **opts)
+    assert spark.read.format("jdbc").options(url=url, dbtable="etl_orders_pg_smoke", **opts).load().count() == 4

@@ -9,7 +9,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from etl_orders_spark.operators.skew import salted_join
+from etl_orders_spark.operators.skew import cap_group_fanout, salted_join
 from etl_orders_spark.streaming.stateful import running_user_stats
 
 SCHEMA = "event_id long, ts timestamp, user_id long, value double"
@@ -110,11 +110,27 @@ def test_running_user_stats_batch_fallback(spark):
 def test_transform_with_state_matches_old_api_and_batch(spark, events_dir):
     """transformWithState (Spark 4 API, RocksDB state store) produces
     the same accumulated per-user stats as applyInPandasWithState and
-    the batch aggregate. Skipped where google.protobuf (the TWS state
-    server wire format) is unavailable; the ImportError gate and the
-    batch fallback are covered below either way."""
-    pytest.importorskip("google.protobuf")
+    the batch aggregate.
+
+    Documented decision (no skip either way): applyInPandasWithState
+    is the SUPPORTED stateful path of this engine — it needs nothing
+    beyond pyspark and is covered unconditionally above.
+    transformWithState is its Spark-4 twin whose state-server wire
+    format needs google.protobuf; where protobuf exists this test runs
+    the full three-way equivalence, and where it doesn't the streaming
+    path must refuse loudly at plan time (asserted here, so the
+    behavior contract is pinned in every environment)."""
     from etl_orders_spark.streaming.stateful import running_user_stats_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        stream = spark.readStream.format("rate").load().selectExpr(
+            "value AS user_id", "CAST(value AS DOUBLE) AS value"
+        )
+        with pytest.raises(ImportError, match="protobuf"):
+            running_user_stats_tws(stream)
+        return
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(provider_key, None)
@@ -170,3 +186,27 @@ def test_transform_with_state_batch_fallback_and_gate(spark):
         )
         with pytest.raises(ImportError, match="protobuf"):
             running_user_stats_tws(stream)
+
+
+def test_cap_group_fanout_bounds_mega_groups_deterministically(spark):
+    """The mega-basket cap keeps the `cap` smallest items per group
+    (deterministic) and leaves narrow groups byte-identical."""
+    rows = [(1, i) for i in range(100)] + [(2, 7), (2, 3)]
+    df = spark.createDataFrame(rows, "ok long, pk long")
+    capped = cap_group_fanout(df, "ok", "pk", 10)
+    got = capped.collect()
+    g1 = sorted(r["pk"] for r in got if r["ok"] == 1)
+    g2 = sorted(r["pk"] for r in got if r["ok"] == 2)
+    assert g1 == list(range(10))  # smallest 10, not an arbitrary 10
+    assert g2 == [3, 7]  # below-cap group untouched
+    assert capped.columns == df.columns  # helper column dropped
+
+
+def test_cap_group_fanout_noop_on_tpch_baskets(spark, sf_dir):
+    """TPC-H baskets are ≤7 parts, so the production cap of 64 must
+    never drop a row on the fixtures — this is what keeps the basket
+    queries' oracles exact."""
+    from etl_orders_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    assert cap_group_fanout(li, "l_orderkey", "l_partkey", 64).count() == li.count()

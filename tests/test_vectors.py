@@ -258,3 +258,53 @@ def test_embedding_drift_identical_halves_fixture(spark):
         V.T = orig
     assert got[1] >= 999_999  # identical centroids -> cos 1 (floor slack 1)
     assert got[2] <= 1  # orthogonal halves -> cos 0
+
+
+def test_near_dup_bucketed_pair_recall_at_sf001():
+    """Continuous measurement of the ~4e-6 miss-probability claim
+    (operators/similarity.py near_dup_pairs_bucketed docstring): at
+    sf0.01 with the production parameters (τ=0.9, 4 planes × 16
+    tables) the LSH-bucketed pair set must recall ≥ 99.9% of the
+    exact all-pairs result — in expectation it misses none."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.operators.similarity import (
+        near_dup_pairs_blocked,
+        near_dup_pairs_bucketed,
+    )
+    from etl_orders_spark.session import get_spark
+
+    sf001 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf001):
+        pytest.skip("driver sf0.01 fixtures not present")
+    spark = get_spark("tests", cpus=8)
+    base = load_table(spark, sf001, "embeddings")
+    # The synthetic vectors are near-uniform: no natural pair reaches
+    # τ=0.9, which would make recall 0/0. Plant one true near-dup per
+    # vector: jitter each dimension by a deterministic factor in
+    # [0.97, 1.03] — pure per-dim scaling keeps cosine ≈ 0.9995, so
+    # every (v, v') pair is a true positive the LSH buckets must find.
+    jitter = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + (F.pmod(i * 2654435761, F.lit(7)) - 3) * 0.01),
+        ).cast("array<float>").alias("embedding"),
+    )
+    emb = base.select("vec_id", "embedding").unionByName(jitter)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs_blocked(emb, "vec_id", "embedding", tau=0.9, n_blocks=8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs_bucketed(
+            emb, "vec_id", "embedding", tau=0.9, dim=64, num_planes=4, num_tables=16
+        ).collect()
+    }
+    assert len(exact) > 0, "vacuous: no true near-dup pairs at sf0.01"
+    assert not (approx - exact), "bucketed path emitted a pair the exact path lacks"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.999, f"near-dup pair recall {recall:.5f} < 0.999 over {len(exact)} pairs"
