@@ -19,6 +19,8 @@ split of the multiLine JSON relation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -31,7 +33,7 @@ from etl_orders_spark.sources.fixtures import (
     USERS_CSV,
     ensure_ingest_fixtures,
 )
-from etl_orders_spark.sources.readers import read_csv, read_json_envelope
+from etl_orders_spark.sources.readers import read_csv, read_json_envelope, read_orc
 
 # Stage at import: registration happens in both the Spark and the
 # DuckDB halves of the driver, so the fixture bytes exist (and are
@@ -169,5 +171,72 @@ def json_envelope_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("document").alias("max_doc"),
             F.min("birth").alias("min_birth"),
             F.max("birth").alias("max_birth"),
+        )
+    )
+
+
+_ORC_DIR = os.path.join(os.path.dirname(ORDERS_CSV), "orders_orc")
+
+
+def _ensure_orders_orc(spark: SparkSession) -> str:
+    """Stage the orders fixture to ORC once per fixture version.
+
+    The write happens through Spark's ORC sink (the capability under
+    test is the full write→read round trip, not a byte-copied file);
+    a _SUCCESS marker plus the source CSV's mtime gate makes the
+    staging idempotent across driver/oracle invocations.
+    """
+    success = os.path.join(_ORC_DIR, "_SUCCESS")
+    if not (
+        os.path.exists(success)
+        and os.path.getmtime(success) >= os.path.getmtime(ORDERS_CSV)
+    ):
+        read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA).write.mode("overwrite").orc(_ORC_DIR)
+    return _ORC_DIR
+
+
+@register(
+    "orc_star_ingest",
+    f"""
+    SELECT o.Fecha AS order_date,
+           o.User_ID AS user_id,
+           o.Product_ID AS product_id,
+           p.Name AS product_name,
+           p.Category AS category,
+           p.Price AS price
+    FROM read_csv('{ORDERS_CSV}', header=true, columns={_ORDERS_COLS}) o
+    JOIN read_csv('{PRODUCTS_CSV}', header=true, columns={_PRODUCTS_COLS}) p
+      ON o.Product_ID = p.Id
+    JOIN read_csv('{USERS_CSV}', header=true, columns={_USERS_COLS}) u
+      ON o.User_ID = u.Id
+    """,
+    tags=("source", "orc", "join", "projection"),
+)
+def orc_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (ORC) — the csv_star_ingest star join with the fact side
+    round-tripped through Spark's ORC sink and scanned back via
+    read_orc. DuckDB has no ORC reader, so the oracle reads the SAME
+    LOGICAL ROWS from the source CSV — a hash match therefore
+    certifies write→read fidelity of the ORC path end-to-end (types,
+    values, row count), not just the join.
+
+    Mixed-format stars are the realistic shape: a Hive-era ORC fact
+    feed joined to CSV dimension drops. Both dims broadcast; ORC
+    stripe stats give the fact scan the same pushdown/pruning story
+    as parquet."""
+    ensure_ingest_fixtures()
+    orders = read_orc(spark, _ensure_orders_orc(spark), ORDERS_SCHEMA)
+    products = F.broadcast(read_csv(spark, PRODUCTS_CSV, PRODUCTS_SCHEMA))
+    users = F.broadcast(read_csv(spark, USERS_CSV, USERS_SCHEMA))
+    return (
+        orders.join(products, orders["Product_ID"] == products["Id"], "inner")
+        .join(users, orders["User_ID"] == users["Id"], "inner")
+        .select(
+            F.col("Fecha").alias("order_date"),
+            F.col("User_ID").alias("user_id"),
+            F.col("Product_ID").alias("product_id"),
+            F.col("Name").alias("product_name"),
+            F.col("Category").alias("category"),
+            F.col("Price").alias("price"),
         )
     )

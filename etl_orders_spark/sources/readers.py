@@ -143,6 +143,19 @@ def with_provenance(df: DataFrame, batch_id: str) -> DataFrame:
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S1 — ORC scan: the other columnar landing format a Spark lake
+    meets (Hive-era feeds land ORC; parquet is this engine's native
+    staging format). Same contract as read_parquet — optional explicit
+    schema for pruning, no inference pass; predicate pushdown and
+    column pruning work identically (ORC carries its own min/max
+    stripe statistics)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

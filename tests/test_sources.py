@@ -282,3 +282,16 @@ def test_write_jdbc_postgres_dialect_smoke(spark):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     write_jdbc(df, url, "etl_orders_pg_smoke", mode="append", **opts)
     assert spark.read.format("jdbc").options(url=url, dbtable="etl_orders_pg_smoke", **opts).load().count() == 4
+
+
+def test_read_orc_roundtrip_with_schema(spark, tmp_path):
+    """S1 (ORC) — write→read round trip preserves types and values;
+    explicit schema path mirrors read_parquet's contract."""
+    from etl_orders_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", -0.25)], "id long, s string, v double")
+    p = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(p)
+    back = read_orc(spark, p, df.schema)
+    assert back.dtypes == df.dtypes
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
