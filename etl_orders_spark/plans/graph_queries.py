@@ -201,9 +201,11 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
     )
     # score each UNORDERED pair once (cosine is symmetric), then emit
-    # both directions of the already-scored rows — the union duplicates
-    # only the small post-aggregation result, not the fact-scale
-    # support computation (~40% faster than union-then-score)
+    # both directions via a row-local explode — a union of the two
+    # projections would plan the support aggregation twice (exchange
+    # reuse does not fire across the union's renamed branches; measured
+    # 2x the heavy stage at 10x scale), while explode duplicates rows
+    # inside the same stage at zero extra shuffles
     di = deg.toDF("pa", "di")
     dj = deg.toDF("pb", "dj")
     scored_u = (
@@ -223,10 +225,23 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = scored_u.select(
-        F.col("pa").alias("i"), F.col("pb").alias("j"), "support", "cos_micro"
-    ).unionByName(
-        scored_u.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "support", "cos_micro")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("i"),
+                    F.col("pb").alias("j"),
+                    F.col("support"),
+                    F.col("cos_micro"),
+                ),
+                F.struct(
+                    F.col("pb").alias("i"),
+                    F.col("pa").alias("j"),
+                    F.col("support"),
+                    F.col("cos_micro"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.support", "e.cos_micro")
     w = Window.partitionBy("i").orderBy(F.desc("cos_micro"), "j")
     return (
         scored.withColumn("_rk", F.row_number().over(w))
