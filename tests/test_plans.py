@@ -205,22 +205,16 @@ def test_no_query_plans_an_unvetted_nested_loop(spark, sf_dir):
     assert not offenders, f"unvetted nested-loop/cartesian plans: {offenders}"
 
 
-# Queries whose plans legitimately contain a partition-less Window:
-# every instance runs over a grain BOUNDED by something other than
-# data volume (calendar days/months, the 25-nation dimension, K
-# centroids, distinct small-int values). Growing grains (orders,
-# customers, parts, vocabulary, session gaps) must instead use the
-# two-pass rank (operators/rank.py), whose own P-row offsets window
-# is exempted by its _tpr_pid marker.
-_GLOBAL_WINDOW_ALLOWED = {
-    "alloc_nation_budget": 1,  # 25-nation grain
-    "cusum_revenue_changepoint": 1,  # day grain (calendar-bounded)
-    "interp_daily_revenue": 4,  # day grain
-    "kmeans_embeddings": 2,  # K-centroid grain
-    "mom_revenue_growth": 2,  # month grain
-    "rolling_7day_revenue": 1,  # day grain
-    "skyline_customers": 1,  # distinct order-count grain (collapses first)
-}
+# No query may plan a partition-less Window, full stop. Bounded
+# grains (calendar days, nations, K centroids, distinct small-int
+# values, the two-pass rank's P-row offsets) still execute in a
+# deliberate single partition, but they declare it with a constant
+# non-foldable partition key (operators/rank.one_bucket) — so the
+# spec is non-empty, WindowExec's warning never fires, and any bare
+# global window that shows up here is a genuine scale regression.
+# Growing grains (orders, customers, parts, vocabulary, session
+# gaps) must use the two-pass rank (operators/rank.py).
+_GLOBAL_WINDOW_ALLOWED: dict[str, int] = {}
 
 
 def test_no_query_plans_an_unvetted_global_window(spark, sf_dir):
