@@ -302,14 +302,43 @@ def ivf_topk(
     return topk_per_group(scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k)
 
 
+def near_dup_lsh_params(
+    n: int,
+    tau: float,
+    target_bucket: int = 2048,
+    miss_target: float = 1e-5,
+) -> tuple[int, int]:
+    """Corpus-size-aware (num_planes, num_tables) for the bucketed
+    near-dup join.
+
+    Fixed planes do not survive growth: bucket population is
+    ~n/2^planes, and each bucket costs O(m²) in its GEMM, so a corpus
+    100× larger needs ~log2(100) ≈ 7 more planes to keep per-bucket
+    work constant. More planes cut a true pair's per-table collision
+    probability p = (1-θ/π)^planes (θ = arccos τ, random-hyperplane
+    LSH, Charikar STOC'02), so tables are recomputed from the target
+    overall miss bound (1-p)^tables ≤ miss_target. Returned planes are
+    clamped to [4, 24]; callers with a measured workload can always
+    pin both knobs explicitly (the oracle-checked registered query
+    does, for fixture-scale determinism).
+    """
+    theta = math.acos(max(-1.0, min(1.0, tau)))
+    planes = max(4, min(24, math.ceil(math.log2(max(n, 1) / target_bucket)) if n > target_bucket else 4))
+    p_table = (1.0 - theta / math.pi) ** planes
+    if p_table >= 1.0:  # tau == 1 ⇒ every table collides
+        return planes, 1
+    tables = max(1, math.ceil(math.log(miss_target) / math.log(1.0 - p_table)))
+    return planes, tables
+
+
 def near_dup_pairs_bucketed(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     tau: float,
     dim: int = 64,
-    num_planes: int = 4,
-    num_tables: int = 16,
+    num_planes: int | None = 4,
+    num_tables: int | None = 16,
     seed: int = 7,
 ) -> DataFrame:
     """All pairs with cosine ≥ τ via LSH-bucketed candidates + exact
@@ -331,7 +360,17 @@ def near_dup_pairs_bucketed(
     degenerate bucket holding m vectors costs O(m²) in one task —
     raise `num_planes` (more, smaller buckets) and compensate with
     `num_tables` to keep recall.
+
+    Pass ``num_planes=None`` to derive both knobs from the corpus
+    size via :func:`near_dup_lsh_params` (one count() pre-pass):
+    fixed planes make bucket population — and the per-bucket GEMM —
+    grow linearly/quadratically with n, measured unusable at a 100×
+    scale-up; auto mode holds per-bucket work constant instead.
     """
+    if num_planes is None:
+        num_planes, num_tables = near_dup_lsh_params(df.count(), tau)
+    elif num_tables is None:
+        raise ValueError("num_tables must be set when num_planes is pinned")
     buckets = _bucket_assign(df, id_col, vec_col, num_planes, num_tables, seed, dim)
     tau_f = float(tau)
 

@@ -308,3 +308,42 @@ def test_near_dup_bucketed_pair_recall_at_sf001():
     assert not (approx - exact), "bucketed path emitted a pair the exact path lacks"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.999, f"near-dup pair recall {recall:.5f} < 0.999 over {len(exact)} pairs"
+
+
+def test_near_dup_lsh_params_scale_and_miss_bound():
+    """Auto LSH parameterization: planes grow with corpus size (bucket
+    population stays ~target), and the (planes, tables) pair always
+    holds the documented miss bound (1-(1-θ/π)^planes)^tables ≤ 1e-5."""
+    import math
+
+    from etl_orders_spark.operators.similarity import near_dup_lsh_params
+
+    prev_planes = 0
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        planes, tables = near_dup_lsh_params(n, 0.9)
+        assert planes >= prev_planes  # monotone in n
+        prev_planes = planes
+        theta = math.acos(0.9)
+        p_table = (1 - theta / math.pi) ** planes
+        assert (1 - p_table) ** tables <= 1e-5
+    # per-bucket population at the derived planes stays near target
+    planes, _ = near_dup_lsh_params(10_000_000, 0.9)
+    assert 10_000_000 / 2**planes <= 2 * 2048
+
+
+def test_near_dup_bucketed_auto_params_match_pinned_on_fixture(spark, embeddings):
+    """num_planes=None derives fixture-scale params that still find
+    every exact-clone pair (a duplicated corpus is the one case with
+    guaranteed true pairs at any τ)."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.operators.similarity import near_dup_pairs_bucketed
+
+    dup = embeddings.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    both = embeddings.select("vec_id", "embedding").unionByName(dup)
+    out = near_dup_pairs_bucketed(both, "vec_id", "embedding", tau=0.99, num_planes=None)
+    n = embeddings.count()
+    clone_pairs = out.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    assert clone_pairs == n  # every planted clone pair recalled
