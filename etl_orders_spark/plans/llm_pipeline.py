@@ -38,7 +38,7 @@ _TAU = 0.5
 
 
 def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = _LANG,
-                tau: float = _TAU) -> DataFrame:
+                tau: float = _TAU, portable: bool = True) -> DataFrame:
     """The prep chain over a documents-shaped DataFrame. Returns the
     surviving corpus: doc_id, n_tokens."""
     kept = docs.filter(
@@ -55,7 +55,7 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
     # is the natural stage-to-parquet boundary of the prep pipeline)
     uniq = kept.join(canon.select("doc_id"), "doc_id", "left_semi").persist()
     # near-dup removal: MinHash-LSH pairs at jaccard >= tau; drop id_b
-    sigs = minhash_signatures(uniq, "doc_id", "text", 16, 3, portable=True).persist()
+    sigs = minhash_signatures(uniq, "doc_id", "text", 16, 3, portable=portable).persist()
     pairs = verify_jaccard(minhash_lsh_candidates(sigs, "doc_id", 4, 4), sigs, "doc_id", tau)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = uniq.join(drop, "doc_id", "left_anti")
@@ -95,6 +95,24 @@ def llm_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality → language → exact-dedup → near-dedup → token count, as
     one plan, oracle-checked end to end."""
     return prep_corpus(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_prep_corpus_fast",
+    None,  # hash family differs from the md5 oracle twin: rows-only check
+    tags=("text", "dedup", "pipeline"),
+    bench=True,
+)
+def llm_prep_corpus_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of `llm_prep_corpus`: identical five-stage plan
+    with xxhash64 MinHash signatures instead of the md5-derived
+    portable hash (same twin split as minhash_lsh_pairs/_fast — md5
+    exists so an external SQL oracle can reproduce the signatures
+    bit-for-bit; xxhash64 is what a cluster should run). Candidate
+    sets differ per hash family but the exact-Jaccard verify makes
+    survivors agree up to LSH recall; the portable twin carries the
+    hash-checked oracle."""
+    return prep_corpus(T(spark, sf_dir, "documents"), portable=False)
 
 
 _BUDGET = 20_000  # tokens per source
