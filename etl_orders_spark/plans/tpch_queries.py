@@ -3,11 +3,14 @@
 The reference pipeline is one fixed star-join (reference:
 dags/etl.py:84-124); a user replacing it needs the full ad-hoc
 relational surface. Q1/Q3/Q5/Q12/Q14/Q17 shapes live in
-core_queries.py — this module adds the remaining classic shapes that
-the driver's tables can express (no partsupp table, no comment /
-commitdate / receiptdate columns, so Q2/Q11/Q20 are unexpressible and
-Q4/Q9/Q16/Q21/Q22 are adapted to the available columns; each docstring
-notes the adaptation).
+core_queries.py — this module adds the remaining classic shapes,
+completing all 22 TPC-H query shapes. The driver schema has no
+partsupp table and no comment / commitdate / receiptdate columns, so
+Q2/Q11/Q20 run against a partsupp stand-in DERIVED from lineitem
+(per-(partkey, suppkey) min unit price as supply cost, summed
+quantity as availability — `_partsupp_derived`) and
+Q4/Q9/Q16/Q21/Q22 are adapted to the available columns; each
+docstring notes the adaptation.
 
 Scale notes (100 TB): every query keeps the lineitem/orders fact
 tables shuffle-joined on their keys (co-partitionable, AQE-planned)
@@ -649,4 +652,212 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("code")
+    )
+
+
+def _partsupp_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partsupp stand-in derived from the fact table: per (partkey,
+    suppkey), supply cost = MIN observed unit price in integer cents
+    (FLOOR(extendedprice / quantity * 100 + 0.5) — IEEE double division
+    then the repo's cents convention, bit-identical cross-engine) and
+    availability = total quantity ever shipped. One shuffle on the
+    composite key; at 100 TB this is a plain partial+final hash
+    aggregate over lineitem, the cheapest possible derivation."""
+    li = T(spark, sf_dir, "lineitem")
+    unit_cents = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("supplycost_cents"),
+        F.sum("l_quantity").cast("long").alias("availqty"),
+    )
+
+
+_PS_SQL = """
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS supplycost_cents,
+             CAST(SUM(l_quantity) AS BIGINT) AS availqty
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    elig AS (
+      SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation,
+             ps.supplycost_cents
+      FROM ps
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size = 5 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, nation, p_partkey, supplycost_cents
+    FROM (SELECT *, MIN(supplycost_cents) OVER (PARTITION BY p_partkey) AS _mn FROM elig)
+    WHERE supplycost_cents = _mn
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+    tags=("join", "window", "subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier(s) per qualifying part within a
+    region — the correlated-MIN-subquery query. Adapted: supply cost
+    comes from `_partsupp_derived` (no partsupp table). The correlated
+    subquery is a per-part MIN window over the eligible (part, supplier)
+    pairs — keyed by partkey, so no global sort and no single-partition
+    window at any scale; part/supplier/nation/region all broadcast into
+    the derived aggregate, and the top-100 cut is
+    TakeOrderedAndProject."""
+    ps = _partsupp_derived(spark, sf_dir)
+    p = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 5) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    elig = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "p_partkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"), "supplycost_cents"
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("_mn", F.min("supplycost_cents").over(w))
+        .filter(F.col("supplycost_cents") == F.col("_mn"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "supplycost_cents")
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    natps AS (
+      SELECT ps.l_partkey AS partkey, ps.supplycost_cents * ps.availqty AS value_cents
+      FROM ps
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    per_part AS (
+      SELECT partkey, CAST(SUM(value_cents) AS BIGINT) AS part_value_cents
+      FROM natps GROUP BY 1
+    )
+    SELECT partkey, part_value_cents
+    FROM per_part
+    WHERE part_value_cents * 10000 > (SELECT SUM(part_value_cents) FROM per_part)
+    ORDER BY part_value_cents DESC, partkey
+    """,
+    tags=("join", "agg", "subquery", "having", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value within one nation
+    exceeds a fraction of that nation's total — HAVING against a global
+    scalar aggregate. Adapted: value = derived supplycost x availqty
+    (`_partsupp_derived`), threshold 1/10000 of the national total.
+    All-integer arithmetic (cents x quantity, compared via x*10000 >
+    total) so the cross-engine comparison is exact where the spec's
+    double SUM would drift. The scalar total reduces to one row and
+    broadcasts back over the per-part aggregate — no global window."""
+    ps = _partsupp_derived(spark, sf_dir)
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natps = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("supplycost_cents") * F.col("availqty")).alias("value_cents"),
+        )
+    )
+    per_part = natps.groupBy("partkey").agg(
+        F.sum("value_cents").cast("long").alias("part_value_cents")
+    )
+    total = per_part.agg(F.sum("part_value_cents").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_cents") * 10000 > F.col("_total"))
+        .select("partkey", "part_value_cents")
+        .orderBy(F.desc("part_value_cents"), "partkey")
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    """
+    WITH qty96 AS (
+      SELECT l.l_partkey, l.l_suppkey, CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'SMALL'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey
+      FROM (SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty FROM qty96)
+      WHERE qty * 10 > part_qty * 3
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_4'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s.s_name
+    """,
+    tags=("join", "semi", "window", "subquery", "tpch"),
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation qualified by a
+    correlated per-part quantity threshold, surfaced through nested
+    semi-joins. Adapted (no independent stock column — derived
+    availability is a subset of shipped quantity, which would make the
+    spec's availqty > half-of-shipped vacuously true): a supplier
+    qualifies when it shipped >30% of a SMALL part's total 1996 volume
+    — same shape (part filter -> correlated aggregate threshold ->
+    supplier semi-join), now measuring supply concentration. The
+    per-part total is a keyed window over the (part, supplier) grain;
+    the qualifying-supplier set collapses to <= |supplier| keys and
+    broadcasts into a left-semi join."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    from pyspark.sql import Window
+
+    qty96 = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        qty96.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 10 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
