@@ -1224,3 +1224,72 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+_DUP_K = 5  # exact-substring dup width (word 5-grams)
+_DUP_GRAMS = (
+    f"list_transform(range(1, len({_NORM_TOKENS}) - {_DUP_K - 2}), "
+    + "i -> "
+    + " || ' ' || ".join(f"{_NORM_TOKENS}[i+{j}]" for j in range(_DUP_K))
+    + ")"
+).replace("[i+0]", "[i]")
+
+
+@register(
+    "dup_ngram_rate_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_DUP_GRAMS}) AS gram FROM documents
+    ),
+    per_pair AS (
+      SELECT doc_id, gram, COUNT(*) AS n_pos FROM g GROUP BY 1, 2
+    ),
+    per_gram AS (
+      SELECT gram, COUNT(*) AS n_docs FROM per_pair GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) AS BIGINT) AS dup_grams,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) * 1000
+                // SUM(n_pos) AS BIGINT) AS dup_permille
+    FROM per_pair JOIN per_gram USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "curation", "llm"),
+)
+def dup_ngram_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-n-gram rate: the fraction of a doc's word
+    5-gram positions whose gram also appears in at least one OTHER
+    document — the corpus-level exact-substring duplication metric that
+    web-scale corpus curation uses to find boilerplate-heavy and
+    template-generated documents (complements pairwise near-dup, which
+    only sees whole-document similarity; a doc that is 40% navigation
+    chrome shared with thousands of pages never reaches a pairwise
+    threshold). Reported in integer permille so the ratio is exact
+    cross-engine.
+
+    Plan: positional 5-grams explode once; the (doc, gram) partial
+    aggregate collapses repeats before the gram-keyed document-
+    frequency join — the classic inverted-index shape, where the join
+    reuses the gram shuffle (co-partitioned sort-merge). At 100 TB the
+    5-gram df join keys are mildly skewed at worst (a 5-gram is far
+    more selective than a token); the df-cap knob documented for the
+    n-gram Jaccard index (operators/dedup.py) applies unchanged if a
+    pathological template corpus makes one gram hot. Docs with fewer
+    than 5 tokens have no gram positions and drop out (no 0/0 row)."""
+    from etl_orders_spark.operators.dedup import ordered_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(ordered_shingles("text", _DUP_K)).alias("gram"))
+    per_pair = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n_pos"))
+    per_gram = per_pair.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_pos = F.sum(F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0)))
+    return (
+        per_pair.join(per_gram, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_grams"),
+            dup_pos.cast("long").alias("dup_grams"),
+        )
+        .withColumn("dup_permille", F.expr("dup_grams * 1000 div n_grams"))
+    )

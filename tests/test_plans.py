@@ -160,6 +160,7 @@ _BNLJ_ALLOWED = {
     "pareto_customer_revenue": 1,
     "part_rank_movers": 2,
     "pmi_bigrams_docs": 2,
+    "q11_important_stock": 1,  # 1-row national-total broadcast
     "pmi_copurchase_parts": 1,
     "price_volume_decomposition": 1,
     "q22_global_sales_opportunity": 1,
@@ -236,3 +237,46 @@ def test_no_query_plans_an_unvetted_global_window(spark, sf_dir):
         if n > _GLOBAL_WINDOW_ALLOWED.get(name, 0):
             offenders[name] = n
     assert not offenders, f"unvetted single-partition windows: {offenders}"
+
+
+def test_runtime_bloom_filter_available_for_selective_fact_joins(spark, sf_dir):
+    """The engine's session keeps Spark's runtime bloom-filter join
+    pruning enabled (`spark.sql.optimizer.runtime.bloomFilter.enabled`),
+    so a selective dimension-side filter injects a bloom_filter_agg
+    semi-filter into the fact scan side of a shuffled join. The feature
+    is size-gated by design — creation side <= 10 MB, application-side
+    scan >= 10 GB — so it cannot fire at test scale factors; this test
+    drops the size gates to prove the plumbing works end-to-end on a
+    representative plan, which is exactly the plan Spark produces
+    unprompted at 100 TB (where lineitem clears the 10 GB scan gate
+    and a filtered orders side clears the creation gate)."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.sources.readers import load_table
+
+    spark.catalog.clearCache()
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_app
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
