@@ -1256,6 +1256,7 @@ _DUP_GRAMS = (
     GROUP BY doc_id
     """,
     tags=("text", "dedup", "curation", "llm"),
+    bench=True,
 )
 def dup_ngram_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicate-n-gram rate: the fraction of a doc's word

@@ -702,6 +702,7 @@ _PS_SQL = """
     LIMIT 100
     """,
     tags=("join", "window", "subquery", "tpch"),
+    bench=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest supplier(s) per qualifying part within a
