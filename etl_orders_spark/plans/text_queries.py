@@ -1270,23 +1270,27 @@ def dup_ngram_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine.
 
     Plan: positional 5-grams explode once; the (doc, gram) partial
-    aggregate collapses repeats before the gram-keyed document-
-    frequency join — the classic inverted-index shape, where the join
-    reuses the gram shuffle (co-partitioned sort-merge). At 100 TB the
-    5-gram df join keys are mildly skewed at worst (a 5-gram is far
-    more selective than a token); the df-cap knob documented for the
-    n-gram Jaccard index (operators/dedup.py) applies unchanged if a
-    pathological template corpus makes one gram hot. Docs with fewer
-    than 5 tokens have no gram positions and drop out (no 0/0 row)."""
+    aggregate collapses repeats, then the document frequency comes
+    from a gram-keyed COUNT window over that same aggregate — NOT a
+    self-join against a groupBy("gram") branch, which would plan the
+    scan+explode+aggregate subtree twice (exchange reuse does not
+    unify an aggregate with its own re-aggregation; measured 2 full
+    document scans in the plan audit). One computation, one extra
+    gram-keyed exchange. At 100 TB the gram keys are mildly skewed at
+    worst (a 5-gram is far more selective than a token); the df-cap
+    knob documented for the n-gram Jaccard index (operators/dedup.py)
+    applies unchanged if a pathological template corpus makes one
+    gram hot. Docs with fewer than 5 tokens have no gram positions
+    and drop out (no 0/0 row)."""
     from etl_orders_spark.operators.dedup import ordered_shingles
 
     docs = T(spark, sf_dir, "documents")
     g = docs.select("doc_id", F.explode(ordered_shingles("text", _DUP_K)).alias("gram"))
     per_pair = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n_pos"))
-    per_gram = per_pair.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("gram")
     dup_pos = F.sum(F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0)))
     return (
-        per_pair.join(per_gram, "gram")
+        per_pair.withColumn("n_docs", F.count(F.lit(1)).over(w))
         .groupBy("doc_id")
         .agg(
             F.sum("n_pos").cast("long").alias("n_grams"),
