@@ -97,10 +97,20 @@ def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     HyperANF move — replace the exact distinct per source with a
     mergeable HLL sketch (the hll_* queries show that primitive) so
     the frontier state drops to |sources| × sketch bytes. Self is
-    excluded from every cumulative set."""
-    e = _edges(spark, sf_dir)
+    excluded from every cumulative set.
+
+    The edge set and each cumulative frontier are consumed by TWO
+    downstream subtrees (the next expansion and its own count), so
+    they persist (lazy cache, populated by the query's own action,
+    shared by every later stage) — otherwise the expansion lineage
+    replays the full edge build per consumer (measured 38 lineitem
+    scans without it). The residual cost is the 3-hop frontier
+    expansion itself (frontier x degree candidate pairs before the
+    distinct) — irreducible for EXACT reach on a dense co-purchase
+    graph; the HyperANF/HLL form above is the documented scale path."""
+    e = _edges(spark, sf_dir).persist()
     s = e.select("src").filter(F.col("src") % _KHOP_SAMPLE_MOD == 0).distinct()
-    h1 = e.join(s, "src").select("src", "dst")
+    h1 = e.join(s, "src").select("src", "dst").persist()
 
     def expand(cum: DataFrame) -> DataFrame:
         step = (
@@ -112,7 +122,7 @@ def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum.unionByName(step).filter(F.col("dst") != F.col("src")).distinct()
         )
 
-    c2 = expand(h1)
+    c2 = expand(h1).persist()
     c3 = expand(c2)
 
     def counts(df: DataFrame, name: str) -> DataFrame:
