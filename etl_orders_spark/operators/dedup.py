@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from etl_orders_spark.functions.text import fingerprint, normalize_text, shingles, tokens
 
 
+def _parallelism_floor(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the cluster has cores — the toy-scale case (one small parquet
+    file → one partition) where a persisted tokenize/shingle stage
+    would otherwise compute on a single task. At production scale the
+    input already has ≥ cores partitions and this is a no-op (no
+    shuffle added)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _portable_hash(c: Column, seed: int) -> Column:
     """32-bit deterministic hash from md5 hex — reproducible in any
     engine that has md5 + hex→int (DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT)."""
@@ -165,8 +178,16 @@ def ngram_jaccard_pairs(
     was shared — pairs found keep exact-enough scores, and a pair
     missed entirely must share only ultra-common shingles (which means
     it was never a near-dup). None = exact (the oracle-checked form).
+    The exploded shingle table feeds three consumers (per-doc sizes
+    and both join sides — four with the df-cap's hot-key scan), so it
+    persists: without the cache each consumer replays the full
+    tokenize+shingle of every document.
     """
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingle)).alias("sh"))
+    sh = (
+        _parallelism_floor(df)
+        .select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingle)).alias("sh"))
+        .persist()
+    )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))  # shingles are distinct already
     joinable = sh
     if df_cap is not None:
@@ -222,18 +243,28 @@ def prefix_filter_jaccard_pairs(
     (shuffle on id), a rare-key self-join, then exact verification that
     joins the full shingle arrays for candidate pairs only.
 
+    The shingle-array table and the prefix index each feed multiple
+    consumers (df-count + rank + both verify sides; both candidate
+    join sides), so both persist — without the caches the full
+    tokenize+shingle replays six times (measured: 17.6s -> cached at
+    sf0.1, the dominant cost was recompute, not the join).
+
     Output: id_a < id_b, jaccard (rounded 6) filtered ≥ threshold.
     """
     from pyspark.sql import Window as W
 
-    docs = df.select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("sh_set"))
+    docs = (
+        _parallelism_floor(df)
+        .select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("sh_set"))
+        .persist()
+    )
     ex = docs.select("_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     ranked = ex.join(dfreq, "sh").withColumn(
         "rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "sh"))
     )
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("_id", "sh")
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("_id", "sh").persist()
     cand = (
         prefix.toDF("id_a", "sh")
         .join(prefix.toDF("id_b", "sh2"), (F.col("sh") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))

@@ -280,3 +280,29 @@ def test_runtime_bloom_filter_available_for_selective_fact_joins(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_app
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_multi_consumer_subtrees_are_cached(spark, sf_dir):
+    """Recompute audit, pinned: queries whose expensive subtree feeds
+    several consumers (iterative graph expansion, inverted-index
+    self-joins, scalar-total broadcasts over a fact aggregate) must
+    materialize it once — without the persist, lazy lineage replays
+    the subtree per consumer (measured: khop 38 lineitem scans / 65s
+    at sf0.1 vs 42s cached; prefix-filter jaccard 12s vs 2s). The
+    physical plan shows the cache as an InMemoryTableScan/Relation."""
+    from etl_orders_spark.plans.registry import query_map
+
+    spark.catalog.clearCache()
+    q = query_map()
+    for name in (
+        "khop_reachability_parts",
+        "triangle_count_copurchase",
+        "ngram_jaccard_prefix",
+        "ngram_jaccard_pairs",
+        "alloc_nation_budget",
+        "pagerank_event_types",
+    ):
+        plan = q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, (
+            f"{name}: multi-consumer subtree lost its cache"
+        )
