@@ -1298,3 +1298,100 @@ def dup_ngram_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dup_permille", F.expr("dup_grams * 1000 div n_grams"))
     )
+
+
+# add-one-smoothed corpus bigram LM: the NLL unit is micro-nats,
+# floored per DISTINCT (doc, gram) so the per-doc sum is a sum of
+# exact integers (order-free cross-engine)
+_LM_NLL = "FLOOR(LN((c_ctx + vsz) * 1.0 / (c_bg + 1)) * 1000000.0)"
+
+
+@register(
+    "bigram_perplexity_docs",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, UNNEST({_sql_ordered_grams(2)}) AS g FROM documents
+    ),
+    per_pair AS (
+      SELECT doc_id, g, split_part(g, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT doc_id, n_pos,
+             SUM(n_pos) OVER (PARTITION BY g) AS c_bg,
+             SUM(n_pos) OVER (PARTITION BY w1) AS c_ctx
+      FROM per_pair
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+      FROM (SELECT UNNEST({_NORM_TOKENS}) AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_pos * CAST({_LM_NLL} AS BIGINT)) AS BIGINT) AS total_nll_micro,
+           CAST(SUM(n_pos * CAST({_LM_NLL} AS BIGINT)) // SUM(n_pos) AS BIGINT)
+             AS avg_nll_micro
+    FROM m CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality filter (the CCNet/Wenzek'20 move, with
+    the corpus itself as the reference model): score every document by
+    its average negative log-likelihood under an add-one-smoothed
+    bigram model TRAINED ON the corpus — template/boilerplate text
+    scores low NLL (its bigrams are corpus-common), lorem-ipsum and
+    mojibake score high, and both tails are what a curation pass
+    drops. P(w2|w1) = (C(w1 w2) + 1) / (C(w1·) + |V|); the report is
+    integer micro-nats (floored per distinct (doc, gram) BEFORE the
+    per-doc sum, so the sum is order-free and cross-engine exact —
+    one ln evaluates per distinct pair, the repo's pmi convention).
+
+    Plan: one explode into positional bigrams, one (doc, gram)
+    partial aggregate, then BOTH model counts — C(bigram) and
+    C(context) — come from keyed COUNT windows over that same
+    aggregate rather than joins against groupBy branches (which would
+    replay the scan+explode per branch; the dup_ngram_rate lesson).
+    The vocabulary size is a 1-row aggregate broadcast in. At 100 TB
+    the context window's hot keys are stopword contexts ("the" starts
+    a large share of bigrams); the scale move documented for that
+    regime is materializing the two model tables once (they are
+    vocab-bounded, FAR smaller than the corpus), pruning to the top-K
+    grams, and broadcast-joining the model instead of windowing —
+    same math, no skewed exchange."""
+    from etl_orders_spark.operators.dedup import ordered_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    per_pair = (
+        docs.select("doc_id", F.explode(ordered_shingles("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pos"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+    )
+    vsz = (
+        docs.select(F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.countDistinct("t").cast("long").alias("vsz"))
+    )
+    m = (
+        per_pair.withColumn("c_bg", F.sum("n_pos").over(Window.partitionBy("g")))
+        .withColumn("c_ctx", F.sum("n_pos").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(vsz))
+    )
+    nll = F.floor(
+        F.log(
+            (F.col("c_ctx") + F.col("vsz")).cast("double")
+            / (F.col("c_bg") + F.lit(1)).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        m.withColumn("_nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_pos") * F.col("_nll")).cast("long").alias("total_nll_micro"),
+        )
+        .withColumn("avg_nll_micro", F.expr("total_nll_micro div n_bigrams"))
+    )
