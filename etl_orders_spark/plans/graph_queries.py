@@ -155,9 +155,9 @@ def khop_reachability_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets — the documented scale path, now implemented. The exact
     form's irreducible cost is the 3-hop (source, reached) pair
     expansion, toward |S|·|V| rows on a dense co-purchase graph; here
-    every node carries a fixed 2^12-register sketch and each hop is
+    every node carries a fixed 2^10-register sketch and each hop is
     one keyed join + `hll_union_agg`, so state is |V| × sketch bytes
-    at any density. Estimates land within ~1.6% (HLL standard error;
+    at any density. Estimates land within ~3.3% (HLL standard error at lgK=10;
     exact in sparse mode for small neighborhoods) — the error-bound
     test pins ≤5% mean absolute relative error vs the exact twin.
 

@@ -76,6 +76,11 @@ def test_hyperanf_khop_tracks_exact_reach(spark, sf_dir):
     exact = {r.partkey: r for r in q["khop_reachability_parts"](spark, sf_dir).collect()}
     est = {r.partkey: r for r in q["khop_reachability_sketch"](spark, sf_dir).collect()}
     assert set(est) == set(exact), "landmark sample mismatch"
+    # hyperanf defaults to lgK=10 (the measured accuracy/merge-cost
+    # knee: mean err ~2.6% at sf0.01 vs ~8% at lgK=9, and each merge
+    # is 4x cheaper than lgK=12): RSE = 1.04/sqrt(2^10) ~= 3.3%,
+    # 5 sigma -> 16.3% per-landmark bound
+    anf_tol = 0.163
     for hop in (1, 2, 3):
         rel_errs = []
         for pk, e in exact.items():
@@ -84,7 +89,7 @@ def test_hyperanf_khop_tracks_exact_reach(spark, sf_dir):
             if truth == 0:
                 assert guess == 0, f"part {pk} hop {hop}: est {guess} vs exact 0"
                 continue
-            assert abs(guess - truth) <= max(3, _REL_TOL * truth), (
+            assert abs(guess - truth) <= max(3, anf_tol * truth), (
                 f"part {pk} hop {hop}: est {guess} vs exact {truth}"
             )
             rel_errs.append(abs(guess - truth) / truth)
