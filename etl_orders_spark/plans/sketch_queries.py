@@ -141,3 +141,52 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = tf.orderBy(F.desc("exact"), F.asc("term")).limit(_CMS_TOPK)
     est = countmin_estimate(sketch, top, "term", depth=_CMS_DEPTH, width=_CMS_WIDTH)
     return top.join(est, "term").select("term", "exact", "est")
+
+
+@register(
+    "hll_event_type_overlap",
+    None,  # sketch set-algebra is engine-specific; envelope pinned in tests
+    tags=("sketch", "events", "agg", "setop"),
+)
+def hll_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from HLL sketches
+    alone, via inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B) — the set-algebra move that answers "how many users do
+    these two funnels share?" from persisted kilobyte sketches with
+    no revisit of raw events. At 100 TB the per-type sketches are the
+    stored rollup (one 4 KiB sketch per type per partition-grain);
+    every pair's union merges two sketches driver-side-free in a tiny
+    cross join of the |types|-row sketch table. The exact overlap
+    (distinct-user self-join) rides along for self-audit at test
+    scale — it is exactly the quadratic-shuffle computation the
+    sketch form exists to avoid. Estimates clamp at 0 (inclusion-
+    exclusion can go slightly negative on near-disjoint sets); the
+    error envelope scales with est(A∪B), pinned in
+    tests/test_sketch.py."""
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(_LG_K)).alias("sk")
+    )
+    a = per_type.toDF("type_a", "sk_a")
+    b = per_type.toDF("type_b", "sk_b")
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        F.hll_sketch_estimate("sk_a").cast("long").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").cast("long").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).cast("long").alias("est_union"),
+    )
+    pairs = pairs.withColumn(
+        "est_overlap",
+        F.greatest(F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
+    )
+    tu = ev.distinct()
+    exact = (
+        tu.toDF("type_a", "u")
+        .join(tu.toDF("type_b", "u2"), (F.col("u") == F.col("u2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    return pairs.join(exact, ["type_a", "type_b"], "left").fillna(
+        0, subset=["exact_overlap"]
+    ).orderBy("type_a", "type_b")

@@ -1335,6 +1335,7 @@ _LM_NLL = "FLOOR(LN((c_ctx + vsz) * 1.0 / (c_bg + 1)) * 1000000.0)"
     GROUP BY doc_id
     """,
     tags=("text", "quality", "llm"),
+    bench=True,
 )
 def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-LM quality filter (the CCNet/Wenzek'20 move, with

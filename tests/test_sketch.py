@@ -94,3 +94,20 @@ def test_hyperanf_khop_tracks_exact_reach(spark, sf_dir):
             )
             rel_errs.append(abs(guess - truth) / truth)
         assert rel_errs and sum(rel_errs) / len(rel_errs) <= 0.05
+
+
+def test_hll_overlap_within_compound_envelope(spark, sf_dir):
+    """Inclusion-exclusion compounds three estimates, so the error
+    envelope scales with the UNION size, not the intersection: pin
+    |est − exact| ≤ 3·RSE·est_union (plus a small absolute floor for
+    sparse-mode jitter) for every event-type pair."""
+    from etl_orders_spark.plans.sketch_queries import hll_event_type_overlap
+
+    rows = hll_event_type_overlap(spark, sf_dir).collect()
+    assert rows, "no event-type pairs"
+    for r in rows:
+        bound = max(5, 3 * 0.0163 * r.est_union)
+        assert abs(r.est_overlap - r.exact_overlap) <= bound, (
+            f"{r.type_a}x{r.type_b}: est {r.est_overlap} vs exact {r.exact_overlap}"
+            f" (union {r.est_union})"
+        )
