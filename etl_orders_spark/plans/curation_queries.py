@@ -620,3 +620,66 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
     )
+
+
+_AES_K = 5  # sample size per source stratum
+# portable uniform in (0,1): 32-bit md5 prefix, offset half a step so
+# u is never exactly 0 (ln(0) = -inf) or 1
+_AES_U_SQL = (
+    "(CAST(('0x' || substr(md5('aes|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "weighted_sample_per_source",
+    f"""
+    WITH k AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(FLOOR(LN({_AES_U_SQL}) / GREATEST(n_chars, 1) * 1000000000000.0) AS BIGINT)
+               AS key_pico
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, key_pico, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY key_pico DESC, doc_id) AS rk
+      FROM k
+    ) r WHERE rk <= {_AES_K}
+    """,
+    tags=("text", "pipeline", "sampling", "curation"),
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed: an exact
+    5-doc (_AES_K) sample per source with inclusion probability proportional
+    to document length, via the Efraimidis-Spirakis A-ES key — each
+    doc draws key = ln(u)/w from a portable content-independent hash
+    uniform u, and the top-k keys per stratum ARE the weighted sample.
+    This is the one-pass, shuffle-once form of weighted reservoir
+    sampling: no sequential reservoir state, no RNG coordination —
+    any engine that ranks the same keys draws the same sample, which
+    is what a reproducible training-mix recipe needs (Bernoulli
+    mixture sampling can't hit an exact per-stratum size; naive
+    sort-by-random isn't weighted). Keys floor to integer pico-units
+    so the cross-engine ranking compares exact integers (ties broken
+    by doc_id), per the registry's determinism conventions. One map
+    stage + one source-keyed top-k window; at 100 TB the window is
+    replaced by the same per-partition-heap + merge the topk operator
+    family documents, still never a global sort.
+    """
+    d = T(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("aes|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key_pico = F.floor(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double") * F.lit(1e12)
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(F.desc("key_pico"), "doc_id")
+    return (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .withColumn("key_pico", key_pico)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _AES_K)
+        .select("source", "doc_id", "n_chars", "key_pico", "rk")
+    )
