@@ -175,9 +175,10 @@ _BNLJ_ALLOWED = {
     "weekday_seasonality_index": 1,
     "ann_topk_cosine": 1,  # broadcast query batch (exactness baseline)
     "alloc_nation_budget": 3,  # 1-row total/shortfall tables
-    "abc_part_classification": 1,  # 1-row total
     "engagement_decay_scores": 1,  # 1-row max-date anchor
     "anomaly_daily_revenue": 1,
+    "bigram_perplexity_docs": 1,  # 1-row vocab-size broadcast
+    "hll_event_type_overlap": 1,  # |types|-row sketch table theta self-join
 }
 
 
