@@ -683,3 +683,64 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _AES_K)
         .select("source", "doc_id", "n_chars", "key_pico", "rk")
     )
+
+
+_SHARD_SIZE = 256  # docs per training shard
+
+
+@register(
+    "shuffle_corpus_shards",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, shuffle_key,
+             ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, shuffle_key,
+           CAST((rk - 1) // {_SHARD_SIZE} AS BIGINT) AS shard,
+           CAST((rk - 1) % {_SHARD_SIZE} AS BIGINT) AS pos
+    FROM ranked
+    """,
+    tags=("curation", "pipeline", "sampling", "layout"),
+)
+def shuffle_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into fixed-size training shards —
+    the last step before a corpus reaches a trainer: a document's
+    position must be decorrelated from its crawl/source order (batch
+    order bias) yet exactly reproducible run-to-run and engine-to-
+    engine. Each doc draws a content-independent portable key
+    (md5 over a salted doc_id, identical bytes in any engine); its
+    global rank in key order is its permutation index; shard and
+    in-shard position are pure integer arithmetic on that rank.
+
+    The global rank comes from operators/rank.two_pass_rank — a
+    range partition on the (uniform) key plus broadcast per-partition
+    offsets — so the permutation is exact with NO single-partition
+    sort stage: the one pattern that cannot ship at 100 TB is
+    ``ORDER BY rand()`` through one task. In production the result
+    writes ``partitionBy(shard)`` (sources/writers.write_parquet) and
+    shard files stream to the trainer in shard order; re-keying with a
+    different salt is a fresh epoch-level reshuffle at one scan's
+    cost. Uniformity of md5 makes the range partitions balanced by
+    construction — no skew caveat.
+    """
+    from etl_orders_spark.operators.rank import two_pass_rank
+
+    keyed = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    ranked = two_pass_rank(
+        keyed, order_by=[F.col("shuffle_key"), F.col("doc_id")], rank_col="rk"
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_key",
+        F.expr(f"(rk - 1) div {_SHARD_SIZE}").cast("long").alias("shard"),
+        F.pmod(F.col("rk") - 1, F.lit(_SHARD_SIZE)).cast("long").alias("pos"),
+    )

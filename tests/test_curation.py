@@ -233,3 +233,33 @@ def test_order_sequence_first_rows_cover_everyone(spark, sf_dir):
     for s in range(1, 5):
         if s + 1 in rows:
             assert rows[s + 1].n_customers <= rows[s].n_customers
+
+
+def test_shuffle_corpus_shards_is_exact_permutation(spark, sf_dir):
+    """The shuffle is a permutation (every doc exactly once), shards
+    are exactly _SHARD_SIZE docs except the last, in-shard positions
+    are dense 0..size-1, and the permutation is run-to-run stable."""
+    from etl_orders_spark.plans.curation_queries import _SHARD_SIZE
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    q = query_map()["shuffle_corpus_shards"]
+    rows = q(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    assert {r.doc_id for r in rows} == set(
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    last = max(by_shard)
+    for shard, poss in by_shard.items():
+        size = _SHARD_SIZE if shard != last else n - last * _SHARD_SIZE
+        assert sorted(poss) == list(range(size)), f"shard {shard} not dense"
+    # deterministic: a second run yields the identical assignment
+    again = {(r.doc_id, r.shard, r.pos) for r in q(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    # decorrelation sanity: shard 0 is not just the first doc_ids
+    shard0_ids = sorted(r.doc_id for r in rows if r.shard == 0)
+    assert shard0_ids != sorted(r.doc_id for r in rows)[: len(shard0_ids)]
