@@ -240,3 +240,68 @@ def orc_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("Price").alias("price"),
         )
     )
+
+
+_JSONL_DIR = os.path.join(os.path.dirname(ORDERS_CSV), "orders_jsonl")
+
+
+def _ensure_orders_jsonl(spark: SparkSession) -> str:
+    """Stage the orders fixture to newline-delimited JSON once per
+    fixture version (same idempotence gate as the ORC staging): the
+    capability under test is the full JSONL write -> read round trip
+    through Spark's json sink and the engine's read_jsonl scan."""
+    success = os.path.join(_JSONL_DIR, "_SUCCESS")
+    if not (
+        os.path.exists(success)
+        and os.path.getmtime(success) >= os.path.getmtime(ORDERS_CSV)
+    ):
+        read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA).write.mode("overwrite").json(_JSONL_DIR)
+    return _JSONL_DIR
+
+
+@register(
+    "jsonl_star_ingest",
+    f"""
+    SELECT o.Fecha AS order_date,
+           o.User_ID AS user_id,
+           o.Product_ID AS product_id,
+           p.Name AS product_name,
+           p.Category AS category,
+           p.Price AS price
+    FROM read_csv('{ORDERS_CSV}', header=true, columns={_ORDERS_COLS}) o
+    JOIN read_csv('{PRODUCTS_CSV}', header=true, columns={_PRODUCTS_COLS}) p
+      ON o.Product_ID = p.Id
+    JOIN read_csv('{USERS_CSV}', header=true, columns={_USERS_COLS}) u
+      ON o.User_ID = u.Id
+    """,
+    tags=("source", "json", "join", "projection"),
+)
+def jsonl_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (JSONL) — the star join with the fact side round-tripped
+    through Spark's json sink and scanned back via read_jsonl: the
+    bulk-interchange landing format (one record per line, so a single
+    file splits across tasks — unlike the multiLine envelope, which
+    is one split by construction). The DuckDB oracle reads the SAME
+    LOGICAL ROWS from the source CSV, so a hash match certifies the
+    JSONL write -> read fidelity end-to-end (types survive the
+    text round trip), not just the join. Explicit schema on the scan:
+    JSON carries no types, and inference is a full extra pass at
+    100 TB. Both dims broadcast."""
+    ensure_ingest_fixtures()
+    from etl_orders_spark.sources.readers import read_jsonl
+
+    orders = read_jsonl(spark, _ensure_orders_jsonl(spark), ORDERS_SCHEMA)
+    products = F.broadcast(read_csv(spark, PRODUCTS_CSV, PRODUCTS_SCHEMA))
+    users = F.broadcast(read_csv(spark, USERS_CSV, USERS_SCHEMA))
+    return (
+        orders.join(products, orders["Product_ID"] == products["Id"], "inner")
+        .join(users, orders["User_ID"] == users["Id"], "inner")
+        .select(
+            F.col("Fecha").alias("order_date"),
+            F.col("User_ID").alias("user_id"),
+            F.col("Product_ID").alias("product_id"),
+            F.col("Name").alias("product_name"),
+            F.col("Category").alias("category"),
+            F.col("Price").alias("price"),
+        )
+    )
