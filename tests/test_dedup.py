@@ -230,3 +230,43 @@ def test_prefix_filter_indexes_fewer_postings(spark):
         F.col("rn") <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(tau)) + 1
     ).count()
     assert pref < full
+
+
+def test_hashed_ordered_shingles_matches_string_gram_classes(spark):
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.text import normalize_text, tokens
+    from etl_orders_spark.operators.dedup import hashed_ordered_shingles, ordered_shingles
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps"),  # shares a 3-gram prefix with 1
+        (3, "too short"),  # < k tokens -> zero grams, not phantom windows
+        (4, ""),  # empty text
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "_toks", tokens(normalize_text(F.col("text")))
+    )
+    k = 3
+    s = df.select("doc_id", F.posexplode(ordered_shingles("text", k)).alias("p", "gram"))
+    h = df.select(
+        "doc_id", F.posexplode(hashed_ordered_shingles("_toks", k)).alias("p", "gh")
+    )
+    # same positional cardinality per doc (docs 3 and 4 contribute none)
+    assert {(r.doc_id, r.p) for r in s.collect()} == {(r.doc_id, r.p) for r in h.collect()}
+    # identical equivalence classes: two positions share a string gram
+    # iff they share a hash
+    pairs = (
+        s.join(h, ["doc_id", "p"])
+        .select("gram", "gh")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.countDistinct("gh").alias("n_h"))
+    )
+    assert pairs.filter(F.col("n_h") != 1).count() == 0
+    back = (
+        s.join(h, ["doc_id", "p"]).select("gram", "gh").distinct()
+        .groupBy("gh").agg(F.countDistinct("gram").alias("n_s"))
+    )
+    assert back.filter(F.col("n_s") != 1).count() == 0
