@@ -339,18 +339,36 @@ def winnow_fingerprints(
     documents produces a shared fingerprint.
 
     Built as posexplode + a ROWS-frame window min — one shuffle on the
-    doc id, no higher-order-function lambdas (whose interpreted
-    evaluation re-runs referenced sub-expressions per element: the
-    array formulation of this operator is O(n·w) tokenizations/row).
+    doc id, no higher-order-function lambdas over the hash stream
+    (whose interpreted evaluation re-runs referenced sub-expressions
+    per element: the array formulation of this operator is O(n·w)
+    tokenizations/row).
+
+    The fast path (portable=False) never builds gram strings at all:
+    token windows hash map-side via ``hashed_ordered_shingles``, so
+    the doc-id exchange carries (id, pos, long). Fingerprint VALUES
+    are an implementation detail in both modes (opaque hashes; only
+    equality matters, and the shared-run guarantee is hash-agnostic);
+    portable=True keeps the md5 string path whose values a SQL oracle
+    can reproduce.
 
     Output: id_col, fp (long) — distinct fingerprint values.
     """
     from pyspark.sql import Window as W
 
-    grams = df.select(
-        F.col(id_col), F.posexplode(ordered_shingles(text_col, k_shingle)).alias("pos", "gram")
-    )
-    hashed = grams.select(F.col(id_col), "pos", _hash(F.col("gram"), 0, portable).alias("h"))
+    from etl_orders_spark.functions.text import normalize_text, tokens
+
+    if portable:
+        grams = df.select(
+            F.col(id_col),
+            F.posexplode(ordered_shingles(text_col, k_shingle)).alias("pos", "gram"),
+        )
+        hashed = grams.select(F.col(id_col), "pos", _hash(F.col("gram"), 0, portable).alias("h"))
+    else:
+        hashed = df.withColumn("_toks", tokens(normalize_text(F.col(text_col)))).select(
+            F.col(id_col),
+            F.posexplode(hashed_ordered_shingles("_toks", k_shingle)).alias("pos", "h"),
+        )
     w = (
         W.partitionBy(id_col)
         .orderBy("pos")

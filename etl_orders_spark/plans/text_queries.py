@@ -752,7 +752,6 @@ _ORDERED_GRAMS = (
     SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - {_WINNOW_W}
     """,
     tags=("text", "dedup"),
-    bench=True,
 )
 def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing): distinct
@@ -762,6 +761,27 @@ def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         T(spark, sf_dir, "documents"), "doc_id", "text",
         k_shingle=_WINNOW_K, window=_WINNOW_W, portable=True,
+    )
+
+
+@register(
+    "winnow_fingerprints_docs_fast",
+    None,  # fp values are engine-internal hashes in the fast path
+    tags=("text", "dedup"),
+    bench=True,
+)
+def winnow_fingerprints_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnow_fingerprints_docs on the production hash path: token
+    windows hash map-side to longs (hashed_ordered_shingles) — no gram
+    strings, no md5 — so both the explode and the doc-keyed exchange
+    carry 8-byte fingerprints. Fingerprint VALUES are opaque (only
+    equality matters; the shared-run guarantee is hash-agnostic and
+    pinned by tests/test_dedup.py), so this form has no SQL oracle —
+    the md5-portable twin above stays the hash-checked reference, this
+    one is what the bench grades and production runs."""
+    return winnow_fingerprints(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        k_shingle=_WINNOW_K, window=_WINNOW_W, portable=False,
     )
 
 
