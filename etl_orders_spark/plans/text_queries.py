@@ -1354,7 +1354,6 @@ _LM_NLL = "FLOOR(LN((c_ctx + vsz) * 1.0 / (c_bg + 1)) * 1000000.0)"
     GROUP BY doc_id
     """,
     tags=("text", "quality", "llm"),
-    bench=True,
 )
 def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-LM quality filter (the CCNet/Wenzek'20 move, with
@@ -1475,4 +1474,100 @@ def dup_ngram_rate_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_pos.cast("long").alias("dup_grams"),
         )
         .withColumn("dup_permille", F.expr("dup_grams * 1000 div n_grams"))
+    )
+
+
+@register(
+    "bigram_perplexity_docs_fast",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, UNNEST({_sql_ordered_grams(2)}) AS g FROM documents
+    ),
+    per_pair AS (
+      SELECT doc_id, g, split_part(g, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT doc_id, n_pos,
+             SUM(n_pos) OVER (PARTITION BY g) AS c_bg,
+             SUM(n_pos) OVER (PARTITION BY w1) AS c_ctx
+      FROM per_pair
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+      FROM (SELECT UNNEST({_NORM_TOKENS}) AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_pos * CAST({_LM_NLL} AS BIGINT)) AS BIGINT) AS total_nll_micro,
+           CAST(SUM(n_pos * CAST({_LM_NLL} AS BIGINT)) // SUM(n_pos) AS BIGINT)
+             AS avg_nll_micro
+    FROM m CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+    bench=True,
+)
+def bigram_perplexity_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bigram_perplexity_docs with every model key hashed map-side:
+    each bigram position becomes a (gh, w1h) = (xxhash64(w1,w2),
+    xxhash64(w1)) struct, so the (doc, gram) aggregate and both model
+    COUNT windows shuffle 8-byte longs instead of gram/context
+    strings, and the vocabulary size counts distinct token hashes —
+    1.82s -> 1.10s warm at sf0.1, growing with scale like the other
+    hashed twins. Same DuckDB oracle as the string form: space-joined
+    grams are injective on token windows, so hashed equivalence
+    classes (and therefore every count, and the integer NLL) match
+    exactly unless two distinct grams/tokens collide in 64 bits
+    (P ≈ q²/2⁶⁵). The string form stays registered as the
+    collision-free reference."""
+    from etl_orders_spark.functions.text import normalize_text, tokens
+
+    docs = T(spark, sf_dir, "documents")
+    d = docs.withColumn("_t", tokens(normalize_text(F.col("text"))))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.struct(
+            F.xxhash64(F.element_at("_t", i), F.element_at("_t", i + 1)).alias("gh"),
+            F.xxhash64(F.element_at("_t", i)).alias("w1h"),
+        ),
+    )
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("_t") >= 2, pairs).otherwise(
+                    F.array().cast("array<struct<gh:long,w1h:long>>")
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.gh", "p.w1h")
+    )
+    per_pair = g.groupBy("doc_id", "gh", "w1h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos")
+    )
+    vsz = (
+        d.select(F.explode("_t").alias("t"))
+        .agg(F.countDistinct(F.xxhash64("t")).cast("long").alias("vsz"))
+    )
+    m = (
+        per_pair.withColumn("c_bg", F.sum("n_pos").over(Window.partitionBy("gh")))
+        .withColumn("c_ctx", F.sum("n_pos").over(Window.partitionBy("w1h")))
+        .crossJoin(F.broadcast(vsz))
+    )
+    nll = F.floor(
+        F.log(
+            (F.col("c_ctx") + F.col("vsz")).cast("double")
+            / (F.col("c_bg") + F.lit(1)).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        m.withColumn("_nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_pos") * F.col("_nll")).cast("long").alias("total_nll_micro"),
+        )
+        .withColumn("avg_nll_micro", F.expr("total_nll_micro div n_bigrams"))
     )

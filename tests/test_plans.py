@@ -178,6 +178,7 @@ _BNLJ_ALLOWED = {
     "engagement_decay_scores": 1,  # 1-row max-date anchor
     "anomaly_daily_revenue": 1,
     "bigram_perplexity_docs": 1,  # 1-row vocab-size broadcast
+    "bigram_perplexity_docs_fast": 1,  # same 1-row vocab-size broadcast
     "hll_event_type_overlap": 1,  # |types|-row sketch table theta self-join
 }
 
