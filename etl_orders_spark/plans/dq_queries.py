@@ -212,3 +212,98 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("tbl"), "n_rows", "key_ndv", "key_min", "key_max")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_PSI_BIN_WIDTH = 50_000  # price-bucket width; 8 bins over o_totalprice
+_PSI_N_BINS = 8
+_PSI_SPLIT = "1998-01-01"  # reference period before, current period after
+
+
+@register(
+    "dq_psi_price_drift",
+    f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(o_totalprice AS BIGINT) // {_PSI_BIN_WIDTH}, {_PSI_N_BINS - 1}) AS bin,
+             CAST(SUM(CASE WHEN o_orderdate < '{_PSI_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN o_orderdate >= '{_PSI_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM binned
+    ), m AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 1) * 1000000 // (t_ref + {_PSI_N_BINS}) AS p_ppm,
+             (n_cur + 1) * 1000000 // (t_cur + {_PSI_N_BINS}) AS q_ppm,
+             CAST(FLOOR(LN(CAST((n_ref + 1) * (t_cur + {_PSI_N_BINS}) AS DOUBLE)
+                          / CAST((n_cur + 1) * (t_ref + {_PSI_N_BINS}) AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS lr_micro
+      FROM binned CROSS JOIN tot
+    )
+    SELECT bin, n_ref, n_cur,
+           CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+           lr_micro, CAST((p_ppm - q_ppm) * lr_micro AS BIGINT) AS psi_pico
+    FROM m
+    """,
+    tags=("dq", "stats", "drift"),
+)
+def dq_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per price bucket — THE production
+    drift gate for a feature/score distribution between a reference
+    and a current period (rule of thumb: total PSI > 0.25 = reshaped
+    population, investigate before trusting models/reports fed by the
+    column). Σ (p_i − q_i)·ln(p_i/q_i) over fixed bins with add-one
+    smoothing so an empty bin never divides by zero.
+
+    Integer-exact cross-engine per the registry conventions: p and q
+    ship as floor-ppm (pure integer arithmetic), the log-ratio floors
+    to micro-nats per bin (its argument is a ratio of exact integer
+    products, identically rounded to double by both engines), and the
+    per-bin PSI contribution is the integer product of those two —
+    psi_pico sums order-free to the total (÷10¹² for the classic
+    score).
+
+    Scale: ONE conditional-aggregation scan produces the bin table
+    (map-side combinable, ≤ bins×partitions shuffle rows); the two
+    grand totals re-aggregate the 8-row bin table and broadcast back
+    (the audited 1-row cross-join pattern). Nothing else touches the
+    fact table — drift monitoring costs one scan regardless of how
+    many periods the report compares."""
+    o = T(spark, sf_dir, "orders")
+    split = F.lit(_PSI_SPLIT).cast("date")
+    binned = (
+        o.groupBy(
+            F.expr(
+                f"least(CAST(o_totalprice AS BIGINT) div {_PSI_BIN_WIDTH}, {_PSI_N_BINS - 1})"
+            ).alias("bin")
+        )
+        .agg(
+            F.sum(F.when(F.col("o_orderdate").cast("date") < split, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("o_orderdate").cast("date") >= split, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    m = binned.crossJoin(F.broadcast(tot))
+    p_ppm = F.expr(f"(n_ref + 1) * 1000000 div (t_ref + {_PSI_N_BINS})")
+    q_ppm = F.expr(f"(n_cur + 1) * 1000000 div (t_cur + {_PSI_N_BINS})")
+    lr_micro = F.floor(
+        F.log(
+            ((F.col("n_ref") + 1) * (F.col("t_cur") + _PSI_N_BINS)).cast("double")
+            / ((F.col("n_cur") + 1) * (F.col("t_ref") + _PSI_N_BINS)).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return m.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ppm.cast("long").alias("p_ppm"),
+        q_ppm.cast("long").alias("q_ppm"),
+        lr_micro.alias("lr_micro"),
+        ((p_ppm - q_ppm) * lr_micro).cast("long").alias("psi_pico"),
+    )

@@ -179,6 +179,7 @@ _BNLJ_ALLOWED = {
     "anomaly_daily_revenue": 1,
     "bigram_perplexity_docs": 1,  # 1-row vocab-size broadcast
     "bigram_perplexity_docs_fast": 1,  # same 1-row vocab-size broadcast
+    "dq_psi_price_drift": 1,  # 1-row grand-total broadcast
     "hll_event_type_overlap": 1,  # |types|-row sketch table theta self-join
 }
 
