@@ -19,7 +19,17 @@ Determinism conventions shared by every pair:
   underscore names (`_mn`): Spark resolves a later select item's
   column reference against EARLIER aliases in the same list (lateral
   column aliases), so `F.round("mn", 6).alias("mn")` silently rebinds
-  subsequent `F.col("mn")` to the rounded value.
+  subsequent `F.col("mn")` to the rounded value;
+- hashed fast twins (`*_fast`): where string join/group keys dominate
+  shuffle bytes (n-gram families), a twin re-keys on map-side
+  xxhash64 and holds the bench slot. When key equality is provably
+  injective modulo 64-bit collisions (space-joined grams over
+  space-free tokens), the twin KEEPS the string form's SQL oracle —
+  static fixtures make the collision check deterministic, and the
+  string twin stays registered as the collision-free reference;
+  where values themselves are engine hashes (winnow fingerprints,
+  minhash signatures), the fast twin is rows-only and the
+  md5-portable twin carries the oracle.
 """
 
 from __future__ import annotations
