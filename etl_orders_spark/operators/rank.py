@@ -62,7 +62,22 @@ def two_pass_rank(
     spark = df.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    ranged = df.repartitionByRange(n_part, *order_by).withColumn(PID, F.spark_partition_id())
+    # Materialize the ranged frame ONCE (eager local checkpoint): the
+    # local pass and the offsets pass both consume it, but
+    # spark_partition_id() is nondeterministic, which disqualifies the
+    # shared subtree from Catalyst's exchange reuse — without the
+    # checkpoint the plan provably re-scans the input and pays the
+    # range exchange twice (2 FileScans, 0 ReusedExchange at runtime).
+    # One materialized narrow projection vs a second full scan is the
+    # right trade at any scale; production form is the same handoff
+    # staged to parquet. (Both evaluations WOULD agree — the range
+    # sampler is seeded deterministically — so this is a cost fix, not
+    # a correctness fix.)
+    ranged = (
+        df.repartitionByRange(n_part, *order_by)
+        .withColumn(PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
     # local pass — parallel per range partition
     w_loc = Window.partitionBy(PID).orderBy(*order_by)
@@ -71,8 +86,8 @@ def two_pass_rank(
     for out, col in cumsum.items():
         local = local.withColumn(f"_tpr_run_{out}", F.sum(col).over(w_run))
 
-    # offsets pass — P rows total (bounded by partition count, not data);
-    # the range exchange is shared with the local pass (ReusedExchange)
+    # offsets pass — P rows total (bounded by partition count, not
+    # data); reads the checkpointed ranged frame, not a second scan
     sizes = ranged.groupBy(PID).agg(
         F.count(F.lit(1)).alias("_tpr_cnt"),
         *[F.sum(col).alias(f"_tpr_tot_{out}") for out, col in cumsum.items()],
