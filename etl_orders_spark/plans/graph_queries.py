@@ -239,7 +239,7 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         _MEGA_BASKET_CAP,
         distinct=True,
-    )
+    ).localCheckpoint(eager=True)  # edge set feeds degree/total AND both join sides
     deg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -344,7 +344,7 @@ def pmi_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         _MEGA_BASKET_CAP,
         distinct=True,
-    )
+    ).localCheckpoint(eager=True)  # edge set feeds degree/total AND both join sides
     deg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

@@ -1689,8 +1689,12 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_gain = climbing.
 
     Scale: one conditional aggregate to (part, period) grain, two
-    period-partitioned rank windows over the part table, a part-keyed
-    self-join, and a top-20 TakeOrderedAndProject."""
+    period-partitioned rank windows over the part table, then a
+    GROUP-BY PIVOT to pair each part's two ranks — a self-join on the
+    ranked table would replay the whole aggregate+window lineage per
+    side (4 lineitem scans measured; exchange reuse does not unify
+    the re-filtered branches), while the pivot reads it once. Top-20
+    is TakeOrderedAndProject."""
     mx = T(spark, sf_dir, "lineitem").agg(
         F.date_trunc("month", F.max("l_shipdate")).cast("date").alias("m1")
     )
@@ -1711,14 +1715,12 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("period").orderBy(F.desc("rev"), "l_partkey")
     ranked = rev.withColumn("rk", F.row_number().over(w))
-    a = ranked.filter(F.col("period") == "recent").select(
-        F.col("l_partkey").alias("partkey"), F.col("rk").cast("long").alias("rank_recent")
-    )
-    p = ranked.filter(F.col("period") == "prior").select(
-        F.col("l_partkey").alias("partkey"), F.col("rk").cast("long").alias("rank_prior")
+    paired = ranked.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.max(F.when(F.col("period") == "recent", F.col("rk"))).cast("long").alias("rank_recent"),
+        F.max(F.when(F.col("period") == "prior", F.col("rk"))).cast("long").alias("rank_prior"),
     )
     return (
-        a.join(p, "partkey")
+        paired.filter(F.col("rank_recent").isNotNull() & F.col("rank_prior").isNotNull())
         .select(
             "partkey",
             "rank_prior",
@@ -2325,13 +2327,23 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = dd("n") * F.col(f"s_{b}_{b}") - dd(f"s_{b}") * F.col(f"s_{b}")
         return F.floor(num / (F.sqrt(da) * F.sqrt(db)) * F.lit(1000000.0)).cast("long")
 
-    out = None
-    for a, b in _CORR_PAIRS:
-        row = s.select(
-            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), r_micro(a, b).alias("r_micro")
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    # row-local explode of the 1-row sufficient-stats aggregate: a
+    # union of 6 projections re-runs the full 15-sum aggregate per
+    # branch (measured 6 lineitem scans in the runtime plan)
+    return s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        r_micro(a, b).alias("r_micro"),
+                    )
+                    for a, b in _CORR_PAIRS
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
 
 
 # --- order-sequence uplift --------------------------------------------------

@@ -226,10 +226,16 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     first is small-side broadcastable at scale; nothing ever pays an
     unkeyed pairwise comparison."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # v feeds the click join AND its own count, c feeds the purchase
+    # join AND its count — materialize each user-grain stage table
+    # once (the chained lineage otherwise re-runs earlier stages per
+    # consumer: 6 event scans measured in the runtime plan for what
+    # is logically 3 filtered passes)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -237,6 +243,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -727,10 +734,15 @@ def signup_to_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 5-row broadcast join against the per-user delay table —
     cost is horizons × users, with horizons a constant."""
     ev = T(spark, sf_dir, "events")
+    # su feeds the purchase join AND the censoring join; delay feeds
+    # the total count AND the horizon fan-out — materialize each
+    # user-grain table once (the chained lineage otherwise replays
+    # earlier stages per consumer: 4 event scans measured)
     su = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
+        .localCheckpoint(eager=True)
     )
     fp = (
         ev.filter(F.col("event_type") == "purchase")
@@ -739,11 +751,15 @@ def signup_to_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))
     )
-    delay = su.join(fp, "user_id", "left").select(
-        "user_id",
-        F.datediff(F.to_date("purchase_ts"), F.to_date("signup_ts"))
-        .cast("long")
-        .alias("days"),
+    delay = (
+        su.join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("purchase_ts"), F.to_date("signup_ts"))
+            .cast("long")
+            .alias("days"),
+        )
+        .localCheckpoint(eager=True)
     )
     t = delay.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     weeks = spark.range(0, 5).select(F.col("id").cast("long").alias("week"))
