@@ -959,10 +959,13 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4× cheaper sweep than re-running the sessionizer per gap."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # keep the null lags: each user's FIRST event has gap NULL, so the
+    # user count falls out of the same window pass (#null gaps =
+    # #users) — ONE event scan total, where a separate countDistinct
+    # branch would pay a second scan and a cross join
     gaps = ev.select(
         (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms")
-    ).filter(F.col("gap_ms").isNotNull())
-    u = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
 
     def b(minutes: int) -> F.Column:
         return (
@@ -971,8 +974,15 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"b{minutes}")
         )
 
-    g = gaps.agg(b(5), b(15), b(30), b(60))
-    base = g.crossJoin(F.broadcast(u))
+    base = gaps.agg(
+        b(5),
+        b(15),
+        b(30),
+        b(60),
+        F.sum(F.when(F.col("gap_ms").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+    )
     # fan the 1-row aggregate out to 4 threshold rows with a row-local
     # explode: a union of 4 projections re-evaluates the whole
     # aggregate subtree per branch (measured 8 event scans in the

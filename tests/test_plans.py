@@ -168,7 +168,6 @@ _BNLJ_ALLOWED = {
     "revenue_by_order_decile": 1,
     "rfm_segments": 1,
     "window_stats_customers": 1,  # 1-row count broadcast for ntile/pct_rank
-    "session_gap_sensitivity": 1,  # 1-row user-count broadcast (thresholds explode row-locally)
     "signup_to_purchase_survival": 2,  # 5-row horizon spine
     "triangle_count_copurchase": 1,
     "unigram_surprisal_docs": 1,
