@@ -467,12 +467,6 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = brute_force_topk(q, emb, "vec_id", "embedding", k=2_000_000_000)
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     ranked = scored.withColumn("rk", F.row_number().over(wr))
-    pos = ranked.filter(F.col("rk") <= _CN_POS).select(
-        "query_id", "neighbor_id", "cos", F.lit("pos").alias("role")
-    )
-    hard = ranked.filter(
-        (F.col("rk") > _CN_HARD_LO) & (F.col("rk") <= _CN_HARD_HI)
-    ).select("query_id", "neighbor_id", "cos", F.lit("hard_neg").alias("role"))
     hkey = F.conv(
         F.substring(
             F.md5(
@@ -489,14 +483,29 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    we = Window.partitionBy("query_id").orderBy(hkey.asc(), F.col("neighbor_id").asc())
-    easy = (
-        ranked.filter(F.col("rk") > _CN_HARD_HI)
-        .withColumn("hrk", F.row_number().over(we))
-        .filter(F.col("hrk") <= _CN_EASY)
-        .select("query_id", "neighbor_id", "cos", F.lit("easy_neg").alias("role"))
+    # single pass over the scored pool: a union of three role branches
+    # would replay the scoring GEMM + rank window per branch (6
+    # embedding scans measured). The easy-negative draw is a second
+    # window on the SAME partition key (no extra shuffle), ordered
+    # remainder-first so row_number ≤ _CN_EASY within the remainder
+    # reproduces the filtered-then-ranked draw exactly.
+    remainder_first = F.when(F.col("rk") > _CN_HARD_HI, 0).otherwise(1)
+    we = Window.partitionBy("query_id").orderBy(
+        remainder_first.asc(), hkey.asc(), F.col("neighbor_id").asc()
     )
-    return pos.unionByName(hard).unionByName(easy)
+    role = (
+        F.when(F.col("rk") <= _CN_POS, "pos")
+        .when((F.col("rk") > _CN_HARD_LO) & (F.col("rk") <= _CN_HARD_HI), "hard_neg")
+        .when(
+            (F.col("rk") > _CN_HARD_HI) & (F.col("erk") <= _CN_EASY), "easy_neg"
+        )
+    )
+    return (
+        ranked.withColumn("erk", F.row_number().over(we))
+        .withColumn("role", role)
+        .filter(F.col("role").isNotNull())
+        .select("query_id", "neighbor_id", "cos", "role")
+    )
 
 
 @register(

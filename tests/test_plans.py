@@ -141,7 +141,7 @@ _BNLJ_ALLOWED = {
     "benford_price_digits": 1,
     "bm25_search_docs": 1,
     "chi2_status_priority": 1,
-    "contrastive_negatives": 3,
+    "contrastive_negatives": 1,  # one broadcast query batch, single scoring pass
     "cramers_v_status_priority": 1,
     "cusum_revenue_changepoint": 2,
     "customer_revenue_deciles": 1,  # 1-row count broadcast for ntile_from_rank
