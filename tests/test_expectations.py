@@ -106,3 +106,33 @@ def test_table_fingerprints_cover_all_tables(spark, sf_dir):
     for t, r in rows.items():
         assert r.n_rows > 0 and r.key_min <= r.key_max
         assert r.key_ndv <= r.n_rows
+
+
+def test_psi_zero_when_periods_identical(spark):
+    """PSI semantics pinned: identical distributions drift zero, a
+    moved bucket drifts positive in exactly that bucket's terms."""
+    from pyspark.sql import functions as F
+
+    import etl_orders_spark.plans.dq_queries as DQ
+
+    # 1995 and 1999 rows with IDENTICAL price histograms -> every
+    # bin has p_ppm == q_ppm -> psi_pico == 0 in every bin
+    rows = [
+        (k, float(p), d)
+        for k, (p, d) in enumerate(
+            [(price, year) for price in (10_000.0, 60_000.0, 120_000.0, 390_000.0)
+             for year in ("1995-06-01", "1999-06-01")]
+        )
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double, o_orderdate string")
+    orig = DQ.T
+    DQ.T = lambda spark_, sf_, name: df  # noqa: E731
+    try:
+        out = {r.bin: r for r in DQ.dq_psi_price_drift(spark, "unused").collect()}
+    finally:
+        DQ.T = orig
+    assert out, "no bins produced"
+    for b, r in out.items():
+        assert r.n_ref == r.n_cur, f"bin {b} fixture not symmetric"
+        assert r.psi_pico == 0, f"identical periods must not drift (bin {b})"
+        assert r.p_ppm == r.q_ppm
