@@ -221,3 +221,51 @@ def test_stream_stream_interval_join_equals_batch(spark, batch_events, stream_ev
     want = _rows(attribute_conversions(*split(batch_events)), "user_id", "click_ts", "conv_ts")
     assert got == want
     assert len(got) == 2  # user 1's two clicks; the exact-1h one is kept
+
+
+def test_psi_drift_stream_equals_batch_and_flags_shift(spark, tmp_path_factory):
+    """The streaming drift monitor: (a) the windowed histogram is
+    stream/batch-equivalent under AvailableNow, (b) a window drawn
+    from the reference distribution scores ~zero PSI while a shifted
+    window scores strictly higher."""
+    from etl_orders_spark.streaming.drift import (
+        psi_from_histogram,
+        reference_histogram_ppm,
+        windowed_value_histogram,
+    )
+
+    # reference: values uniform over bins 0..3; live hour 1 matches it,
+    # live hour 2 is shifted mass into the top bin
+    ref_rows = [(i, ts("2024-01-01 00:00:00"), 1, "x", float(v)) for i, v in enumerate(
+        [2.0, 7.0, 12.0, 17.0] * 10
+    )]
+    live_rows = [
+        (100 + i, ts("2024-01-01 10:05:00"), 1, "x", float(v))
+        for i, v in enumerate([2.0, 7.0, 12.0, 17.0] * 5)
+    ] + [
+        (200 + i, ts("2024-01-01 11:05:00"), 1, "x", 38.0) for i in range(20)
+    ]
+    ref = spark.createDataFrame(ref_rows, SCHEMA)
+    p = str(tmp_path_factory.mktemp("drift_stream") / "events")
+    spark.createDataFrame(live_rows, SCHEMA).write.mode("overwrite").parquet(p)
+
+    batch = spark.read.schema(SCHEMA).parquet(p)
+    stream = spark.readStream.schema(SCHEMA).parquet(p)
+    # complete mode: with AvailableNow the final watermark still trails
+    # the last window's end, so append would (correctly) hold results
+    # back for late data; complete emits the full state for the compare
+    run_available_now_to_memory(windowed_value_histogram(stream), "t_drift_hist")
+    got = _rows(spark.table("t_drift_hist"), "win_start", "bin", "n")
+    want = _rows(windowed_value_histogram(batch), "win_start", "bin", "n")
+    assert got == want and got  # stream == batch, non-empty
+
+    reference = reference_histogram_ppm(ref)
+    scored = psi_from_histogram(spark.table("t_drift_hist"), reference)
+    per_win = {
+        r.win_start: r.window_psi_pico
+        for r in scored.select("win_start", "window_psi_pico").distinct().collect()
+    }
+    assert len(per_win) == 2
+    calm, shifted = sorted(per_win.items())
+    assert shifted[1] > calm[1] > -1  # shifted hour drifts far more
+    assert shifted[1] > 10 * max(calm[1], 1)  # and decisively so
