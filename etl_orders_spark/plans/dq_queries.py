@@ -307,3 +307,86 @@ def dq_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_micro.alias("lr_micro"),
         ((p_ppm - q_ppm) * lr_micro).cast("long").alias("psi_pico"),
     )
+
+
+_EPSI_SPLIT = "2024-01-08 00:00:00"  # reference week | live remainder
+_EPSI_W, _EPSI_BINS = 25.0, 8
+
+
+@register(
+    "psi_event_value_drift_daily",
+    f"""
+    WITH src AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), ref AS (
+      SELECT LEAST(CAST(FLOOR(value / {_EPSI_W}) AS BIGINT), {_EPSI_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_ref
+      FROM src WHERE ts < TIMESTAMP '{_EPSI_SPLIT}' GROUP BY 1
+    ), spine AS (
+      SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(bin)
+    ), reff AS (
+      SELECT s.bin, COALESCE(r.n_ref, 0) AS n_ref FROM spine s LEFT JOIN ref r USING (bin)
+    ), tr AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM reff),
+    refp AS (
+      SELECT bin, n_ref, t_ref,
+             (n_ref + 1) * 1000000 // (t_ref + {_EPSI_BINS}) AS p_ppm
+      FROM reff CROSS JOIN tr
+    ), live AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+             LEAST(CAST(FLOOR(value / {_EPSI_W}) AS BIGINT), {_EPSI_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM src WHERE ts >= TIMESTAMP '{_EPSI_SPLIT}' GROUP BY 1, 2
+    ), tot AS (
+      SELECT win_start, CAST(SUM(n) AS BIGINT) AS t_cur FROM live GROUP BY 1
+    ), fullh AS (
+      SELECT t.win_start, s.bin, COALESCE(l.n, 0) AS n, t.t_cur
+      FROM tot t CROSS JOIN spine s
+      LEFT JOIN live l ON l.win_start = t.win_start AND l.bin = s.bin
+    ), m AS (
+      SELECT win_start, bin, n AS n_cur, p_ppm,
+             (n + 1) * 1000000 // (t_cur + {_EPSI_BINS}) AS q_ppm,
+             CAST(FLOOR(LN(CAST((n_ref + 1) * (t_cur + {_EPSI_BINS}) AS DOUBLE)
+                          / CAST((n + 1) * (t_ref + {_EPSI_BINS}) AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS lr_micro
+      FROM fullh JOIN refp USING (bin)
+    )
+    SELECT win_start, bin, n_cur,
+           CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm, lr_micro,
+           CAST((p_ppm - q_ppm) * lr_micro AS BIGINT) AS psi_pico,
+           CAST(SUM((p_ppm - q_ppm) * lr_micro) OVER (PARTITION BY win_start) AS BIGINT)
+             AS window_psi_pico
+    FROM m
+    """,
+    tags=("dq", "stats", "drift", "events", "streaming-twin"),
+)
+def psi_event_value_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's batch form, oracle-checked: the
+    first event week freezes into a reference histogram
+    (streaming/drift.reference_histogram_ppm) and every later DAY of
+    event `value`s scores a windowed PSI against it — the exact code
+    path `streaming/drift.py` runs per micro-batch, here driven as
+    one batch plan so DuckDB can certify every integer (ppm shares,
+    micro-nat log-ratios, pico PSI contributions, per-window totals).
+    The stream-equals-batch equivalence of the histogram stage is
+    pinned separately in tests/test_streaming.py; together they close
+    the loop: the driver verifies the math, the streaming test
+    verifies the mode."""
+    from etl_orders_spark.streaming.drift import (
+        psi_from_histogram,
+        reference_histogram_ppm,
+        windowed_value_histogram,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    split = F.lit(_EPSI_SPLIT).cast("timestamp")
+    reference = reference_histogram_ppm(
+        ev.filter(F.col("ts") < split), "value", _EPSI_W, _EPSI_BINS
+    )
+    hist = windowed_value_histogram(
+        ev.filter(F.col("ts") >= split),
+        "value",
+        _EPSI_W,
+        _EPSI_BINS,
+        window="1 day",
+    )
+    return psi_from_histogram(hist, reference, _EPSI_BINS)
