@@ -441,7 +441,11 @@ def simhash_near_pairs(
         raise ValueError("4-band pigeonhole completeness requires max_hamming <= 3")
     band_bits = num_bits // 4
     mask = (1 << band_bits) - 1
-    sh = simhash(df, id_col, text_col, num_bits, portable)
+    # the signature table feeds BOTH sides of the band self-join;
+    # without materialization the explode + 32-aggregate signature
+    # stage runs twice (2 document scans measured). It is doc-grain —
+    # (id, long) — so the checkpoint is tiny next to the corpus.
+    sh = simhash(df, id_col, text_col, num_bits, portable).localCheckpoint(eager=True)
     bands = sh.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
