@@ -166,7 +166,7 @@ def hll_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").select("event_type", "user_id")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(_LG_K)).alias("sk")
-    )
+    ).localCheckpoint(eager=True)  # |types| rows; feeds BOTH theta-join sides
     a = per_type.toDF("type_a", "sk_a")
     b = per_type.toDF("type_b", "sk_b")
     pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
@@ -180,7 +180,7 @@ def hll_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_overlap",
         F.greatest(F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
     )
-    tu = ev.distinct()
+    tu = ev.distinct().localCheckpoint(eager=True)  # (type,user) grain; both self-join sides
     exact = (
         tu.toDF("type_a", "u")
         .join(tu.toDF("type_b", "u2"), (F.col("u") == F.col("u2")) & (F.col("type_a") < F.col("type_b")))

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.text import quality_score
 from etl_orders_spark.operators.rank import one_bucket, two_pass_rank
+from etl_orders_spark.operators.materialize import materialize_small
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.plans.text_queries import _QUALITY
 from etl_orders_spark.sources.readers import load_table as T
@@ -419,6 +420,7 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    c = materialize_small(c)  # cell table feeds marginals, total, AND the final join
     r = c.groupBy("status").agg(F.sum("n").cast("long").alias("rt"))
     k = c.groupBy("priority").agg(F.sum("n").cast("long").alias("ct"))
     t = c.agg(F.sum("n").cast("long").alias("total"))
@@ -780,6 +782,7 @@ def cusum_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
     )
+    d = materialize_small(d)  # day series feeds totals, cusum walk, AND split means
     s = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
     )
@@ -973,7 +976,15 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
         _cents(F.col("o_totalprice")).alias("cents"),
     )
-    firsts = o.groupBy("o_custkey").agg(F.min("wk").alias("cohort_week"))
+    # customer-grain (one row per customer — far below fact scale but
+    # not constant-bounded, so plain checkpoint rather than
+    # materialize_small): feeds cohort sizes AND the revenue join;
+    # without it the orders scan + first-order aggregate replays twice
+    firsts = (
+        o.groupBy("o_custkey")
+        .agg(F.min("wk").alias("cohort_week"))
+        .localCheckpoint(eager=True)
+    )
     sizes = firsts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )
@@ -1295,6 +1306,9 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"))
     )
+    # customer-month grain; feeds the max-month anchor AND the window
+    # pass — checkpoint so the fact aggregate runs once
+    cm = cm.localCheckpoint(eager=True)
     mx = cm.agg(F.max("month").alias("max_month"))
     wc = Window.partitionBy("o_custkey")
     wo = wc.orderBy("month")
@@ -1306,6 +1320,9 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("month").over(wo).alias("prev_month"),
         F.lead("month").over(wo).alias("next_month"),
     )
+    # consumed by BOTH the active and churn branches — without this
+    # the three window functions replay per branch
+    flagged = flagged.localCheckpoint(eager=True)
     active = flagged.select(
         "month",
         F.when(F.col("month") == F.col("first_month"), "new")
@@ -2073,6 +2090,7 @@ def cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    c = materialize_small(c)  # cell table feeds marginals, total, AND the chi2 join
     r = c.groupBy("s").agg(F.sum("n").cast("long").alias("rt"))
     k = c.groupBy("p").agg(F.sum("n").cast("long").alias("ct"))
     t = c.agg(

@@ -1157,6 +1157,7 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds the df aggregate AND the scoring join
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -674,6 +674,10 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
     )
+    # user-day grain (the bounded intermediate); feeds the day spine,
+    # the DAU count, AND the 28-day explode — checkpoint so the event
+    # scan + distinct run once instead of three times
+    ud = ud.localCheckpoint(eager=True)
     days = ud.select("day").distinct()
     mau = (
         ud.select(
