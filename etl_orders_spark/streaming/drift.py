@@ -98,13 +98,19 @@ def psi_from_histogram(
     pico units). The reference broadcasts (n_bins rows); per-window
     totals come from a window-keyed COUNT window over the histogram
     itself (windows × bins rows — trivially small)."""
-    # per-window totals first (aggregate-and-join-back), then a FRESH
-    # range spine for the bin fan-out: reusing the reference's own
-    # lineage as the spine and joining the reference again trips
-    # Spark's conflicting-reference check on the self-referenced plan
-    # aliased group keys (_ws/_bin) force fresh attribute ids: a
-    # memory-sink view hands out IDENTICAL exprIds on every reference,
-    # so a natural-key self-join trips the conflicting-reference check
+    # Three Spark sharp edges shape this function:
+    # 1. hist feeds BOTH the per-window totals and the fan-out join —
+    #    batch callers pass a lazy plan whose event scan would run
+    #    twice, so it materializes (windows x bins, calendar-bounded);
+    #    a memory-sink/foreachBatch table re-materializes cheaply.
+    # 2. The bin spine is a FRESH range, not the reference's own
+    #    lineage — reusing it and joining the reference again trips
+    #    Spark's conflicting-reference check on self-referenced plans.
+    # 3. Aliased group keys (_ws/_bin) force fresh attribute ids: a
+    #    memory-sink view hands out IDENTICAL exprIds on every
+    #    reference, so a natural-key self-join fails resolution.
+    if not hist.isStreaming:
+        hist = hist.localCheckpoint(eager=True)
     tot = hist.groupBy(F.col("win_start").alias("_ws")).agg(
         F.sum("n").cast("long").alias("t_cur")
     )
