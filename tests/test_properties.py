@@ -201,3 +201,43 @@ def test_largest_remainder_allocation_exact(spark, revs):
     for r in out:
         exact = r.rev * 10000 / tot
         assert exact - 1 <= r.alloc <= exact + 1
+
+
+@given(texts=BATCH)
+@settings(**SETTINGS)
+def test_hashed_windows_partition_like_string_grams(spark, texts):
+    """hashed_ordered_shingles induces exactly the same positional
+    equivalence classes as the string k-grams on arbitrary latin-1
+    text (the claim the hashed fast twins' shared oracles rest on):
+    same gram count per doc, and hash-equal <=> string-equal across
+    every position pair in the batch."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.text import tokens
+    from etl_orders_spark.operators.dedup import hashed_ordered_shingles, ordered_shingles
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).withColumn("_toks", tokens(normalize_text(F.col("text"))))
+    s = {
+        (r.doc_id, r.p): r.g
+        for r in df.select(
+            "doc_id", F.posexplode(ordered_shingles("text", k)).alias("p", "g")
+        ).collect()
+    }
+    h = {
+        (r.doc_id, r.p): r.gh
+        for r in df.select(
+            "doc_id", F.posexplode(hashed_ordered_shingles("_toks", k)).alias("p", "gh")
+        ).collect()
+    }
+    assert s.keys() == h.keys()
+    by_string: dict = {}
+    by_hash: dict = {}
+    for key, g in s.items():
+        by_string.setdefault(g, set()).add(key)
+        by_hash.setdefault(h[key], set()).add(key)
+    assert sorted(map(frozenset, by_string.values())) == sorted(
+        map(frozenset, by_hash.values())
+    )
