@@ -101,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "ship_months",
     "string_functions",
     "filter_predicate",
-    "date_arithmetic",
     "array_functions_docs",
     "collect_status_sets",
     # windows / sorts / set ops (A2, A3, A4)
@@ -109,11 +108,13 @@ PRIORITY: tuple[str, ...] = (
     "window_running_revenue",
     "topk_parts_per_brand",
     "union_high_value_keys",
+    # round-3 flagship additions: drift gate + trainer-shard shuffle
+    "dq_psi_price_drift",
+    "shuffle_corpus_shards",
     # join completeness (J1, J4 incl. as-of + range)
     "join_left_order_counts",
     "join_semi_active_customers",
     "join_anti_inactive_customers",
-    "join_full_outer_nation_counts",
     "asof_latest_order",
     "range_join_followups",
     "ri_filter_join",
