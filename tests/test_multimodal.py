@@ -97,3 +97,46 @@ def test_sample_frames_fanout(media):
     one = frames.filter("media_id = 2").orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in one] == list(range(len(one)))
     assert all(len(r["frame_bytes"]) == 16 for r in one)
+
+
+def test_resize_images_geometry_and_strict_stub(spark, media):
+    """Resize: exact never-upscale aspect-ratio geometry from metadata,
+    thumb payload sized to the output pixel count, deterministic across
+    runs; strict mode raises the honest codec NotImplementedError."""
+    from etl_orders_spark.multimodal.ops import resize_images
+
+    out = resize_images(media, max_side=16).collect()
+    imgs = {
+        r["media_id"]: r
+        for r in media.filter(F.col("kind") == "image")
+        .select("media_id", F.col("meta.width").alias("w"), F.col("meta.height").alias("h"))
+        .collect()
+    }
+    assert {r["media_id"] for r in out} == set(imgs)
+    for r in out:
+        src = imgs[r["media_id"]]
+        assert (r["src_w"], r["src_h"]) == (src["w"], src["h"])
+        assert max(r["out_w"], r["out_h"]) <= 16
+        if max(src["w"], src["h"]) <= 16:  # never upscale
+            assert (r["out_w"], r["out_h"]) == (src["w"], src["h"])
+        else:
+            assert max(r["out_w"], r["out_h"]) == 16
+            # aspect ratio held within integer floor rounding
+            if src["w"] >= src["h"]:
+                assert r["out_h"] == max(1, src["h"] * 16 // src["w"])
+            else:
+                assert r["out_w"] == max(1, src["w"] * 16 // src["h"])
+        assert len(r["thumb"]) == max(1, r["out_w"] * r["out_h"])
+        assert r["resized"] is False  # honest flag: no codec, fake pixels
+    again = resize_images(media, max_side=16).collect()
+    assert sorted((r["media_id"], bytes(r["thumb"])) for r in again) == sorted(
+        (r["media_id"], bytes(r["thumb"])) for r in out
+    )
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("codec present in this environment; stub not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="codec"):
+        resize_images(media, max_side=16, strict=True).collect()
