@@ -272,3 +272,72 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket") < _SPLIT_VAL, "val")
         .otherwise("test"),
     )
+
+
+_TEMP_ALPHA_MILLI = 300  # alpha = 0.3, the mT5/XLM-R default
+
+
+@register(
+    "temperature_mixture_weights",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1
+    ), w AS (
+      SELECT source, n_docs, n_chars,
+             CAST(FLOOR(POW(CAST(n_chars AS DOUBLE), {_TEMP_ALPHA_MILLI} / 1000.0)
+                        * 1000000.0) AS BIGINT) AS w_scaled
+      FROM s
+    ), t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tw,
+                    CAST(SUM(n_chars) AS BIGINT) AS tc FROM w)
+    SELECT source, n_docs, n_chars,
+           CAST(n_chars * 1000000 // tc AS BIGINT) AS natural_ppm,
+           CAST(w_scaled * 1000000 // tw AS BIGINT) AS sample_ppm
+    FROM w CROSS JOIN t
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights per source: sampling share
+    ∝ size^α with α = 0.3 (the mT5/XLM-R multilingual default) next to
+    the natural share — the standard fix for a corpus where a few big
+    sources would otherwise drown the tail (α < 1 upsamples small
+    sources, α = 1 is natural, α = 0 uniform). These ppm weights are
+    exactly what corpus_mixture_sample's per-source rates consume.
+
+    Determinism: the single pow() evaluates one identical double
+    expression per SOURCE row (a handful of rows) and floors to an
+    integer weight BEFORE the ppm normalization, which is then pure
+    integer arithmetic — same convention as every ln() in the repo.
+    Scale: one conditional aggregate to source grain (map-side
+    combined), then constant-size math; the weight table broadcasts
+    into whatever sampler consumes it."""
+    s = T(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    w = s.withColumn(
+        "w_scaled",
+        F.floor(
+            F.pow(F.col("n_chars").cast("double"), F.lit(_TEMP_ALPHA_MILLI / 1000.0))
+            * F.lit(1000000.0)
+        ).cast("long"),
+    ).localCheckpoint(eager=True)  # source grain; feeds the total AND the shares
+    t = w.agg(
+        F.sum("w_scaled").cast("long").alias("tw"),
+        F.sum("n_chars").cast("long").alias("tc"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.expr("n_chars * 1000000 div tc").cast("long").alias("natural_ppm"),
+            F.expr("w_scaled * 1000000 div tw").cast("long").alias("sample_ppm"),
+        )
+        .orderBy("source")
+    )

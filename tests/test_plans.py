@@ -180,6 +180,7 @@ _BNLJ_ALLOWED = {
     "bigram_perplexity_docs_fast": 1,  # same 1-row vocab-size broadcast
     "dq_psi_price_drift": 1,  # 1-row grand-total broadcast
     "psi_event_value_drift_daily": 2,  # 1-row ref total + 8-row bin spine
+    "temperature_mixture_weights": 1,  # 1-row weight/char totals broadcast
     "hll_event_type_overlap": 1,  # |types|-row sketch table theta self-join
 }
 
