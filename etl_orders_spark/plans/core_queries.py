@@ -2164,3 +2164,60 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "rev_cents")
         .agg(F.round(F.sum(F.col("e_rev") * w), 2).alias("ewma_cents"))
     )
+
+
+_KANON_K = 5  # the k in k-anonymity: minimum indistinguishable-group size
+
+
+@register(
+    "k_anonymity_audit",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN group_size ELSE 0 END) AS BIGINT)
+             AS rows_below_k
+    FROM g
+    """,
+    tags=("privacy", "dq", "agg"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, $1000 balance band): every row must be
+    indistinguishable from at least k-1 others on those columns before
+    a release — groups below k are re-identification risks the
+    pseudonymization above cannot fix (the QI combination itself
+    leaks). Reports group count, the smallest group, and how many
+    groups/rows fall below k = {_KANON_K}; a release gate is
+    rows_below_k == 0 (suppress or generalize those rows otherwise).
+
+    Scale: one map-side-combined aggregate to QI grain, then a
+    constant-size roll-up of that — the audit costs one scan however
+    many QI combinations exist, and the banding column shows the
+    generalization lever (widen the band → bigger groups)."""
+    g = (
+        T(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("group_size").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("group_size") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k"),
+        F.sum(F.when(F.col("group_size") < _KANON_K, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k"),
+    )
