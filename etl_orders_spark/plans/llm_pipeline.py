@@ -341,3 +341,94 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "temperature_resample_corpus",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1
+    ), w AS (
+      SELECT source, n_chars,
+             CAST(FLOOR(POW(CAST(n_chars AS DOUBLE), {_TEMP_ALPHA_MILLI} / 1000.0)
+                        * 1000000.0) AS BIGINT) AS w_scaled
+      FROM s
+    ), r0 AS (
+      -- keep-rate ratio in micro-units: (target share)/(natural share)
+      -- = (w_s/Σw) / (c_s/Σc) = w_s*Σc / (c_s*Σw); the max ratio
+      -- normalizes so the most-upsampled source keeps 100%
+      SELECT source,
+             CAST(FLOOR(CAST(w_scaled AS DOUBLE) * tc / (CAST(n_chars AS DOUBLE) * tw)
+                        * 1000000.0) AS BIGINT) AS ratio_micro
+      FROM w CROSS JOIN (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tw,
+                                CAST(SUM(n_chars) AS BIGINT) AS tc FROM w) t
+    ), r AS (
+      SELECT source,
+             CAST(ratio_micro * 1000000 // (SELECT MAX(ratio_micro) FROM r0) AS BIGINT)
+               AS keep_ppm
+      FROM r0
+    )
+    SELECT d.doc_id, d.source, r.keep_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.keep_ppm
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def temperature_resample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of the α-mixture: per-source keep-rates
+    that RESHAPE the corpus toward the temperature composition —
+    keep_ppm ∝ (target share / natural share), normalized so the
+    most-upsampled source keeps 100% and every oversized source
+    downsamples (without-replacement resampling can only remove).
+    Inclusion is the portable salted-hash Bernoulli draw, so the
+    resample is reproducible across engines and partitionings.
+
+    Determinism: the per-source ratio is ONE double expression
+    evaluated on a handful of source rows and floored to micro-units;
+    normalization and the inclusion threshold are pure integer
+    arithmetic. Scale: source-grain aggregate (map-side combined) →
+    constant-size rate table broadcast into a single map-stage filter
+    over the corpus — one scan, no shuffle of document rows."""
+    s = T(spark, sf_dir, "documents").groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars")
+    )
+    w = s.withColumn(
+        "w_scaled",
+        F.floor(
+            F.pow(F.col("n_chars").cast("double"), F.lit(_TEMP_ALPHA_MILLI / 1000.0))
+            * F.lit(1000000.0)
+        ).cast("long"),
+    ).localCheckpoint(eager=True)  # source grain; feeds totals AND the ratio rows
+    t = w.agg(
+        F.sum("w_scaled").cast("long").alias("tw"),
+        F.sum("n_chars").cast("long").alias("tc"),
+    )
+    r0 = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.floor(
+            F.col("w_scaled").cast("double")
+            * F.col("tc")
+            / (F.col("n_chars").cast("double") * F.col("tw"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("ratio_micro"),
+    ).localCheckpoint(eager=True)  # feeds the max AND the normalized rates
+    mx = r0.agg(F.max("ratio_micro").alias("mr"))
+    r = r0.crossJoin(F.broadcast(mx)).select(
+        "source", F.expr("ratio_micro * 1000000 div mr").cast("long").alias("keep_ppm")
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return d.join(F.broadcast(r), "source").filter(u < F.col("keep_ppm")).select(
+        "doc_id", "source", "keep_ppm"
+    )

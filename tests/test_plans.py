@@ -181,6 +181,7 @@ _BNLJ_ALLOWED = {
     "dq_psi_price_drift": 1,  # 1-row grand-total broadcast
     "psi_event_value_drift_daily": 2,  # 1-row ref total + 8-row bin spine
     "temperature_mixture_weights": 1,  # 1-row weight/char totals broadcast
+    "temperature_resample_corpus": 2,  # 1-row totals + 1-row max-ratio broadcasts
     "hll_event_type_overlap": 1,  # |types|-row sketch table theta self-join
 }
 
