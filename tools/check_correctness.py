@@ -127,6 +127,13 @@ def main() -> int:
         )
 
     out = os.path.join(REPO, "tools", "correctness_local.json")
+    if only and os.path.exists(out):
+        # subset runs refresh their own entries inside the last full
+        # sweep instead of clobbering it down to the subset
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f, indent=1, default=str)
     n_ok = sum(1 for r in results.values() if r.get("ok"))
