@@ -84,3 +84,73 @@ def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+_Z_FILES = 16
+_Z_PART_LO, _Z_PART_HI = 100, 499
+_Z_SUPP_LO, _Z_SUPP_HI = 10, 59
+
+
+def staged_zorder_path(sf_dir: str) -> str:
+    """Scratch location for the Z-ordered lineitem copy, content-
+    addressed by source dir (same convention as staged_orders_path)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"lineitem_zorder_{key}")
+
+
+def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
+    """Rewrite lineitem Z-ordered on (l_partkey, l_suppkey) — the
+    OPTIMIZE ZORDER BY operation as a plain DataFrame transform
+    (operators/layout.zorder_by). After the rewrite each file's
+    min/max footer range is narrow on BOTH keys, so parquet row-group
+    skipping prunes selective filters on either — the multi-dimension
+    clustering a 100 TB fact table needs when no single sort column
+    dominates the workload (tests/test_layout.py measures the
+    tightening; this stage makes it a registered, oracle-checked
+    path)."""
+    from etl_orders_spark.operators.layout import zorder_by
+
+    path = staged_zorder_path(sf_dir)
+    li = T(spark, sf_dir, "lineitem")
+    write_parquet(zorder_by(li, ["l_partkey", "l_suppkey"], n_files=_Z_FILES), path)
+    return path
+
+
+@register(
+    "zorder_pruned_revenue",
+    f"""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_partkey BETWEEN {_Z_PART_LO} AND {_Z_PART_HI}
+      AND l_suppkey BETWEEN {_Z_SUPP_LO} AND {_Z_SUPP_HI}
+    GROUP BY l_returnflag
+    """,
+    tags=("layout", "sink", "source", "agg"),
+)
+def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round trip: stage lineitem Morton-clustered on
+    (l_partkey, l_suppkey), read the copy back through a 2-D range
+    predicate, aggregate. The oracle runs the same filter + aggregate
+    over the ORIGINAL table — equality proves the cluster-rewrite is
+    lossless while the predicate lands on the narrow per-file ranges
+    the rewrite created (the pruning the layout buys; measured in
+    tests/test_layout.py, plan-shaped in tests/test_layout_queries.py)."""
+    path = stage_lineitem_zorder(spark, sf_dir)
+    zli = spark.read.parquet(path)
+    return (
+        zli.filter(
+            F.col("l_partkey").between(_Z_PART_LO, _Z_PART_HI)
+            & F.col("l_suppkey").between(_Z_SUPP_LO, _Z_SUPP_HI)
+        )
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

@@ -67,3 +67,98 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("dist") >= 0) & (F.col("dist") <= _MAX_DIST))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+# Fellegi–Sunter agreement/disagreement weights (log-odds-shaped
+# integers — the exact values are a modeling choice; what the engine
+# owes the user is the weighted-evidence shape, all-integer so both
+# engines hash identically).
+_W_NAME_STRONG, _W_NAME_WEAK, _W_NAME_MISS = 40, 15, -10
+_W_SEG_HIT, _W_SEG_MISS = 8, -4
+_W_BAL_HIT, _W_BAL_MISS = 6, -2
+_BAL_BAND_CENTS = 50_000  # |Δacctbal| ≤ $500 counts as agreement
+_FS_THRESHOLD = 20  # review threshold: strong name, or weak name + both corroborations
+
+
+@register(
+    "fs_score_customers",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             LEAST(levenshtein(a.c_name, b.c_name), 4) AS name_dist,
+             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS seg_match,
+             CASE WHEN ABS(a.bal_cents - b.bal_cents) <= {_BAL_BAND_CENTS} THEN 1 ELSE 0 END AS bal_close
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b, CAST(name_dist AS BIGINT) AS name_dist,
+           CAST(seg_match AS BIGINT) AS seg_match,
+           CAST(bal_close AS BIGINT) AS bal_close,
+           CAST(CASE WHEN name_dist <= 1 THEN {_W_NAME_STRONG}
+                     WHEN name_dist <= 3 THEN {_W_NAME_WEAK}
+                     ELSE {_W_NAME_MISS} END
+              + CASE WHEN seg_match = 1 THEN {_W_SEG_HIT} ELSE {_W_SEG_MISS} END
+              + CASE WHEN bal_close = 1 THEN {_W_BAL_HIT} ELSE {_W_BAL_MISS} END
+             AS BIGINT) AS score
+    FROM pairs
+    WHERE CASE WHEN name_dist <= 1 THEN {_W_NAME_STRONG}
+               WHEN name_dist <= 3 THEN {_W_NAME_WEAK}
+               ELSE {_W_NAME_MISS} END
+        + CASE WHEN seg_match = 1 THEN {_W_SEG_HIT} ELSE {_W_SEG_MISS} END
+        + CASE WHEN bal_close = 1 THEN {_W_BAL_HIT} ELSE {_W_BAL_MISS} END
+        >= {_FS_THRESHOLD}
+    """,
+    tags=("linkage", "dedup", "join"),
+)
+def fs_score_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter-style weighted record linkage (Fellegi & Sunter
+    JASA 1969): candidate pairs from the nation block join accrue an
+    integer agreement weight per evidence field — banded name edit
+    distance (strong ≤1 / weak ≤3 / miss), market-segment equality,
+    account-balance proximity — and pairs above the review threshold
+    survive. This is the multi-evidence upgrade of the single-field
+    `fuzzy_match_customers`: one field alone can't separate matches
+    from coincidences, the summed log-odds-shaped weights can.
+
+    Scale shape is identical to every blocked linkage here: the ONLY
+    join is the equi-join on the block key, the distance runs
+    threshold-capped (levenshtein(…, 3) early-abandons its DP row —
+    dist > 3 returns -1, mapped to the same capped band the oracle
+    computes with LEAST(dist, 4)), and every weight is integral so the
+    score hashes identically cross-engine."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    a = c.toDF("id_a", "name_a", "nk", "seg_a", "bal_a")
+    b = c.toDF("id_b", "name_b", "nk", "seg_b", "bal_b")
+    d3 = F.levenshtein("name_a", "name_b", 3)
+    name_dist = F.when(d3 < 0, F.lit(4)).otherwise(d3).cast("long")
+    pairs = (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            name_dist.alias("name_dist"),
+            (F.col("seg_a") == F.col("seg_b")).cast("long").alias("seg_match"),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) <= _BAL_BAND_CENTS)
+            .cast("long")
+            .alias("bal_close"),
+        )
+    )
+    score = (
+        F.when(F.col("name_dist") <= 1, _W_NAME_STRONG)
+        .when(F.col("name_dist") <= 3, _W_NAME_WEAK)
+        .otherwise(_W_NAME_MISS)
+        + F.when(F.col("seg_match") == 1, _W_SEG_HIT).otherwise(_W_SEG_MISS)
+        + F.when(F.col("bal_close") == 1, _W_BAL_HIT).otherwise(_W_BAL_MISS)
+    ).cast("long")
+    return pairs.withColumn("score", score).filter(F.col("score") >= _FS_THRESHOLD)

@@ -32,3 +32,57 @@ def test_partition_layout_is_hive_style(spark, sf_dir):
     path = stage_orders_by_month(spark, sf_dir)
     months = [d for d in os.listdir(path) if d.startswith("o_month=")]
     assert len(months) > 10  # one directory per month of order dates
+
+
+def test_zorder_stage_roundtrip_and_file_tightness(spark, sf_dir):
+    """The staged Z-ordered copy must (a) lose no rows, (b) give each
+    file a per-file key range narrower than the global span on BOTH
+    clustered dimensions — the footer-stats tightness row-group
+    skipping prunes on (the query's oracle proves losslessness on
+    values; this pins the physical layout claim)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_orders_spark.plans.layout_queries import stage_lineitem_zorder
+
+    path = stage_lineitem_zorder(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert spark.read.parquet(path).count() == src.count()
+
+    parts = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(parts) > 4
+    spans = {"l_partkey": [], "l_suppkey": []}
+    globals_ = {}
+    for p in parts:
+        md = pq.read_metadata(p)
+        for col in spans:
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans[col].append(mx - mn)
+            g = globals_.setdefault(col, [mn, mx])
+            g[0], g[1] = min(g[0], mn), max(g[1], mx)
+    for col, ss in spans.items():
+        full = globals_[col][1] - globals_[col][0]
+        mean_span = sum(ss) / len(ss)
+        # Morton clustering: every file covers a narrow band of BOTH
+        # dimensions, not just a leading sort column
+        assert mean_span < full * 0.55, f"{col}: mean file span {mean_span} vs global {full}"
+
+
+def test_fs_score_threshold_semantics(spark, sf_dir):
+    """Every surviving pair must clear the review threshold, carry a
+    name band ≤ 3 (the miss weight makes the threshold unreachable
+    without name evidence), and appear exactly once (id_a < id_b)."""
+    from etl_orders_spark.plans.linkage_queries import _FS_THRESHOLD, fs_score_customers
+
+    out = fs_score_customers(spark, sf_dir).collect()
+    assert out, "expected surviving candidate pairs at test SF"
+    seen = set()
+    for r in out:
+        assert r.score >= _FS_THRESHOLD
+        assert r.name_dist <= 3
+        assert r.id_a < r.id_b
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
