@@ -26,6 +26,7 @@ from etl_orders_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from etl_orders_spark.operators.graph import connected_components
 from etl_orders_spark.operators.dedup import (
@@ -1571,4 +1572,56 @@ def bigram_perplexity_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_pos") * F.col("_nll")).cast("long").alias("total_nll_micro"),
         )
         .withColumn("avg_nll_micro", F.expr("total_nll_micro div n_bigrams"))
+    )
+
+
+_BPE_TOP = 50  # merge candidates reported per training iteration
+
+
+@register(
+    "bpe_merge_pairs",
+    f"""
+    WITH words AS (
+      SELECT UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words WHERE len(w) >= 2 GROUP BY 1
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+      FROM vocab, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1
+    ORDER BY pair_count DESC, pair ASC LIMIT {_BPE_TOP}
+    """,
+    tags=("text", "tokenize", "llm"),
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's merge statistics (Sennrich et al.
+    ACL 2016): count adjacent character pairs across the corpus,
+    weighted by word frequency — the top pair is the next merge rule.
+
+    The scale trick is the one every distributed BPE trainer uses:
+    collapse the corpus to its VOCABULARY first (one word-count
+    shuffle — the output is Heaps'-law sublinear in corpus size), then
+    explode character positions over vocab entries only, so the
+    pair-count stage touches |vocab| · avg_len rows no matter how many
+    times each word occurs. The final pair table is bounded by the
+    alphabet squared — the top-k is a TakeOrderedAndProject, never a
+    global sort of corpus-sized data. Subsequent iterations re-run
+    this over the merged symbol sequences; the per-iteration plan
+    shape is identical."""
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = vocab.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w", "c"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "c")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(_BPE_TOP)
     )

@@ -216,3 +216,26 @@ def test_threshold_sweep_accounts_for_registered_pairs(spark, sf_dir):
     registered = q["ngram_jaccard_pairs"](spark, sf_dir).count()
     assert high == registered
     assert all(0 <= r.bucket_5pct <= 20 for r in sweep)
+
+
+def test_bpe_merge_pairs_vocab_collapse_equals_direct_count(spark, sf_dir):
+    """The vocab-collapse trick must be invisible in the result: pair
+    counts weighted by word frequency equal the brute-force count over
+    every word occurrence in the corpus."""
+    from collections import Counter
+
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    out = query_map()["bpe_merge_pairs"](spark, sf_dir).collect()
+    assert out and all(len(r.pair) == 2 and r.pair_count > 0 for r in out)
+
+    texts = [r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    direct = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            for i in range(len(w) - 1):
+                direct[w[i : i + 2]] += 1
+    expect = sorted(direct.items(), key=lambda kv: (-kv[1], kv[0]))[: len(out)]
+    got = [(r.pair, r.pair_count) for r in out]
+    assert got == expect
