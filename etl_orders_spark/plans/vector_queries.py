@@ -574,3 +574,62 @@ def embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("label").agg(
         F.floor(cos * F.lit(1000000.0)).cast("long").alias("centroid_cos_micro")
     )
+
+
+_KNN_PROBE_MOD = 5  # vec_id % 5 == 0 plays the labeled eval probe
+
+
+@register(
+    "knn_label_accuracy",
+    f"""
+    WITH nn AS (
+      SELECT a.vec_id AS query_id, a.label AS qlab, b.label AS nlab
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % {_KNN_PROBE_MOD} = 0
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id
+      ) = 1
+    )
+    SELECT CAST(qlab AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(FLOOR(SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) * 1000.0 / COUNT(*)) AS BIGINT)
+             AS accuracy_milli
+    FROM nn GROUP BY 1
+    """,
+    tags=("vector", "topk", "eval"),
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy on a probe sample — the
+    standard no-training embedding-quality eval (does the space
+    cluster by label?). A deterministic probe slice plays the labeled
+    eval set; each probe's nearest OTHER vector votes, and accuracy
+    aggregates per label in integer milli-units.
+
+    Scale shape = eval-probe shape: the probe side is small by
+    construction (an eval set, not the corpus) and broadcasts inside
+    `brute_force_topk`; the corpus streams map-side through one GEMM
+    pass and never shuffles. Ties break (cos desc, neighbor_id asc)
+    in both engines; cosine rounds to 6 before ranking — the same
+    cross-engine contract every hash-green vector oracle here uses."""
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0)
+    nn = brute_force_topk(probes, emb, "vec_id", "embedding", k=1)
+    qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
+    nlab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab"))
+    return (
+        nn.join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .groupBy(F.col("qlab").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("nlab") == F.col("qlab")).cast("long")).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.floor(F.col("n_correct") * 1000.0 / F.col("n")).cast("long").alias("accuracy_milli"),
+        )
+    )

@@ -347,3 +347,18 @@ def test_near_dup_bucketed_auto_params_match_pinned_on_fixture(spark, embeddings
     n = embeddings.count()
     clone_pairs = out.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
     assert clone_pairs == n  # every planted clone pair recalled
+
+
+def test_knn_label_accuracy_covers_probe_slice(spark, embeddings):
+    """Per-label rows must partition the probe slice exactly, with
+    accuracies in [0, 1000] milli-units."""
+    from etl_orders_spark.plans.registry import query_map
+    from tests.conftest import SF_DIR
+
+    rows = query_map()["knn_label_accuracy"](spark, SF_DIR).collect()
+    assert rows
+    probe_n = embeddings.filter("vec_id % 5 = 0").count()
+    assert sum(r.n for r in rows) == probe_n
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n
+        assert 0 <= r.accuracy_milli <= 1000
