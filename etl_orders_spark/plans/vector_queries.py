@@ -577,6 +577,7 @@ def embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_PROBE_MOD = 5  # vec_id % 5 == 0 plays the labeled eval probe
+_KNN_PROBE_CAP = 1_000_000  # bounds the probe: a real eval set is FIXED-size
 
 
 @register(
@@ -585,7 +586,7 @@ _KNN_PROBE_MOD = 5  # vec_id % 5 == 0 plays the labeled eval probe
     WITH nn AS (
       SELECT a.vec_id AS query_id, a.label AS qlab, b.label AS nlab
       FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-      WHERE a.vec_id % {_KNN_PROBE_MOD} = 0
+      WHERE a.vec_id % {_KNN_PROBE_MOD} = 0 AND a.vec_id < {_KNN_PROBE_CAP}
       QUALIFY ROW_NUMBER() OVER (
         PARTITION BY a.vec_id
         ORDER BY ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id
@@ -604,8 +605,12 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 1-NN label accuracy on a probe sample — the
     standard no-training embedding-quality eval (does the space
     cluster by label?). A deterministic probe slice plays the labeled
-    eval set; each probe's nearest OTHER vector votes, and accuracy
-    aggregates per label in integer milli-units.
+    eval set — id-capped as well as strided, because a real eval set
+    is FIXED-size: without the cap the probe would grow with the
+    corpus and the probe×corpus GEMM with it (measured quadratic on
+    the 10× replica; with the cap it is one bounded broadcast and the
+    cost is linear in the corpus). Each probe's nearest OTHER vector
+    votes, and accuracy aggregates per label in integer milli-units.
 
     Scale shape = eval-probe shape: the probe side is small by
     construction (an eval set, not the corpus) and broadcasts inside
@@ -614,7 +619,9 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines; cosine rounds to 6 before ranking — the same
     cross-engine contract every hash-green vector oracle here uses."""
     emb = T(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0)
+    probes = emb.filter(
+        (F.col("vec_id") % _KNN_PROBE_MOD == 0) & (F.col("vec_id") < _KNN_PROBE_CAP)
+    )
     nn = brute_force_topk(probes, emb, "vec_id", "embedding", k=1)
     qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
     nlab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab"))

@@ -173,6 +173,7 @@ _BNLJ_ALLOWED = {
     "unigram_surprisal_docs": 1,
     "weekday_seasonality_index": 1,
     "ann_topk_cosine": 1,  # broadcast query batch (exactness baseline)
+    "knn_label_accuracy": 1,  # broadcast capped probe slice (eval set)
     "alloc_nation_budget": 3,  # 1-row total/shortfall tables
     "engagement_decay_scores": 1,  # 1-row max-date anchor
     "anomaly_daily_revenue": 1,
