@@ -167,6 +167,19 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent-token bigram array ('a b'), NON-distinct, over an
+    already-built token array column. Empty for < 2 tokens by
+    construction (`slice(toks, 1, 0)` is []), so callers never hit
+    Spark's descending `sequence(1, 0)` trap; zip-slices instead of
+    `element_at` lambdas for the same interpreted-HOF reason as
+    `shingles`."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
 _HTML_ENTITIES = (
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
     ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST so "&amp;lt;" -> "&lt;" stays literal

@@ -284,16 +284,9 @@ def pmi_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T(spark, sf_dir, "documents").select(
         tokens(F.lower(F.col("text"))).alias("t")
     )
-    bg = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat(
-                    F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
-                ),
-            )
-        ).alias("bigram")
-    )
+    from etl_orders_spark.functions.text import word_bigrams
+
+    bg = toks.select(F.explode(word_bigrams(F.col("t"))).alias("bigram"))
     uni = toks.select(F.explode("t").alias("term"))
     cb = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("c_ab"))
     cu = uni.groupBy("term").agg(F.count("*").cast("long").alias("c")).localCheckpoint(

@@ -77,7 +77,9 @@ _W_NAME_STRONG, _W_NAME_WEAK, _W_NAME_MISS = 40, 15, -10
 _W_SEG_HIT, _W_SEG_MISS = 8, -4
 _W_BAL_HIT, _W_BAL_MISS = 6, -2
 _BAL_BAND_CENTS = 50_000  # |Δacctbal| ≤ $500 counts as agreement
-_FS_THRESHOLD = 20  # review threshold: strong name, or weak name + both corroborations
+_FS_THRESHOLD = 20  # review threshold: strong name alone clears it (40±…),
+# weak name (15) needs the segment agreement (+8) — balance agreement
+# alone (15+6-4=17) is not enough
 
 
 @register(

@@ -42,7 +42,12 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
     """The prep chain over a documents-shaped DataFrame. Returns the
     surviving corpus: doc_id, n_tokens."""
     kept = docs.filter(
-        (F.round(quality_score("text"), 4) >= min_quality) & (lang_id("text") == lang)
+        # floor-to-integer-units gate (repo convention): per-row ROUND is
+        # HALF_UP in Spark but half-even in DuckDB, and quality ratios can
+        # land exactly on a 4-decimal midpoint (e.g. 7/32) — flooring makes
+        # the cross-engine boundary decision identical
+        (F.floor(quality_score("text") * 10000) >= min_quality * 10000)
+        & (lang_id("text") == lang)
     )
     # exact dedup: keep the lowest doc_id per normalized fingerprint
     canon = (
@@ -63,17 +68,16 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
 
 
 def _prep_oracle() -> str:
-    minhash_pairs = _minhash_oracle().replace("FROM documents", "FROM uniq")
     return f"""
     WITH kept AS (
       SELECT * FROM documents
-      WHERE ROUND({_QUALITY}, 4) >= {_MIN_QUALITY} AND {_lang_case_sql()} = '{_LANG}'
+      WHERE FLOOR(({_QUALITY}) * 10000) >= {_MIN_QUALITY * 10000} AND {_lang_case_sql()} = '{_LANG}'
     ), canon AS (
       SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5({_NORM})
     ), uniq AS (
       SELECT k.* FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM canon)
     ), pairs AS (
-      {minhash_pairs.replace(">= 0.2", f">= {_TAU}")}
+      {_minhash_oracle(table="uniq", tau=_TAU)}
     ), survivors AS (
       SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id_b FROM pairs)
     )
@@ -127,7 +131,7 @@ _BUDGET = 20_000  # tokens per source
                   THEN CAST([] AS VARCHAR[])
                   ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
                   END) AS BIGINT) AS n_tokens,
-             ROUND({_QUALITY}, 4) AS q
+             FLOOR(({_QUALITY}) * 10000) AS q
       FROM documents
     ), runs AS (
       SELECT doc_id, source, n_tokens,
@@ -150,7 +154,9 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         token_count("text").alias("n_tokens"),
-        F.round(quality_score("text"), 4).alias("q"),
+        # ordering key floors to integer deci-milli units (same
+        # cross-engine midpoint rationale as the prep_corpus gate)
+        F.floor(quality_score("text") * 10000).alias("q"),
     )
     w = (
         Window.partitionBy("source")
@@ -207,22 +213,31 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "canonical_best_doc_per_fp",
     f"""
-    SELECT md5({_NORM}) AS fp,
-           arg_max(doc_id, n_chars * 10000000 - doc_id) AS best_doc,
-           CAST(MAX(n_chars) AS BIGINT) AS best_len
-    FROM documents GROUP BY 1
+    SELECT fp, doc_id AS best_doc, CAST(best_len AS BIGINT) AS best_len
+    FROM (
+      SELECT md5({_NORM}) AS fp, doc_id,
+             MAX(n_chars) OVER (PARTITION BY md5({_NORM})) AS best_len,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5({_NORM}) ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
     """,
     tags=("text", "dedup", "agg"),
 )
 def canonical_best_doc_per_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority-canonical dedup: per fingerprint keep the LONGEST doc
     (ties → lowest id) via max_by — the argmax pattern; one aggregate,
-    no self-join or window. The composite order packs into one BIGINT
-    (len*1e7 - id) because DuckDB's arg_max takes scalar orderings."""
+    no self-join or window. The composite order is a STRUCT (len asc,
+    -id asc), compared lexicographically — a packed-scalar encoding
+    (len·1e7 − id) silently inverts the tie-break once ids outgrow
+    the multiplier, which a 100 TB corpus's ids would. DuckDB's
+    arg_max takes scalar orderings only, so the oracle expresses the
+    identical argmax as a fingerprint-keyed window."""
     d = T(spark, sf_dir, "documents")
     from etl_orders_spark.functions.text import fingerprint
 
-    order = F.col("n_chars") * 10_000_000 - F.col("doc_id")
+    order = F.struct(F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b"))
     return d.groupBy(fingerprint("text").alias("fp")).agg(
         F.max_by("doc_id", order).alias("best_doc"),
         F.max("n_chars").alias("best_len"),

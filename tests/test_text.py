@@ -239,3 +239,18 @@ def test_bpe_merge_pairs_vocab_collapse_equals_direct_count(spark, sf_dir):
     expect = sorted(direct.items(), key=lambda kv: (-kv[1], kv[0]))[: len(out)]
     got = [(r.pair, r.pair_count) for r in out]
     assert got == expect
+
+
+def test_word_bigrams_guards_short_docs(spark):
+    """<2-token inputs must yield an EMPTY bigram array, not a crash:
+    Spark's sequence(1, 0) descends, so the naive position-sequence
+    form throws element_at(t, 0) on blank or single-token docs."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.text import tokens, word_bigrams
+
+    df = spark.createDataFrame(
+        [("",), ("  ",), ("one",), ("two words",), ("a b c",)], ["text"]
+    )
+    rows = df.select(word_bigrams(tokens(F.col("text"))).alias("bg")).collect()
+    assert [r.bg for r in rows] == [[], [], [], ["two words"], ["a b", "b c"]]
