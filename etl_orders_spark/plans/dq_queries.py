@@ -319,7 +319,7 @@ _EPSI_W, _EPSI_BINS = 25.0, 8
     WITH src AS (
       SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
     ), ref AS (
-      SELECT LEAST(CAST(FLOOR(value / {_EPSI_W}) AS BIGINT), {_EPSI_BINS - 1}) AS bin,
+      SELECT GREATEST(0, LEAST(CAST(FLOOR(value / {_EPSI_W}) AS BIGINT), {_EPSI_BINS - 1})) AS bin,
              CAST(COUNT(*) AS BIGINT) AS n_ref
       FROM src WHERE ts < TIMESTAMP '{_EPSI_SPLIT}' GROUP BY 1
     ), spine AS (
@@ -333,7 +333,7 @@ _EPSI_W, _EPSI_BINS = 25.0, 8
       FROM reff CROSS JOIN tr
     ), live AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
-             LEAST(CAST(FLOOR(value / {_EPSI_W}) AS BIGINT), {_EPSI_BINS - 1}) AS bin,
+             GREATEST(0, LEAST(CAST(FLOOR(value / {_EPSI_W}) AS BIGINT), {_EPSI_BINS - 1})) AS bin,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM src WHERE ts >= TIMESTAMP '{_EPSI_SPLIT}' GROUP BY 1, 2
     ), tot AS (

@@ -1497,10 +1497,12 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("rev"))
     )
-    t = p.agg(F.sum("rev").cast("long").alias("_total"))
     cum = two_pass_rank(
         p, [F.col("rev").desc(), F.col("l_partkey")], rank_col=None, cumsum={"_cum": F.col("rev")}
     )
+    # grand total = the FINAL cumsum, read from the rank's
+    # materialized output instead of re-aggregating the lineitem scan
+    t = cum.agg(F.max("_cum").cast("long").alias("_total"))
     r = cum.crossJoin(F.broadcast(t)).withColumn(
         "cum_milli", F.expr("_cum * 1000 div _total").cast("long")
     )
@@ -1874,10 +1876,6 @@ def ks_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents(F.col("o_totalprice")).alias("cents"),
         )
     )
-    n = s.agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("n2"),
-    )
     v = s.groupBy("cents").agg(
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("d1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("d2"),
@@ -1885,6 +1883,10 @@ def ks_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = two_pass_rank(
         v, [F.col("cents")], rank_col=None, cumsum={"c1": F.col("d1"), "c2": F.col("d2")}
     ).select("c1", "c2")
+    # group sizes are the FINAL cumsums — read them from the rank's
+    # already-materialized output instead of paying a second orders
+    # scan for the same two counts
+    n = c.agg(F.max("c1").cast("long").alias("n1"), F.max("c2").cast("long").alias("n2"))
     return (
         c.crossJoin(F.broadcast(n))
         .groupBy("n1", "n2")
@@ -2156,7 +2158,9 @@ def revenue_by_order_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
     )
     r = two_pass_rank(o, [F.col("cents"), F.col("o_orderkey")], rank_col="rk")
-    t = o.agg(
+    # totals from the rank's materialized output — aggregating `o`
+    # directly would replay the orders scan a second time
+    t = r.agg(
         F.sum("cents").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
@@ -2524,8 +2528,10 @@ def customers_to_half_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = two_pass_rank(
         c, [F.col("rev").desc(), F.col("o_custkey")], rank_col="rk", cumsum={"cum": F.col("rev")}
     )
-    base = c.agg(
-        F.sum("rev").cast("long").alias("total"), F.count(F.lit(1)).cast("long").alias("n")
+    # total = final cumsum, n = final rank — both read from the
+    # rank's materialized output, not a second orders scan
+    base = ranked.agg(
+        F.max("cum").cast("long").alias("total"), F.max("rk").cast("long").alias("n")
     )
     r = ranked.crossJoin(F.broadcast(base))
     return r.agg(

@@ -410,15 +410,18 @@ def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
     ), flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
                        OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
                   THEN 1 ELSE 0 END AS is_new
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+      -- (ts, event_id) ordering, matching the lag window: ts alone
+      -- ties on same-timestamp events and the running sum would
+      -- nondeterministically reassign session boundaries
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       FROM flagged
     ), sessions AS (
@@ -884,31 +887,15 @@ def session_entry_exit_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the extra rank windows share the sessionizer's user-keyed
     shuffle (same partitioning, AQE reuses the exchange); the output
     is |event_type|² flows."""
+    from etl_orders_spark.operators.sessionize import sessionize
+
     ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
+    sess = sessionize(
+        ev.select("user_id", "ts", "event_id", "event_type"),
         "user_id",
         "ts",
         "event_id",
-        "event_type",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
-                > 1800000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = flagged.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-        F.sum("is_new").over(wc).alias("session_idx"),
+        gap_minutes=30.0,
     )
     ws = Window.partitionBy("user_id", "session_idx")
     numbered = sess.select(
@@ -1160,25 +1147,9 @@ def return_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed shuffle; the final median ranks the session-gap table
     through the two-pass range-partitioned rank (operators/rank.py)
     — no single-partition window even though gaps grow with users."""
-    ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
-    sess = flagged.withColumn(
-        "session_idx",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    starts = sess.groupBy("user_id", "session_idx").agg(F.min("ts").alias("session_start"))
+    starts = session_stats(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30.0
+    ).select("user_id", "session_idx", "session_start")
     wg = Window.partitionBy("user_id").orderBy("session_start")
     gaps = starts.select(
         "user_id",
@@ -1190,7 +1161,11 @@ def return_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.operators.rank import two_pass_rank
 
     ranked = two_pass_rank(gaps, [F.col("gap_ms"), F.col("user_id")], rank_col="rk")
-    nn = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # count from the RANKED output (row-preserving): it reads
+    # two_pass_rank's internal checkpoint, where counting `gaps`
+    # directly would replay the whole sessionization lineage a
+    # second time (the multi-consumer re-scan the audit hunts)
+    nn = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
     g = ranked.crossJoin(F.broadcast(nn))
     return g.agg(
         F.max("n").cast("long").alias("n_gaps"),

@@ -46,9 +46,15 @@ def windowed_value_histogram(
     df = events
     if df.isStreaming and watermark is not None:
         df = df.withWatermark(ts_col, watermark)
-    bin_col = F.least(
-        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"),
-        F.lit(n_bins - 1),
+    # clamp BOTH ends: floor of a negative value would otherwise emit
+    # bin < 0 — mass the bin spine never sees, counted in the live
+    # total but dropped from the reference's, biasing PSI upward
+    bin_col = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"),
+            F.lit(n_bins - 1),
+        ),
     )
     return (
         df.groupBy(F.window(ts_col, window).alias("win"), bin_col.alias("bin"))
@@ -66,9 +72,15 @@ def reference_histogram_ppm(
     """Freeze a reference period into per-bin floor-ppm shares with
     add-one smoothing — the broadcast-size model table (n_bins rows)
     every live window compares against."""
-    bin_col = F.least(
-        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"),
-        F.lit(n_bins - 1),
+    # clamp BOTH ends: floor of a negative value would otherwise emit
+    # bin < 0 — mass the bin spine never sees, counted in the live
+    # total but dropped from the reference's, biasing PSI upward
+    bin_col = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"),
+            F.lit(n_bins - 1),
+        ),
     )
     counts = reference_events.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n_ref")
