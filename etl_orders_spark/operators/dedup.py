@@ -104,7 +104,6 @@ def minhash_signatures(
             .withColumn("signature", F.when(F.size("shingles") > 0, sig))
         )
 
-    from etl_orders_spark.functions.text import normalize_text, tokens
 
     def _mix(seed: int) -> Column:
         return F.array_min(
@@ -313,7 +312,6 @@ def prefix_filter_jaccard_pairs(
 def ordered_shingles(col: Column | str, k: int = 3) -> Column:
     """Positional (non-distinct) word k-grams — winnowing needs document
     order preserved, unlike the set-semantics `shingles`."""
-    from etl_orders_spark.functions.text import normalize_text, tokens
 
     toks = tokens(normalize_text(col))
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
@@ -386,7 +384,6 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    from etl_orders_spark.functions.text import normalize_text, tokens
 
     if portable:
         grams = df.select(

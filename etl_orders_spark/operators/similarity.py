@@ -25,7 +25,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_orders_spark.functions.vectors import cosine_similarity
 from etl_orders_spark.operators.rank import one_bucket
 from etl_orders_spark.operators.topk import topk_per_group
 
@@ -71,21 +70,6 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    """Bit-bucket id: sign bits of the vector's dot products with each
-    hyperplane, packed into a long. Pure Column expression."""
-    bits = []
-    for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d >= 0, F.lit(2**j)).otherwise(F.lit(0)))
-    return sum(bits[1:], start=bits[0]).cast("long")
-
-
 def _bucket_assign(
     df: DataFrame,
     id_col: str,
@@ -100,9 +84,10 @@ def _bucket_assign(
     table, and posexplode fans each row out to its `num_tables`
     (table, bucket) assignments.
 
-    The per-plane Column-expression form (`_bucket_expr`) costs
-    tables·planes interpreted HOF dots per row — at 32+ hashes that
-    dwarfs the actual candidate scoring; this batch form is one GEMM.
+    A per-plane Column-expression form (interpreted HOF dot per
+    plane) would cost tables·planes evaluations per row — at 32+
+    hashes that dwarfs the actual candidate scoring; this batch form
+    is one GEMM.
     Output: _id, _vec, _table, _bucket."""
     from pyspark.sql.functions import pandas_udf
 

@@ -24,10 +24,15 @@ def revenue() -> F.Column:
 
 
 # whitespace tokens of lowercased text, DuckDB dialect (mirrors
-# functions/text.tokens ∘ lower — used by the array-surface oracle)
+# functions/text.tokens ∘ lower — used by the array-surface oracle).
+# Edge-trim ALL whitespace with a regex: plain trim() strips spaces
+# only, so a tab/newline-edged doc would keep a phantom empty token
+# the Spark side never produces (same _WTRIM rationale as
+# text_queries.py's shared fragments).
+_DOC_WTRIM = r"regexp_replace(lower(text), '^\s+|\s+$', '', 'g')"
 _DOC_TOKENS = (
-    r"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
-    r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
+    rf"CASE WHEN {_DOC_WTRIM} = '' THEN CAST([] AS VARCHAR[]) "
+    rf"ELSE string_split_regex({_DOC_WTRIM}, '\s+') END"
 )
 
 

@@ -24,7 +24,6 @@ from etl_orders_spark.functions.text import (
     lang_id,
     punct_ratio,
     quality_score,
-    stopword_ratio,
     token_count,
     tokens,
 )
@@ -443,7 +442,9 @@ def contamination_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.functions.text import shingles
 
     docs = T(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("g"))
+    # three consumers (bench grams, train sizes, train hits): persist
+    # so the shingle explode computes once
+    sh = docs.select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("g")).persist()
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = sh.filter(is_bench).select("g").distinct()
     train = sh.filter(~is_bench)
@@ -1220,11 +1221,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     production sweeps run it on a hash-sampled doc subset (the
     sample_per_group pattern) rather than the full corpus."""
     from etl_orders_spark.functions.text import shingles as _shingles
+    from etl_orders_spark.operators.dedup import _parallelism_floor
 
-    sh = (
+    # three consumers (sizes + both self-join sides): persist, or the
+    # tokenize+shingle+explode replays per consumer (the same rationale
+    # as the dedup operator's own persisted shingle table)
+    sh = _parallelism_floor(
         T(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.toDF("id_a", "sh")
     b = sh.toDF("id_b", "sh")
@@ -1390,9 +1395,13 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pos"))
         .withColumn("w1", F.substring_index("g", " ", 1))
     )
+    from etl_orders_spark.functions.text import normalize_text, tokens as _tokens
+
+    # shared tokenizer, not an inline re-implementation: the vocab
+    # count must use the SAME tokenization as the gram stream it
+    # smooths, or a future semantics change desynchronizes them
     vsz = (
-        docs.select(F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("t"))
-        .filter(F.col("t") != "")
+        docs.select(F.explode(_tokens(normalize_text(F.col("text")))).alias("t"))
         .agg(F.countDistinct("t").cast("long").alias("vsz"))
     )
     m = (
