@@ -90,7 +90,10 @@ def quality_score(col: Column | str) -> Column:
     penalizes punctuation soup, rewards stopword presence (prose-ness).
     Mirrors the shape of public quality filters (C4-style heuristics),
     kept SQL-expressible for oracle checking."""
-    c = _c(col)
+    # NULL text scores as EMPTY text (0.3), not as a phantom
+    # mid-quality doc: F.least skips NULLs, so without the coalesce a
+    # NULL row would score 0.7 — higher than most real prose
+    c = F.coalesce(_c(col), F.lit(""))
     len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
     punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
     stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
@@ -117,8 +120,11 @@ def _marker_hits(markers: tuple[str, ...]):
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language marker hit counts (token-exact, not substring)."""
-    toks = tokens(F.lower(_c(col)))
+    """Per-language marker hit counts (token-exact, not substring).
+    NULL text counts as empty (all-zero hits → lang_id 'und'): a NULL
+    size comparison is never-true in a when-chain, so an unguarded
+    NULL would fall through every branch to the last language."""
+    toks = tokens(F.lower(F.coalesce(_c(col), F.lit(""))))
     return {
         lang: F.size(F.filter(toks, _marker_hits(markers))).cast("long")
         for lang, markers in LANG_MARKERS.items()

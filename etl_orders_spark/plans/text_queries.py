@@ -92,10 +92,13 @@ _STOP_RATIO = (
     f"CAST(len(list_filter({_LOWER_TOKENS}, t -> t IN {_sql_in_list(LANG_MARKERS['en'])})) AS DOUBLE)"
     f" / CAST(len({_LOWER_TOKENS}) AS DOUBLE) END"
 )
+# NULL text = empty text = 0.3 exactly (0·0.4 + 1·0.3 + 0·0.3),
+# mirroring the Spark coalesce in functions/text.quality_score
 _QUALITY = (
+    f"CASE WHEN text IS NULL THEN 0.3 ELSE "
     f"least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4"
     f" + (1.0 - least(({_PUNCT_RATIO}) * 4.0, 1.0)) * 0.3"
-    f" + least(({_STOP_RATIO}) * 5.0, 1.0) * 0.3"
+    f" + least(({_STOP_RATIO}) * 5.0, 1.0) * 0.3 END"
 )
 
 # --- queries ----------------------------------------------------------------
@@ -176,7 +179,8 @@ def _lang_case_sql() -> str:
     hits = {lang: _sql_lang_hits(lang) for lang in LANG_MARKERS}
     en, es, fr, de = hits["en"], hits["es"], hits["fr"], hits["de"]
     return (
-        f"CASE WHEN greatest({en}, {es}, {fr}, {de}) = 0 THEN 'und' "
+        f"CASE WHEN text IS NULL THEN 'und' "
+        f"WHEN greatest({en}, {es}, {fr}, {de}) = 0 THEN 'und' "
         f"WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} THEN 'en' "
         f"WHEN {es} >= {fr} AND {es} >= {de} THEN 'es' "
         f"WHEN {fr} >= {de} THEN 'fr' ELSE 'de' END"

@@ -29,6 +29,12 @@ _FIRST = ("Ana", "Luis", "Maria", "Juan", "Sofia", "Carlos", "Lucia", "Pedro", "
 _LAST = ("Garcia", "Lopez", "Martinez", "Rodriguez", "Perez", "Sanchez", "Romero", "Torres")
 _GENDERS = ("M", "F", "Male", "f", "Other")  # dirty domain, reference cell 9
 
+# F.rand(seed) seeds per PARTITION (seed + partitionIndex) and advances
+# per row within it — an unpinned spark.range would partition by the
+# machine's core count and the same seed would yield different fixtures
+# on different machines. Pinned to the test layout (8) for all time.
+_N_PARTS = 8
+
 
 def _pick(options: tuple[str, ...], rand: F.Column) -> F.Column:
     """Uniform pick from a literal list via a seeded rand column."""
@@ -38,7 +44,7 @@ def _pick(options: tuple[str, ...], rand: F.Column) -> F.Column:
 
 def gen_orders(spark: SparkSession, n: int = 3000, seed: int = 11) -> DataFrame:
     """Order facts (reference cell 3 + random_date.py:4-15)."""
-    return spark.range(n).select(
+    return spark.range(0, n, 1, _N_PARTS).select(
         F.date_add(F.lit("2024-04-01").cast("date"), (F.rand(seed) * 7).cast("int"))
         .cast("string")
         .alias("Fecha"),
@@ -49,7 +55,7 @@ def gen_orders(spark: SparkSession, n: int = 3000, seed: int = 11) -> DataFrame:
 
 def gen_products(spark: SparkSession, seed: int = 23) -> DataFrame:
     """Product dimension, Ids 2..8 only (reference cell 5: range(2, 9))."""
-    return spark.range(2, 9).select(
+    return spark.range(2, 9, 1, _N_PARTS).select(
         F.col("id").cast("long").alias("Id"),
         F.concat(F.lit("Product "), F.col("id").cast("string")).alias("Name"),
         _pick(_CATEGORIES, F.rand(seed)).alias("Category"),
@@ -59,7 +65,7 @@ def gen_products(spark: SparkSession, seed: int = 23) -> DataFrame:
 
 def gen_users(spark: SparkSession, n: int = 300) -> DataFrame:
     """Key-mapping dimension: Id 1..n ↔ Document 300000.. (reference cell 7)."""
-    return spark.range(1, n + 1).select(
+    return spark.range(1, n + 1, 1, _N_PARTS).select(
         F.col("id").cast("long").alias("Id"),
         (F.col("id") + 299999).cast("long").alias("Document"),
     )
@@ -74,7 +80,7 @@ def gen_user_info(spark: SparkSession, n: int = 500, seed: int = 37) -> DataFram
     bday = F.date_add(
         F.lit("1964-01-01").cast("date"), (F.rand(seed + 2) * 15687).cast("int")
     ).cast("string")
-    return spark.range(n).select(
+    return spark.range(0, n, 1, _N_PARTS).select(
         doc.alias("document"),
         F.concat_ws(" ", first, last).alias("name"),
         F.concat(bday, F.lit("T00:00:00")).alias("birthday"),

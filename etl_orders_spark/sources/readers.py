@@ -83,13 +83,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if _events_ts_is_nanos(path):
             df = read_parquet(spark, path, schema)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        schema = T.StructType(
-            [
-                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
-                for f in schema.fields
-            ]
-        )
+        schema = _micros_schema(schema)
     return read_parquet(spark, path, schema)
+
+
+def _micros_schema(schema: "T.StructType") -> "T.StructType":
+    """The declared events schema with `ts` swapped to TimestampType —
+    the MICROS-encoded dispatch target shared by the batch and
+    streaming scans (one definition, so the twins cannot diverge)."""
+    return T.StructType(
+        [
+            T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
+            for f in schema.fields
+        ]
+    )
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,12 +118,7 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = TESTDATA_SCHEMAS["events"]
     nanos = _events_ts_is_nanos(path)
     if not nanos:
-        schema = T.StructType(
-            [
-                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
-                for f in schema.fields
-            ]
-        )
+        schema = _micros_schema(schema)
     if os.path.isdir(path):
         raw = spark.readStream.schema(schema).parquet(path)
     else:

@@ -20,7 +20,7 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
 RUNNING_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
-_STATE_SCHEMA = "n long, total double, mx double"
+_STATE_SCHEMA = "n long, nv long, total double, mx double"
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
@@ -46,17 +46,20 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         import pandas as pd
 
         if state.exists:
-            n, total, mx = state.get
+            n, nv, total, mx = state.get
         else:
-            n, total, mx = 0, 0.0, float("-inf")
+            n, nv, total, mx = 0, 0, 0.0, float("-inf")
         for pdf in pdfs:
             n += len(pdf)
+            nv += int(pdf["value"].count())  # non-null rows only
             total += float(pdf["value"].sum())
-            if len(pdf):
+            if pdf["value"].count():
                 mx = max(mx, float(pdf["value"].max()))
-        state.update((n, total, mx))
+        state.update((n, nv, total, mx))
+        # batch-parity NULL semantics: F.sum/F.max of an all-NULL group
+        # are NULL — emit None, never 0.0 / -inf sentinels
         yield pd.DataFrame(
-            [(key[0], n, total, mx)],
+            [(key[0], n, total if nv else None, mx if nv else None)],
             columns=["user_id", "n_events", "total_value", "max_value"],
         )
 
@@ -118,17 +121,19 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             import pandas as pd
 
             if self._agg.exists():
-                n, total, mx = self._agg.get()
+                n, nv, total, mx = self._agg.get()
             else:
-                n, total, mx = 0, 0.0, float("-inf")
+                n, nv, total, mx = 0, 0, 0.0, float("-inf")
             for pdf in rows:
                 n += len(pdf)
+                nv += int(pdf["value"].count())
                 total += float(pdf["value"].sum())
-                if len(pdf):
+                if pdf["value"].count():
                     mx = max(mx, float(pdf["value"].max()))
-            self._agg.update((n, total, mx))
+            self._agg.update((n, nv, total, mx))
+            # batch-parity NULL semantics (see running_user_stats)
             yield pd.DataFrame(
-                [(key[0], n, total, mx)],
+                [(key[0], n, total if nv else None, mx if nv else None)],
                 columns=["user_id", "n_events", "total_value", "max_value"],
             )
 

@@ -93,8 +93,11 @@ def dedup_within_watermark(
     """Stateful streaming dedup with bounded state:
     `dropDuplicatesWithinWatermark` expires dedup state past the
     watermark — the only dedup form whose state survives an unbounded
-    stream. Batch input falls back to plain dropDuplicates (same
-    result on finite data)."""
+    stream. Batch input falls back to plain dropDuplicates. The two
+    agree exactly only when every duplicate pair arrives within the
+    watermark of each other: wider-spaced repeats are re-emitted by
+    the stream (its state for the key has expired — the price of
+    bounded state) but collapsed by the batch form."""
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)

@@ -254,3 +254,19 @@ def test_word_bigrams_guards_short_docs(spark):
     )
     rows = df.select(word_bigrams(tokens(F.col("text"))).alias("bg")).collect()
     assert [r.bg for r in rows] == [[], [], [], ["two words"], ["a b", "b c"]]
+
+
+def test_quality_and_lang_null_text_behaves_as_empty(spark):
+    """NULL text must score like EMPTY text (0.3) and classify 'und' —
+    not the 0.7 / 'de' a NULL would get from least()'s NULL-skipping
+    and a when-chain's NULL fall-through. The SQL twins (_QUALITY,
+    _lang_case_sql) carry the matching explicit NULL branch."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.text import lang_id, quality_score
+
+    df = spark.createDataFrame([(None,), ("",)], "text string")
+    rows = df.select(
+        quality_score("text").alias("q"), lang_id("text").alias("l")
+    ).collect()
+    assert [(r.q, r.l) for r in rows] == [(0.3, "und"), (0.3, "und")]
