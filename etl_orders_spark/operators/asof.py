@@ -42,21 +42,24 @@ def asof_join(
     Left rows with no match are kept with null right columns
     (merge_asof semantics).
     """
+    # frame-qualified references: the canonical as-of shape names both
+    # time (and both by) columns identically — bare F.col() would be
+    # ambiguous across the join sides and throw at analysis time
     if direction == "backward":
-        cond = F.col(right_on) <= F.col(left_on)
-        order = [F.desc(right_on), F.desc(tie_break)]
+        cond = right[right_on] <= left[left_on]
+        order = [right[right_on].desc(), right[tie_break].desc()]
     elif direction == "forward":
-        cond = F.col(right_on) >= F.col(left_on)
-        order = [F.asc(right_on), F.asc(tie_break)]
+        cond = right[right_on] >= left[left_on]
+        order = [right[right_on].asc(), right[tie_break].asc()]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    joined = left.join(right, (F.col(by_left) == F.col(by_right)) & cond, "left")
-    w = Window.partitionBy(left_key).orderBy(*order)
+    joined = left.join(right, (left[by_left] == right[by_right]) & cond, "left")
+    w = Window.partitionBy(left[left_key]).orderBy(*order)
     # rank only real matches; unmatched left rows survive as the single null row
     return (
         joined.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) | F.col(right_on).isNull())
+        .filter((F.col("_rn") == 1) | right[right_on].isNull())
         .drop("_rn")
     )
 

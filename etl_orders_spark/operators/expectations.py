@@ -53,8 +53,13 @@ def run_row_checks(df: DataFrame, checks: list[Check], unique_keys: list[str] | 
     aggs = [F.count(F.lit(1)).alias("_total")]
     names: list[str] = []
     for c in checks:
+        # coalesce: SUM over an EMPTY frame is NULL, and a NULL
+        # violations count neither passes nor fails a `== 0` gate —
+        # an empty-but-clean load must gate as clean (0)
         aggs.append(
-            F.sum(F.when(c.predicate, 0).otherwise(1)).cast("long").alias(f"_v_{len(names)}")
+            F.coalesce(F.sum(F.when(c.predicate, 0).otherwise(1)), F.lit(0))
+            .cast("long")
+            .alias(f"_v_{len(names)}")
         )
         names.append(c.name)
     for k in unique_keys or []:

@@ -104,6 +104,11 @@ def hyperanf_reach(
             )
             .localCheckpoint(eager=True)
         )
+        # note: DataFrame.unpersist does NOT free a localCheckpoint's
+        # blocks (the checkpoint RDD is not in the cache manager) — old
+        # rounds' sketch tables are reclaimed by the ContextCleaner
+        # once this reference drops, so peak block storage can briefly
+        # hold two |V|-row sketch tables, not one
         state.unpersist()
         state = new_state
         # extract the longs NOW so the sketch table can be dropped next
@@ -171,4 +176,9 @@ def connected_components(
             "left",
         ).select("_v", F.least("_lbl", F.coalesce("_lbl2", "_lbl")).alias("_lbl"))
         labels = halved.localCheckpoint(eager=True)
+    # the loop checks stability at the TOP, so a graph that reaches its
+    # fixpoint exactly on the final update would otherwise be reported
+    # as non-converged with the correct answer in hand
+    if labels.agg(F.sum("_lbl")).first()[0] == prev_sum:
+        return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

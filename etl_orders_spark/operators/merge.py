@@ -38,8 +38,28 @@ def scd2_apply(
 
     `dim` must carry the three SCD columns; `updates` carries the
     business columns only. History rows pass through untouched.
+
+    PRECONDITION (enforced): `updates` has at most one row per key —
+    duplicates in one batch would each open an is_current version with
+    the same valid_from, permanently double-counting the key in every
+    `is_current` read. Callers with replayed/late batches must collapse
+    to latest-per-key first (max_by on their own ordering column); this
+    operator cannot pick for them, so it fails loudly instead.
     """
     eff = F.lit(effective_ts).cast("timestamp")
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd2_apply: updates batch has multiple rows for key {dup[0][:len(keys)]}; "
+            "collapse to one row per key before applying (an SCD2 batch defines ONE "
+            "new version per key)"
+        )
     upd_keys = updates.select(*keys).distinct()
     # current rows being superseded -> closed
     closing = (

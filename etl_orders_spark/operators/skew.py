@@ -32,8 +32,17 @@ def salted_join(
     monotonic id — pass an explicit unique column when a fully
     deterministic plan matters; any salt value yields the same join
     result). Output columns = big ∪ small minus the helper salt
-    columns; semantics identical to the unsalted join.
+    columns; semantics identical to the unsalted join for the
+    supported how modes (inner/left — see the guard below).
     """
+    # replicating the small side means its UNMATCHED rows would emit
+    # once per salt — right/full outer semantics cannot survive salting
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the small side is replicated n_salts times, so outer-"
+            "preserving the small side would duplicate unmatched rows"
+        )
     if salt_source is None:
         salt_source = F.xxhash64(F.col(big_key), F.monotonically_increasing_id())
     b = big.withColumn("_salt", F.pmod(salt_source, F.lit(n_salts)).cast("int"))
@@ -77,7 +86,13 @@ def cap_group_fanout(
         # so BOTH windows (and the downstream join) ride this one
         # exchange — without it the planner would partition on
         # (group, order) for the dedup window and re-shuffle for the cap
-        w_d = Window.partitionBy(group_col, order_col).orderBy(order_col)
+        # full-row tiebreak: within a duplicate (group, order) pair the
+        # survivor's OTHER columns would otherwise be partition-order
+        # lottery — nondeterministic under the repo's cross-engine
+        # hash-equality convention (free when no other columns exist,
+        # as at both current call sites)
+        extra = [c for c in out.columns if c not in (group_col, order_col)]
+        w_d = Window.partitionBy(group_col, order_col).orderBy(order_col, *extra)
         out = (
             out.repartition(F.col(group_col))
             .withColumn("_cap_dup", F.row_number().over(w_d))

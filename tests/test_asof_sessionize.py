@@ -113,3 +113,19 @@ def test_sessionize_gap_boundary_is_exclusive(spark):
     )
     out = {r["eid"]: r["session_idx"] for r in sessionize(ev, "uid", "t", "eid", 30.0).collect()}
     assert out == {1: 1, 2: 1}
+
+
+def test_asof_join_same_named_columns(spark):
+    """The canonical as-of shape: both sides name the time column 'ts'
+    and the by column 'sym' — must not trip ambiguous-reference."""
+    from etl_orders_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 205), (3, "B", 50)], "tid long, sym string, ts long"
+    )
+    quotes = spark.createDataFrame(
+        [(10, "A", 90), (11, "A", 200), (12, "B", 60)], "qid long, sym string, ts long"
+    )
+    out = asof_join(trades, quotes, "tid", "ts", "ts", "sym", "sym", "qid")
+    got = {r.tid: r.qid for r in out.collect()}
+    assert got == {1: 10, 2: 11, 3: None}

@@ -136,3 +136,13 @@ def test_psi_zero_when_periods_identical(spark):
         assert r.n_ref == r.n_cur, f"bin {b} fixture not symmetric"
         assert r.psi_pico == 0, f"identical periods must not drift (bin {b})"
         assert r.p_ppm == r.q_ppm
+
+
+def test_row_checks_empty_frame_gates_clean(spark):
+    """SUM over an empty frame is NULL — violations must still read 0
+    so an empty-but-clean load passes a `violations == 0` gate."""
+    from etl_orders_spark.operators.expectations import not_null, run_row_checks
+
+    df = spark.createDataFrame([], "x long").filter("x > 0")
+    rows = run_row_checks(df, [not_null("x")]).collect()
+    assert [(r.violations, r.total) for r in rows] == [(0, 0)]

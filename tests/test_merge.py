@@ -53,3 +53,25 @@ def test_scd2_idempotent_for_no_updates(spark):
     empty = spark.createDataFrame([], "id long, email string")
     out = scd2_apply(dim, empty, ["id"], datetime(2024, 3, 1))
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, dim.collect()))
+
+
+def test_scd2_rejects_duplicate_update_keys(spark):
+    """Two update rows for one key in a batch would open two identical
+    current versions — the operator must fail loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", None, True)],
+        "k long, v string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    dups = spark.createDataFrame([(1, "b"), (1, "c")], "k long, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        scd2_apply(dim, dups, ["k"], "2024-02-01 00:00:00")

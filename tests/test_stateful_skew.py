@@ -210,3 +210,16 @@ def test_cap_group_fanout_noop_on_tpch_baskets(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     assert cap_group_fanout(li, "l_orderkey", "l_partkey", 64).count() == li.count()
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """Replicated small side makes right/full outer unsalvageable —
+    the operator refuses instead of silently duplicating rows."""
+    import pytest
+
+    from etl_orders_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y")], "dk long, b string")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(big, small, "k", "dk", n_salts=4, how="full")
