@@ -18,9 +18,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# international-ish phone: optional +country, then 7+ digits with
-# common separators; anchored on digits at both ends
-PHONE_RE = r"\+?[0-9][0-9()\-. ]{5,}[0-9]"
+# international-ish phone: optional +country, then SEVEN-plus DIGITS
+# (each digit may be followed by up to 3 separator chars) — the bound
+# is on digit count, not character count, so '1 2 3 4' score lists and
+# short dash ranges in prose are not destroyed. Dates (8 digits) still
+# look phone-shaped to any digit-count heuristic; documented limit.
+PHONE_RE = r"\+?[0-9](?:[()\-. ]{0,3}[0-9]){6,}"
 
 
 def _c(col: Column | str) -> Column:

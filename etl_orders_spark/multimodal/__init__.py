@@ -19,6 +19,7 @@ from etl_orders_spark.multimodal.ops import (
     decode_images,
     media_fingerprints,
     media_stats,
+    resize_images,
     sample_frames,
 )
 from etl_orders_spark.multimodal.schemas import MEDIA_SCHEMA, gen_media
@@ -28,6 +29,7 @@ __all__ = [
     "decode_images",
     "gen_media",
     "media_fingerprints",
+    "resize_images",
     "media_stats",
     "sample_frames",
 ]

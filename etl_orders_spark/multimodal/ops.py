@@ -184,13 +184,23 @@ def resize_images(media: DataFrame, max_side: int = 64, strict: bool = False) ->
                     "pixel decode needs an image codec (PIL/libvips); "
                     "not available in this environment"
                 ) from e
+            import io
+
+            import PIL.Image as Image
+
+            # the REAL decode: strict mode must actually open the
+            # bytes when a codec exists, not just prove the import
+            return Image.open(io.BytesIO(content))
 
         for pdf in it:
             rows = []
             for mid, content, w, h in zip(
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
-                w, h = int(w), int(h)
+                # null metadata dims plan as 0x0 (same pd.notna guard
+                # as decode_images — int(NaN) would kill the worker)
+                w = int(w) if pd.notna(w) else 0
+                h = int(h) if pd.notna(h) else 0
                 if max(w, h) <= max_side:
                     ow, oh = w, h
                 else:

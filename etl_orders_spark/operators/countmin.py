@@ -76,7 +76,11 @@ def countmin_estimate(
         "row", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
     )
     probes = probes.select("_k", "row", _bucket(F.col("_k"), F.col("row"), width).alias("bucket"))
-    joined = F.broadcast(probes).join(sketch, ["row", "bucket"], "left")
+    # BuildLeft is unsupported for a LEFT outer join, so hinting
+    # broadcast on the probe (left) side is silently dropped — express
+    # the same rows as sketch RIGHT-joined to the broadcast probes,
+    # where the probe side is legally the build side
+    joined = sketch.join(F.broadcast(probes), ["row", "bucket"], "right")
     return (
         joined.groupBy("_k")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))

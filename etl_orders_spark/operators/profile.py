@@ -22,6 +22,8 @@ def profile_columns(
     Metrics: n_null, n_distinct (exact), plus min/max/avg for numeric
     columns (rounded to 4). Output: col_name, metric, value (double).
     """
+    if not numeric_cols and not string_cols:
+        raise ValueError("profile_columns: name at least one column to profile")
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
     for c in list(numeric_cols) + list(string_cols):
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__n_null"))
@@ -31,7 +33,8 @@ def profile_columns(
         aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"))
         aggs.append(F.round(F.avg(c), 4).alias(f"{c}__avg"))
     one = df.agg(*aggs)
-    pairs: list[str] = []
+    # the table-level row count rides the same single pass
+    pairs: list[str] = ["'__table__'", "'n_rows'", "CAST(`__n` AS DOUBLE)"]
     for c in list(numeric_cols) + list(string_cols):
         pairs += [f"'{c}'", f"'n_null'", f"CAST(`{c}__n_null` AS DOUBLE)"]
         pairs += [f"'{c}'", f"'n_distinct'", f"CAST(`{c}__n_distinct` AS DOUBLE)"]

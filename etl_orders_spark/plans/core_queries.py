@@ -912,7 +912,11 @@ _PROFILE_STRING = ("l_returnflag",)
 
 
 def _profile_oracle() -> str:
-    parts = []
+    # leads with the operator's table-level row-count metric
+    parts = [
+        "SELECT '__table__' AS col_name, 'n_rows' AS metric, "
+        "CAST(COUNT(*) AS DOUBLE) AS value FROM lineitem"
+    ]
     for c in _PROFILE_NUMERIC + _PROFILE_STRING:
         parts.append(
             f"SELECT '{c}' AS col_name, 'n_null' AS metric, "

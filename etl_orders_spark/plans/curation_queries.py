@@ -38,7 +38,9 @@ from etl_orders_spark.sources.readers import load_table as T
 # lookaround, no backrefs) so Spark and DuckDB match identical spans.
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\+?\d[\d\- ()]{7,}\d"
+# digit-count bound (7+ digits, each with up to 3 trailing separators),
+# not char-count — see functions/privacy.PHONE_RE for the rationale
+_PII_PHONE = r"\+?\d(?:[\- ()]{0,3}\d){6,}"
 
 
 @register(

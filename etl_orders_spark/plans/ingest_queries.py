@@ -87,9 +87,12 @@ _PRODUCTS_COLS = "{'Id':'BIGINT','Name':'VARCHAR','Category':'VARCHAR','Price':'
 _USERS_COLS = "{'Id':'BIGINT','Document':'BIGINT'}"
 
 
-@register(
-    "csv_star_ingest",
-    f"""
+
+# One star-join definition serves all three landing-format queries: the
+# ORC/JSONL certification argument rests on their oracles being EXACTLY
+# the CSV oracle (same logical rows), so the SQL and the Spark join are
+# shared constants — a drift in one registration is impossible.
+_STAR_SQL = f"""
     SELECT o.Fecha AS order_date,
            o.User_ID AS user_id,
            o.Product_ID AS product_id,
@@ -101,21 +104,12 @@ _USERS_COLS = "{'Id':'BIGINT','Document':'BIGINT'}"
       ON o.Product_ID = p.Id
     JOIN read_csv('{USERS_CSV}', header=true, columns={_USERS_COLS}) u
       ON o.User_ID = u.Id
-    """,
-    tags=("source", "csv", "join", "projection"),
-)
-def csv_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 — CSV scan feeding the reference's 3-way star denormalization
-    (reference: dags/etl.py:41-43 extract, 109-122 transform): orders ⋈
-    products on Product_ID=Id (inner join sheds dangling FKs 1/9/10 —
-    the reference's RI-filter semantics, SURVEY.md §1.4) then ⋈ users
-    on User_ID=Id, projected to the reference's final 6 columns.
+"""
 
-    Explicit schemas (never inferSchema — one fewer pass, no type
-    drift); both dims broadcast so the fact side never shuffles.
-    """
-    ensure_ingest_fixtures()
-    orders = read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA)
+
+def _star_join(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """orders ⋈ products ⋈ users → the reference's final 6 columns;
+    both dims broadcast so the fact side never shuffles."""
     products = F.broadcast(read_csv(spark, PRODUCTS_CSV, PRODUCTS_SCHEMA))
     users = F.broadcast(read_csv(spark, USERS_CSV, USERS_SCHEMA))
     return (
@@ -130,6 +124,40 @@ def csv_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("Price").alias("price"),
         )
     )
+
+
+def _stage_orders(spark: SparkSession, out_dir: str, write) -> str:
+    """Stage the orders fixture through a Spark sink once per fixture
+    version: a _SUCCESS marker + the source CSV's mtime gate makes the
+    staging idempotent across driver/oracle invocations. The write
+    goes through the real sink (the capability under test is the full
+    write→read round trip, never a byte-copied file)."""
+    success = os.path.join(out_dir, "_SUCCESS")
+    if not (
+        os.path.exists(success)
+        and os.path.getmtime(success) >= os.path.getmtime(ORDERS_CSV)
+    ):
+        write(read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA).write.mode("overwrite"), out_dir)
+    return out_dir
+
+
+@register(
+    "csv_star_ingest",
+    _STAR_SQL,
+    tags=("source", "csv", "join", "projection"),
+)
+def csv_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — CSV scan feeding the reference's 3-way star denormalization
+    (reference: dags/etl.py:41-43 extract, 109-122 transform): orders ⋈
+    products on Product_ID=Id (inner join sheds dangling FKs 1/9/10 —
+    the reference's RI-filter semantics, SURVEY.md §1.4) then ⋈ users
+    on User_ID=Id, projected to the reference's final 6 columns.
+
+    Explicit schemas (never inferSchema — one fewer pass, no type
+    drift); both dims broadcast so the fact side never shuffles.
+    """
+    ensure_ingest_fixtures()
+    return _star_join(spark, read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA))
 
 
 @register(
@@ -179,37 +207,12 @@ _ORC_DIR = os.path.join(os.path.dirname(ORDERS_CSV), "orders_orc")
 
 
 def _ensure_orders_orc(spark: SparkSession) -> str:
-    """Stage the orders fixture to ORC once per fixture version.
-
-    The write happens through Spark's ORC sink (the capability under
-    test is the full write→read round trip, not a byte-copied file);
-    a _SUCCESS marker plus the source CSV's mtime gate makes the
-    staging idempotent across driver/oracle invocations.
-    """
-    success = os.path.join(_ORC_DIR, "_SUCCESS")
-    if not (
-        os.path.exists(success)
-        and os.path.getmtime(success) >= os.path.getmtime(ORDERS_CSV)
-    ):
-        read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA).write.mode("overwrite").orc(_ORC_DIR)
-    return _ORC_DIR
+    return _stage_orders(spark, _ORC_DIR, lambda w, d: w.orc(d))
 
 
 @register(
     "orc_star_ingest",
-    f"""
-    SELECT o.Fecha AS order_date,
-           o.User_ID AS user_id,
-           o.Product_ID AS product_id,
-           p.Name AS product_name,
-           p.Category AS category,
-           p.Price AS price
-    FROM read_csv('{ORDERS_CSV}', header=true, columns={_ORDERS_COLS}) o
-    JOIN read_csv('{PRODUCTS_CSV}', header=true, columns={_PRODUCTS_COLS}) p
-      ON o.Product_ID = p.Id
-    JOIN read_csv('{USERS_CSV}', header=true, columns={_USERS_COLS}) u
-      ON o.User_ID = u.Id
-    """,
+    _STAR_SQL,
     tags=("source", "orc", "join", "projection"),
 )
 def orc_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,55 +228,19 @@ def orc_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripe stats give the fact scan the same pushdown/pruning story
     as parquet."""
     ensure_ingest_fixtures()
-    orders = read_orc(spark, _ensure_orders_orc(spark), ORDERS_SCHEMA)
-    products = F.broadcast(read_csv(spark, PRODUCTS_CSV, PRODUCTS_SCHEMA))
-    users = F.broadcast(read_csv(spark, USERS_CSV, USERS_SCHEMA))
-    return (
-        orders.join(products, orders["Product_ID"] == products["Id"], "inner")
-        .join(users, orders["User_ID"] == users["Id"], "inner")
-        .select(
-            F.col("Fecha").alias("order_date"),
-            F.col("User_ID").alias("user_id"),
-            F.col("Product_ID").alias("product_id"),
-            F.col("Name").alias("product_name"),
-            F.col("Category").alias("category"),
-            F.col("Price").alias("price"),
-        )
-    )
+    return _star_join(spark, read_orc(spark, _ensure_orders_orc(spark), ORDERS_SCHEMA))
 
 
 _JSONL_DIR = os.path.join(os.path.dirname(ORDERS_CSV), "orders_jsonl")
 
 
 def _ensure_orders_jsonl(spark: SparkSession) -> str:
-    """Stage the orders fixture to newline-delimited JSON once per
-    fixture version (same idempotence gate as the ORC staging): the
-    capability under test is the full JSONL write -> read round trip
-    through Spark's json sink and the engine's read_jsonl scan."""
-    success = os.path.join(_JSONL_DIR, "_SUCCESS")
-    if not (
-        os.path.exists(success)
-        and os.path.getmtime(success) >= os.path.getmtime(ORDERS_CSV)
-    ):
-        read_csv(spark, ORDERS_CSV, ORDERS_SCHEMA).write.mode("overwrite").json(_JSONL_DIR)
-    return _JSONL_DIR
+    return _stage_orders(spark, _JSONL_DIR, lambda w, d: w.json(d))
 
 
 @register(
     "jsonl_star_ingest",
-    f"""
-    SELECT o.Fecha AS order_date,
-           o.User_ID AS user_id,
-           o.Product_ID AS product_id,
-           p.Name AS product_name,
-           p.Category AS category,
-           p.Price AS price
-    FROM read_csv('{ORDERS_CSV}', header=true, columns={_ORDERS_COLS}) o
-    JOIN read_csv('{PRODUCTS_CSV}', header=true, columns={_PRODUCTS_COLS}) p
-      ON o.Product_ID = p.Id
-    JOIN read_csv('{USERS_CSV}', header=true, columns={_USERS_COLS}) u
-      ON o.User_ID = u.Id
-    """,
+    _STAR_SQL,
     tags=("source", "json", "join", "projection"),
 )
 def jsonl_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,18 +257,4 @@ def jsonl_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_ingest_fixtures()
     from etl_orders_spark.sources.readers import read_jsonl
 
-    orders = read_jsonl(spark, _ensure_orders_jsonl(spark), ORDERS_SCHEMA)
-    products = F.broadcast(read_csv(spark, PRODUCTS_CSV, PRODUCTS_SCHEMA))
-    users = F.broadcast(read_csv(spark, USERS_CSV, USERS_SCHEMA))
-    return (
-        orders.join(products, orders["Product_ID"] == products["Id"], "inner")
-        .join(users, orders["User_ID"] == users["Id"], "inner")
-        .select(
-            F.col("Fecha").alias("order_date"),
-            F.col("User_ID").alias("user_id"),
-            F.col("Product_ID").alias("product_id"),
-            F.col("Name").alias("product_name"),
-            F.col("Category").alias("category"),
-            F.col("Price").alias("price"),
-        )
-    )
+    return _star_join(spark, read_jsonl(spark, _ensure_orders_jsonl(spark), ORDERS_SCHEMA))

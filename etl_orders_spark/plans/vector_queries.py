@@ -625,9 +625,13 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = brute_force_topk(probes, emb, "vec_id", "embedding", k=1)
     qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
     nlab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab"))
+    # broadcast the PROBE-sized nn table into both label joins — the
+    # label projections are corpus-cardinality, and broadcasting those
+    # would re-introduce exactly the unbounded driver copy the probe
+    # cap exists to avoid
     return (
-        nn.join(F.broadcast(qlab), "query_id")
-        .join(F.broadcast(nlab), "neighbor_id")
+        F.broadcast(qlab.join(F.broadcast(nn), "query_id"))
+        .join(nlab, "neighbor_id")
         .groupBy(F.col("qlab").cast("int").alias("label"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -70,6 +70,15 @@ def compact_parquet(
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
+    if total == 0:
+        # os.walk sees only LOCAL paths — on s3a://hdfs:// it yields
+        # nothing and the "compaction" would funnel the whole dataset
+        # through one task; refuse instead of silently degrading
+        raise ValueError(
+            f"compact_parquet: no readable bytes under {src!r} via local "
+            "listing; for remote filesystems size via the Hadoop FileSystem "
+            "API and pass an explicit target layout"
+        )
     n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     df.repartition(n_files).write.mode("overwrite").parquet(dst)
