@@ -40,6 +40,14 @@ def zorder_value(bucket_cols: list[Column], bits: int) -> Column:
     key: bit b of column c lands at position b * n_cols + c, so equal
     prefixes of the key correspond to hypercubes in the column space."""
     n = len(bucket_cols)
+    if bits * n > 63:
+        # shiftleft wraps its shift amount mod 64 and bit 63 is the
+        # sign bit — past 63 the Morton key silently corrupts (content
+        # survives, clustering doesn't)
+        raise ValueError(
+            f"zorder_value: {bits} bits x {n} cols needs {bits * n} key bits; "
+            "a long holds 63 — lower `bits` (4 cols fit at bits=15)"
+        )
     pieces = [
         F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i)
         for b in range(bits)

@@ -60,10 +60,15 @@ def run(
 
     counts: dict[str, int] = {}
     for table, df in (("USERS", enriched_users), ("ORDERS", final_orders)):
-        write_parquet(df, os.path.join(out_dir, table))
+        out_path = os.path.join(out_dir, table)
+        write_parquet(df, out_path)
+        # the parquet just written is the materialized lineage: the JDBC
+        # load and the count read IT back instead of re-executing the
+        # CSV/JSON scans + joins once per consumer (2-3x the job cost)
+        staged = spark.read.parquet(out_path)
         if jdbc_url:
-            write_jdbc(df, jdbc_url, table, mode="overwrite")
-        counts[table] = df.count()
+            write_jdbc(staged, jdbc_url, table, mode="overwrite")
+        counts[table] = staged.count()
     return counts
 
 

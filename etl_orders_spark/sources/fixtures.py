@@ -69,14 +69,28 @@ def ensure_ingest_fixtures() -> dict[str, str]:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     rng = random.Random(20240401)
 
-    with open(ORDERS_CSV, "w", newline="") as f:
+    # concurrent regeneration safety: the Spark and DuckDB halves of a
+    # driver run import this module in separate processes — each writes
+    # its own temp files and atomically renames into place, so a reader
+    # trusting the other process's return value never scans a torn file
+    # (rename is atomic on POSIX; both writers produce identical bytes).
+    # The tag is a uuid, NOT a pid: sandboxed/containerized runs give
+    # different processes the same namespace pid, colliding tmp names.
+    import uuid
+
+    tag = uuid.uuid4().hex
+
+    def _tmp(path: str) -> str:
+        return f"{path}.tmp.{tag}"
+
+    with open(_tmp(ORDERS_CSV), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Fecha", "Product_ID", "User_ID"])
         for _ in range(3000):
             day = rng.randrange(7) + 1  # 2024-04-01..07
             w.writerow([f"2024-04-{day:02d}", rng.randrange(1, 11), rng.randrange(1, 101)])
 
-    with open(PRODUCTS_CSV, "w", newline="") as f:
+    with open(_tmp(PRODUCTS_CSV), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Id", "Name", "Category", "Price"])
         for pid in range(2, 9):  # reference cell 5: range(2, 9)
@@ -84,7 +98,7 @@ def ensure_ingest_fixtures() -> dict[str, str]:
                 [pid, f"Product {pid}", rng.choice(_CATEGORIES), rng.randrange(1000, 100001)]
             )
 
-    with open(USERS_CSV, "w", newline="") as f:
+    with open(_tmp(USERS_CSV), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Id", "Document"])
         for uid in range(1, 301):
@@ -107,9 +121,25 @@ def ensure_ingest_fixtures() -> dict[str, str]:
                 "phone": f"({rng.randrange(100, 1000)}) 555-{rng.randrange(1000, 10000)}",
             }
         )
-    with open(USER_INFO_JSON, "w") as f:
+    with open(_tmp(USER_INFO_JSON), "w") as f:
         json.dump({"status": 200, "data": records}, f)
 
-    with open(marker, "w") as f:
+    for path in (ORDERS_CSV, PRODUCTS_CSV, USERS_CSV, USER_INFO_JSON):
+        os.replace(_tmp(path), path)
+    with open(_tmp(marker), "w") as f:
         f.write(_FIXTURE_VERSION)
+    os.replace(_tmp(marker), marker)
+    # best-effort sweep of tmp litter from CRASHED runs only: an age
+    # floor keeps this from deleting a concurrent writer's in-flight
+    # tmp files (that writer's os.replace would then fail)
+    import time
+
+    for f in os.listdir(FIXTURE_DIR):
+        if ".tmp." in f:
+            full = os.path.join(FIXTURE_DIR, f)
+            try:
+                if time.time() - os.path.getmtime(full) > 3600:
+                    os.remove(full)
+            except OSError:
+                pass
     return paths

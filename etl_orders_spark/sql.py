@@ -53,8 +53,10 @@ def plan_summary(df: DataFrame) -> dict:
         "nested_loop_joins": p.count("BroadcastNestedLoopJoin"),
         "cartesian_products": p.count("CartesianProduct"),
         "scans": p.count("FileScan"),
-        "pushed_filters": "PushedFilters: [" in p
-        and "PushedFilters: []" not in p,
+        # true iff ANY scan pushed a real filter: a star join's
+        # unfiltered dimension scans print 'PushedFilters: []' and must
+        # not mask the fact scan's pushdown
+        "pushed_filters": re.search(r"PushedFilters: \[[^\]]", p) is not None,
         # note: under AQE the codegen markers only appear post-execution
         "whole_stage_codegen": "WholeStageCodegen" in p,
         "take_ordered": "TakeOrderedAndProject" in p,
