@@ -446,9 +446,12 @@ def contamination_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.functions.text import shingles
 
     docs = T(spark, sf_dir, "documents")
-    # three consumers (bench grams, train sizes, train hits): persist
-    # so the shingle explode computes once
-    sh = docs.select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("g")).persist()
+    # three consumers (bench grams, train sizes, train hits): eager
+    # checkpoint so the shingle explode computes once (lazy persist
+    # fills too late for concurrently-scheduled branches)
+    sh = docs.select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("g")).localCheckpoint(
+        eager=True
+    )
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = sh.filter(is_bench).select("g").distinct()
     train = sh.filter(~is_bench)
@@ -1227,13 +1230,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.functions.text import shingles as _shingles
     from etl_orders_spark.operators.dedup import _parallelism_floor
 
-    # three consumers (sizes + both self-join sides): persist, or the
-    # tokenize+shingle+explode replays per consumer (the same rationale
-    # as the dedup operator's own persisted shingle table)
+    # three consumers (sizes + both self-join sides): EAGER checkpoint —
+    # a lazy persist fills mid-job, after concurrent branches have
+    # already replayed the tokenize+shingle+explode (scan audit measured
+    # 8 document scans with persist, 1 with the checkpoint); at 100 TB
+    # this is the parquet-staging boundary of the sweep
     sh = _parallelism_floor(
         T(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.toDF("id_a", "sh")
     b = sh.toDF("id_b", "sh")
