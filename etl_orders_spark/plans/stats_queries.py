@@ -2763,3 +2763,79 @@ def segment_performance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_customer_cents"),
         F.expr("sum(neg_bal) * 1000 div max(n)").cast("long").alias("neg_balance_milli"),
     )
+
+
+# --- Poisson bootstrap ------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicas
+# Poisson(1) inverse CDF as fixed thresholds on a uniform 32-bit hash
+# (floor(cdf(k) * 2^32)); multiplicities capped at 7 — the truncated
+# tail mass is ~1e-5, far below bootstrap noise at any real n.
+_BOOT_CDF_T = (
+    1580030168,  # k=0
+    3160060337,  # k=1
+    3950075421,  # k=2
+    4213413783,  # k=3
+    4279248373,  # k=4
+    4292415291,  # k=5
+    4294609777,  # k=6
+)
+
+
+def _boot_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF_T)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "bootstrap_revenue_totals",
+    f"""
+    WITH reps AS (SELECT UNNEST(range(0, {_BOOT_B})) AS replica),
+    w AS (
+      SELECT r.replica,
+             {_boot_weight_sql(
+                 "CAST(('0x' || substr(md5('boot|' || CAST(r.replica AS VARCHAR) || '|' || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+             )} AS wt,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN reps r
+    )
+    SELECT CAST(replica AS BIGINT) AS replica,
+           CAST(SUM(wt) AS BIGINT) AS n_eff,
+           CAST(SUM(wt * cents) AS BIGINT) AS total_cents
+    FROM w GROUP BY 1
+    """,
+    tags=("stats", "sampling"),
+)
+def bootstrap_revenue_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of total revenue (Chamandy et al., Google 2012
+    — 'Estimating Uncertainty for Massive Data Streams'): each order
+    joins replica b with multiplicity ~ Poisson(1) drawn from a
+    deterministic 32-bit hash of (replica, orderkey), so resampling
+    needs NO global row count, no sampling coordination, and no second
+    pass — the property that makes the bootstrap runnable on a 100 TB
+    stream. One replica-spine explode multiplies MAP work by B only;
+    the aggregate is map-side combinable, so the shuffle carries at
+    most B partials per partition. The spread of the B exact-integer
+    replica totals IS the standard error of the total; downstream CIs
+    are a trivial percentile over B rows. Multiplicities come from
+    fixed integer CDF thresholds — bit-identical in any engine with
+    md5, no RNG in the plan."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("replica")
+    u = (
+        "CAST(conv(substring(md5(concat('boot|', CAST(replica AS STRING), '|', "
+        "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        o.select("o_orderkey", "cents", reps)
+        .withColumn("wt", F.expr(_boot_weight_sql(u)))
+        .groupBy(F.col("replica").cast("long").alias("replica"))
+        .agg(
+            F.sum("wt").cast("long").alias("n_eff"),
+            F.sum(F.col("wt") * F.col("cents")).cast("long").alias("total_cents"),
+        )
+    )

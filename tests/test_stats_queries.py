@@ -622,3 +622,26 @@ def test_segment_report_covers_customer_base(q, spark, sf_dir):
     for r in rows:
         assert 0 <= r.neg_balance_milli <= 1000
         assert 0 <= r.median_customer_cents  # never-ordered customers allowed
+
+
+def test_bootstrap_replicas_scatter_around_truth(spark, sf_dir):
+    """Poisson-bootstrap sanity: every replica's effective n and total
+    must scatter tightly around the real values (sd ~ 1/sqrt(n)), and
+    the replica spread must be nonzero (the weights actually vary)."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = query_map()["bootstrap_revenue_totals"](spark, sf_dir).collect()
+    assert len(rows) == 32
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    true_total = o.agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+    ).first()[0]
+    totals = [r.total_cents for r in rows]
+    for r in rows:
+        assert abs(r.n_eff - n) / n < 0.15
+        assert abs(r.total_cents - true_total) / true_total < 0.15
+    assert len(set(totals)) > 1
