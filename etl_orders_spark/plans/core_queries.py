@@ -1443,12 +1443,14 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN NOT in_old THEN 'insert'
                 WHEN NOT in_new THEN 'delete'
                 ELSE 'update' END AS change_type,
-           CASE WHEN in_old AND in_new THEN
+           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' — pin the empty case to ''
+           COALESCE(array_to_string(CASE WHEN in_old AND in_new THEN
              list_sort(list_filter([
                CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
                CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END
              ], x -> x IS NOT NULL))
-           ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+           ELSE CAST([] AS VARCHAR[]) END, ','), '') AS changed_cols
     FROM j
     WHERE NOT in_old OR NOT in_new
        OR os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
@@ -1474,9 +1476,12 @@ def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 100 == 50, "X").otherwise(F.col("o_orderstatus")),
     )
     new = base.filter(F.col("o_orderkey") % 97 != 0)
+    # serialized array (registry convention): the operator's typed
+    # array survives for library callers/tests; the REGISTERED surface
+    # ships scalars so any pandas canonicalizer can sort it
     return snapshot_diff(
         old, new, ["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
-    )
+    ).withColumn("changed_cols", F.array_join("changed_cols", ","))
 
 
 _BASKET_TOPK = 20

@@ -156,9 +156,9 @@ def near_dup_embeddings_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, label, ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx,
-           CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
+           array_to_string(CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
                 ELSE list_transform(v, x -> CAST(FLOOR((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))
-           END AS q,
+           END, ',') AS q,
            CASE WHEN mx = mn THEN 0.0
                 ELSE ROUND(list_max(list_transform(v,
                        x -> abs(x - (mn + FLOOR((x - mn) * 255.0 / (mx - mn) + 0.5) * (mx - mn) / 255.0)))), 6)
@@ -217,12 +217,15 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
     )
+    e = e.withColumn("q", q)
     return e.select(
         "vec_id",
         "label",
         F.round("_mn", 6).alias("mn"),
         F.round("_mx", 6).alias("mx"),
-        q.alias("q"),
+        # serialized codes (registry convention: no array columns on
+        # the registered surface — pandas canonicalizers can't sort them)
+        F.expr("array_join(transform(q, x -> cast(x AS STRING)), ',')").alias("q"),
         err.alias("max_abs_err"),
     )
 

@@ -202,14 +202,29 @@ def test_no_query_plans_an_unvetted_nested_loop(spark, sf_dir):
     spark.catalog.clearCache()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
+    from pyspark.sql import types as T
+
     offenders = {}
+    nonscalar = {}
     for name, builder in query_map().items():
-        plan = builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         cart = plan.count("CartesianProduct")
         bnlj = plan.count("BroadcastNestedLoopJoin")
         if cart or bnlj > _BNLJ_ALLOWED.get(name, 0):
             offenders[name] = (bnlj, cart)
+        # registry convention: no array/map/struct/binary on the
+        # registered surface — the driver's pandas canonicalizer
+        # cannot sort them (round-2 lost two window slots to this)
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+        ]
+        if cols:
+            nonscalar[name] = cols
     assert not offenders, f"unvetted nested-loop/cartesian plans: {offenders}"
+    assert not nonscalar, f"non-scalar registered output columns: {nonscalar}"
 
 
 # No query may plan a partition-less Window, full stop. Bounded
