@@ -37,13 +37,16 @@ def gen_media(spark: SparkSession, n: int = 100, payload_bytes: int = 256) -> Da
     """Deterministic synthetic media rows: content = repeated sha2 of
     the id (opaque but reproducible bytes), metadata consistent with
     the kind. Pure Spark plan — scales like any range source."""
-    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("id") % 3 + 1).cast("int"))
+    # one shared cycling index: kind and format MUST stay consistent
+    # per row, so format indexes with the same expression, never a copy
+    kind_idx = (F.col("id") % 3 + 1).cast("int")
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), kind_idx)
     payload_hex = F.concat(
         *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"|{i}")), 256) for i in range((payload_bytes + 31) // 32)]
     )
     meta = F.struct(
         F.element_at(
-            F.array(*[F.lit(_FORMATS[k]) for k in _KINDS]), (F.col("id") % 3 + 1).cast("int")
+            F.array(*[F.lit(_FORMATS[k]) for k in _KINDS]), kind_idx
         ).alias("format"),
         F.when(kind == "audio", F.lit(None).cast("int"))
         .otherwise((F.col("id") % 4 * 160 + 320).cast("int"))

@@ -186,8 +186,11 @@ def read_csv_quarantine(
     quarantine lane. Malformed rows (arity mismatch, unparseable
     values) land in ``_corrupt_record`` under PERMISSIVE mode instead
     of failing the load or silently nulling — the caller gets
-    ``(good, bad)``: good rows with the declared schema, bad rows as
-    (raw_line,) for a dead-letter sink.
+    ``(good, bad, parsed)``: good rows with the declared schema, bad
+    rows as (raw_line,) for a dead-letter sink, and the shared CACHED
+    parent — returned so the caller can ``parsed.unpersist()`` once
+    both lanes are written (the lanes' own unpersist would not release
+    the parent, and an unreleasable cache per ingest file is a leak).
 
     At 100 TB a malformed row is a certainty, not an edge case; the
     reference's ``pd.read_csv`` (reference: dags/etl.py:41-43) simply
@@ -215,7 +218,7 @@ def read_csv_quarantine(
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
-    return good, bad
+    return good, bad, df
 
 
 def read_json_envelope(

@@ -197,11 +197,14 @@ def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
             T.StructField("score", T.DoubleType()),
         ]
     )
-    good, bad = read_csv_quarantine(spark, p, schema)
+    good, bad, parsed = read_csv_quarantine(spark, p, schema)
     assert good.columns == ["id", "name", "score"]
     assert {r.id for r in good.collect()} == {1, 2}
     bad_lines = {r.raw_line for r in bad.collect()}
     assert bad_lines == {"not_a_number,bob,1.0", "3,dave,oops"}
+    assert parsed.is_cached
+    parsed.unpersist()  # the handle exists precisely for this release
+    assert not parsed.is_cached
 
 
 def test_events_ts_dispatch_handles_nanos_and_micros(spark, tmp_path):
