@@ -2235,3 +2235,94 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_below_k"),
     )
+
+
+@register(
+    "incremental_status_rollup",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders WHERE o_orderkey % 97 <> 0
+    GROUP BY 1
+    """,
+    tags=("cdc", "agg", "incremental"),
+)
+def incremental_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-status revenue
+    rollup over snapshot A is UPDATED to snapshot B by applying only
+    the CDC delta — retract each changed key's old contribution, add
+    its new one — never rescanning the unchanged fact mass. The oracle
+    recomputes the rollup directly from snapshot B, so the hash match
+    IS the proof that delta maintenance converges to the full answer.
+
+    At 100 TB this is the nightly-rollup pattern: maintenance cost is
+    O(|delta|) + a keyed combine against the (tiny) materialized
+    aggregate, versus O(|fact|) for the recompute the reference's
+    full-refresh loads pay (reference: dags/etl.py drop/create+insert).
+    Snapshots reuse cdc_orders_snapshot_diff's deterministic pair;
+    signed contributions are exact integer cents, so retract+add
+    cancels without FP residue."""
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    old = base.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 100 == 50, "X").otherwise(F.col("o_orderstatus")),
+    )
+    new = base.filter(F.col("o_orderkey") % 97 != 0)
+    # the materialized view over snapshot A (in production this is READ
+    # from storage, not rebuilt — it is tiny: one row per status)
+    view_a = old.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    # CDC delta rows: keys present in exactly one snapshot or changed.
+    # Retractions carry sign -1, additions +1; unchanged keys drop out
+    # BEFORE any aggregation, so delta size bounds the work.
+    o = old.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("os"),
+        F.col("cents").alias("oc"),
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("ns"),
+        F.col("cents").alias("nc"),
+    )
+    j = o.join(n, "k", "full_outer")
+    changed = j.filter(
+        F.col("os").isNull()
+        | F.col("ns").isNull()
+        | ~F.col("os").eqNullSafe(F.col("ns"))
+        | ~F.col("oc").eqNullSafe(F.col("nc"))
+    )
+    retract = changed.filter(F.col("os").isNotNull()).select(
+        F.col("os").alias("o_orderstatus"), F.lit(-1).alias("sgn"), F.col("oc").alias("cents")
+    )
+    add = changed.filter(F.col("ns").isNotNull()).select(
+        F.col("ns").alias("o_orderstatus"), F.lit(1).alias("sgn"), F.col("nc").alias("cents")
+    )
+    delta = (
+        retract.unionAll(add)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("sgn").cast("long").alias("d_n"),
+            F.sum(F.col("sgn") * F.col("cents")).cast("long").alias("d_cents"),
+        )
+    )
+    return (
+        view_a.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (F.coalesce("revenue_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0)))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

@@ -50,3 +50,38 @@ def test_multi_column_update_sorted(spark):
     row = snapshot_diff(old, new, ["k"]).collect()[0]
     assert row.change_type == "update"
     assert list(row.changed_cols) == ["amount", "status"]  # sorted
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
+    """Delta maintenance must converge to the direct snapshot-B rollup
+    exactly (integer cents cancel without residue), and the delta this
+    query applies must stay far smaller than the fact table — the
+    entire point of maintaining instead of recomputing."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    maintained = {
+        r.status: (r.n_orders, r.revenue_cents)
+        for r in query_map()["incremental_status_rollup"](spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    direct = {
+        r.status: (r.n, r.c)
+        for r in o.filter("o_orderkey % 97 <> 0")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    }
+    assert maintained == direct
+    n_fact = o.count()
+    n_delta = o.filter(
+        "o_orderkey % 89 = 0 OR o_orderkey % 97 = 0 OR o_orderkey % 100 = 50"
+    ).count()
+    assert n_delta < n_fact / 10
