@@ -69,18 +69,21 @@ def countmin_estimate(
     """Point-estimate each key in `keys` from the sketch: min over the
     d (row, bucket) cells the key hashes to. Missing cells count 0.
 
-    Output: key_col, est (long). The probe set is typically small
-    (candidate heavy hitters), so the join broadcasts the probes, not
-    the sketch."""
+    Output: key_col, est (long). The sketch is bounded at d×w occupied
+    cells by construction, so it is always the broadcast side; the
+    probe set streams through map-side."""
     probes = keys.select(F.col(key_col).alias("_k")).withColumn(
         "row", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
     )
     probes = probes.select("_k", "row", _bucket(F.col("_k"), F.col("row"), width).alias("bucket"))
-    # BuildLeft is unsupported for a LEFT outer join, so hinting
-    # broadcast on the probe (left) side is silently dropped — express
-    # the same rows as sketch RIGHT-joined to the broadcast probes,
-    # where the probe side is legally the build side
-    joined = sketch.join(F.broadcast(probes), ["row", "bucket"], "right")
+    # An outer join can only build (broadcast) its NON-preserved side:
+    # probes must be preserved (a key hashing to an unoccupied cell
+    # still contributes est 0), so the broadcastable side is the
+    # sketch — which the d×w bound keeps small at any input scale.
+    # Broadcasting the probes under right-preservation is unsupported
+    # (BuildRight for a right outer join) and the hint is silently
+    # dropped, degrading the lookup to a full shuffle join.
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return (
         joined.groupBy("_k")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
