@@ -35,7 +35,13 @@ def _decode_pixels(content: bytes, fmt: str):  # pragma: no cover - env-gated
 
     import PIL.Image as Image
 
-    return Image.open(io.BytesIO(content))
+    # open parses only the header lazily; .load() is the real decode
+    try:
+        img = Image.open(io.BytesIO(content))
+        img.load()
+    except Exception as e:
+        raise ValueError("content is not a decodable image") from e
+    return img
 
 
 MEDIA_STATS_SCHEMA = (
@@ -82,10 +88,13 @@ DECODED_SCHEMA = "media_id long, width int, height int, n_pixels long, decoded b
 
 
 def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode stage for image rows. With no codec in the environment:
-    strict=True raises NotImplementedError inside the worker (the
-    honest failure); strict=False emits metadata-derived shape rows
-    with decoded=false — keeping downstream plumbing exercisable."""
+    """Decode stage for image rows. strict=True routes through the
+    real decode gate — NotImplementedError when no codec is installed
+    (the honest failure in this container), ValueError when a codec
+    exists but the bytes don't decode (the synthetic fixtures), a
+    genuine full decode otherwise; strict=False emits metadata-derived
+    shape rows with decoded=false — keeping downstream plumbing
+    exercisable."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -102,7 +111,16 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
 
             import PIL.Image as Image
 
-            return Image.open(io.BytesIO(content))
+            # open parses only the header lazily; .load() is the real
+            # pixel decode, and undecodable bytes become ValueError
+            try:
+                img = Image.open(io.BytesIO(content))
+                img.load()
+            except Exception as e:
+                raise ValueError(
+                    "strict decode: content is not a decodable image"
+                ) from e
+            return img
 
         for pdf in it:
             rows = []
@@ -110,7 +128,9 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
                 if strict:
-                    decode_pixels(content)  # raises: no codec available
+                    # no codec → NotImplementedError; undecodable bytes
+                    # under a real codec → ValueError
+                    decode_pixels(content)
                 w = int(w) if pd.notna(w) else 0
                 h = int(h) if pd.notna(h) else 0
                 rows.append((mid, w, h, w * h, False))
@@ -167,10 +187,13 @@ def resize_images(media: DataFrame, max_side: int = 64, strict: bool = False) ->
     codec: without one (strict=False) the thumb is a deterministic
     byte subsample of the source content sized to the target pixel
     count (clearly fake pixels, real Arrow batch shape and memory
-    profile); strict=True raises the documented NotImplementedError
-    through the real decode gate. Everything else a 100 TB resize
-    stage needs is exercised: metadata-driven planning, per-batch
-    numpy work, narrow typed output with a binary column."""
+    profile); strict=True routes through the real decode gate —
+    NotImplementedError when no codec is installed (this container),
+    ValueError when a codec exists but the bytes don't decode (the
+    synthetic fixtures), and a genuine full decode (open + load, not
+    just the lazy header parse) when both are real. Everything else a
+    100 TB resize stage needs is exercised: metadata-driven planning,
+    per-batch numpy work, narrow typed output with a binary column."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -188,9 +211,17 @@ def resize_images(media: DataFrame, max_side: int = 64, strict: bool = False) ->
 
             import PIL.Image as Image
 
-            # the REAL decode: strict mode must actually open the
-            # bytes when a codec exists, not just prove the import
-            return Image.open(io.BytesIO(content))
+            # the REAL decode: open parses only the header lazily, so
+            # force the full pixel decode with .load(); undecodable
+            # bytes surface as ValueError, not a codec-missing error
+            try:
+                img = Image.open(io.BytesIO(content))
+                img.load()
+            except Exception as e:
+                raise ValueError(
+                    "strict resize: content is not a decodable image"
+                ) from e
+            return img
 
         for pdf in it:
             rows = []
@@ -209,7 +240,9 @@ def resize_images(media: DataFrame, max_side: int = 64, strict: bool = False) ->
                     else:
                         ow, oh = max(1, (w * max_side) // h), max_side
                 if strict:
-                    decode_pixels(content)  # raises: no codec available
+                    # no codec → NotImplementedError; undecodable bytes
+                    # under a real codec → ValueError
+                    decode_pixels(content)
                 arr = np.frombuffer(content, dtype=np.uint8)
                 n_out = max(1, ow * oh)
                 idx = (np.arange(n_out, dtype=np.int64) * max(arr.size, 1)) // n_out

@@ -47,6 +47,10 @@ def scd2_apply(
     operator cannot pick for them, so it fails loudly instead.
     """
     eff = F.lit(effective_ts).cast("timestamp")
+    # one materialization serves the precondition check AND the merge's
+    # two consumers (upd_keys, fresh) — without it the full updates
+    # lineage (often a join/agg pipeline) executes three times
+    updates = updates.localCheckpoint(eager=True)
     dup = (
         updates.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))

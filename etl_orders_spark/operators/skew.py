@@ -91,7 +91,25 @@ def cap_group_fanout(
         # lottery — nondeterministic under the repo's cross-engine
         # hash-equality convention (free when no other columns exist,
         # as at both current call sites)
-        extra = [c for c in out.columns if c not in (group_col, order_col)]
+        # maps (and other unorderable types) cannot appear in an order
+        # spec — exclude them; their survivor values stay arbitrary,
+        # which the caller accepts by carrying an unorderable column
+        from pyspark.sql import types as T
+
+        def _orderable(dt: T.DataType) -> bool:
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        extra = [
+            f.name
+            for f in out.schema.fields
+            if f.name not in (group_col, order_col) and _orderable(f.dataType)
+        ]
         w_d = Window.partitionBy(group_col, order_col).orderBy(order_col, *extra)
         out = (
             out.repartition(F.col(group_col))

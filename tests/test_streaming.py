@@ -191,6 +191,71 @@ def test_upsert_parquet_sink_across_runs(spark, tmp_path_factory):
     assert t2 == {1: "a", 2: "B!", 3: "c"}
 
 
+def test_upsert_sink_recovers_interrupted_swap(spark, tmp_path_factory):
+    """Crash-recovery protocol: a crash between the sink's two swap
+    renames leaves the whole table at `.retired` with no serving path —
+    the next batch must restore it before merging, or every key absent
+    from that batch is silently lost. And a leftover `.retired` BESIDE
+    a serving path (crash mid-cleanup) must be dropped up front, or
+    `os.rename(path, retired)` wedges every subsequent batch with
+    ENOTEMPTY."""
+    import os
+    import shutil
+
+    from etl_orders_spark.streaming.sinks import upsert_parquet_sink
+
+    root = tmp_path_factory.mktemp("upsert_recovery")
+    src, out, ckpt = str(root / "src"), str(root / "table"), str(root / "ckpt")
+    schema = "id long, v string, ts timestamp"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        upsert_parquet_sink(stream, out, ["id"], ckpt)
+        return {r["id"]: r["v"] for r in spark.read.parquet(out).collect()}
+
+    assert run([(1, "a", ts("2024-01-01 10:00:00")), (2, "b", ts("2024-01-01 10:01:00"))]) == {
+        1: "a",
+        2: "b",
+    }
+    # crash between rename(path, retired) and rename(staging, path):
+    # the authoritative table sits at .retired, serving path is gone
+    os.rename(out, out + ".retired")
+    assert run([(3, "c", ts("2024-01-01 11:00:00"))]) == {1: "a", 2: "b", 3: "c"}
+    # crash after the swap but mid-cleanup: stale .retired beside path
+    shutil.copytree(out, out + ".retired")
+    assert run([(4, "d", ts("2024-01-01 12:00:00"))]) == {1: "a", 2: "b", 3: "c", 4: "d"}
+    assert not os.path.exists(out + ".retired")
+
+
+def test_upsert_sink_seq_col_collapses_within_batch_dups(spark, tmp_path_factory):
+    """availableNow backlogs deliver several updates for one key in a
+    single micro-batch: with seq_col the sink keeps the max-(seq,
+    tiebreak) row deterministically; without it the batch is rejected
+    (an arbitrary survivor would make checkpoint replay
+    nondeterministic)."""
+    from etl_orders_spark.streaming.sinks import upsert_parquet_sink
+
+    root = tmp_path_factory.mktemp("upsert_seq")
+    schema = "id long, v string, ts timestamp"
+    rows = [
+        (1, "old", ts("2024-01-01 10:00:00")),
+        (1, "new", ts("2024-01-01 11:00:00")),
+        (2, "only", ts("2024-01-01 10:30:00")),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(root / "src"))
+    stream = spark.readStream.schema(schema).parquet(str(root / "src"))
+    upsert_parquet_sink(
+        stream, str(root / "t1"), ["id"], str(root / "c1"), seq_col="ts"
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(str(root / "t1")).collect()}
+    assert got == {1: "new", 2: "only"}
+
+    stream2 = spark.readStream.schema(schema).parquet(str(root / "src"))
+    with pytest.raises(Exception, match="multiple rows"):
+        upsert_parquet_sink(stream2, str(root / "t2"), ["id"], str(root / "c2"))
+
+
 def test_dedup_within_watermark_stream(spark, stream_events, batch_events):
     run_available_now_to_memory(
         dedup_within_watermark(stream_events, ["event_id"]), "t_dedup", output_mode="append"
