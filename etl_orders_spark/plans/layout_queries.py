@@ -154,3 +154,89 @@ def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+def staged_evolution_path(sf_dir: str) -> str:
+    """Scratch root for the two schema generations of orders, content-
+    addressed by source dir (same convention as staged_orders_path)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"orders_evolved_{key}")
+
+
+def stage_evolved_orders(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders as two schema GENERATIONS, the lifecycle of a real
+    lake table: gen1 (even order keys) predates the status column and
+    carries integer cents; gen2 (odd keys) adds o_orderstatus and has
+    widened cents to bigint. Together the directory is exactly what a
+    fact table looks like mid-evolution — no rewrite of the old files."""
+    from pyspark.sql.types import IntegerType
+
+    root = staged_evolution_path(sf_dir)
+    g1, g2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
+        "o_orderstatus",
+    )
+    write_parquet(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", F.col("cents").cast(IntegerType()).alias("cents")
+        ),
+        g1,
+    )
+    write_parquet(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", F.col("cents").cast("long").alias("cents"), "o_orderstatus"
+        ),
+        g2,
+    )
+    return g1, g2
+
+
+@register(
+    "schema_evolution_scan",
+    """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("source", "layout", "evolution", "agg"),
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round trip: stage orders as two schema
+    generations (pre-/post- a column add, with an integer→bigint
+    widening on another column), scan them as ONE relation via
+    parquet schema merging, conform to the governed target schema
+    (sources/evolution.py: typed-NULL fill for the pre-column files,
+    safe int→long upcast), and aggregate per status. The oracle runs
+    the equivalent aggregate on the un-split source, synthesizing the
+    generation boundary with the same key%2 rule — equality proves
+    the evolved layout loses nothing: every row survives, NULLs land
+    exactly on the pre-column generation, and the widening is
+    value-preserving.
+
+    Scale: the schema union reads file FOOTERS at planning time, and
+    the NULL fill + upcast are projection expressions inside
+    whole-stage codegen — evolution costs nothing per row, which is
+    why the old generation never needs a synchronous rewrite."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_orders_spark.sources.evolution import read_parquet_evolved
+
+    target = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("cents", LongType()),
+            StructField("o_orderstatus", StringType()),
+        ]
+    )
+    g1, g2 = stage_evolved_orders(spark, sf_dir)
+    df = read_parquet_evolved(spark, [g1, g2], target=target)
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
