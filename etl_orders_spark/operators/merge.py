@@ -81,3 +81,26 @@ def scd2_apply(
         .withColumn(is_current, F.lit(True))
     )
     return history.unionByName(untouched_current).unionByName(closing).unionByName(fresh)
+
+
+def snapshot_as_of(
+    dim: DataFrame,
+    ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (time-travel) read over an SCD2 history: the
+    version of each key visible at ``ts`` is the one whose validity
+    interval contains it — ``valid_from <= ts < valid_to`` with an open
+    ``valid_to`` (NULL) meaning "still current". Keys first created
+    after ``ts`` simply don't appear, and at most one version per key
+    can match because scd2_apply closes the old version at exactly the
+    instant it opens the new one.
+
+    Scale: a pure filter — it pushes into the history table's scan
+    (parquet min/max on valid_from prunes whole files once history is
+    written time-ordered), no join and no shuffle."""
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col(valid_from) <= t) & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
+    )

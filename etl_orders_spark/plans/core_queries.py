@@ -2326,3 +2326,56 @@ def incremental_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "scd2_point_in_time",
+    """
+    SELECT c_custkey,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+             + CASE WHEN c_custkey % 7 = 0 THEN 1000 ELSE 0 END AS bal_cents,
+           CASE WHEN c_custkey % 7 = 0 THEN '2024-02-01' ELSE '2024-01-01' END AS since
+    FROM customer
+    """,
+    tags=("merge", "scd2", "time"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over an SCD2 dimension: build a three-generation
+    history (initial load, a +1000-cents batch for custkey%7 at Feb 1,
+    a +500-cents batch for custkey%5 at Mar 1 — operators/merge
+    scd2_apply), then read the table AS OF Feb 15 (snapshot_as_of).
+    The visible state must contain exactly the Feb-1 version for %7
+    keys and the initial version for everyone else, with the Mar-1
+    batch invisible — which the oracle states in closed form over the
+    raw customer table, so the hash match proves interval bookkeeping
+    (close-at-open, NULL = current) reconstructs the past exactly.
+
+    Scale: the as-of read is a pure filter on (valid_from, valid_to) —
+    it pushes into the history scan with no join or shuffle; history
+    written time-ordered lets parquet min/max skip closed generations."""
+    from datetime import datetime
+
+    from etl_orders_spark.operators.merge import scd2_apply, snapshot_as_of
+
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    dim = (
+        base.withColumn("valid_from", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    upd1 = base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 1000
+    )
+    upd2 = base.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 500
+    )
+    hist = scd2_apply(dim, upd1, ["c_custkey"], datetime(2024, 2, 1))
+    hist = scd2_apply(hist, upd2, ["c_custkey"], datetime(2024, 3, 1))
+    return snapshot_as_of(hist, datetime(2024, 2, 15)).select(
+        "c_custkey",
+        "bal_cents",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("since"),
+    )

@@ -75,3 +75,28 @@ def test_scd2_rejects_duplicate_update_keys(spark):
     dups = spark.createDataFrame([(1, "b"), (1, "c")], "k long, v string")
     with pytest.raises(ValueError, match="multiple rows"):
         scd2_apply(dim, dups, ["k"], "2024-02-01 00:00:00")
+
+def test_snapshot_as_of_reconstructs_each_era(spark):
+    """One key, three versions: the as-of read returns exactly the
+    version whose interval contains the timestamp, nothing before the
+    key existed, and the open (NULL valid_to) version afterward."""
+    from etl_orders_spark.operators.merge import snapshot_as_of
+
+    t1, t2 = datetime(2024, 2, 1), datetime(2024, 3, 1)
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", datetime(2024, 1, 1), t1, False),
+            (1, "v2", t1, t2, False),
+            (1, "v3", t2, None, True),
+        ],
+        "id long, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+
+    def at(ts):
+        return [r["v"] for r in snapshot_as_of(hist, ts).collect()]
+
+    assert at(datetime(2023, 12, 31)) == []          # before the key existed
+    assert at(datetime(2024, 1, 15)) == ["v1"]
+    assert at(t1) == ["v2"]                          # boundary: close-at-open, new wins
+    assert at(datetime(2024, 2, 15)) == ["v2"]
+    assert at(datetime(2030, 1, 1)) == ["v3"]        # open interval = still current
