@@ -689,23 +689,28 @@ def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     "percentile_prices",
     """
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "percentile"),
 )
 def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per group (both engines
-    use the same order-statistic interpolation). The scale caveat is
-    real: exact percentile holds the group's values — the approx twin
-    below is the 100 TB path."""
+    """Exact DISCRETE percentiles per group: the returned value is an
+    actual data value (first value with cumulative fraction >= p — the
+    same convention in Spark's percentile_disc and DuckDB's
+    quantile_disc, verified across n=1..101), so the cross-engine hash
+    is bit-exact with no rounding. The continuous form was ulp-fragile:
+    ROUND(interpolated double) flipped at sf0.001 because the engines
+    order the lerp differently. The scale caveat is real either way:
+    exact percentile holds the group's values — the approx twin below
+    is the 100 TB path."""
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p99"),
     )
 
 
