@@ -362,3 +362,49 @@ def test_knn_label_accuracy_covers_probe_slice(spark, embeddings):
     for r in rows:
         assert 0 <= r.n_correct <= r.n
         assert 0 <= r.accuracy_milli <= 1000
+
+
+def test_pq_recall_vs_brute_force(spark, embeddings):
+    """IVF-PQ with exact re-rank: recall vs brute force on the
+    near-uniform driver embeddings (the hard case for any routed
+    index). nprobe=8/16 + rerank=8 measured 0.68 at 500 vectors and
+    0.80 at 5k; floor guards the construction, not the tune. Every
+    emitted score must also be an exactly re-ranked true cosine."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.operators.pq import pq_topk
+
+    k = 5
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact_df = brute_force_topk(q, embeddings, "vec_id", "embedding", k=k)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact_df.collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in pq_topk(q, embeddings, "vec_id", "embedding", k=k, nprobe=8, rerank=8).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.55, f"PQ recall {recall:.2f} below floor"
+    # the re-rank is exact: any overlapping pair carries the same cosine
+    for pair in hits:
+        assert approx[pair] == exact[pair]
+
+
+def test_pq_encode_is_compact_and_deterministic(spark, embeddings):
+    """The compression claim: encode emits (cell, M codes) per vector —
+    M=8 small ints for a 64-dim float vector — and two runs over the
+    same corpus produce identical codes (seeded train, hash-ordered
+    sample, no partition-seeded RNG)."""
+    from etl_orders_spark.operators.pq import encode_pq, train_pq_model
+
+    coarse, books = train_pq_model(embeddings, "vec_id", "embedding", m_sub=8, ksub=64)
+    assert coarse.shape[1] == 64 and books.shape == (8, 64, 8)
+    enc = encode_pq(embeddings, coarse, books, "vec_id", "embedding")
+    rows = {r["_id"]: (r["cell"], tuple(r["codes"])) for r in enc.collect()}
+    assert all(len(c[1]) == 8 for c in rows.values())
+    coarse2, books2 = train_pq_model(embeddings, "vec_id", "embedding", m_sub=8, ksub=64)
+    rows2 = {
+        r["_id"]: (r["cell"], tuple(r["codes"]))
+        for r in encode_pq(embeddings, coarse2, books2, "vec_id", "embedding").collect()
+    }
+    assert rows == rows2
