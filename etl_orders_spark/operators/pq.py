@@ -250,11 +250,14 @@ def pq_topk(
         [F.desc("adc"), F.asc("neighbor_id")],
         r_local,
     )
-    # exact re-rank: true vectors touched for top-R candidates only
+    # exact re-rank: true vectors touched for top-R candidates only.
+    # The (query×R)-row shortlist broadcasts against the corpus scan so
+    # the corpus never shuffles for the re-rank (inner join: BuildLeft
+    # is legal, the hint is not dropped).
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     exact = (
-        shortlist.join(F.broadcast(q), "query_id")
+        F.broadcast(shortlist.join(F.broadcast(q), "query_id"))
         .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", F.round(cosine_batch("q_vec", "c_vec"), 6).alias("cos"))
     )
