@@ -93,12 +93,15 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "agg_global_stats",
     "rollup_revenue",
     "pivot_revenue_by_status",
+    # lake-table lifecycle: schema evolution + SCD2 time travel
+    # (agg_global_stats / ship_months moved out: A1 and P6 stay covered
+    # by q1/rollup/pivot and string_functions respectively)
+    "schema_evolution_scan",
+    "scd2_point_in_time",
     # scalar / filter (P5, P6, P7, A5)
     "recode_priority_counts",
-    "ship_months",
     "string_functions",
     "filter_predicate",
     "array_functions_docs",
