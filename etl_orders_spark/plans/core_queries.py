@@ -1900,8 +1900,8 @@ def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_nationkey,
            ROUND(c_acctbal, 2) AS bal,
-           ROUND(percent_rank() OVER w, 6) AS pr,
-           ROUND(cume_dist() OVER w, 6) AS cd,
+           CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_micro,
+           CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_micro,
            ROUND(first_value(c_acctbal) OVER wf, 2) AS min_bal,
            ROUND(nth_value(c_acctbal, 2) OVER wf, 2) AS second_bal,
            ROUND(last_value(c_acctbal) OVER wf, 2) AS max_bal
@@ -1917,8 +1917,12 @@ def analytic_customer_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist, first/nth/last value with an explicit full-partition
     ROWS frame (the default RANGE frame stops at CURRENT ROW, which
     engines disagree about for nth/last). Ordering is (acctbal,
-    custkey) so ties cannot reorder across engines. One shuffle on
-    nation, both windows share it."""
+    custkey) so ties cannot reorder across engines. percent_rank /
+    cume_dist emit integer micro-units via FLOOR(x·1e6 + 0.5), never
+    ROUND: rank/n is a terminating decimal whenever n is 2^a·5^b (at
+    sf0.1 one nation has n=640 → cume_dist exactly .5203125), and
+    ROUND(·,6) then splits HALF_UP vs half-even across engines. One
+    shuffle on nation, both windows share it."""
     from pyspark.sql import Window
 
     c = T(spark, sf_dir, "customer")
@@ -1928,8 +1932,8 @@ def analytic_customer_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.round("c_acctbal", 2).alias("bal"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)).cast("long").alias("pr_micro"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5)).cast("long").alias("cd_micro"),
         F.round(F.first("c_acctbal").over(wf), 2).alias("min_bal"),
         F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias("second_bal"),
         F.round(F.last("c_acctbal").over(wf), 2).alias("max_bal"),

@@ -527,18 +527,16 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (SELECT MIN(day) AS d0 FROM d),
     xy AS (SELECT CAST(day - d0 AS BIGINT) AS x, y FROM d, m),
     s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
       FROM xy
     ), q AS (
       SELECT n, sy, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s
     )
-    SELECT n AS n_days,
-           CAST(CASE WHEN num >= 0
-                     THEN (num // den) * 1000 + (num % den) * 1000 // den
-                     ELSE -(((-num) // den) * 1000 + ((-num) % den) * 1000 // den)
-                END AS BIGINT) AS slope_milli_cents_per_day,
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST((num * 1000) // den AS BIGINT) AS slope_milli_cents_per_day,
            CAST(sy // n AS BIGINT) AS mean_daily_cents
     FROM q
     """,
@@ -548,9 +546,10 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares trend of daily revenue, in exact integer
     arithmetic end-to-end: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over
     (day-index, daily-cents) pairs, emitted as truncated milli-cents
-    per day via the quotient/remainder split — (q·1000 + r·1000 div
-    den) never overflows int64 where num·1000 would, and the abs/sign
-    branch keeps truncation direction identical across engines.
+    per day. The sufficient statistics and the closed form run in
+    128-bit integers (DECIMAL(38,0) / HUGEINT — n·Σxy alone clears
+    int64 at sf0.1, which the 10× sweep caught), and 128-bit `div`
+    truncates toward zero identically in both engines.
 
     Scale: the fact table reduces to day grain (map-side-combinable),
     then one 5-integer aggregate; the regression itself is constant
@@ -567,11 +566,11 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("day", "d0").cast("long").alias("x"), "y"
     )
     s = xy.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
     )
     q = s.select(
         "n",
@@ -579,13 +578,9 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
     )
-    slope = F.when(
-        F.col("num") >= 0,
-        F.expr("(num div den) * 1000 + (num % den) * 1000 div den"),
-    ).otherwise(-F.expr("((-num) div den) * 1000 + ((-num) % den) * 1000 div den"))
     return q.select(
-        F.col("n").alias("n_days"),
-        slope.cast("long").alias("slope_milli_cents_per_day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("(num * 1000) div den").cast("long").alias("slope_milli_cents_per_day"),
         F.expr("sy div n").cast("long").alias("mean_daily_cents"),
     )
 
@@ -1369,11 +1364,11 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS BIGINT) AS rk FROM c
     ), s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(rk * y) AS BIGINT) AS s1
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(rk AS HUGEINT) * y) AS HUGEINT) AS s1
       FROM r
     )
-    SELECT n AS n_customers,
+    SELECT CAST(n AS BIGINT) AS n_customers,
            CAST((2 * s1 - (n + 1) * sy) * 1000 // (n * sy) AS BIGINT) AS gini_milli
     FROM s
     """,
@@ -1387,9 +1382,12 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: exact global ranks come from the two-pass range-partitioned
     rank (operators/rank.py) — the customer aggregate sorts in
-    parallel range partitions, no single-partition window; 2Σi·y caps
-    int64 around 10^9 customers at typical revenue — then the sums
-    move to DECIMAL(38) partials."""
+    parallel range partitions, no single-partition window. The
+    sufficient statistics accumulate in DECIMAL(38,0) (HUGEINT on the
+    oracle side): Σrk·y times the final ×1000 clears int64 already at
+    sf0.1 — the 10× sweep caught the overflow — and 128-bit integer
+    `div` truncates identically in both engines, so the result stays
+    exact at any scale factor."""
     c = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1397,12 +1395,12 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = two_pass_rank(c, [F.col("y"), F.col("o_custkey")], rank_col="rk").select("y", "rk")
     s = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("rk") * F.col("y")).cast("long").alias("s1"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("y")).alias("s1"),
     )
     return s.select(
-        F.col("n").alias("n_customers"),
+        F.col("n").cast("long").alias("n_customers"),
         F.expr("(2 * s1 - (n + 1) * sy) * 1000 div (n * sy)").cast("long").alias("gini_milli"),
     )
 
@@ -1989,13 +1987,15 @@ def mannwhitney_price_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT a.y AS x, b.y AS z
       FROM d a JOIN d b ON a.day = b.day + 7
     ), s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(z * z) AS BIGINT) AS szz, CAST(SUM(x * z) AS BIGINT) AS sxz
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+             CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz
       FROM p
     )
-    SELECT n AS n_pairs,
-           CAST(FLOOR((n * sxz - sx * sz)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(FLOOR(CAST(n * sxz - sx * sz AS DOUBLE)
                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
                    * SQRT(CAST(n * szz - sz * sz AS DOUBLE))) * 1000000.0) AS BIGINT) AS acf7_micro
     FROM s
@@ -2026,22 +2026,25 @@ def autocorr_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(F.date_add("day", 7).alias("day"), F.col("y").alias("z"))
     p = d.join(b, "day").select(F.col("y").alias("x"), "z")
     s = p.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("z").cast("long").alias("sz"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
-        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("sz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("szz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("z")).alias("sxz"),
     )
+    # sufficient statistics stay 128-bit exact (n·Σxz clears int64 at
+    # sf0.1); only the final closed form drops to double, identically
+    # rounded from the same exact integers on both engines
     r = (
-        (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz"))
+        (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")).cast("double")
         / (
             F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
             * F.sqrt((F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).cast("double"))
         )
     )
     return s.select(
-        F.col("n").alias("n_pairs"),
+        F.col("n").cast("long").alias("n_pairs"),
         F.floor(r * F.lit(1000000.0)).cast("long").alias("acf7_micro"),
     )
 
