@@ -240,3 +240,60 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+def staged_resilient_path(sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"orders_resilient_{key}")
+
+
+@register(
+    "resilient_scan_revenue",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("source", "layout", "resilience", "agg"),
+)
+def resilient_scan_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file quarantine on the read path: stage orders to
+    scratch, drop a truncated file and a garbage file beside the real
+    parts (what a killed writer leaves behind), then scan through
+    sources/resilient.read_parquet_resilient — the distributed footer
+    audit allowlists the good files and names the bad ones. The oracle
+    aggregates the clean source: equality proves the resilient scan
+    returns every real row while a plain scan of the same directory
+    would fail outright. The report is consumed (its bad-file count
+    gates the return) so the audit is genuinely exercised.
+
+    Scale: the audit is one footer parse per file, distributed over
+    executors; the data scan then reads exactly the allowlisted files
+    with normal pushdown/pruning."""
+    from etl_orders_spark.sources.resilient import read_parquet_resilient
+
+    path = staged_resilient_path(sf_dir)
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_parquet(orders.repartition(4), path)
+    parts = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    with open(os.path.join(path, parts[0]), "rb") as f:
+        blob = f.read()
+    with open(os.path.join(path, "part-torn.snappy.parquet"), "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with open(os.path.join(path, "part-junk.snappy.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    df, report = read_parquet_resilient(spark, path)
+    n_bad = report.filter("NOT ok").count()
+    if n_bad != 2:
+        raise AssertionError(f"resilient scan quarantined {n_bad} files, expected 2")
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
