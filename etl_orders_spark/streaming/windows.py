@@ -110,6 +110,7 @@ def attribute_conversions(
     key: str = "user_id",
     ts_col: str = "ts",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each conversion to every
     click by the same user within `horizon` BEFORE it. The equality
@@ -118,7 +119,19 @@ def attribute_conversions(
     lets the state store expire rows — the pair of constraints that
     makes an unbounded stream⋈stream join run in finite state. Inner
     stream-stream joins emit in append mode as matches arrive. Batch
-    inputs run the identical plan as a normal interval equi-join."""
+    inputs run the identical plan as a normal interval equi-join.
+
+    ``how="left_outer"`` additionally emits never-converted clicks
+    with a NULL conv_ts — but NOT when the click's horizon passes on
+    the wall clock: a null-side row emits only once the query's GLOBAL
+    watermark (the MIN over both inputs under the default
+    multipleWatermarkPolicy — a stalled side stalls expiry for both)
+    clears click_ts + horizon + watermark, and state eviction runs at
+    a micro-batch boundary using the previous batch's watermark.
+    Incremental availableNow pipelines therefore see unmatched rows up
+    to one data-carrying run late (exactly when depends on how the
+    source packs files into micro-batches); tests/test_streaming.py
+    pins the choreography."""
     c = _with_watermark(clicks, ts_col, watermark).select(
         F.col(key).alias("c_key"), F.col(ts_col).alias("click_ts")
     )
@@ -130,7 +143,7 @@ def attribute_conversions(
         & (F.col("click_ts") <= F.col("conv_ts"))
         & (F.col("click_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {horizon}"))
     )
-    return c.join(v, cond).select(
+    return c.join(v, cond, how).select(
         F.col("c_key").alias(key), "click_ts", "conv_ts"
     )
 

@@ -334,3 +334,78 @@ def test_psi_drift_stream_equals_batch_and_flags_shift(spark, tmp_path_factory):
     calm, shifted = sorted(per_win.items())
     assert shifted[1] > calm[1] > -1  # shifted hour drifts far more
     assert shifted[1] > 10 * max(calm[1], 1)  # and decisively so
+
+
+def test_stream_stream_left_outer_emission_choreography(spark, tmp_path):
+    """Outer stream-stream joins have a three-act emission protocol
+    that silently eats unmatched rows if misunderstood; pin it.
+
+    Act 1: inner matches emit immediately; the never-converted click
+    does NOT (no event is anywhere near its expiry bound, so no
+    micro-batch packing can evict it yet).
+    Act 2: later events land on BOTH inputs (the global watermark is
+    the MIN across inputs — advancing only one side expires nothing),
+    moving the watermark far past the click's horizon. The NULL row
+    may emit now or one run later: eviction runs at micro-batch
+    boundaries with the PREVIOUS batch's watermark, and availableNow
+    may pack the landed files into one batch or several.
+    Act 3: after one more data-carrying run the unmatched click has
+    emitted with NULL conv_ts — exactly once, never duplicated by the
+    checkpoint restarts.
+    """
+    from etl_orders_spark.streaming import attribute_conversions
+
+    src = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def land(rows):
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+
+    def run_and_read():
+        s = spark.readStream.schema(SCHEMA).parquet(src)
+        j = attribute_conversions(
+            s.filter(s.event_type == "click"),
+            s.filter(s.event_type == "view"),
+            how="left_outer",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(
+            (r["user_id"], r["conv_ts"] is None)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    land(
+        [
+            (1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+            (3, ts("2024-01-01 10:35:00"), 1, "view", 3.0),
+            (4, ts("2024-01-01 10:20:00"), 2, "click", 4.0),  # never converts
+        ]
+    )
+    assert run_and_read() == [(1, False)]  # act 1: match only
+    land(
+        [
+            (8, ts("2024-01-02 09:00:00"), 8, "click", 0.0),
+            (9, ts("2024-01-02 09:00:00"), 9, "view", 0.0),
+        ]
+    )
+    act2 = run_and_read()  # act 2: watermark moved; eviction timing may lag a run
+    assert (1, False) in act2 and act2.count((2, True)) <= 1
+    land(
+        [
+            (10, ts("2024-01-02 12:00:00"), 8, "click", 0.0),
+            (11, ts("2024-01-02 12:00:00"), 9, "view", 0.0),
+        ]
+    )
+    got = run_and_read()  # act 3: the NULL row has landed, exactly once
+    assert got.count((2, True)) == 1
+    assert (1, False) in got
