@@ -258,3 +258,46 @@ def jsonl_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.sources.readers import read_jsonl
 
     return _star_join(spark, read_jsonl(spark, _ensure_orders_jsonl(spark), ORDERS_SCHEMA))
+
+
+@register(
+    "pysource_firehose_profile",
+    None,  # the source is pure Python (splitmix64 rows) — DuckDB can't run it; determinism pinned in tests/test_pysource.py
+    tags=("source", "pysource", "agg"),
+)
+def pysource_firehose_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource V2 surface, exercised end to end:
+    register the synthetic-event firehose (sources/pysource.py — a
+    batch source implemented entirely in Python, partition planning +
+    per-partition generation, classes shipped by value so bare-session
+    workers need no package import), read 20k events from pure
+    arithmetic with zero files landed, and profile them per event type.
+    Rows are pure functions of their global index (splitmix64), so the
+    profile is bit-stable across any partitioning — asserted by the
+    partitioning-invariance test; `sf_dir` is unused by construction.
+
+    Scale: the firehose plans O(partitions) offsets and generates in
+    parallel — the load-generation pattern for soak tests at any
+    volume."""
+    from etl_orders_spark.sources.pysource import register_synthetic_events
+
+    register_synthetic_events(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 20000)
+        .option("numPartitions", 16)
+        .option("users", 500)
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            # floor per ROW, then an integer sum — order-free, so the
+            # profile really is bit-stable under any partitioning
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+    )
