@@ -33,7 +33,12 @@ from __future__ import annotations
 def _build():
     from datetime import datetime, timedelta
 
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     EVENT_TYPES = ("click", "view", "purchase", "refund")
     BASE = datetime(2024, 1, 1, 0, 0, 0)
@@ -82,10 +87,41 @@ def _build():
             for i in range(partition.start, partition.end):
                 yield synth_event(i, self.seed, self.users, self.span_days)
 
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+        """The streaming half: offset = the next global row index, so a
+        micro-batch is just an index range. Because every row is a pure
+        function of its index, `readBetweenOffsets` replays any
+        committed range bit-identically — the property that makes the
+        source exactly-once under checkpoint recovery, with no replay
+        log to store."""
+
+        def __init__(self, options):
+            self.rows_per_batch = int(options.get("rowsperbatch", 100))
+            self.seed = int(options.get("seed", 7))
+            self.users = int(options.get("users", 100))
+            self.span_days = int(options.get("spandays", 30))
+
+        def initialOffset(self):
+            return {"index": 0}
+
+        def _rows(self, start: int, end: int):
+            return [
+                synth_event(i, self.seed, self.users, self.span_days)
+                for i in range(start, end)
+            ]
+
+        def read(self, start):
+            s = start["index"]
+            e = s + self.rows_per_batch
+            return iter(self._rows(s, e)), {"index": e}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(start["index"], end["index"]))
+
     class SyntheticEventsDataSource(DataSource):
         """format("synthetic_events") — options: rows, numPartitions,
-        seed, users, spanDays (option keys reach the reader
-        lower-cased)."""
+        seed, users, spanDays; streaming adds rowsPerBatch (option keys
+        reach the readers lower-cased)."""
 
         @classmethod
         def name(cls) -> str:
@@ -99,6 +135,9 @@ def _build():
 
         def reader(self, schema):
             return SyntheticEventsReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
 
     return synth_event, SyntheticEventsDataSource
 

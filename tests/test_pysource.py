@@ -51,3 +51,44 @@ def test_firehose_feeds_the_events_operators(synth):
     sessions = sessionize(df, key="user_id", ts="ts", tie_break="event_id", gap_minutes=30)
     assert sessions.count() == 2000  # every event lands in a session
     assert "user_id" in sessions.columns
+
+
+def test_firehose_streams_exactly_once_across_restart(synth, tmp_path):
+    """The streaming half: offsets are row indexes, rows are pure
+    functions of their index, so checkpoint recovery replays committed
+    ranges bit-identically — exactly-once with no replay log. Two
+    short runs against one checkpoint must extend the output without
+    ever duplicating or skipping an event_id."""
+    import time
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run(seconds):
+        q = (
+            synth.readStream.format("synthetic_events")
+            .option("rowsPerBatch", 50)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        time.sleep(seconds)
+        q.stop()
+        q.awaitTermination(60)
+
+    run(8)
+    df1 = synth.read.parquet(out)
+    n1 = df1.count()
+    assert n1 > 0 and n1 % 50 == 0
+    assert df1.select("event_id").distinct().count() == n1
+    run(6)
+    df2 = synth.read.parquet(out)
+    n2 = df2.count()
+    assert n2 > n1  # the restart continued, it didn't start over
+    assert df2.select("event_id").distinct().count() == n2  # no dupes
+    # contiguous prefix: ids are exactly 0..n2-1 — nothing skipped
+    lo, hi = df2.selectExpr("min(event_id)", "max(event_id)").collect()[0]
+    assert (lo, hi) == (0, n2 - 1)
