@@ -1643,3 +1643,32 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(_BPE_TOP)
     )
+
+
+@register(
+    "chunk_docs_udtf",
+    _CHUNKS_SQL,  # the SAME oracle as chunk_docs_windows — the UDTF must agree bit-for-bit
+    tags=("text", "chunking", "udtf"),
+)
+def chunk_docs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker as a Python UDTF (functions/udtf.py) — Spark 4's
+    user-defined table function surface, invoked through a SQL LATERAL
+    join. Shares chunk_docs_windows' oracle verbatim, so the hash match
+    proves the imperative row→rows expansion agrees bit-for-bit with
+    the relational explode+slice form (including the ASCII-\\s
+    tokenization edge cases). The relational twin remains the
+    production path — it stays in whole-stage codegen; this one pays
+    the Arrow boundary — so the UDTF is the pattern holder for
+    expansions that are genuinely imperative (parsers, stateful
+    decoders)."""
+    from etl_orders_spark.functions.udtf import register_chunk_udtf
+
+    register_chunk_udtf(spark, "chunk_docs")
+    T(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        f"""
+        SELECT c.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text
+        FROM _docs_for_udtf d,
+             LATERAL chunk_docs(d.doc_id, d.text, {_CHUNK_W}, {_CHUNK_S}) c
+        """
+    )
