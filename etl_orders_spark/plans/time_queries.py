@@ -1205,3 +1205,41 @@ def props_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_milli"),
     )
+
+
+@register(
+    "variant_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "events", "json", "variant"),
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same embedded-JSON aggregate through Spark 4's VARIANT type:
+    parse_json materializes the open-schema binary encoding once,
+    variant_get path-extracts with a type cast. Shares
+    json_extract_props' oracle verbatim, so the hash match proves the
+    VARIANT path agrees bit-for-bit with the string-JSON path.
+
+    Scale: this is the modern semi-structured layout — at 100 TB you
+    store the VARIANT column in parquet (shredded), and path extraction
+    becomes a pushed scan expression (the physical plans here already
+    carry a PushedVariantExtractions slot); parsing text JSON per query
+    is the legacy cost this type removes."""
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        T(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
