@@ -2361,7 +2361,11 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the as-of read is a pure filter on (valid_from, valid_to) —
     it pushes into the history scan with no join or shuffle; history
-    written time-ordered lets parquet min/max skip closed generations."""
+    written time-ordered lets parquet min/max skip closed generations.
+    The customer scan appears twice in the executed plan (dim seed +
+    update batches derive from one base) — a deliberate demo artifact:
+    a real deployment reads the persisted history table, it doesn't
+    rebuild the dimension from source inside the query."""
     from datetime import datetime
 
     from etl_orders_spark.operators.merge import scd2_apply, snapshot_as_of

@@ -524,8 +524,8 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
       FROM orders GROUP BY 1
-    ), m AS (SELECT MIN(day) AS d0 FROM d),
-    xy AS (SELECT CAST(day - d0 AS BIGINT) AS x, y FROM d, m),
+    ),
+    xy AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM d),
     s AS (
       SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
              CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
@@ -551,6 +551,12 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 at sf0.1, which the 10× sweep caught), and 128-bit `div`
     truncates toward zero identically in both engines.
 
+    x is the raw epoch day, NOT day − min(day): the slope's numerator
+    and denominator are exactly shift-invariant (nΣ(x+c)y − Σ(x+c)Σy
+    = nΣxy − ΣxΣy in integer algebra), so anchoring at the dataset
+    minimum bought nothing and cost a second full scan of orders for
+    the MIN pass — the scan audit caught it; one scan now.
+
     Scale: the fact table reduces to day grain (map-side-combinable),
     then one 5-integer aggregate; the regression itself is constant
     work regardless of volume. No doubles anywhere, so there is no
@@ -561,9 +567,8 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
     )
-    m = d.agg(F.min("day").alias("d0"))
-    xy = d.crossJoin(F.broadcast(m)).select(
-        F.datediff("day", "d0").cast("long").alias("x"), "y"
+    xy = d.select(
+        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long").alias("x"), "y"
     )
     s = xy.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -2022,6 +2027,10 @@ def autocorr_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr(
             "CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) div 1000 AS BIGINT)"
         ).alias("y"))
+        # both sides of the lag-7 self-join read this day-grain table:
+        # materialize the full-orders aggregate once (reuse=2 — the
+        # scan audit flagged the replayed fact scan)
+        .localCheckpoint(eager=True)
     )
     b = d.select(F.date_add("day", 7).alias("day"), F.col("y").alias("z"))
     p = d.join(b, "day").select(F.col("y").alias("x"), "z")

@@ -277,7 +277,12 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture that scales past IVF-Flat: the probe stage streams codes,
     never embeddings. nprobe=8/16 cells, rerank=8·k; recall vs brute
     force measured in tests/test_vectors.py (~0.8 at 5k vectors —
-    routing on near-uniform vectors is the documented hard case)."""
+    routing on near-uniform vectors is the documented hard case).
+    The embeddings table is scanned by the train sample, the encode
+    pass, and the exact re-rank (the scan audit counts 4 with the
+    pushed query-filter scan) — inherent to building the index and
+    querying it in ONE plan for the oracle demo; a deployment builds
+    once (persists encode_pq's codes) and amortizes across queries."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return pq_topk(
