@@ -29,12 +29,16 @@ from etl_orders_spark.sources.writers import write_parquet
 _MONTH = "1996-03"
 
 
-def staged_orders_path(sf_dir: str) -> str:
-    """Deterministic scratch location for the partitioned copy of one
-    sf_dir's orders table (content-addressed by source dir, so repeated
-    runs overwrite their own staging, never another dataset's)."""
+def _staged_path(sf_dir: str, name: str) -> str:
+    """Deterministic scratch location for one staged copy of one
+    sf_dir's data (content-addressed by source dir, so repeated runs
+    overwrite their own staging, never another dataset's)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"orders_by_month_{key}")
+    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"{name}_{key}")
+
+
+def staged_orders_path(sf_dir: str) -> str:
+    return _staged_path(sf_dir, "orders_by_month")
 
 
 def stage_orders_by_month(spark: SparkSession, sf_dir: str) -> str:
@@ -92,10 +96,7 @@ _Z_SUPP_LO, _Z_SUPP_HI = 10, 59
 
 
 def staged_zorder_path(sf_dir: str) -> str:
-    """Scratch location for the Z-ordered lineitem copy, content-
-    addressed by source dir (same convention as staged_orders_path)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"lineitem_zorder_{key}")
+    return _staged_path(sf_dir, "lineitem_zorder")
 
 
 def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
@@ -157,10 +158,8 @@ def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_evolution_path(sf_dir: str) -> str:
-    """Scratch root for the two schema generations of orders, content-
-    addressed by source dir (same convention as staged_orders_path)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"orders_evolved_{key}")
+    """Scratch root for the two schema generations of orders."""
+    return _staged_path(sf_dir, "orders_evolved")
 
 
 def stage_evolved_orders(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -243,8 +242,7 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_resilient_path(sf_dir: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"orders_resilient_{key}")
+    return _staged_path(sf_dir, "orders_resilient")
 
 
 @register(
@@ -274,19 +272,25 @@ def resilient_scan_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.sources.resilient import read_parquet_resilient
 
     path = staged_resilient_path(sf_dir)
-    orders = T(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    write_parquet(orders.repartition(4), path)
-    parts = sorted(
-        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    with open(os.path.join(path, parts[0]), "rb") as f:
-        blob = f.read()
-    with open(os.path.join(path, "part-torn.snappy.parquet"), "wb") as f:
-        f.write(blob[: len(blob) // 2])
-    with open(os.path.join(path, "part-junk.snappy.parquet"), "wb") as f:
-        f.write(b"not parquet at all")
+    junk = os.path.join(path, "part-junk.snappy.parquet")
+    # idempotent staging: a prior build of this query pinned the good
+    # files' ABSOLUTE paths in its allowlist — rewriting the directory
+    # (fresh UUID part names) would invalidate that DataFrame, so the
+    # staged corruption is reused once it exists
+    if not (os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(junk)):
+        orders = T(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        write_parquet(orders.repartition(4), path)
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        with open(os.path.join(path, parts[0]), "rb") as f:
+            blob = f.read()
+        with open(os.path.join(path, "part-torn.snappy.parquet"), "wb") as f:
+            f.write(blob[: len(blob) // 2])
+        with open(junk, "wb") as f:
+            f.write(b"not parquet at all")
     df, report = read_parquet_resilient(spark, path)
     n_bad = report.filter("NOT ok").count()
     if n_bad != 2:

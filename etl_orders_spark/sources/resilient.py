@@ -11,10 +11,12 @@ died. The pair here restores the CSV quarantine lane's contract
   listing parallelizes across executors and each worker parses footers
   with pyarrow (a footer read, never a data scan), emitting
   (path, ok, error) per file.
-- ``read_parquet_resilient`` — scans under ignoreCorruptFiles (scoped,
-  restored after planning) and returns the quarantine report beside
-  the DataFrame, so the loss is measured and attributable instead of
-  silent.
+- ``read_parquet_resilient`` — scans exactly the files the audit
+  proved good (an explicit allowlist — stronger than
+  ignoreCorruptFiles, which both skips silently and still dies on a
+  file whose footer parses but whose pages are torn) and returns the
+  quarantine report beside the DataFrame, so the loss is measured and
+  attributable instead of silent.
 
 Scale: the audit costs one footer parse per file, distributed — at
 100k files that is a few seconds across a fleet, and it is the same
@@ -32,11 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 def _list_parquet_files(root: str) -> list[str]:
     """Leaf .parquet data files under root (a file, a flat directory,
     or a hive-partitioned tree). Skips _SUCCESS/_metadata markers and
-    hidden files, mirroring Spark's own listing rules."""
+    hidden files AND prunes hidden/underscore directories
+    (_temporary, _spark_metadata, .staging trees a killed writer
+    leaves behind), mirroring Spark's own listing rules — descending
+    into _temporary would resurrect uncommitted task attempts as
+    'good' duplicate rows."""
     if os.path.isfile(root):
         return [root]
     out: list[str] = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         for f in filenames:
             if f.startswith(("_", ".")):
                 continue
@@ -83,9 +90,14 @@ def read_parquet_resilient(
     can still die on a file whose footer parses but whose pages are
     torn, and says nothing about what it skipped). Raises if NO file
     is readable — an all-corrupt directory is an outage, not a lane.
+
+    The audit executes ONCE: its (file-grain, bounded) rows collect to
+    the driver and the returned report is rebuilt from them, so a
+    caller inspecting the report doesn't re-parse every footer.
     """
-    report = validate_parquet_files(spark, root)
-    good = [r["path"] for r in report.filter("ok").select("path").collect()]
+    rows = validate_parquet_files(spark, root).collect()
+    good = [r["path"] for r in rows if r["ok"]]
     if not good:
         raise ValueError(f"read_parquet_resilient: no readable parquet under {root}")
+    report = spark.createDataFrame(rows, "path string, ok boolean, error string")
     return spark.read.parquet(*good), report

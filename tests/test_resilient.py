@@ -57,3 +57,22 @@ def test_all_corrupt_raises_instead_of_returning_empty(spark, tmp_path):
     (root / "a.parquet").write_bytes(b"junk")
     with pytest.raises(ValueError, match="no readable parquet"):
         read_parquet_resilient(spark, str(root))
+
+
+def test_listing_prunes_writer_metadata_directories(spark, tmp_path):
+    """A killed writer's _temporary tree holds uncommitted task
+    attempts with VALID footers — descending into it would resurrect
+    them as duplicate rows. The audit must prune _ and . directories,
+    exactly like Spark's own listing."""
+    import shutil
+
+    root = str(tmp_path / "facts")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1).write.parquet(root)
+    part = next(f for f in os.listdir(root) if f.endswith(".parquet"))
+    tmpdir = os.path.join(root, "_temporary", "0")
+    os.makedirs(tmpdir)
+    shutil.copy(os.path.join(root, part), os.path.join(tmpdir, "attempt-part.parquet"))
+    rep = validate_parquet_files(spark, root).collect()
+    assert [os.path.basename(r["path"]) for r in rep] == [part]
+    df, _ = read_parquet_resilient(spark, root)
+    assert df.count() == 1  # the uncommitted attempt did not double the row
