@@ -447,3 +447,123 @@ def temperature_resample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(r), "source").filter(u < F.col("keep_ppm")).select(
         "doc_id", "source", "keep_ppm"
     )
+
+
+_SEQ_L, _SEQ_SHARDS = 256, 8
+_TOKN_SQL = (
+    "CAST(len(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+    "THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') "
+    "END) AS BIGINT)"
+)
+
+
+@register(
+    "pack_sequences_boundaries",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_SEQ_SHARDS} AS shard,
+             {_TOKN_SQL} AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM d WHERE n_tokens > 0
+    ), e AS (
+      SELECT doc_id, shard, n_tokens, cum,
+             UNNEST(range(CAST(cum // {_SEQ_L} AS BIGINT),
+                          CAST((cum + n_tokens - 1) // {_SEQ_L} + 1 AS BIGINT))) AS seq_id
+      FROM c
+    ), o AS (
+      SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             GREATEST(cum - seq_id * {_SEQ_L}, 0) AS s_off,
+             LEAST(cum + n_tokens - seq_id * {_SEQ_L}, {_SEQ_L}) AS e_off
+      FROM e
+    )
+    SELECT shard, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e_off - s_off) AS BIGINT) AS filled_tokens,
+           string_agg(doc_id || ':' || s_off || '-' || e_off, ',' ORDER BY s_off, doc_id)
+             AS boundaries
+    FROM o GROUP BY shard, seq_id
+    """,
+    tags=("text", "pipeline", "packing"),
+)
+def pack_sequences_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing WITH boundary metadata: within
+    each deterministic shard, documents concatenate in doc_id order and
+    cut into fixed {L}-token training sequences; each output row is one
+    sequence carrying its document boundaries ("doc:start-end" offsets,
+    end exclusive) — exactly what a trainer needs to build the
+    block-diagonal attention mask that stops cross-document attention
+    inside a packed sequence.
+
+    Relational form: exclusive running token sum per shard (keyed
+    window — shards bound the partition, never a global sort), a doc's
+    sequence span is [cum div L, (cum+n-1) div L], exploded via
+    sequence(); offsets are pure integer arithmetic, so the oracle is
+    exact. A doc longer than L legitimately spans multiple sequences
+    (its middle sequences are fully filled by it).
+
+    Scale: one shuffle on (shard) for the window, one on (shard,
+    seq_id) for the assembly; every sequence is filled to exactly L
+    except each shard's last — the packing-efficiency property that
+    concat-and-cut guarantees and bin-packing heuristics only
+    approximate."""
+    from pyspark.sql import Window
+
+    L, S = _SEQ_L, _SEQ_SHARDS
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % S
+    )
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", shard.alias("shard"), token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = d.withColumn("cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    e = c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cum") / L).cast("long"),
+                F.floor((F.col("cum") + F.col("n_tokens") - 1) / L).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    o = e.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        F.greatest(F.col("cum") - F.col("seq_id") * L, F.lit(0)).alias("s_off"),
+        F.least(F.col("cum") + F.col("n_tokens") - F.col("seq_id") * L, F.lit(L)).alias("e_off"),
+    )
+    return (
+        o.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("e_off") - F.col("s_off")).cast("long").alias("filled_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s_off", "doc_id", "e_off"))),
+                    lambda x: F.concat_ws(
+                        "",
+                        x["doc_id"].cast("string"), F.lit(":"),
+                        x["s_off"].cast("string"), F.lit("-"),
+                        x["e_off"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("boundaries"),
+        )
+    )
