@@ -106,3 +106,42 @@ def read_parquet_evolved(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def schema_diff(old: T.StructType, new: T.StructType) -> dict[str, list[str]]:
+    """Classify the change between two schema generations — the
+    governance report a lake table needs BEFORE accepting a writer's
+    new schema (conform_to_schema then enforces the verdict at read
+    time):
+
+    - ``added``: columns only in ``new`` (old files will read as typed
+      NULLs — always safe).
+    - ``removed``: columns only in ``old`` (readers of ``new`` lose
+      them — safe only if downstream consumers agree).
+    - ``widened``: same column, value-preserving type upcast
+      (int→long, float→double, date→timestamp — safe).
+    - ``incompatible``: same column, any other type change (a
+      narrowing or a cross-family rewrite — data corruption if waved
+      through; reject the write or require an explicit transform).
+
+    Case-insensitive on names, like conform_to_schema. Pure metadata —
+    no data access."""
+    o = {f.name.lower(): f for f in old.fields}
+    n = {f.name.lower(): f for f in new.fields}
+    out: dict[str, list[str]] = {"added": [], "removed": [], "widened": [], "incompatible": []}
+    for key, nf in n.items():
+        of = o.get(key)
+        if of is None:
+            out["added"].append(nf.name)
+        elif of.dataType == nf.dataType:
+            continue
+        elif _safe_upcast(of.dataType, nf.dataType):
+            out["widened"].append(
+                f"{nf.name}: {of.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+            )
+        else:
+            out["incompatible"].append(
+                f"{nf.name}: {of.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+            )
+    out["removed"] = [o[k].name for k in o if k not in n]
+    return out

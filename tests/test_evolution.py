@@ -64,3 +64,29 @@ def test_evolved_scan_without_target_merges_column_adds(spark, tmp_path):
     out = read_parquet_evolved(spark, [g1, g2])
     got = {(r["id"], r["status"]) for r in out.collect()}
     assert got == {(1, None), (2, "X")}
+
+
+def test_schema_diff_classifies_every_change_kind():
+    from etl_orders_spark.sources.evolution import schema_diff
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("gone", T.StringType()),
+            T.StructField("flip", T.LongType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType()),       # widened
+            T.StructField("v", T.DoubleType()),      # unchanged
+            T.StructField("status", T.StringType()), # added
+            T.StructField("flip", T.IntegerType()),  # NARROWED -> incompatible
+        ]
+    )
+    d = schema_diff(old, new)
+    assert d["added"] == ["status"]
+    assert d["removed"] == ["gone"]
+    assert d["widened"] == ["id: int -> bigint"]
+    assert d["incompatible"] == ["flip: bigint -> int"]
