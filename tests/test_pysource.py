@@ -92,3 +92,75 @@ def test_firehose_streams_exactly_once_across_restart(synth, tmp_path):
     # contiguous prefix: ids are exactly 0..n2-1 — nothing skipped
     lo, hi = df2.selectExpr("min(event_id)", "max(event_id)").collect()[0]
     assert (lo, hi) == (0, n2 - 1)
+
+
+def test_firehose_to_windowed_merge_end_to_end(synth, tmp_path):
+    """Integration across three engine layers: the Python stream source
+    feeds a watermarked tumbling aggregate in update mode, each
+    micro-batch merge-upserts into a keyed parquet serving table
+    (operators/merge.merge_upsert — the sink pattern), and the final
+    table must EXACTLY equal the same aggregate computed in batch over
+    the processed prefix (rows 0..n-1 by the source's construction).
+    The watermark is set beyond the data's time span so the randomly
+    time-ordered firehose never drops a late row — making the
+    stream/batch equality exact rather than approximate."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.operators.merge import merge_upsert
+
+    ck = str(tmp_path / "ck")
+    table = str(tmp_path / "serving")
+
+    def apply_batch(batch, _id):
+        if batch.isEmpty():
+            return
+        if os.path.exists(table):
+            target = batch.sparkSession.read.parquet(table)
+            out = merge_upsert(target, batch, ["win_start", "event_type"]).localCheckpoint()
+        else:
+            out = batch
+        out.write.mode("overwrite").parquet(table)
+
+    s = (
+        synth.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 200)
+        .option("users", 10)
+        .option("spanDays", 2)
+        .load()
+    )
+    agg = (
+        s.withWatermark("ts", "10 days")  # never late: spanDays=2
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch(apply_batch)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    time.sleep(10)
+    q.stop()
+    q.awaitTermination(60)
+
+    served = synth.read.parquet(table)
+    n_rows = served.agg(F.sum("n")).collect()[0][0]
+    assert n_rows and n_rows % 200 == 0  # whole batches only
+    batch_twin = (
+        synth.read.format("synthetic_events")
+        .option("rows", n_rows)
+        .option("users", 10)
+        .option("spanDays", 2)
+        .load()
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, batch_twin.collect()))
+    assert got == want
