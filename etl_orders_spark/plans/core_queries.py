@@ -2094,9 +2094,11 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The edge set feeds four consumers (degree table, orientation,
     closing lookup, edge count) and the oriented set two (both wedge
-    sides) — both persist (lazy cache, populated by the query's own
-    action) so the lineitem self-join builds once, not once per
-    consumer (measured 24 lineitem scans without it)."""
+    sides) — both materialize once via eager localCheckpoint
+    (ContextCleaner-reclaimed when the reference drops; a bare persist
+    would leak cached blocks across invocations) so the lineitem
+    self-join builds once, not once per consumer (measured 24
+    lineitem scans without it)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.toDF("o", "p1")
     b = li.toDF("o2", "p2")
@@ -2104,7 +2106,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") < F.col("p2")))
         .select("p1", "p2")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("p1").alias("v"))
@@ -2125,7 +2127,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
             F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w1 = oriented.toDF("u", "v")
     w2 = oriented.toDF("u2", "w")

@@ -101,16 +101,18 @@ def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The edge set and each cumulative frontier are consumed by TWO
     downstream subtrees (the next expansion and its own count), so
-    they persist (lazy cache, populated by the query's own action,
-    shared by every later stage) — otherwise the expansion lineage
-    replays the full edge build per consumer (measured 38 lineitem
-    scans without it). The residual cost is the 3-hop frontier
-    expansion itself (frontier x degree candidate pairs before the
-    distinct) — irreducible for EXACT reach on a dense co-purchase
-    graph; the HyperANF/HLL form above is the documented scale path."""
-    e = _edges(spark, sf_dir).persist()
+    they materialize once via eager localCheckpoint (ContextCleaner-
+    reclaimed when the reference drops; a bare persist would leak
+    cached blocks across invocations in a long-lived session) —
+    otherwise the expansion lineage replays the full edge build per
+    consumer (measured 38 lineitem scans without it). The residual
+    cost is the 3-hop frontier expansion itself (frontier x degree
+    candidate pairs before the distinct) — irreducible for EXACT reach
+    on a dense co-purchase graph; the HyperANF/HLL form above is the
+    documented scale path."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     s = e.select("src").filter(F.col("src") % _KHOP_SAMPLE_MOD == 0).distinct()
-    h1 = e.join(s, "src").select("src", "dst").persist()
+    h1 = e.join(s, "src").select("src", "dst").localCheckpoint(eager=True)
 
     def expand(cum: DataFrame) -> DataFrame:
         step = (
@@ -122,7 +124,7 @@ def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum.unionByName(step).filter(F.col("dst") != F.col("src")).distinct()
         )
 
-    c2 = expand(h1).persist()
+    c2 = expand(h1).localCheckpoint(eager=True)
     c3 = expand(c2)
 
     def counts(df: DataFrame, name: str) -> DataFrame:

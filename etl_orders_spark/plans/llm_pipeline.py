@@ -55,12 +55,16 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
         .groupBy("_fp")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    # uniq feeds three consumers (signatures, verify, survivors); persist
-    # so the quality/lang expression chain evaluates once (at 100 TB this
-    # is the natural stage-to-parquet boundary of the prep pipeline)
-    uniq = kept.join(canon.select("doc_id"), "doc_id", "left_semi").persist()
+    # uniq feeds three consumers (signatures, verify, survivors); eager
+    # localCheckpoint so the quality/lang expression chain evaluates once
+    # (ContextCleaner-reclaimed — a bare persist would leak blocks across
+    # invocations; at 100 TB this is the natural stage-to-parquet
+    # boundary of the prep pipeline)
+    uniq = kept.join(canon.select("doc_id"), "doc_id", "left_semi").localCheckpoint(eager=True)
     # near-dup removal: MinHash-LSH pairs at jaccard >= tau; drop id_b
-    sigs = minhash_signatures(uniq, "doc_id", "text", 16, 3, portable=portable).persist()
+    sigs = minhash_signatures(uniq, "doc_id", "text", 16, 3, portable=portable).localCheckpoint(
+        eager=True
+    )
     pairs = verify_jaccard(minhash_lsh_candidates(sigs, "doc_id", 4, 4), sigs, "doc_id", tau)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = uniq.join(drop, "doc_id", "left_anti")

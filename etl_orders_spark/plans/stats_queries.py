@@ -296,9 +296,10 @@ def alloc_nation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_nationkey", "n_name")
         .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"))
         # 25 rows out, but the fact join above feeds FOUR consumers
-        # (total, base/rem, shortfall, final select) — persist so the
-        # orders scan runs once, not once per consumer
-        .persist()
+        # (total, base/rem, shortfall, final select) — eager
+        # localCheckpoint (ContextCleaner-reclaimed) so the orders scan
+        # runs once, not once per consumer
+        .localCheckpoint(eager=True)
     )
     total = n.agg(F.sum("rev_cents").cast("long").alias("_total"))
     b = (

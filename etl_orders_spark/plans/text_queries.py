@@ -633,9 +633,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     external SQL oracle can reproduce every hash bit-identically; the
     production/bench path is `minhash_lsh_pairs_fast` (xxhash64)."""
     docs = T(spark, sf_dir, "documents")
-    # signatures fan out to the band join AND the verify join; persist so
-    # the lineage isn't recomputed 3x (at 100 TB: stage to parquet instead)
-    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=True).persist()
+    # signatures fan out to the band join AND the verify join; eager
+    # localCheckpoint so the lineage isn't recomputed 3x, reclaimed by
+    # the ContextCleaner (at 100 TB: stage to parquet instead)
+    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=True).localCheckpoint(
+        eager=True
+    )
     cands = minhash_lsh_candidates(sigs, "doc_id", _BANDS, _ROWS_PER_BAND)
     return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
 
@@ -653,7 +656,9 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     of md5→substring→conv string machinery — the difference between
     scan-bound and string-CPU-bound at 100 TB)."""
     docs = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=False).persist()
+    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=False).localCheckpoint(
+        eager=True
+    )
     cands = minhash_lsh_candidates(sigs, "doc_id", _BANDS, _ROWS_PER_BAND)
     return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
 

@@ -544,14 +544,15 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _transition_edges(ev).withColumn("w", F.col("w").cast("double"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     # the contracted edge/node tables are |event_types|-sized but their
-    # lineage is the full events contraction — persist so the unrolled
-    # iterations reuse them instead of replaying the contraction each
+    # lineage is the full events contraction — eager localCheckpoint
+    # (ContextCleaner-reclaimed) so the unrolled iterations reuse them
+    # instead of replaying the contraction each
     edges = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct().persist()
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(_PR_ITERS):

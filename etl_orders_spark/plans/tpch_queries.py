@@ -748,14 +748,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH ps AS ({_PS_SQL}),
     natps AS (
-      SELECT ps.l_partkey AS partkey, ps.supplycost_cents * ps.availqty AS value_cents
+      SELECT ps.l_partkey AS partkey,
+             CAST(ps.supplycost_cents AS HUGEINT) * ps.availqty AS value_cents
       FROM ps
       JOIN supplier s ON ps.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE n.n_name = 'NATION_7'
     ),
     per_part AS (
-      SELECT partkey, CAST(SUM(value_cents) AS BIGINT) AS part_value_cents
+      SELECT partkey, SUM(value_cents) AS part_value_cents
       FROM natps GROUP BY 1
     )
     SELECT partkey, part_value_cents
@@ -772,8 +773,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_partsupp_derived`), threshold 1/10000 of the national total.
     All-integer arithmetic (cents x quantity, compared via x*10000 >
     total) so the cross-engine comparison is exact where the spec's
-    double SUM would drift. The scalar total reduces to one row and
-    broadcasts back over the per-part aggregate — no global window."""
+    double SUM would drift — accumulated in DECIMAL(38,0) (HUGEINT in
+    the oracle, which auto-promotes its bare SUM): a LongType
+    accumulator would silently wrap int64 at large scale factors and
+    diverge from the oracle, the overflow class the sibling stats
+    queries (ols/gini/autocorr) already guard. The scalar total
+    reduces to one row and broadcasts back over the per-part
+    aggregate — no global window."""
     ps = _partsupp_derived(spark, sf_dir)
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -782,11 +788,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            (F.col("supplycost_cents") * F.col("availqty")).alias("value_cents"),
+            (F.col("supplycost_cents").cast("decimal(38,0)") * F.col("availqty")).alias(
+                "value_cents"
+            ),
         )
     )
     per_part = natps.groupBy("partkey").agg(
-        F.sum("value_cents").cast("long").alias("part_value_cents")
+        F.sum("value_cents").cast("decimal(38,0)").alias("part_value_cents")
     )
     total = per_part.agg(F.sum("part_value_cents").alias("_total"))
     return (
