@@ -10,7 +10,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from etl_orders_spark.plans.registry import QUERIES, query_map, oracle_map
+from etl_orders_spark.plans.registry import PRIORITY, QUERIES, query_map, oracle_map
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -23,6 +23,42 @@ def duck(sf_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
+
+
+# Every family that must keep at least one representative inside the
+# driver's graded 50-query window. Round 2 lost ALL north-star families
+# to accidental registration ordering; this pins the window's
+# composition so a refactor can't silently drop one again.
+_WINDOW_FAMILIES = (
+    # landing formats / sources (S1/S1b/S2/S3 + Spark-4 surfaces)
+    "source", "csv", "orc", "json", "variant", "evolution", "scd2",
+    # relational core: A1-A5, P5-P7, J1-J4
+    "agg", "pivot", "window", "topk", "setop", "join", "asof", "range",
+    "scalar", "filter", "projection", "percentile",
+    # UDF/UDTF surface (§2.6)
+    "udtf",
+    # time / events / streaming twins (§2.5)
+    "events", "window-time", "sessionize",
+    # LLM-data north stars
+    "dedup", "lsh", "text", "similarity", "vector", "pipeline", "split",
+    # per-family singletons
+    "stats", "graph", "sketch", "curation", "dq", "drift", "linkage",
+    "layout", "sampling",
+)
+
+
+def test_priority_window_composition():
+    """The driver grades exactly the first 50 queries() entries, so the
+    curated window is itself a correctness surface: exactly 50 names,
+    all registered, no duplicates, and every operator family keeps at
+    least one representative inside it."""
+    assert len(PRIORITY) == 50
+    assert len(set(PRIORITY)) == 50
+    q = query_map()  # loads all modules; raises if a PRIORITY name is unregistered
+    assert list(q)[:50] == list(PRIORITY)
+    window_tags = {t for n in PRIORITY for t in QUERIES[n].tags}
+    missing = [fam for fam in _WINDOW_FAMILIES if fam not in window_tags]
+    assert not missing, f"window lost families: {missing}"
 
 
 def test_no_unpaired_oracles():
