@@ -8,28 +8,42 @@ Design for 100 TB of media:
   Arrow-batched pandas functions over `mapInPandas` — one Python
   worker per partition, whole column batches across the Arrow
   boundary, never per-row pickling;
-- actual codecs (PIL/libav) are NOT available in this container: the
-  pixel-decode step is stubbed behind ImportError-gated
-  NotImplementedError, while byte-level features (size, entropy-ish
-  stats, content fingerprint) are real and deterministic, so the
-  plumbing — schema, batch shape, partitioning — is fully testable.
+- pixel decode is REAL for uncompressed containers (PPM/PGM/BMP,
+  pure-Python codecs in multimodal/codecs.py — the strict
+  decode -> resize -> feature path executes here and carries DuckDB
+  value-hash oracles on generated fixtures); compressed codecs
+  (PNG/JPEG) route through PIL when present and otherwise raise the
+  honest ImportError-gated NotImplementedError, while byte-level
+  features (size, entropy-ish stats, content fingerprint) stay
+  codec-free and deterministic.
 """
 
+from etl_orders_spark.multimodal.codecs import (
+    decode_image,
+    resize_nearest,
+    sniff_format,
+)
 from etl_orders_spark.multimodal.ops import (
     decode_images,
     media_fingerprints,
     media_stats,
+    pixel_features,
     resize_images,
     sample_frames,
 )
-from etl_orders_spark.multimodal.schemas import MEDIA_SCHEMA, gen_media
+from etl_orders_spark.multimodal.schemas import MEDIA_SCHEMA, gen_media, gen_pixel_media
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "decode_image",
     "decode_images",
     "gen_media",
+    "gen_pixel_media",
     "media_fingerprints",
-    "resize_images",
     "media_stats",
+    "pixel_features",
+    "resize_images",
+    "resize_nearest",
     "sample_frames",
+    "sniff_format",
 ]

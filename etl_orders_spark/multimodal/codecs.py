@@ -1,0 +1,258 @@
+"""Pure-Python pixel codecs for uncompressed image containers.
+
+Closes the one honestly-gated gap in the multimodal stage: the strict
+decode path (ops.py) previously raised ``NotImplementedError`` for ALL
+formats because this container ships no image codec library. For
+containers that are just "header + raw samples" a from-scratch decoder
+is small, exact, and trustworthy, so those are now first-class:
+
+- **PPM (P6)** / **PGM (P5)** — binary netpbm, maxval <= 255: the
+  canonical uncompressed interchange formats.
+- **BMP** — BITMAPINFOHEADER (or the V4/V5 supersets), uncompressed
+  BI_RGB at 24/32 bits per pixel, bottom-up or top-down row order,
+  4-byte row padding, BGR(A) sample order.
+
+Compressed codecs stay honestly gated: a from-scratch inflate+predictor
+(PNG) or entropy-decode+IDCT (JPEG) would be slow and easy to get
+subtly wrong, so those raise ``NotImplementedError`` naming the missing
+library (PIL/libvips) exactly as before.
+
+Everything returns/accepts ``numpy.uint8`` arrays shaped ``(H, W, 3)``
+(grayscale expands to three equal channels), so downstream resize /
+feature stages are format-agnostic. ``resize_nearest`` uses the exact
+integer floor mapping ``src = (dst * src_dim) // out_dim`` — fully
+deterministic and mirrorable in ANSI SQL, which is what lets the
+decode -> resize -> feature pipeline carry a DuckDB value-hash oracle
+(plans/media_queries.py) instead of a rows-only check.
+
+Scale/worker contract: this module registers itself with pyspark's
+vendored cloudpickle for BY-VALUE pickling, so mapInPandas closures
+may reference these functions directly and still run on bare-session
+workers that cannot import the package (the same constraint that keeps
+other worker-side helpers closure-local; see sources/pysource.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import sys as _sys
+
+import numpy as np
+
+_GATED = {"png": "PNG (deflate)", "jpeg": "JPEG (DCT)", "gif": "GIF (LZW)", "webp": "WebP"}
+
+
+def sniff_format(content: bytes) -> str | None:
+    """Identify an image container from its magic bytes.
+
+    Returns 'ppm' | 'pgm' | 'bmp' (decodable here), 'png' | 'jpeg' |
+    'gif' | 'webp' (recognized but codec-gated), or None.
+    """
+    if content.startswith(b"P6"):
+        return "ppm"
+    if content.startswith(b"P5"):
+        return "pgm"
+    if content.startswith(b"BM"):
+        return "bmp"
+    if content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if content.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if content.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if content.startswith(b"RIFF") and content[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def _netpbm_header(content: bytes, magic: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary netpbm header: magic, then whitespace-separated
+    width/height/maxval tokens with ``#`` comments allowed anywhere
+    between them, then exactly ONE whitespace byte before the raster.
+    Returns (width, height, maxval, raster_offset)."""
+    if not content.startswith(magic):
+        raise ValueError(f"netpbm: expected magic {magic!r}")
+    pos, n = len(magic), len(content)
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < n:
+            c = content[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = content.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("netpbm: unterminated header comment")
+                pos = nl + 1
+            else:
+                break
+        start = pos
+        while pos < n and content[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("netpbm: malformed header (expected integer token)")
+        vals.append(int(content[start:pos]))
+    if pos >= n or not content[pos : pos + 1].isspace():
+        raise ValueError("netpbm: missing single whitespace before raster")
+    pos += 1  # the ONE whitespace byte separating header from raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError(f"netpbm: bad dimensions {w}x{h}")
+    if not 0 < maxval <= 255:
+        # 2-byte-per-sample netpbm (maxval 256..65535) is legal but rare;
+        # the generator/encoder here never emits it
+        raise ValueError(f"netpbm: unsupported maxval {maxval} (only <= 255)")
+    return w, h, maxval, pos
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) uint8."""
+    w, h, _, off = _netpbm_header(content, b"P6")
+    need = w * h * 3
+    raster = content[off : off + need]
+    if len(raster) < need:
+        raise ValueError(f"ppm: truncated raster ({len(raster)}/{need} bytes)")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_pgm(content: bytes) -> np.ndarray:
+    """Binary PGM (P5) -> (H, W, 3) uint8 (gray expanded to 3 channels)."""
+    w, h, _, off = _netpbm_header(content, b"P5")
+    need = w * h
+    raster = content[off : off + need]
+    if len(raster) < need:
+        raise ValueError(f"pgm: truncated raster ({len(raster)}/{need} bytes)")
+    gray = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP (24/32-bit) -> (H, W, 3) uint8.
+
+    Handles BITMAPINFOHEADER and its V4/V5 supersets, bottom-up
+    (positive height) and top-down (negative height) row order, 4-byte
+    row padding, and the on-disk BGR(A) sample order."""
+    if len(content) < 54 or not content.startswith(b"BM"):
+        raise ValueError("bmp: too short or bad magic")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"bmp: unsupported DIB header size {hdr_size} (BITMAPCOREHEADER)")
+    w, h_signed = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1:
+        raise ValueError(f"bmp: planes={planes}")
+    if compression != 0:
+        raise NotImplementedError(
+            f"bmp: compression={compression} (RLE/bitfields) needs a real codec; "
+            "only uncompressed BI_RGB is decoded here"
+        )
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"bmp: {bpp}-bit (palette) not decoded here; only 24/32-bit")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h == 0:
+        raise ValueError(f"bmp: bad dimensions {w}x{h_signed}")
+    channels = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4  # rows pad to 4-byte boundaries
+    need = stride * h
+    raster = content[data_offset : data_offset + need]
+    if len(raster) < need:
+        raise ValueError(f"bmp: truncated raster ({len(raster)}/{need} bytes)")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * channels].reshape(h, w, channels)
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode any supported container -> (H, W, 3) uint8.
+
+    PPM/PGM/BMP decode here in pure Python; recognized compressed
+    formats route through PIL when it exists and otherwise raise
+    ``NotImplementedError`` naming the missing codec (the honest gate
+    ops.py always had); unrecognized bytes raise ``ValueError``."""
+    fmt = sniff_format(content)
+    if fmt == "ppm":
+        return decode_ppm(content)
+    if fmt == "pgm":
+        return decode_pgm(content)
+    if fmt == "bmp":
+        return decode_bmp(content)
+    if fmt in _GATED:
+        try:
+            import PIL.Image as Image
+        except ImportError as e:
+            raise NotImplementedError(
+                f"pixel decode for {_GATED[fmt]} needs an image codec (PIL/libvips); "
+                "not available in this environment"
+            ) from e
+        import io
+
+        # open parses only the header lazily; .load() is the real decode
+        try:
+            img = Image.open(io.BytesIO(content))
+            img.load()
+        except Exception as e:
+            raise ValueError("content is not a decodable image") from e
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    raise ValueError("content is not a decodable image (no known container magic)")
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"encode_ppm: expected (H, W, 3), got {a.shape}")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """(H, W) uint8 -> binary PGM (P5)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"encode_pgm: expected (H, W), got {a.shape}")
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> 24-bit uncompressed bottom-up BMP."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"encode_bmp: expected (H, W, 3), got {a.shape}")
+    h, w, _ = a.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB -> BGR
+    raster = rows.tobytes()
+    data_offset = 14 + 40
+    file_header = b"BM" + struct.pack("<IHHI", data_offset + len(raster), 0, 0, data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return file_header + dib + raster
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with the exact integer floor mapping
+    ``src = (dst * src_dim) // out_dim`` — deterministic, aliasing-free
+    for integer downscale factors, and expressible in ANSI SQL (which
+    is what gives the thumbnail pipeline a DuckDB oracle)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"resize_nearest: bad target {out_w}x{out_h}")
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return np.ascontiguousarray(arr[ys][:, xs])
+
+
+try:  # pragma: no cover — exercised implicitly by every worker-side decode
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 — pickling registration is best-effort off-Spark
+    pass

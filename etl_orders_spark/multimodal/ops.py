@@ -1,10 +1,18 @@
-"""Media operators: decode (stubbed codec), byte-level feature
-extraction, frame sampling — Arrow-batched pandas over mapInPandas.
+"""Media operators: decode, byte-level feature extraction, frame
+sampling — Arrow-batched pandas over mapInPandas.
 
 Every function here keeps the 100 TB contract: content bytes cross the
 Arrow boundary once per partition batch, Python handles whole columns
 (numpy over concatenated buffers), and outputs are narrow typed rows —
 no per-row UDF calls, no driver collection.
+
+Pixel decode dispatches through multimodal/codecs.py: PPM/PGM/BMP
+decode in pure Python (no codec library needed — the strict path is
+fully executable and oracle-tested on generated fixtures), compressed
+formats (PNG/JPEG/...) route through PIL when present and otherwise
+raise the honest NotImplementedError this container has always raised.
+The codecs module registers itself for cloudpickle BY-VALUE shipping,
+so the closures below may call it on bare-session workers.
 """
 
 from __future__ import annotations
@@ -15,33 +23,12 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_orders_spark.multimodal.codecs import decode_image as _decode_image
+from etl_orders_spark.multimodal.codecs import resize_nearest as _resize_nearest
+from etl_orders_spark.multimodal.codecs import sniff_format as _sniff_format
+
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
-
-
-def _decode_pixels(content: bytes, fmt: str):  # pragma: no cover - env-gated
-    """Real pixel decode — requires an image codec library, which this
-    container does not ship. The Spark-side plumbing around it (schema,
-    Arrow batching, partitioning) is real and tested via the byte-level
-    paths below. (Worker-side copies of this logic are inlined in the
-    mapInPandas closures so they pickle by value.)"""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "pixel decode needs an image codec (PIL/libvips); not available in this environment"
-        ) from e
-    import io
-
-    import PIL.Image as Image
-
-    # open parses only the header lazily; .load() is the real decode
-    try:
-        img = Image.open(io.BytesIO(content))
-        img.load()
-    except Exception as e:
-        raise ValueError("content is not a decodable image") from e
-    return img
 
 
 MEDIA_STATS_SCHEMA = (
@@ -88,39 +75,18 @@ DECODED_SCHEMA = "media_id long, width int, height int, n_pixels long, decoded b
 
 
 def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode stage for image rows. strict=True routes through the
-    real decode gate — NotImplementedError when no codec is installed
-    (the honest failure in this container), ValueError when a codec
-    exists but the bytes don't decode (the synthetic fixtures), a
-    genuine full decode otherwise; strict=False emits metadata-derived
-    shape rows with decoded=false — keeping downstream plumbing
-    exercisable."""
+    """Decode stage for image rows. strict=True performs the REAL
+    pixel decode (codecs.decode_image): PPM/PGM/BMP decode in pure
+    Python and emit their TRUE dimensions (taken from the decoded
+    array, authoritative over metadata) with decoded=true; compressed
+    formats raise NotImplementedError when no codec library is
+    installed (the honest failure in this container) and ValueError
+    when the bytes aren't a recognizable image. strict=False emits
+    metadata-derived shape rows with decoded=false — keeping
+    downstream plumbing exercisable on undecodable payloads."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
-
-        def decode_pixels(content: bytes):  # inlined: closure pickles by value
-            try:
-                import PIL.Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "pixel decode needs an image codec (PIL/libvips); "
-                    "not available in this environment"
-                ) from e
-            import io
-
-            import PIL.Image as Image
-
-            # open parses only the header lazily; .load() is the real
-            # pixel decode, and undecodable bytes become ValueError
-            try:
-                img = Image.open(io.BytesIO(content))
-                img.load()
-            except Exception as e:
-                raise ValueError(
-                    "strict decode: content is not a decodable image"
-                ) from e
-            return img
 
         for pdf in it:
             rows = []
@@ -128,9 +94,10 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
                 if strict:
-                    # no codec → NotImplementedError; undecodable bytes
-                    # under a real codec → ValueError
-                    decode_pixels(content)
+                    arr = _decode_image(bytes(content))  # by-value pickled module
+                    ah, aw = arr.shape[:2]
+                    rows.append((mid, aw, ah, aw * ah, True))
+                    continue
                 w = int(w) if pd.notna(w) else 0
                 h = int(h) if pd.notna(h) else 0
                 rows.append((mid, w, h, w * h, False))
@@ -142,6 +109,48 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
         "media_id", "content", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
     return imgs.mapInPandas(batches, DECODED_SCHEMA)
+
+
+PIXEL_FEATURES_SCHEMA = (
+    "media_id long, fmt string, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, mean_rgb_milli long"
+)
+
+
+def pixel_features(media: DataFrame) -> DataFrame:
+    """Feature extraction from REAL decoded pixels: per-channel integer
+    sums and a floor-divided milli-mean over all samples — exact
+    integer arithmetic end to end, so the output is bit-stable across
+    partitionings and carries a DuckDB value-hash oracle on the
+    generated fixtures (plans/media_queries.py). Decode + numpy
+    channel sums happen per Arrow batch; only the narrow feature row
+    crosses back."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                arr = _decode_image(raw)  # by-value pickled module
+                h, w = arr.shape[:2]
+                s = arr.astype("int64").sum(axis=(0, 1))  # (sum_r, sum_g, sum_b)
+                n = w * h
+                mean_milli = int(s.sum()) * 1000 // (3 * n)
+                rows.append(
+                    (mid, _sniff_format(raw), w, h, n, int(s[0]), int(s[1]), int(s[2]), mean_milli)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "mean_rgb_milli",
+                ],
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(batches, PIXEL_FEATURES_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms long, frame_bytes binary"
@@ -181,68 +190,52 @@ RESIZED_SCHEMA = (
 
 def resize_images(media: DataFrame, max_side: int = 64, strict: bool = False) -> DataFrame:
     """Thumbnail resize for image rows: scale so the longer side equals
-    ``max_side`` (never upscale). The OUTPUT GEOMETRY is real — exact
-    integer aspect-ratio arithmetic from the declared metadata
-    dimensions — and the pixel payload is honest about the missing
-    codec: without one (strict=False) the thumb is a deterministic
-    byte subsample of the source content sized to the target pixel
-    count (clearly fake pixels, real Arrow batch shape and memory
-    profile); strict=True routes through the real decode gate —
-    NotImplementedError when no codec is installed (this container),
-    ValueError when a codec exists but the bytes don't decode (the
-    synthetic fixtures), and a genuine full decode (open + load, not
-    just the lazy header parse) when both are real. Everything else a
-    100 TB resize stage needs is exercised: metadata-driven planning,
-    per-batch numpy work, narrow typed output with a binary column."""
+    ``max_side`` (never upscale), exact integer aspect-ratio
+    arithmetic throughout.
+
+    strict=True is the REAL pipeline: decode (codecs.decode_image —
+    pure Python for PPM/PGM/BMP, PIL for compressed formats when
+    present, the honest NotImplementedError otherwise), geometry from
+    the DECODED dimensions (authoritative over metadata), exact
+    floor-mapped nearest-neighbor resample (codecs.resize_nearest),
+    thumb = the resized RGB pixels (out_w*out_h*3 bytes),
+    resized=true. The whole strict path carries a DuckDB value-hash
+    oracle on generated fixtures (plans/media_queries.py).
+
+    strict=False keeps the codec-free plumbing exercisable on
+    undecodable payloads: geometry from declared metadata, thumb = a
+    deterministic byte subsample of the source content sized to the
+    target pixel count (clearly fake pixels, real Arrow batch shape
+    and memory profile), resized=false."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
-        def decode_pixels(content: bytes):  # inlined: closure pickles by value
-            try:
-                import PIL.Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "pixel decode needs an image codec (PIL/libvips); "
-                    "not available in this environment"
-                ) from e
-            import io
-
-            import PIL.Image as Image
-
-            # the REAL decode: open parses only the header lazily, so
-            # force the full pixel decode with .load(); undecodable
-            # bytes surface as ValueError, not a codec-missing error
-            try:
-                img = Image.open(io.BytesIO(content))
-                img.load()
-            except Exception as e:
-                raise ValueError(
-                    "strict resize: content is not a decodable image"
-                ) from e
-            return img
+        def geometry(w: int, h: int) -> tuple[int, int]:
+            if max(w, h) <= max_side:
+                return w, h
+            if w >= h:
+                return max_side, max(1, (h * max_side) // w)
+            return max(1, (w * max_side) // h), max_side
 
         for pdf in it:
             rows = []
             for mid, content, w, h in zip(
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
+                if strict:
+                    arr = _decode_image(bytes(content))  # by-value pickled module
+                    ah, aw = arr.shape[:2]
+                    ow, oh = geometry(aw, ah)
+                    thumb = _resize_nearest(arr, ow, oh)
+                    rows.append((mid, aw, ah, ow, oh, True, thumb.tobytes()))
+                    continue
                 # null metadata dims plan as 0x0 (same pd.notna guard
                 # as decode_images — int(NaN) would kill the worker)
                 w = int(w) if pd.notna(w) else 0
                 h = int(h) if pd.notna(h) else 0
-                if max(w, h) <= max_side:
-                    ow, oh = w, h
-                else:
-                    if w >= h:
-                        ow, oh = max_side, max(1, (h * max_side) // w)
-                    else:
-                        ow, oh = max(1, (w * max_side) // h), max_side
-                if strict:
-                    # no codec → NotImplementedError; undecodable bytes
-                    # under a real codec → ValueError
-                    decode_pixels(content)
+                ow, oh = geometry(w, h)
                 arr = np.frombuffer(content, dtype=np.uint8)
                 n_out = max(1, ow * oh)
                 idx = (np.arange(n_out, dtype=np.int64) * max(arr.size, 1)) // n_out

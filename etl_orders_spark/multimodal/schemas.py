@@ -67,3 +67,71 @@ def gen_media(spark: SparkSession, n: int = 100, payload_bytes: int = 256) -> Da
         F.unhex(F.substring(payload_hex, 1, payload_bytes * 2)).alias("content"),
         meta.alias("meta"),
     )
+
+
+_PIXEL_FORMATS = ("ppm", "pgm", "bmp")
+
+
+def pixel_media_dims(media_id: int) -> tuple[int, int]:
+    """The generator's width/height law, importable so tests and the
+    SQL oracle derivation share one definition: w in 16..31, h in
+    12..19, both pure functions of the id (and always landscape)."""
+    return 16 + media_id % 16, 12 + media_id % 8
+
+
+def gen_pixel_media(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Deterministic DECODABLE media rows: real encoded images rotating
+    through the three pure-Python containers (PPM / PGM / BMP,
+    multimodal/codecs.py), with every pixel a closed-form function of
+    (media_id, x, y):
+
+        v = (7*id + 3*x + 5*y) % 256
+        RGB formats: r = v, g = (v+85) % 256, b = (v+170) % 256
+        PGM: gray v (decodes to r = g = b = v)
+
+    The law is trivially mirrorable in ANSI SQL (generate_series over
+    x/y), which is what lets the decode -> resize -> feature queries
+    carry full DuckDB value-hash oracles. Channels are deliberately
+    DISTINCT in the RGB formats so a BGR/RGB swap in the BMP decoder
+    cannot hide.
+
+    Content bytes are built per partition in an Arrow-batched
+    mapInPandas (pure function of the id, so the output is partition-
+    invariant); the codecs module pickles by value, so this runs on
+    bare-session workers."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_bmp, encode_pgm, encode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, str, int, int]:
+            w, h = 16 + mid % 16, 12 + mid % 8  # pixel_media_dims, inlined
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            v = ((7 * mid + 3 * x + 5 * y) % 256).astype(np.uint8)
+            fmt = _PIXEL_FORMATS[mid % 3]
+            if fmt == "pgm":
+                return encode_pgm(v), fmt, w, h
+            rgb = np.stack([v, (v.astype(np.int64) + 85) % 256, (v.astype(np.int64) + 170) % 256], axis=2).astype(np.uint8)
+            return (encode_ppm(rgb) if fmt == "ppm" else encode_bmp(rgb)), fmt, w, h
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, fmt, w, h = content_for(int(mid))
+                meta = {
+                    "format": fmt,
+                    "width": w,
+                    "height": h,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)

@@ -1,0 +1,168 @@
+"""Pure-Python pixel codec tests (multimodal/codecs.py): encode/decode
+round trips as hypothesis properties over arbitrary images, hand-built
+container edge cases (BMP top-down / 32-bit / padding, netpbm comments
+and malformed headers), the honest gates for compressed formats, and
+the floor-mapped nearest-neighbor resize against a brute-force oracle.
+
+No Spark session needed — the codecs are plain numpy functions (their
+worker-side behavior is covered by test_multimodal.py and the
+media_decode_pixel_stats / media_thumbnail_pixel_sums oracle queries).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_orders_spark.multimodal.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_pgm,
+    decode_ppm,
+    encode_bmp,
+    encode_pgm,
+    encode_ppm,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def _img(w: int, h: int, seed: int, channels: int = 3) -> np.ndarray:
+    """Deterministic pseudo-random uint8 image (pure function of args)."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, channels) if channels > 1 else (h, w)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+dims = st.integers(min_value=1, max_value=37)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**31 - 1))
+def test_ppm_round_trip(w, h, seed):
+    a = _img(w, h, seed)
+    enc = encode_ppm(a)
+    assert sniff_format(enc) == "ppm"
+    assert np.array_equal(decode_ppm(enc), a)
+    assert np.array_equal(decode_image(enc), a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**31 - 1))
+def test_pgm_round_trip_expands_gray(w, h, seed):
+    g = _img(w, h, seed, channels=1)
+    enc = encode_pgm(g)
+    assert sniff_format(enc) == "pgm"
+    out = decode_pgm(enc)
+    assert out.shape == (h, w, 3)
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], g)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**31 - 1))
+def test_bmp_round_trip_all_widths(w, h, seed):
+    """Widths 1..37 sweep every row-padding remainder (stride % 4)."""
+    a = _img(w, h, seed)
+    enc = encode_bmp(a)
+    assert sniff_format(enc) == "bmp"
+    assert np.array_equal(decode_bmp(enc), a)
+    assert np.array_equal(decode_image(enc), a)
+
+
+def test_ppm_header_comments_and_whitespace():
+    a = _img(5, 4, seed=1)
+    raw = b"P6 # trailing comment\n# full line\n 5\t4 # dims done\n255\n" + a.tobytes()
+    assert np.array_equal(decode_ppm(raw), a)
+
+
+def test_netpbm_malformed_headers():
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n" + bytes(10))
+    with pytest.raises(ValueError, match="integer token"):
+        decode_ppm(b"P6\nxx yy\n255\n")
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(4))
+
+
+def test_bmp_top_down_row_order():
+    """Negative biHeight means top-down rows — no flip on decode.
+
+    encode_bmp writes bottom-up (raster row 0 = last image row); after
+    flipping the declared height sign the decoder must read raster
+    rows as image rows directly, so the result is the vertical mirror
+    of the original."""
+    a = _img(6, 3, seed=2)
+    enc = bytearray(encode_bmp(a))
+    struct.pack_into("<i", enc, 22, -3)
+    assert np.array_equal(decode_bmp(bytes(enc)), a[::-1])
+
+
+def test_bmp_32bit_bgra():
+    """32-bit BI_RGB: BGRA samples, no row padding, alpha dropped."""
+    a = _img(3, 2, seed=3)
+    bgra = np.concatenate([a[:, :, ::-1], np.full((2, 3, 1), 0xAB, np.uint8)], axis=2)
+    raster = bgra[::-1].tobytes()  # bottom-up
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 32, 0, len(raster), 0, 0, 0, 0)
+    assert np.array_equal(decode_bmp(hdr + dib + raster), a)
+
+
+def test_bmp_honest_gates():
+    a = _img(4, 4, seed=4)
+    rle = bytearray(encode_bmp(a))
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="RLE|bitfields"):
+        decode_bmp(bytes(rle))
+    pal = bytearray(encode_bmp(a))
+    struct.pack_into("<H", pal, 28, 8)  # 8-bit palette
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_bmp(bytes(pal))
+
+
+def test_compressed_formats_gate_or_decode():
+    """PNG/JPEG magic: NotImplementedError naming the codec when PIL is
+    absent (this container); unrecognized bytes are ValueError."""
+    png = b"\x89PNG\r\n\x1a\n" + bytes(32)
+    try:
+        import PIL  # noqa: F401
+
+        with pytest.raises(ValueError):  # magic sniffs, bytes don't decode
+            decode_image(png)
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_image(png)
+    with pytest.raises(ValueError, match="not a decodable image"):
+        decode_image(b"\x00\x01plain garbage")
+    assert sniff_format(b"GIF89a...") == "gif"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBP") == "webp"
+    assert sniff_format(b"nope") is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=dims, h=dims, seed=st.integers(0, 2**31 - 1),
+    ow=st.integers(1, 24), oh=st.integers(1, 24),
+)
+def test_resize_nearest_matches_floor_map_oracle(w, h, seed, ow, oh):
+    a = _img(w, h, seed)
+    out = resize_nearest(a, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    for dy in range(oh):
+        for dx in range(ow):
+            assert np.array_equal(out[dy, dx], a[(dy * h) // oh, (dx * w) // ow])
+
+
+def test_resize_nearest_identity_and_idempotence():
+    a = _img(11, 7, seed=5)
+    assert np.array_equal(resize_nearest(a, 11, 7), a)
+    once = resize_nearest(a, 5, 3)
+    assert np.array_equal(resize_nearest(once, 5, 3), once)
+    with pytest.raises(ValueError):
+        resize_nearest(a, 0, 3)
