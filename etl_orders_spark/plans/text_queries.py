@@ -1598,6 +1598,139 @@ def bigram_perplexity_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_perplexity_docs_bcast",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, UNNEST({_sql_ordered_grams(2)}) AS g FROM documents
+    ),
+    per_pair AS (
+      SELECT doc_id, g, split_part(g, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT doc_id, n_pos,
+             SUM(n_pos) OVER (PARTITION BY g) AS c_bg,
+             SUM(n_pos) OVER (PARTITION BY w1) AS c_ctx
+      FROM per_pair
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+      FROM (SELECT UNNEST({_NORM_TOKENS}) AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_pos * CAST({_LM_NLL} AS BIGINT)) AS BIGINT) AS total_nll_micro,
+           CAST(SUM(n_pos * CAST({_LM_NLL} AS BIGINT)) // SUM(n_pos) AS BIGINT)
+             AS avg_nll_micro
+    FROM m CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+    bench=True,
+)
+def bigram_perplexity_docs_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BROADCAST-MODEL form of the bigram LM scorer — the scale
+    knob SCALE.md named after the 100x probe showed the _fast twin's
+    vocabulary-keyed COUNT windows dominating: a window must shuffle
+    the ENTIRE per-pair table by each model key, and the context key
+    is brutally skewed (stopword contexts — the 100x replica has 26M
+    per-pair rows over just 31 distinct contexts, so that exchange
+    lands whole-corpus shares on a handful of reducers: a straggler/
+    OOM wall no amount of cluster buys back).
+
+    Here the model is its own tiny branch: one map-side-combined
+    aggregate to the BIGRAM-VOCAB grain (gh, w1h) — the exchange
+    carries at most |bigram vocab| partial sums, never the corpus —
+    and the context model derives from THAT small table
+    (c_ctx(w1) = SUM of c_bg over grams starting with w1), so the
+    skewed corpus-sized context exchange is gone entirely, replaced by
+    nothing. Both model tables broadcast into the per-doc scoring
+    pass. Bigram hapax entries (count = 1, ~half of any natural
+    vocabulary by Heaps' law) are PRUNED from the broadcast and
+    restored exactly by COALESCE(c_bg, 1): a key is absent iff its
+    global count is 1, so the arithmetic is unchanged — same integer
+    micro-nat NLL, same DuckDB oracle as the string/window forms.
+    (model_bg re-aggregates by gh alone so a 64-bit gram collision
+    would MERGE classes exactly as the window form does, never fan
+    out the join.)
+
+    Plan shape: the scan+explode feeds the scoring aggregate (the one
+    corpus-sized exchange, by (doc, gh, w1h) — well-distributed keys)
+    and replays once for the model branch and once for the vocab
+    count — replayed SCANS parallelize perfectly at any skew, which
+    is the trade that removes the skew ceiling. Measured at the 100x
+    replica (SCALE.md): 13.6s warm vs the window twin's 15.8s on the
+    same session — and the window twin's cost is concentrated in the
+    31-key exchange. When the pruned model outgrows broadcast range
+    (~100M+ distinct non-hapax bigrams), the same plan degrades
+    gracefully: drop the broadcast hints and the joins run as shuffle
+    joins on 8-byte keys — still strictly cheaper than shuffling the
+    corpus by a skewed key."""
+    from etl_orders_spark.functions.text import normalize_text, tokens
+
+    docs = T(spark, sf_dir, "documents")
+    d = docs.withColumn("_t", tokens(normalize_text(F.col("text"))))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.struct(
+            F.xxhash64(F.element_at("_t", i), F.element_at("_t", i + 1)).alias("gh"),
+            F.xxhash64(F.element_at("_t", i)).alias("w1h"),
+        ),
+    )
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("_t") >= 2, pairs).otherwise(
+                    F.array().cast("array<struct<gh:long,w1h:long>>")
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.gh", "p.w1h")
+    )
+    # model branch: bigram-vocab grain, map-side combined (tiny exchange)
+    model = g.groupBy("gh", "w1h").agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+    model_ctx = model.groupBy("w1h").agg(F.sum("c_bg").cast("long").alias("c_ctx"))
+    model_bg = (
+        model.groupBy("gh")
+        .agg(F.sum("c_bg").cast("long").alias("c_bg"))
+        .filter(F.col("c_bg") >= 2)  # hapax pruned; COALESCE restores exactly 1
+    )
+    per_pair = g.groupBy("doc_id", "gh", "w1h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos")
+    )
+    vsz = (
+        d.select(F.explode("_t").alias("t"))
+        .agg(F.countDistinct(F.xxhash64("t")).cast("long").alias("vsz"))
+    )
+    m = (
+        per_pair.join(F.broadcast(model_bg), "gh", "left")
+        .withColumn("c_bg", F.coalesce("c_bg", F.lit(1)))
+        # every w1h in per_pair exists in model_ctx by construction
+        # (both derive from the same gram stream), so this join is
+        # lossless; inner keeps the intent explicit
+        .join(F.broadcast(model_ctx), "w1h")
+        .crossJoin(F.broadcast(vsz))
+    )
+    nll = F.floor(
+        F.log(
+            (F.col("c_ctx") + F.col("vsz")).cast("double")
+            / (F.col("c_bg") + F.lit(1)).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        m.withColumn("_nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_pos") * F.col("_nll")).cast("long").alias("total_nll_micro"),
+        )
+        .withColumn("avg_nll_micro", F.expr("total_nll_micro div n_bigrams"))
+    )
+
+
 _BPE_TOP = 50  # merge candidates reported per training iteration
 
 
