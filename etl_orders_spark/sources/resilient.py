@@ -21,7 +21,12 @@ died. The pair here restores the CSV quarantine lane's contract
 Scale: the audit costs one footer parse per file, distributed — at
 100k files that is a few seconds across a fleet, and it is the same
 metadata the scan planner touches anyway. The report is file-grain
-(bounded by file count, not rows).
+(bounded by file count, not rows) and STAYS distributed: the good-file
+scan is driven either by a bounded collected path list (small
+directories — Spark's native reader with basePath, full pushdown and
+typed partition inference) or by a manifest join above the threshold
+(each worker pyarrow-reads its share of the allowlist DataFrame), so
+neither the driver nor any plan node ever holds a million-path list.
 """
 
 from __future__ import annotations
@@ -79,8 +84,65 @@ def validate_parquet_files(spark: SparkSession, root: str) -> DataFrame:
     return fdf.mapInPandas(check, "path string, ok boolean, error string")
 
 
+def _partition_keys(path: str, root: str) -> list[tuple[str, str]]:
+    """Hive-style (key, value) pairs from the path segments between
+    root and the file name, in tree order."""
+    rel = os.path.relpath(os.path.dirname(os.path.abspath(path)), os.path.abspath(root))
+    out: list[tuple[str, str]] = []
+    for seg in rel.split(os.sep):
+        if "=" in seg and not seg.startswith((".", "_")):
+            k, _, v = seg.partition("=")
+            out.append((k, v))
+    return out
+
+
+def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> DataFrame:
+    """Distributed allowlist scan: each worker reads its share of the
+    manifest's files with pyarrow and streams Arrow batches back — no
+    path list ever materializes on the driver and no plan node carries
+    a million-element path vararg. Hive-style ``key=value`` path
+    segments come back as STRING partition columns (documented
+    simplification vs Spark's typed partition inference; the
+    sub-threshold path keeps Spark's own inference via basePath)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    # schema from ONE good footer — a single bounded driver-side read
+    first = good_paths.limit(1).collect()[0]["path"]
+    schema = from_arrow_schema(pq.ParquetFile(first).schema_arrow)
+    part_keys = [k for k, _ in _partition_keys(first, root)]
+    ddl_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields] + [
+        f"`{k}` string" for k in part_keys
+    ]
+    out_schema = ", ".join(ddl_parts)
+    data_cols = [f.name for f in schema.fields]
+    root_abs = os.path.abspath(root)
+
+    def read_files(batches):  # closure: pickled by value
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = _pq.read_table(p).to_pandas()
+                out = out[data_cols]
+                rel = _os.path.relpath(_os.path.dirname(_os.path.abspath(p)), root_abs)
+                vals = dict(
+                    seg.partition("=")[::2]
+                    for seg in rel.split(_os.sep)
+                    if "=" in seg and not seg.startswith((".", "_"))
+                )
+                for k in part_keys:
+                    out[k] = vals.get(k)
+                yield out
+
+    n_slots = spark.sparkContext.defaultParallelism * 4
+    return good_paths.repartition(n_slots).mapInPandas(read_files, out_schema)
+
+
 def read_parquet_resilient(
-    spark: SparkSession, root: str
+    spark: SparkSession, root: str, manifest_threshold: int = 10_000
 ) -> tuple[DataFrame, DataFrame]:
     """Scan `root` surviving corrupt members; return (data, report).
 
@@ -91,13 +153,34 @@ def read_parquet_resilient(
     torn, and says nothing about what it skipped). Raises if NO file
     is readable — an all-corrupt directory is an outage, not a lane.
 
-    The audit executes ONCE: its (file-grain, bounded) rows collect to
-    the driver and the returned report is rebuilt from them, so a
-    caller inspecting the report doesn't re-parse every footer.
+    The audit executes ONCE (eager localCheckpoint): the returned
+    report reads its blocks, so inspecting it never re-parses footers,
+    and nothing file-grained is collected to the driver beyond what
+    the scan mode needs.
+
+    Two scan modes, switched on the good-file count:
+    - **<= manifest_threshold**: collect just the (bounded) path list
+      and scan through Spark's native parquet reader with
+      ``basePath = root`` — full pushdown/vectorization AND typed
+      hive partition-column inference for partitioned trees.
+    - **above it**: a manifest-driven distributed read — the
+      allowlist DataFrame repartitions across executors and each
+      worker streams its files through pyarrow (``_manifest_scan``),
+      so neither the driver list nor the plan's path vararg grows
+      with the directory. Partition columns surface as strings in
+      this mode.
     """
-    rows = validate_parquet_files(spark, root).collect()
-    good = [r["path"] for r in rows if r["ok"]]
-    if not good:
+    report = validate_parquet_files(spark, root).localCheckpoint(eager=True)
+    good_paths = report.filter("ok").select("path")
+    n_good = good_paths.count()
+    if n_good == 0:
         raise ValueError(f"read_parquet_resilient: no readable parquet under {root}")
-    report = spark.createDataFrame(rows, "path string, ok boolean, error string")
-    return spark.read.parquet(*good), report
+    if n_good <= manifest_threshold:
+        good = [r["path"] for r in good_paths.collect()]  # bounded by threshold
+        reader = spark.read
+        if os.path.isdir(root):
+            # without basePath, leaf-file scans of a hive-partitioned
+            # tree silently DROP the partition columns from the schema
+            reader = reader.option("basePath", root)
+        return reader.parquet(*good), report
+    return _manifest_scan(spark, good_paths, root), report
