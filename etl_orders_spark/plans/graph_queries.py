@@ -43,6 +43,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KHOP_SAMPLE_MOD = 50  # sources = parts with key % MOD == 0 (landmark sample)
+_KHOP_SAMPLE_MOD_BOUNDED = 500  # 10x fewer landmarks: the oracle-at-sf0.1 form
 
 _KHOP_EDGE_CTES = """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -54,11 +55,14 @@ _KHOP_EDGE_CTES = """
 """
 
 
-@register(
-    "khop_reachability_parts",
-    _KHOP_EDGE_CTES
-    + f""",
-    s AS (SELECT DISTINCT src FROM e WHERE src % {_KHOP_SAMPLE_MOD} = 0),
+def _khop_sql(sample_mod: int) -> str:
+    """The exact 1/2/3-hop reach report over a mod-sampled landmark
+    set, as one DuckDB statement (shared by the full and bounded
+    registrations so the two can never drift)."""
+    return (
+        _KHOP_EDGE_CTES
+        + f""",
+    s AS (SELECT DISTINCT src FROM e WHERE src % {sample_mod} = 0),
     h1 AS (SELECT e.src, e.dst FROM e JOIN s ON e.src = s.src),
     c2 AS (
       SELECT DISTINCT src, dst FROM (
@@ -82,7 +86,47 @@ _KHOP_EDGE_CTES = """
     LEFT JOIN (SELECT src, COUNT(*) AS n FROM h1 GROUP BY 1) n1 ON s.src = n1.src
     LEFT JOIN (SELECT src, COUNT(*) AS n FROM c2 GROUP BY 1) n2 ON s.src = n2.src
     LEFT JOIN (SELECT src, COUNT(*) AS n FROM c3 GROUP BY 1) n3 ON s.src = n3.src
-    """,
+    """
+    )
+
+
+def _khop_report(spark: SparkSession, sf_dir: str, sample_mod: int) -> DataFrame:
+    """Shared Spark plan for the exact k-hop reach report (see
+    khop_reachability_parts for the full design notes)."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    s = e.select("src").filter(F.col("src") % sample_mod == 0).distinct()
+    h1 = e.join(s, "src").select("src", "dst").localCheckpoint(eager=True)
+
+    def expand(cum: DataFrame) -> DataFrame:
+        step = (
+            cum.withColumnRenamed("dst", "mid")
+            .join(e.toDF("mid", "dst2"), "mid")
+            .select("src", F.col("dst2").alias("dst"))
+        )
+        return cum.unionByName(step).filter(F.col("dst") != F.col("src")).distinct()
+
+    c2 = expand(h1).localCheckpoint(eager=True)
+    c3 = expand(c2)
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        s.join(counts(h1, "n_1hop"), "src", "left")
+        .join(counts(c2, "n_2hop"), "src", "left")
+        .join(counts(c3, "n_3hop"), "src", "left")
+        .select(
+            F.col("src").alias("partkey"),
+            F.coalesce("n_1hop", F.lit(0)).cast("long").alias("n_1hop"),
+            F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+            F.coalesce("n_3hop", F.lit(0)).cast("long").alias("n_3hop"),
+        )
+    )
+
+
+@register(
+    "khop_reachability_parts",
+    _khop_sql(_KHOP_SAMPLE_MOD),
     tags=("graph", "join", "analytics"),
 )
 def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,39 +153,33 @@ def khop_reachability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is the 3-hop frontier expansion itself (frontier x degree
     candidate pairs before the distinct) — irreducible for EXACT reach
     on a dense co-purchase graph; the HyperANF/HLL form above is the
-    documented scale path."""
-    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    s = e.select("src").filter(F.col("src") % _KHOP_SAMPLE_MOD == 0).distinct()
-    h1 = e.join(s, "src").select("src", "dst").localCheckpoint(eager=True)
+    documented scale path. The DuckDB twin tracks the Spark plan's
+    frontier volume, so at sf0.1 its c3 expansion spills past the
+    oracle box (documented infra limit — the Spark side finishes in
+    seconds); `khop_reachability_bounded` below is the same report
+    over 10x fewer landmarks, whose oracle IS tractable at sf0.1,
+    keeping the family hash-green across every sweep SF."""
+    return _khop_report(spark, sf_dir, _KHOP_SAMPLE_MOD)
 
-    def expand(cum: DataFrame) -> DataFrame:
-        step = (
-            cum.withColumnRenamed("dst", "mid")
-            .join(e.toDF("mid", "dst2"), "mid")
-            .select("src", F.col("dst2").alias("dst"))
-        )
-        return (
-            cum.unionByName(step).filter(F.col("dst") != F.col("src")).distinct()
-        )
 
-    c2 = expand(h1).localCheckpoint(eager=True)
-    c3 = expand(c2)
-
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias(name))
-
-    out = (
-        s.join(counts(h1, "n_1hop"), "src", "left")
-        .join(counts(c2, "n_2hop"), "src", "left")
-        .join(counts(c3, "n_3hop"), "src", "left")
-        .select(
-            F.col("src").alias("partkey"),
-            F.coalesce("n_1hop", F.lit(0)).cast("long").alias("n_1hop"),
-            F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
-            F.coalesce("n_3hop", F.lit(0)).cast("long").alias("n_3hop"),
-        )
-    )
-    return out
+@register(
+    "khop_reachability_bounded",
+    _khop_sql(_KHOP_SAMPLE_MOD_BOUNDED),
+    tags=("graph", "join", "analytics"),
+)
+def khop_reachability_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`khop_reachability_parts` over a 10x-sparser landmark sample
+    (key % 500): the identical Spark plan and the identical SQL shape
+    (both generated from the same helpers, so they cannot drift), with
+    frontier volume — and therefore the DuckDB oracle's memory —
+    scaled down by the landmark count. This is the registration that
+    keeps the exact-reach family ORACLE-GREEN at sf0.1, where the full
+    sample's oracle-side c3 expansion exceeds the oracle box (the
+    engine side was never the problem). Landmark-count-proportional
+    work is also the real-world scale lever for exact reach: reach
+    reports at 100 TB run over sampled landmarks or switch to the
+    HyperANF sketch twin."""
+    return _khop_report(spark, sf_dir, _KHOP_SAMPLE_MOD_BOUNDED)
 
 
 @register(
