@@ -209,17 +209,21 @@ def ngram_jaccard_pairs(
     it was never a near-dup). None = exact (the oracle-checked form).
     The exploded shingle table feeds three consumers (per-doc sizes
     and both join sides — four with the df-cap's hot-key scan), so it
-    materializes once via eager localCheckpoint — the repo's shared-
-    subtree pattern: blocks are reclaimed by the ContextCleaner when
-    the reference drops, where a bare .persist() with no unpersist
-    would accumulate cached blocks across invocations in a long-lived
-    session. Without it each consumer replays the full tokenize+
-    shingle of every document.
+    caches via the keyed stage cache (operators/materialize.cache_stage:
+    optimizer-transparent lazy persist whose predecessor blocks are
+    released on the next invocation, so repeated calls in a long-lived
+    session never accumulate — the leak a bare .persist() had, without
+    the pruning/pushdown barrier an RDD checkpoint would add). Without
+    the cache each consumer replays the full tokenize+shingle of every
+    document.
     """
-    sh = (
-        _parallelism_floor(df)
-        .select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingle)).alias("sh"))
-        .localCheckpoint(eager=True)
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    sh = cache_stage(
+        _parallelism_floor(df).select(
+            F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingle)).alias("sh")
+        ),
+        f"ngram_jaccard.sh.{k_shingle}",
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))  # shingles are distinct already
     joinable = sh
@@ -278,20 +282,24 @@ def prefix_filter_jaccard_pairs(
 
     The shingle-array table and the prefix index each feed multiple
     consumers (df-count + rank + both verify sides; both candidate
-    join sides), so both materialize once via eager localCheckpoint
-    (ContextCleaner-reclaimed; a bare persist would leak cached blocks
-    across invocations) — without them the full tokenize+shingle
-    replays six times (measured: 17.6s -> cached at sf0.1, the
-    dominant cost was recompute, not the join).
+    join sides), so both cache via the keyed stage cache
+    (cache_stage: lazy persist, predecessor blocks released on the
+    next invocation — no accumulation, no checkpoint pruning barrier)
+    — without them the full tokenize+shingle replays six times
+    (measured: 17.6s -> cached at sf0.1, the dominant cost was
+    recompute, not the join).
 
     Output: id_a < id_b, jaccard (rounded 6) filtered ≥ threshold.
     """
     from pyspark.sql import Window as W
 
-    docs = (
-        _parallelism_floor(df)
-        .select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("sh_set"))
-        .localCheckpoint(eager=True)
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    docs = cache_stage(
+        _parallelism_floor(df).select(
+            F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("sh_set")
+        ),
+        f"prefix_filter.docs.{k_shingle}",
     )
     ex = docs.select("_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -299,8 +307,9 @@ def prefix_filter_jaccard_pairs(
         "rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "sh"))
     )
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("_id", "sh").localCheckpoint(
-        eager=True
+    prefix = cache_stage(
+        ranked.filter(F.col("rn") <= prefix_len).select("_id", "sh"),
+        f"prefix_filter.prefix.{k_shingle}",
     )
     cand = (
         prefix.toDF("id_a", "sh")

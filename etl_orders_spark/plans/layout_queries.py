@@ -73,6 +73,7 @@ def read_pruned_month(spark: SparkSession, path: str, month: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
     tags=("source", "sink", "layout", "agg"),
+    bench=True,  # the layout family's bench representative (r4)
 )
 def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned-layout round trip: stage orders by month, read one

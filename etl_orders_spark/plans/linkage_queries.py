@@ -36,6 +36,7 @@ _MAX_DIST = 1  # edit-distance threshold for a candidate match
     WHERE levenshtein(a.c_name, b.c_name) <= {_MAX_DIST}
     """,
     tags=("linkage", "dedup", "join"),
+    bench=True,  # the linkage family's bench representative (r4)
 )
 def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join over customers: candidates are generated

@@ -117,6 +117,7 @@ _CMS_BUCKET = (
     GROUP BY p.term
     """,
     tags=("sketch", "text", "agg"),
+    bench=True,  # the sketch family's bench representative (r4)
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimation for the corpus's top terms next

@@ -633,11 +633,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     external SQL oracle can reproduce every hash bit-identically; the
     production/bench path is `minhash_lsh_pairs_fast` (xxhash64)."""
     docs = T(spark, sf_dir, "documents")
-    # signatures fan out to the band join AND the verify join; eager
-    # localCheckpoint so the lineage isn't recomputed 3x, reclaimed by
-    # the ContextCleaner (at 100 TB: stage to parquet instead)
-    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=True).localCheckpoint(
-        eager=True
+    # signatures fan out to the band join AND the verify join; keyed
+    # lazy cache so the lineage isn't recomputed 3x while staying
+    # optimizer-transparent — cache_stage releases the previous
+    # invocation's blocks (at 100 TB: stage to parquet instead)
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    sigs = cache_stage(
+        minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=True),
+        "minhash_lsh_pairs.sigs",
     )
     cands = minhash_lsh_candidates(sigs, "doc_id", _BANDS, _ROWS_PER_BAND)
     return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
@@ -656,8 +660,11 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     of md5→substring→conv string machinery — the difference between
     scan-bound and string-CPU-bound at 100 TB)."""
     docs = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=False).localCheckpoint(
-        eager=True
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    sigs = cache_stage(
+        minhash_signatures(docs, "doc_id", "text", _MINHASH_N, 3, portable=False),
+        "minhash_lsh_pairs_fast.sigs",
     )
     cands = minhash_lsh_candidates(sigs, "doc_id", _BANDS, _ROWS_PER_BAND)
     return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
