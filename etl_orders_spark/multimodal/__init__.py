@@ -25,19 +25,27 @@ from etl_orders_spark.multimodal.codecs import (
 )
 from etl_orders_spark.multimodal.ops import (
     decode_images,
+    dhash_images,
     media_fingerprints,
     media_stats,
     pixel_features,
     resize_images,
     sample_frames,
 )
-from etl_orders_spark.multimodal.schemas import MEDIA_SCHEMA, gen_media, gen_pixel_media
+from etl_orders_spark.multimodal.schemas import (
+    MEDIA_SCHEMA,
+    gen_media,
+    gen_noise_media,
+    gen_pixel_media,
+)
 
 __all__ = [
     "MEDIA_SCHEMA",
     "decode_image",
     "decode_images",
+    "dhash_images",
     "gen_media",
+    "gen_noise_media",
     "gen_pixel_media",
     "media_fingerprints",
     "media_stats",

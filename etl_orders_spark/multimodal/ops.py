@@ -153,6 +153,43 @@ def pixel_features(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(batches, PIXEL_FEATURES_SCHEMA)
 
 
+DHASH_SCHEMA = "media_id long, dhash_hi long, dhash_lo long"
+
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels (the
+    classic dHash: gray, resize to 9x8 with the exact floor mapping,
+    compare each pixel to its right neighbor -> 64 bits). Robust to
+    re-encoding and small perturbations — the media twin of SimHash
+    for text. Emitted as two non-negative 32-bit halves in longs
+    (rows 0-3 -> dhash_hi, rows 4-7 -> dhash_lo; bit i = y*8 + x) so
+    hamming distance is pure JVM arithmetic downstream:
+    bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b). Gray =
+    (r + g + b) // 3 in exact integers; gray-then-resize equals
+    resize-then-gray because nearest-neighbor sampling commutes with
+    per-pixel maps — which is what lets the DuckDB oracle re-derive
+    every bit from the generator's pixel law."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = _decode_image(bytes(content))
+                gray = arr.astype("int64").sum(axis=2) // 3
+                g = _resize_nearest(gray, 9, 8)
+                bits = (g[:, 1:] > g[:, :-1]).flatten()  # i = y*8 + x
+                hi = sum(int(b) << i for i, b in enumerate(bits[:32]))
+                lo = sum(int(b) << i for i, b in enumerate(bits[32:]))
+                rows.append((mid, hi, lo))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash_hi", "dhash_lo"])
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(batches, DHASH_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms long, frame_bytes binary"
 
 

@@ -135,3 +135,60 @@ def gen_pixel_media(spark: SparkSession, n: int = 120) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+NOISE_W, NOISE_H = 32, 24  # fixed dims shared with the SQL oracle
+NOISE_CLONE_EVERY = 5  # id % 5 == 4 clones id-1 with one perturbed pixel
+
+
+def gen_noise_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic 'noisy' gray images for perceptual-hash tests: a
+    multiplicative-hash pixel law makes neighbor comparisons behave
+    like coin flips (so distinct images sit ~32 bits apart in dHash
+    space), and every id with id % 5 == 4 is a PLANTED CLONE of id-1
+    with exactly one source pixel perturbed (so true near-dups sit at
+    hamming <= 1). All three channels equal (gray):
+
+        base = id - 1 if id % 5 == 4 else id
+        v(base, x, y) = ((base*73 + x*37 + y*101) * 2654435761
+                          mod 2^32) >> 24
+        clone perturbation: pixel (0, 0) -> (v + 128) % 256
+
+    Exact 64-bit integer arithmetic, closed form — the DuckDB oracle
+    re-derives every pixel (and therefore every dHash bit) from this
+    law. Fixed 32x24 PPM payloads."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> bytes:
+            base = mid - 1 if mid % NOISE_CLONE_EVERY == NOISE_CLONE_EVERY - 1 else mid
+            y = np.arange(NOISE_H, dtype=np.int64)[:, None]
+            x = np.arange(NOISE_W, dtype=np.int64)[None, :]
+            v = (((base * 73 + x * 37 + y * 101) * 2654435761) % (2**32)) >> 24
+            v = v.astype(np.int64)
+            if base != mid:  # planted clone: one perturbed pixel
+                v[0, 0] = (v[0, 0] + 128) % 256
+            g = v.astype(np.uint8)
+            return encode_ppm(np.repeat(g[:, :, None], 3, axis=2))
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                meta = {
+                    "format": "ppm",
+                    "width": NOISE_W,
+                    "height": NOISE_H,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content_for(int(mid)), meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)

@@ -202,6 +202,109 @@ def media_thumbnail_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_NOISE = 100
+_DHASH_HAMMING = 3  # 4 bands x 16 bits: pigeonhole-complete at <= 3
+
+
+@register(
+    "media_dhash_near_dup",
+    f"""
+    WITH ids AS (SELECT UNNEST(generate_series(0, {_N_NOISE - 1})) AS media_id),
+    base AS (
+      SELECT media_id,
+             CASE WHEN media_id % 5 = 4 THEN media_id - 1 ELSE media_id END AS b,
+             CASE WHEN media_id % 5 = 4 THEN 1 ELSE 0 END AS pert
+      FROM ids
+    ),
+    -- resized 9x8 gray grid straight from the generator law: source
+    -- coords via the floor map, clone perturbation only where the map
+    -- lands on source pixel (0, 0)
+    px AS (
+      SELECT media_id, dy.i AS y, dx.i AS x,
+             CASE WHEN (dx.i * 32) // 9 = 0 AND (dy.i * 24) // 8 = 0 AND pert = 1
+                  THEN (((b*73 + ((dx.i*32)//9)*37 + ((dy.i*24)//8)*101) * 2654435761
+                         % 4294967296) // 16777216 + 128) % 256
+                  ELSE ((b*73 + ((dx.i*32)//9)*37 + ((dy.i*24)//8)*101) * 2654435761
+                        % 4294967296) // 16777216
+             END AS v
+      FROM base,
+           UNNEST(generate_series(0, 8)) AS dx(i),
+           UNNEST(generate_series(0, 7)) AS dy(i)
+    ),
+    bits AS (
+      SELECT a.media_id, (a.y * 8 + a.x) AS i,
+             CASE WHEN r.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM px a
+      JOIN px r ON r.media_id = a.media_id AND r.y = a.y AND r.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    h AS (
+      SELECT media_id,
+             SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS hi,
+             SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS lo
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_DHASH_HAMMING}
+    """,
+    tags=("media", "pixel", "dedup", "lsh"),
+)
+def media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over REAL decoded pixels — the
+    media twin of simhash_near_pairs: dHash every image (decode ->
+    gray -> exact floor-map resize to 9x8 -> neighbor-comparison
+    bits), generate candidates with a PIGEONHOLE band join (4 bands of
+    16 bits: any pair within hamming <= 3 must agree exactly on at
+    least one band — provably complete, same argument as the SimHash
+    bands), verify candidates with exact JVM bit_count hamming. The
+    fixture generator plants one near-clone per five images (one
+    perturbed source pixel -> hamming <= 1); its closed-form pixel law
+    lets the DuckDB twin re-derive every dHash bit arithmetically and
+    brute-force all pairs, so a hash match certifies decode, resample,
+    bit packing, banding completeness, AND the hamming arithmetic.
+
+    Scale: band join keys are (band_idx, 16-bit slice) — candidates
+    track true near-dup density, never corpus²; hashes are 2 longs per
+    image, so the dedup state for a billion images is ~16 GB spread
+    over the fleet."""
+    from etl_orders_spark.multimodal.ops import dhash_images
+    from etl_orders_spark.multimodal.schemas import gen_noise_media
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    # the hash table feeds the band join AND both verify sides — cache
+    # so decode+hash runs once (2 longs per image: tiny state)
+    h = cache_stage(dhash_images(gen_noise_media(spark, _N_NOISE)), "media_dhash.h")
+    slices = F.array(
+        F.struct(F.lit(0).alias("bidx"), F.expr("dhash_hi & 65535").alias("s")),
+        F.struct(F.lit(1).alias("bidx"), F.expr("shiftright(dhash_hi, 16) & 65535").alias("s")),
+        F.struct(F.lit(2).alias("bidx"), F.expr("dhash_lo & 65535").alias("s")),
+        F.struct(F.lit(3).alias("bidx"), F.expr("shiftright(dhash_lo, 16) & 65535").alias("s")),
+    )
+    bands = h.select("media_id", F.explode(slices).alias("band")).select(
+        "media_id", "band.bidx", "band.s"
+    )
+    cand = (
+        bands.toDF("id_a", "bidx", "s")
+        .join(bands.toDF("id_b", "bidx2", "s2"),
+              (F.col("bidx") == F.col("bidx2")) & (F.col("s") == F.col("s2"))
+              & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.toDF("id_a", "hi_a", "lo_a")
+    hb = h.toDF("id_b", "hi_b", "lo_b")
+    hamming = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _DHASH_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @register(
     "media_frame_sample",
     None,  # fan-out with fake frame payloads: rows-only

@@ -176,6 +176,44 @@ def test_resize_images_strict_real_pixels(spark):
         assert np.array_equal(got, expected)
 
 
+def test_dhash_planted_clone_recall(spark):
+    """The perceptual-hash pipeline finds every planted near-clone at
+    hamming <= 1, and the band join loses nothing the brute-force pair
+    scan finds at the threshold (pigeonhole completeness, live)."""
+    import itertools
+
+    from etl_orders_spark.multimodal.ops import dhash_images
+    from etl_orders_spark.multimodal.schemas import NOISE_CLONE_EVERY, gen_noise_media
+    from etl_orders_spark.plans.registry import query_map
+
+    n = 50
+    hashes = {
+        r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in dhash_images(gen_noise_media(spark, n)).collect()
+    }
+    assert len(hashes) == n
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    for i in range(n):
+        if i % NOISE_CLONE_EVERY == NOISE_CLONE_EVERY - 1:
+            assert ham(hashes[i - 1], hashes[i]) <= 1  # planted clone
+    # brute force == the registered band-join query at the same threshold
+    rows = query_map()["media_dhash_near_dup"](spark, "/root/testdata/sf0.01").collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    full = {
+        r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in dhash_images(gen_noise_media(spark, 100)).collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(full), 2)
+        if ham(full[a], full[b]) <= 3
+    }
+    assert got == brute  # banding is lossless at the pigeonhole bound
+
+
 def test_pixel_features_partition_invariance(spark):
     """Decode features are pure functions of content — layout-free."""
     from etl_orders_spark.multimodal import gen_pixel_media, pixel_features
