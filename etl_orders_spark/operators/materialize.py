@@ -69,9 +69,13 @@ def cache_stage(df: DataFrame, key: str) -> DataFrame:
     old = _STAGE_CACHE.get(key)
     if old is not None:
         try:
-            same = old._jdf.queryExecution().analyzed().sameResult(
-                df._jdf.queryExecution().analyzed()
-            )
+            # storageLevel guards against an external clearCache()/
+            # unpersist having dropped the entry while the handle
+            # survived (is_cached is a stale Python-side flag) — a
+            # stale handle must re-persist, not masquerade as cached
+            lvl = old.storageLevel
+            same = (lvl.useMemory or lvl.useDisk) and old._jdf.queryExecution().analyzed(
+            ).sameResult(df._jdf.queryExecution().analyzed())
         except Exception:  # noqa: BLE001 — dead session handle: fall through to replace
             same = False
         if same:

@@ -139,6 +139,7 @@ def test_dq_gate_scan_count_constant(plans):
 _BNLJ_ALLOWED = {
     "abc_part_classification": 1,  # 1-row revenue-total broadcast
     "benford_price_digits": 1,
+    "bigram_perplexity_docs_bcast": 1,  # 1-row vocab-size broadcast (same as _fast)
     "bm25_search_docs": 1,
     "chi2_status_priority": 1,
     "contrastive_negatives": 1,  # one broadcast query batch, single scoring pass
@@ -307,10 +308,14 @@ def test_multi_consumer_subtrees_are_cached(spark, sf_dir):
     """Recompute audit, pinned: queries whose expensive subtree feeds
     several consumers (iterative graph expansion, inverted-index
     self-joins, scalar-total broadcasts over a fact aggregate) must
-    materialize it once — without the persist, lazy lineage replays
-    the subtree per consumer (measured: khop 38 lineitem scans / 65s
-    at sf0.1 vs 42s cached; prefix-filter jaccard 12s vs 2s). The
-    physical plan shows the cache as an InMemoryTableScan/Relation."""
+    materialize it once — without it, lazy lineage replays the subtree
+    per consumer (measured: khop 38 lineitem scans / 65s at sf0.1 vs
+    42s cached; prefix-filter jaccard 12s vs 2s). Two legitimate
+    forms, both visible in the physical plan: the keyed lazy cache
+    (InMemoryRelation/InMemoryTableScan — optimizer-transparent, used
+    where pruning/pushdown through the cache matters) and the eager
+    localCheckpoint (Scan ExistingRDD — lineage truncation, used for
+    iterative expansion)."""
     from etl_orders_spark.plans.registry import query_map
 
     spark.catalog.clearCache()
@@ -324,6 +329,8 @@ def test_multi_consumer_subtrees_are_cached(spark, sf_dir):
         "pagerank_event_types",
     ):
         plan = q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, (
-            f"{name}: multi-consumer subtree lost its cache"
-        )
+        assert (
+            "InMemoryRelation" in plan
+            or "InMemoryTableScan" in plan
+            or "ExistingRDD" in plan
+        ), f"{name}: multi-consumer subtree lost its materialize-once marker"
