@@ -116,11 +116,18 @@ def fuzzy_match_customers_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    ex = c.select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_nationkey").alias("nk"),
-        F.explode(variants).alias("vh"),
-    ).distinct()  # repeated chars produce duplicate variants: dedup map-side
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    # the variant index feeds BOTH self-join sides — cache it so the
+    # explode computes once (keyed lazy cache, optimizer-transparent)
+    ex = cache_stage(
+        c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("nk"),
+            F.explode(variants).alias("vh"),
+        ).distinct(),  # repeated chars produce duplicate variants: dedup map-side
+        "fuzzy_fast.variant_index",
+    )
     cand = (
         ex.toDF("id_a", "nk", "vh")
         .join(ex.toDF("id_b", "nk2", "vh2"), (F.col("vh") == F.col("vh2")) & (F.col("nk") == F.col("nk2")) & (F.col("id_a") < F.col("id_b")))
