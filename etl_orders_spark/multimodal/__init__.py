@@ -23,7 +23,9 @@ from etl_orders_spark.multimodal.codecs import (
     resize_nearest,
     sniff_format,
 )
+from etl_orders_spark.multimodal.codecs import decode_wav
 from etl_orders_spark.multimodal.ops import (
+    audio_features,
     decode_images,
     dhash_images,
     media_fingerprints,
@@ -37,16 +39,20 @@ from etl_orders_spark.multimodal.schemas import (
     gen_media,
     gen_noise_media,
     gen_pixel_media,
+    gen_wav_media,
 )
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "audio_features",
     "decode_image",
     "decode_images",
+    "decode_wav",
     "dhash_images",
     "gen_media",
     "gen_noise_media",
     "gen_pixel_media",
+    "gen_wav_media",
     "media_fingerprints",
     "media_stats",
     "pixel_features",

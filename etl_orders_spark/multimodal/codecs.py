@@ -62,6 +62,8 @@ def sniff_format(content: bytes) -> str | None:
         return "gif"
     if content.startswith(b"RIFF") and content[8:12] == b"WEBP":
         return "webp"
+    if content.startswith(b"RIFF") and content[8:12] == b"WAVE":
+        return "wav"
     return None
 
 
@@ -235,6 +237,66 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     file_header = b"BM" + struct.pack("<IHHI", data_offset + len(raster), 0, 0, data_offset)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
     return file_header + dib + raster
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (samples int32 array shaped (n, channels),
+    sample_rate). Pure Python: 8-bit unsigned and 16-bit signed
+    little-endian PCM (format tag 1); compressed WAVE formats
+    (IEEE float, ADPCM, MP3-in-WAV) raise NotImplementedError.
+    Chunk walk tolerates extra chunks (LIST/fact) and odd-size
+    padding, per the RIFF spec."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE container")
+    pos, n = 12, len(content)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        csize = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("wav: truncated fmt chunk")
+    tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1:
+        raise NotImplementedError(
+            f"wav: format tag {tag} (float/ADPCM/compressed) needs a real codec; "
+            "only integer PCM is decoded here"
+        )
+    if channels < 1:
+        raise ValueError(f"wav: bad channel count {channels}")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))], dtype="<i2")
+        out = samples.astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(data[: len(data) - (len(data) % channels)], dtype=np.uint8)
+        out = samples.astype(np.int32) - 128  # 8-bit PCM is unsigned
+    else:
+        raise NotImplementedError(f"wav: {bits}-bit PCM not decoded here (8/16 only)")
+    return out.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) int16-range array -> 16-bit PCM RIFF/WAVE."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"encode_wav: expected (n, channels), got {a.shape}")
+    pcm = a.astype("<i2").tobytes()
+    channels = a.shape[1]
+    block = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -153,6 +153,57 @@ def pixel_features(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(batches, PIXEL_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate long, n_samples long, sum_abs long, "
+    "peak long, zero_crossings long"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Feature extraction from REAL decoded PCM audio: per-clip sample
+    count, integer sum of absolute amplitudes, peak amplitude, and
+    sign-change (zero-crossing) count — all exact integer arithmetic
+    over codecs.decode_wav output, so the row is bit-stable and
+    carries a DuckDB value-hash oracle on the generated fixtures.
+    Crossings count positions t >= 1 where sign(s[t-1] < 0) differs
+    from sign(s[t] < 0) — the integer convention both engines share.
+    Multi-channel clips flatten channel-major per frame (interleaved),
+    matching the on-disk PCM order."""
+    from etl_orders_spark.multimodal.codecs import decode_wav as _decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = _decode_wav(bytes(content))
+                flat = samples.reshape(-1).astype(np.int64)
+                neg = flat < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if flat.size > 1 else 0
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        int(flat.size),
+                        int(np.abs(flat).sum()),
+                        int(np.abs(flat).max()) if flat.size else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "sum_abs",
+                    "peak", "zero_crossings",
+                ],
+            )
+
+    clips = media.filter(F.col("kind") == "audio").select("media_id", "content")
+    return clips.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 DHASH_SCHEMA = "media_id long, dhash_hi long, dhash_lo long"
 
 

@@ -137,6 +137,54 @@ def gen_pixel_media(spark: SparkSession, n: int = 120) -> DataFrame:
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+WAV_RATE = 16000  # fixed sample rate shared with the SQL oracle
+
+
+def gen_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic REAL 16-bit PCM WAV rows: every sample is a
+    closed-form function of (media_id, t) —
+
+        n_samples(id) = 800 + (id % 8) * 100   (mono, 16 kHz)
+        s(id, t) = (((id*1009 + t*2399) * 2654435761 mod 2^32)
+                     >> 16) - 32768             (full int16 range)
+
+    — so the DuckDB oracle re-derives every sample with
+    generate_series, and a value-hash match on the audio features
+    certifies the RIFF chunk walk, PCM decode, and the integer
+    feature arithmetic end to end."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int]:
+            ns = 800 + (mid % 8) * 100
+            t = np.arange(ns, dtype=np.int64)
+            s = ((((mid * 1009 + t * 2399) * 2654435761) % (2**32)) >> 16) - 32768
+            return encode_wav(s.astype(np.int16), WAV_RATE), ns
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, ns = content_for(int(mid))
+                meta = {
+                    "format": "wav",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": WAV_RATE,
+                    "duration_ms": ns * 1000 // WAV_RATE,
+                }
+                rows.append((int(mid), "audio", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 NOISE_W, NOISE_H = 32, 24  # fixed dims shared with the SQL oracle
 NOISE_CLONE_EVERY = 5  # id % 5 == 4 clones id-1 with one perturbed pixel
 

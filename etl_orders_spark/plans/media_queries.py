@@ -202,6 +202,53 @@ def media_thumbnail_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_WAV = 100
+
+
+@register(
+    "media_wav_features",
+    f"""
+    WITH ids AS (SELECT UNNEST(generate_series(0, {_N_WAV - 1})) AS media_id),
+    dims AS (SELECT media_id, 800 + (media_id % 8) * 100 AS ns FROM ids),
+    s AS (
+      SELECT d.media_id, t.i AS t,
+             ((d.media_id*1009 + t.i*2399) * 2654435761 % 4294967296) // 65536 - 32768 AS v
+      FROM dims d, UNNEST(generate_series(0, d.ns - 1)) AS t(i)
+    ),
+    lagged AS (
+      SELECT media_id, v,
+             LAG(v) OVER (PARTITION BY media_id ORDER BY t) AS pv
+      FROM s
+    )
+    SELECT media_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY media_id
+    """,
+    tags=("media", "audio", "pandas-udf"),
+)
+def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode, oracle-checked: generate 16-bit WAV
+    clips whose samples follow a closed-form law, decode them with the
+    pure-Python RIFF/PCM codec inside an Arrow-batched mapInPandas,
+    and emit exact integer features (sum of absolute amplitudes, peak,
+    zero-crossing count). The DuckDB twin re-derives every sample with
+    generate_series — a hash match certifies the chunk walk, the
+    little-endian int16 decode, and the feature arithmetic bit for
+    bit. Completes the modality matrix: images decode via PPM/PGM/BMP,
+    audio via WAV PCM; compressed formats in both stay honestly
+    codec-gated."""
+    from etl_orders_spark.multimodal.ops import audio_features
+    from etl_orders_spark.multimodal.schemas import gen_wav_media
+
+    return audio_features(gen_wav_media(spark, _N_WAV))
+
+
 _N_NOISE = 100
 _DHASH_HAMMING = 3  # 4 bands x 16 bits: pigeonhole-complete at <= 3
 

@@ -23,9 +23,11 @@ from etl_orders_spark.multimodal.codecs import (
     decode_image,
     decode_pgm,
     decode_ppm,
+    decode_wav,
     encode_bmp,
     encode_pgm,
     encode_ppm,
+    encode_wav,
     resize_nearest,
     sniff_format,
 )
@@ -157,6 +159,55 @@ def test_resize_nearest_matches_floor_map_oracle(w, h, seed, ow, oh):
     for dy in range(oh):
         for dx in range(ow):
             assert np.array_equal(out[dy, dx], a[(dy * h) // oh, (dx * w) // ow])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_round_trip(n, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-32768, 32768, size=(n, channels)).astype(np.int16)
+    enc = encode_wav(a, rate)
+    assert sniff_format(enc) == "wav"
+    out, got_rate = decode_wav(enc)
+    assert got_rate == rate
+    assert out.shape == (n, channels)
+    assert np.array_equal(out, a.astype(np.int32))
+
+
+def test_wav_tolerates_extra_chunks_and_8bit():
+    a = np.array([[100], [-200], [300]], dtype=np.int16)
+    enc = bytearray(encode_wav(a, 8000))
+    # splice a LIST chunk (odd size -> exercises even-offset padding)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = bytes(enc[:12]) + extra + bytes(enc[12:])
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(out.ravel(), [100, -200, 300])
+    # 8-bit unsigned PCM: 128 is silence (0 after centering)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 3) + bytes([128, 255, 0])
+    out8, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out8.ravel().tolist() == [0, 127, -128]
+
+
+def test_wav_honest_gates():
+    a = np.zeros((4, 1), dtype=np.int16)
+    enc = bytearray(encode_wav(a, 8000))
+    struct.pack_into("<H", enc, 20, 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="codec|PCM"):
+        decode_wav(bytes(enc))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    bits24 = bytearray(encode_wav(a, 8000))
+    struct.pack_into("<H", bits24, 34, 24)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_wav(bytes(bits24))
 
 
 def test_resize_nearest_identity_and_idempotence():

@@ -214,6 +214,23 @@ def test_dhash_planted_clone_recall(spark):
     assert got == brute  # banding is lossless at the pigeonhole bound
 
 
+def test_audio_features_partition_invariance(spark):
+    """WAV decode features are pure functions of content — layout-free
+    — and the planted law's properties hold (full int16 peak range,
+    plenty of sign changes in a hash-noise signal)."""
+    from etl_orders_spark.multimodal import audio_features, gen_wav_media
+
+    media = gen_wav_media(spark, 24)
+    a = sorted(map(tuple, audio_features(media).collect()))
+    b = sorted(map(tuple, audio_features(media.repartition(5)).collect()))
+    assert a == b
+    for mid, rate, n, sum_abs, peak, zc in a:
+        assert rate == 16000
+        assert n == 800 + mid % 8 * 100
+        assert 0 < sum_abs and 0 < peak <= 32768
+        assert n // 4 < zc < n  # hash noise: roughly half the steps cross
+
+
 def test_pixel_features_partition_invariance(spark):
     """Decode features are pure functions of content — layout-free."""
     from etl_orders_spark.multimodal import gen_pixel_media, pixel_features
