@@ -23,7 +23,7 @@ from etl_orders_spark.multimodal.codecs import (
     resize_nearest,
     sniff_format,
 )
-from etl_orders_spark.multimodal.codecs import decode_wav
+from etl_orders_spark.multimodal.codecs import decode_wav, decode_y4m
 from etl_orders_spark.multimodal.ops import (
     audio_features,
     decode_images,
@@ -33,6 +33,7 @@ from etl_orders_spark.multimodal.ops import (
     pixel_features,
     resize_images,
     sample_frames,
+    video_frame_stats,
 )
 from etl_orders_spark.multimodal.schemas import (
     MEDIA_SCHEMA,
@@ -40,6 +41,7 @@ from etl_orders_spark.multimodal.schemas import (
     gen_noise_media,
     gen_pixel_media,
     gen_wav_media,
+    gen_y4m_media,
 )
 
 __all__ = [
@@ -48,11 +50,14 @@ __all__ = [
     "decode_image",
     "decode_images",
     "decode_wav",
+    "decode_y4m",
     "dhash_images",
     "gen_media",
     "gen_noise_media",
     "gen_pixel_media",
     "gen_wav_media",
+    "gen_y4m_media",
+    "video_frame_stats",
     "media_fingerprints",
     "media_stats",
     "pixel_features",

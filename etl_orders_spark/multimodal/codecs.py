@@ -64,6 +64,8 @@ def sniff_format(content: bytes) -> str | None:
         return "webp"
     if content.startswith(b"RIFF") and content[8:12] == b"WAVE":
         return "wav"
+    if content.startswith(b"YUV4MPEG2"):
+        return "y4m"
     return None
 
 
@@ -297,6 +299,77 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_y4m(content: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 (.y4m) -> (luma frames uint8 (n, H, W), fps ratio).
+
+    The uncompressed video container: a text stream header
+    (``YUV4MPEG2 W<w> H<h> F<num>:<den> ... [C<space>]``) then one
+    ``FRAME\\n`` marker + raw planes per frame. Decodes the luma plane
+    for mono and 4:2:0 colorspaces (chroma planes are skipped, not
+    parsed — features here are luma-based); anything else raises
+    NotImplementedError. Compressed video (MP4/MKV/AVI) is not a
+    parsing problem but a codec problem and stays honestly gated."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("y4m: missing YUV4MPEG2 signature")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m: unterminated stream header")
+    w = h = 0
+    num, den = 30, 1
+    cspace = "420jpeg"  # the spec default when C is absent
+    for tok in content[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = (int(x) for x in t[1:].split(":"))
+        elif t.startswith("C"):
+            cspace = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"y4m: bad dimensions {w}x{h}")
+    if cspace.startswith("mono"):
+        frame_bytes = w * h
+    elif cspace.startswith("420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise NotImplementedError(
+            f"y4m: colorspace {cspace} not decoded here (mono / 4:2:0 only)"
+        )
+    frames = []
+    pos = nl + 1
+    n = len(content)
+    while pos < n:
+        if not content.startswith(b"FRAME", pos):
+            raise ValueError("y4m: expected FRAME marker")
+        fnl = content.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("y4m: unterminated FRAME header")
+        pos = fnl + 1
+        if pos + frame_bytes > n:
+            raise ValueError("y4m: truncated frame payload")
+        luma = np.frombuffer(content[pos : pos + w * h], dtype=np.uint8).reshape(h, w)
+        frames.append(luma)
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("y4m: stream has no frames")
+    return np.stack(frames), (num, den)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
+    """(n, H, W) uint8 luma frames -> mono-colorspace YUV4MPEG2."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 3:
+        raise ValueError(f"encode_y4m: expected (n, H, W), got {a.shape}")
+    n, h, w = a.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps[0], fps[1])]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[i].tobytes())
+    return b"".join(out)
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -204,6 +204,47 @@ def audio_features(media: DataFrame) -> DataFrame:
     return clips.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx long, n_frames long, width long, height long, "
+    "sum_luma long, mean_luma_milli long"
+)
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 2, max_frames: int = 8) -> DataFrame:
+    """REAL video frame sampling: decode the uncompressed stream
+    (codecs.decode_y4m), keep every ``every_n``-th frame up to
+    ``max_frames``, and emit exact integer luma features per sampled
+    frame. This is the fan-out stage a 100 TB video pipeline runs
+    before any model sees pixels — one input row becomes
+    ceil(n_frames / every_n) output rows, streamed through Arrow
+    batches, never the driver. Compressed containers raise the honest
+    codec gate from decode_y4m."""
+    from etl_orders_spark.multimodal.codecs import decode_y4m as _decode_y4m
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, _ = _decode_y4m(bytes(content))
+                nf, h, w = frames.shape
+                for idx in list(range(0, nf, every_n))[:max_frames]:
+                    luma = frames[idx].astype("int64")
+                    s = int(luma.sum())
+                    rows.append((mid, idx, nf, w, h, s, s * 1000 // (w * h)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames", "width", "height",
+                    "sum_luma", "mean_luma_milli",
+                ],
+            )
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "content")
+    return vids.mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
 DHASH_SCHEMA = "media_id long, dhash_hi long, dhash_lo long"
 
 

@@ -185,6 +185,57 @@ def gen_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+Y4M_W, Y4M_H, Y4M_FPS = 16, 12, 10  # fixed geometry shared with the SQL oracle
+
+
+def gen_y4m_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic REAL uncompressed video rows (YUV4MPEG2, mono
+    luma): every luma sample is a closed-form function of
+    (media_id, frame, x, y) —
+
+        n_frames(id) = 4 + id % 5        (16x12 @ 10 fps)
+        v(id, f, x, y) = ((id*53 + f*17 + x*37 + y*101)
+                           * 2654435761 mod 2^32) >> 24
+
+    — so the DuckDB oracle re-derives every sampled frame's pixels
+    with generate_series and a value-hash match certifies the stream
+    parse (header tokens, FRAME markers, plane sizes) plus the
+    per-frame feature arithmetic."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_y4m
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int]:
+            nf = 4 + mid % 5
+            f = np.arange(nf, dtype=np.int64)[:, None, None]
+            y = np.arange(Y4M_H, dtype=np.int64)[None, :, None]
+            x = np.arange(Y4M_W, dtype=np.int64)[None, None, :]
+            v = (((mid * 53 + f * 17 + x * 37 + y * 101) * 2654435761) % (2**32)) >> 24
+            return encode_y4m(v.astype(np.uint8), (Y4M_FPS, 1)), nf
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, nf = content_for(int(mid))
+                meta = {
+                    "format": "y4m",
+                    "width": Y4M_W,
+                    "height": Y4M_H,
+                    "sample_rate": None,
+                    "duration_ms": nf * 1000 // Y4M_FPS,
+                }
+                rows.append((int(mid), "video", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 NOISE_W, NOISE_H = 32, 24  # fixed dims shared with the SQL oracle
 NOISE_CLONE_EVERY = 5  # id % 5 == 4 clones id-1 with one perturbed pixel
 

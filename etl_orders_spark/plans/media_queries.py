@@ -249,6 +249,56 @@ def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(gen_wav_media(spark, _N_WAV))
 
 
+_N_Y4M = 60
+
+
+@register(
+    "media_video_frame_stats",
+    f"""
+    WITH ids AS (SELECT UNNEST(generate_series(0, {_N_Y4M - 1})) AS media_id),
+    dims AS (SELECT media_id, 4 + media_id % 5 AS nf FROM ids),
+    fr AS (
+      SELECT media_id, nf, f.i AS frame_idx
+      FROM dims, UNNEST(generate_series(0, nf - 1)) AS f(i)
+      WHERE f.i % 2 = 0
+    ),
+    px AS (
+      SELECT media_id, frame_idx, nf,
+             ((media_id*53 + frame_idx*17 + x.i*37 + y.i*101) * 2654435761
+              % 4294967296) // 16777216 AS v
+      FROM fr,
+           UNNEST(generate_series(0, 15)) AS x(i),
+           UNNEST(generate_series(0, 11)) AS y(i)
+    )
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+           CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS sum_luma,
+           CAST(SUM(v) * 1000 // 192 AS BIGINT) AS mean_luma_milli
+    FROM px
+    GROUP BY media_id, frame_idx
+    """,
+    tags=("media", "video", "pixel", "pandas-udf"),
+)
+def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling, oracle-checked: generate
+    uncompressed YUV4MPEG2 clips whose every luma sample follows a
+    closed-form law, parse the stream (header tokens, FRAME markers,
+    plane arithmetic) with the pure-Python codec, sample every 2nd
+    frame, and emit exact integer luma features per sampled frame —
+    the one-row-in / frames-out fan-out a video pipeline runs at any
+    scale. The DuckDB twin re-derives each sampled frame's pixels
+    arithmetically, so a hash match certifies the container parse,
+    the sampling arithmetic, and the feature math. Completes the
+    modality matrix with real decoding in all three: PPM/PGM/BMP
+    images, WAV PCM audio, Y4M video; compressed codecs everywhere
+    stay honestly gated."""
+    from etl_orders_spark.multimodal.ops import video_frame_stats
+    from etl_orders_spark.multimodal.schemas import gen_y4m_media
+
+    return video_frame_stats(gen_y4m_media(spark, _N_Y4M), every_n=2, max_frames=8)
+
+
 _N_NOISE = 100
 _DHASH_HAMMING = 3  # 4 bands x 16 bits: pigeonhole-complete at <= 3
 

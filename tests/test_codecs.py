@@ -24,10 +24,12 @@ from etl_orders_spark.multimodal.codecs import (
     decode_pgm,
     decode_ppm,
     decode_wav,
+    decode_y4m,
     encode_bmp,
     encode_pgm,
     encode_ppm,
     encode_wav,
+    encode_y4m,
     resize_nearest,
     sniff_format,
 )
@@ -208,6 +210,38 @@ def test_wav_honest_gates():
     struct.pack_into("<H", bits24, 34, 24)
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_wav(bytes(bits24))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 12), w=dims, h=dims, seed=st.integers(0, 2**31 - 1)
+)
+def test_y4m_round_trip(n, w, h, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    enc = encode_y4m(a, (25, 1))
+    assert sniff_format(enc) == "y4m"
+    out, fps = decode_y4m(enc)
+    assert fps == (25, 1)
+    assert np.array_equal(out, a)
+
+
+def test_y4m_420_luma_and_gates():
+    # hand-built 4:2:0 stream: luma decodes, chroma skipped
+    w, h = 4, 2
+    luma = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    raw = b"YUV4MPEG2 W4 H2 F30:1 C420\n" + b"FRAME\n" + luma.tobytes() + chroma
+    out, _ = decode_y4m(raw)
+    assert np.array_equal(out[0], luma)
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F30:1 C444\nFRAME\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F30:1 Cmono\nFRAME\n" + bytes(3))
+    with pytest.raises(ValueError, match="signature"):
+        decode_y4m(b"not video")
+    with pytest.raises(ValueError, match="no frames"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F30:1 Cmono\n")
 
 
 def test_resize_nearest_identity_and_idempotence():
