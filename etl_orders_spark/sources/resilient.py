@@ -107,9 +107,13 @@ def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> Dat
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    # schema from ONE good footer — a single bounded driver-side read
+    # schema from ONE good footer — a single bounded driver-side read.
+    # prefer_timestamp_ntz matches Spark's native parquet inference for
+    # timestamps without timezone (isAdjustedToUTC=false): without it a
+    # TIMESTAMP_NTZ column would come back session-tz-adjusted and the
+    # two scan modes would diverge in any non-UTC session.
     first = good_paths.limit(1).collect()[0]["path"]
-    schema = from_arrow_schema(pq.ParquetFile(first).schema_arrow)
+    schema = from_arrow_schema(pq.ParquetFile(first).schema_arrow, prefer_timestamp_ntz=True)
     part_keys = [k for k, _ in _partition_keys(first, root)]
     ddl_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields] + [
         f"`{k}` string" for k in part_keys

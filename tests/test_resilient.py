@@ -148,3 +148,21 @@ def test_manifest_mode_bounded_at_large_file_counts(spark, tmp_path):
     assert df.agg({"id": "sum"}).collect()[0][0] == n * (n - 1) // 2
     assert rep.count() == n + 1
     assert rep.filter("NOT ok").count() == 1
+
+
+def test_manifest_mode_preserves_timestamp_ntz(spark, sf_dir, tmp_path):
+    """TIMESTAMP_NTZ columns must type identically in both scan modes
+    (prefer_timestamp_ntz on the arrow schema): without it the
+    manifest mode would session-tz-adjust what the native reader
+    leaves naive."""
+    import shutil
+
+    root = tmp_path / "orders_copy"
+    root.mkdir()
+    shutil.copy(os.path.join(sf_dir, "orders.parquet"), root / "part-0.parquet")
+    native, _ = read_parquet_resilient(spark, str(root))
+    manifest, _ = read_parquet_resilient(spark, str(root), manifest_threshold=0)
+    assert native.schema.simpleString() == manifest.schema.simpleString()
+    rn = sorted(map(tuple, native.collect()))
+    rm = sorted(map(tuple, manifest.select(*native.columns).collect()))
+    assert rn == rm
