@@ -1667,7 +1667,7 @@ def bigram_perplexity_docs_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     and replays once for the model branch and once for the vocab
     count — replayed SCANS parallelize perfectly at any skew, which
     is the trade that removes the skew ceiling. Measured at the 100x
-    replica (SCALE.md): 13.6s warm vs the window twin's 15.8s on the
+    replica (SCALE.md): 10.7s warm vs the window twin's 15.8s on the
     same session — and the window twin's cost is concentrated in the
     31-key exchange. When the pruned model outgrows broadcast range
     (~100M+ distinct non-hapax bigrams), the same plan degrades
@@ -1696,8 +1696,15 @@ def bigram_perplexity_docs_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.gh", "p.w1h")
     )
-    # model branch: bigram-vocab grain, map-side combined (tiny exchange)
-    model = g.groupBy("gh", "w1h").agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+    # model branch: bigram-vocab grain, map-side combined (tiny exchange);
+    # cached (keyed lazy persist) because BOTH model tables derive from it —
+    # without the cache the scan+explode replays once per derivation
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    model = cache_stage(
+        g.groupBy("gh", "w1h").agg(F.count(F.lit(1)).cast("long").alias("c_bg")),
+        "bigram_bcast.model",
+    )
     model_ctx = model.groupBy("w1h").agg(F.sum("c_bg").cast("long").alias("c_ctx"))
     model_bg = (
         model.groupBy("gh")
@@ -1816,4 +1823,86 @@ def chunk_docs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _docs_for_udtf d,
              LATERAL chunk_docs(d.doc_id, d.text, {_CHUNK_W}, {_CHUNK_S}) c
         """
+    )
+
+
+# PII patterns, deliberately restricted to syntax Java regex and RE2
+# interpret identically (ASCII classes, bounded repeats, \b, no
+# backreferences/lookaround — RE2 has neither).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# the corpus fixture is digit-free prose, so both engines append the
+# SAME deterministic PII salt before scanning — the operator under
+# test is detection/redaction, not the fixture's luck
+_PII_SALT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " call 415-555-' || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST(doc_id * 3 % 256 AS VARCHAR) || '.9'"
+)
+
+
+@register(
+    "redact_pii_docs",
+    f"""
+    WITH salted AS (
+      SELECT doc_id, {_PII_SALT_SQL} AS t FROM documents
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS redacted
+      FROM salted
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
+           md5(redacted) AS redacted_fp
+    FROM red
+    """,
+    tags=("text", "curation", "privacy", "llm"),
+)
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before text reaches a model: count and replace email
+    addresses, NANP phone numbers, and IPv4 literals with typed
+    placeholder tokens. Pure JVM regexp expressions (one map stage,
+    zero shuffle, embarrassingly parallel at any corpus size); the
+    patterns are restricted to the Java-regex/RE2 common subset so the
+    DuckDB twin evaluates them identically, and the value hash
+    certifies counts AND the redacted text (via md5 fingerprint)
+    byte-for-byte. Replacement order matters (emails first — their
+    local parts may contain digit runs) and is pinned by the oracle.
+
+    The corpus fixture is digit-free prose, so both engines append the
+    same deterministic PII salt per document; on real data the salt
+    expression is dropped and the operator applies unchanged."""
+    docs = T(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com call 415-555-"),
+        F.lpad((F.col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") * 3 % 256).cast("string"), F.lit(".9"),
+    )
+    salted = docs.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return salted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ips"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_fp"),
     )
