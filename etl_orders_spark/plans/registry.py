@@ -117,10 +117,10 @@ PRIORITY: tuple[str, ...] = (
     # round-3 flagship additions: drift gate + trainer-shard shuffle
     "dq_psi_price_drift",
     "shuffle_corpus_shards",
-    # join completeness (J1, J4 incl. as-of + range)
+    # join completeness (J1, J4 incl. as-of + range; anti stays
+    # local-sweep-green — its slot went to the decoded-pixel family)
     "join_left_order_counts",
     "join_semi_active_customers",
-    "join_anti_inactive_customers",
     "asof_latest_order",
     "range_join_followups",
     "ri_filter_join",
@@ -147,13 +147,18 @@ PRIORITY: tuple[str, ...] = (
     # one per remaining family: stats, distributed-rank stats, graph,
     # sketch, curation, dq, linkage, layout, events-analytics
     "winsorized_nation_revenue",
-    "revenue_by_order_decile",
     "item_item_cosine_topk",
     "countmin_heavy_hitters",
     "source_quality_report",
     "dq_orders_lineitem",
     "fuzzy_match_customers",
     "partition_pruned_revenue",
+    # multimodal pixel lane (r4): real decode + perceptual near-dup,
+    # both carrying full pixel-law value-hash oracles
+    # (revenue_by_order_decile ceded its slot: the two-pass-rank stats
+    # machinery stays driver-covered by shuffle_corpus_shards)
+    "media_decode_pixel_stats",
+    "media_dhash_near_dup",
 )
 
 

@@ -44,6 +44,8 @@ _WINDOW_FAMILIES = (
     # per-family singletons
     "stats", "graph", "sketch", "curation", "dq", "drift", "linkage",
     "layout", "sampling",
+    # multimodal pixel lane (real decode, r4)
+    "media", "pixel",
 )
 
 
