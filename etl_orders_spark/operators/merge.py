@@ -104,3 +104,60 @@ def snapshot_as_of(
     return dim.filter(
         (F.col(valid_from) <= t) & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
     )
+
+
+_LATEST_POINTER = "_LATEST"
+
+
+def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> str:
+    """Atomically publish ``df`` as the new version of a parquet
+    serving table. ``mode("overwrite").parquet(dir)`` is delete-then-
+    write: a reader (or a kill — a stopped streaming query, a
+    preempted executor, a crashed driver) that lands between the
+    delete and the commit sees an EMPTY table, and an interrupted
+    publish loses the previous version too. Here every publish writes
+    a fresh ``v_<n>`` directory under ``table_root`` and then flips a
+    one-line ``_LATEST`` pointer file via ``os.replace`` — atomic on
+    POSIX — so readers always resolve a fully-committed version:
+    an interrupted publish leaves a dangling ``v_<n>`` directory
+    (garbage-collected by the next successful publish) and the
+    pointer still naming the last good version. This is the manifest
+    move table formats (Delta/Iceberg) make, reduced to its minimum
+    for plain parquet. Returns the published directory.
+
+    ``keep`` bounds retained versions: older directories are removed
+    AFTER the pointer flip, so a concurrent reader mid-scan on the
+    previous version has ``keep - 1`` publishes of grace."""
+    import os
+    import shutil
+
+    os.makedirs(table_root, exist_ok=True)
+    existing = sorted(
+        int(d[2:]) for d in os.listdir(table_root)
+        if d.startswith("v_") and d[2:].isdigit()
+    )
+    version = (existing[-1] + 1) if existing else 1
+    vdir = os.path.join(table_root, f"v_{version}")
+    df.write.mode("overwrite").parquet(vdir)
+    pointer = os.path.join(table_root, _LATEST_POINTER)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"v_{version}\n")
+    os.replace(tmp, pointer)  # the atomic publish
+    for old in existing[: max(0, len(existing) - (keep - 1))]:
+        shutil.rmtree(os.path.join(table_root, f"v_{old}"), ignore_errors=True)
+    return vdir
+
+
+def read_published(spark, table_root: str) -> DataFrame | None:
+    """Resolve a versioned serving table's ``_LATEST`` pointer and read
+    that version; None when nothing has ever been published (the
+    missing-table case a first micro-batch must handle)."""
+    import os
+
+    pointer = os.path.join(table_root, _LATEST_POINTER)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(table_root, version))

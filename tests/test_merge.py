@@ -100,3 +100,40 @@ def test_snapshot_as_of_reconstructs_each_era(spark):
     assert at(t1) == ["v2"]                          # boundary: close-at-open, new wins
     assert at(datetime(2024, 2, 15)) == ["v2"]
     assert at(datetime(2030, 1, 1)) == ["v3"]        # open interval = still current
+
+
+def test_publish_parquet_versioned_atomicity_and_gc(spark, tmp_path):
+    """The versioned publish survives the crash window a bare
+    overwrite cannot: an interrupted publish (simulated as a dangling
+    v_<n> dir with no pointer flip) leaves readers on the last good
+    version; successful publishes bump the pointer atomically and
+    garbage-collect old versions beyond `keep`."""
+    import os
+
+    from etl_orders_spark.operators.merge import (
+        publish_parquet_versioned,
+        read_published,
+    )
+
+    root = str(tmp_path / "serving")
+    assert read_published(spark, root) is None  # never published
+
+    publish_parquet_versioned(spark.range(3).selectExpr("id", "id * 2 AS v"), root)
+    assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 2, 4]
+
+    # simulate a publish killed after the directory write, before the
+    # pointer flip: readers must still resolve v_1
+    os.makedirs(os.path.join(root, "v_2"))
+    assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 2, 4]
+
+    # the next successful publish claims v_3 and readers move forward
+    publish_parquet_versioned(spark.range(2).selectExpr("id", "id + 10 AS v"), root)
+    assert sorted(r["v"] for r in read_published(spark, root).collect()) == [10, 11]
+    with open(os.path.join(root, "_LATEST")) as f:
+        assert f.read().strip() == "v_3"
+
+    # keep=2: after one more publish the oldest version is gone but the
+    # immediately-previous one survives (reader grace)
+    publish_parquet_versioned(spark.range(1).selectExpr("id", "id AS v"), root)
+    dirs = {d for d in os.listdir(root) if d.startswith("v_")}
+    assert "v_1" not in dirs and "v_3" in dirs and "v_4" in dirs

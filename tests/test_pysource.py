@@ -104,12 +104,15 @@ def test_firehose_to_windowed_merge_end_to_end(synth, tmp_path):
     The watermark is set beyond the data's time span so the randomly
     time-ordered firehose never drops a late row — making the
     stream/batch equality exact rather than approximate."""
-    import os
     import time
 
     from pyspark.sql import functions as F
 
-    from etl_orders_spark.operators.merge import merge_upsert
+    from etl_orders_spark.operators.merge import (
+        merge_upsert,
+        publish_parquet_versioned,
+        read_published,
+    )
 
     ck = str(tmp_path / "ck")
     table = str(tmp_path / "serving")
@@ -117,12 +120,16 @@ def test_firehose_to_windowed_merge_end_to_end(synth, tmp_path):
     def apply_batch(batch, _id):
         if batch.isEmpty():
             return
-        if os.path.exists(table):
-            target = batch.sparkSession.read.parquet(table)
+        # atomic versioned publish: a q.stop() landing mid-write leaves
+        # a dangling v_<n> dir and the pointer on the last good version
+        # — a bare overwrite here loses the WHOLE table when killed
+        # between its delete and its commit (observed in CI)
+        target = read_published(batch.sparkSession, table)
+        if target is not None:
             out = merge_upsert(target, batch, ["win_start", "event_type"]).localCheckpoint()
         else:
             out = batch
-        out.write.mode("overwrite").parquet(table)
+        publish_parquet_versioned(out, table)
 
     s = (
         synth.readStream.format("synthetic_events")
@@ -148,7 +155,8 @@ def test_firehose_to_windowed_merge_end_to_end(synth, tmp_path):
     q.stop()
     q.awaitTermination(60)
 
-    served = synth.read.parquet(table)
+    served = read_published(synth, table)
+    assert served is not None  # at least one publish completed
     n_rows = served.agg(F.sum("n")).collect()[0][0]
     assert n_rows and n_rows % 200 == 0  # whole batches only
     batch_twin = (
