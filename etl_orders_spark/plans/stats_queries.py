@@ -591,6 +591,92 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ols_nation_trend_grouped",
+    """
+    WITH d AS (
+      SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    xy AS (SELECT nation, CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM d),
+    s AS (
+      SELECT nation,
+             CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM xy GROUP BY 1
+    ), q AS (
+      SELECT nation, n, sy, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN den = 0 THEN NULL ELSE (num * 1000) // den END AS BIGINT)
+             AS slope_milli_cents_per_day,
+           CAST(sy // n AS BIGINT) AS mean_daily_cents
+    FROM q
+    """,
+    tags=("stats", "timeseries", "analytics", "agg"),
+)
+def ols_nation_trend_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ols_daily_revenue_trend at the GROUPED grain: one exact-integer
+    least-squares fit PER NATION, all nations in one aggregate pass —
+    the pattern that fits a million per-key models at 100 TB (per-SKU
+    demand trends, per-user engagement slopes) with zero driver
+    involvement and no per-model job: the fact table reduces to
+    (key, day) grain map-side, one shuffle keyed on the group carries
+    5 sufficient statistics per key, and the closed form evaluates
+    per row of the tiny result. Same DECIMAL(38,0)/HUGEINT discipline
+    as the global form (n·Σxy clears int64 at modest scale); a
+    single-day group emits a NULL slope on both engines instead of a
+    division error."""
+    d = (
+        T(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    xy = d.select(
+        "nation",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+        "y",
+    )
+    s = xy.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    q = s.select(
+        "nation",
+        "n",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return q.select(
+        "nation",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("den") == 0, F.lit(None))
+        .otherwise(F.expr("(num * 1000) div den"))
+        .cast("long")
+        .alias("slope_milli_cents_per_day"),
+        F.expr("sy div n").cast("long").alias("mean_daily_cents"),
+    )
+
+
 # --- Spearman rank correlation ----------------------------------------------
 
 
