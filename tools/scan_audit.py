@@ -31,6 +31,95 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _node_indent(line: str) -> int:
+    """Depth of a plan-tree line = offset of its first payload char
+    (Spark renders tree structure with a ' :+-*' prefix alphabet)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-*(0123456789)":
+        i += 1
+    return i
+
+
+def live_scan_counts(plan: str) -> Counter:
+    """FileScan locations that EXECUTE, per table: a cached relation
+    (InMemoryRelation) embeds its child plan — including the child's
+    FileScan text — once per REFERENCE, but the cache fills once, so
+    every embedded copy after the first is display noise, not work.
+    We count scans outside any InMemoryRelation subtree, plus ONE fill
+    per distinct cached relation — dedup'd by the relation's text with
+    expression/plan ids normalized away, because each embedded copy of
+    the SAME cache re-renders with fresh ids (two genuinely different
+    caches of identical shape would collapse too; fine for an audit
+    whose job is surfacing candidates for a human decision)."""
+    # drop "== Initial Plan ==" subtrees outright: AQE prints the
+    # pre-adaptive plan beside the final one (recursively, inside
+    # every nested AdaptiveSparkPlan a cached relation embeds), and
+    # none of that text ever executed
+    pruned: list[str] = []
+    skip_deeper_than: int | None = None
+    for line in plan.splitlines():
+        d = _node_indent(line)
+        if skip_deeper_than is not None:
+            # the section's children render at indent >= the marker
+            # (its first child sits EQUAL to it), and the marker is
+            # always the last child of its AdaptiveSparkPlan — so the
+            # section ends at the first strictly-shallower line
+            if line.strip() and d < skip_deeper_than:
+                skip_deeper_than = None
+            else:
+                continue
+        if "== Initial Plan ==" in line:
+            skip_deeper_than = d
+            continue
+        pruned.append(line)
+
+    # recursive scope walk with a global seen-set: each DISTINCT cache
+    # fills once, and a cache built from another cache contributes no
+    # extra scan for the inner one (its embedded copy dedups away)
+    seen: set[str] = set()
+    counts: Counter = Counter()
+
+    def scan_scope(lines: list[str]) -> None:
+        live: list[str] = []
+        pending: list[list[str]] = []
+        i = 0
+        while i < len(lines):
+            line = lines[i]
+            if "InMemoryRelation" in line:
+                d = _node_indent(line)
+                j = i + 1
+                block = [line]
+                while j < len(lines) and (
+                    _node_indent(lines[j]) > d or not lines[j].strip()
+                ):
+                    block.append(lines[j])
+                    j += 1
+                # canonicalize: drop the position-dependent tree prefix
+                # of every line AND the fresh expression/plan ids —
+                # embedded copies of one cache differ in nothing else
+                canon = re.sub(
+                    r"#\d+L?|plan_id=\d+",
+                    "#",
+                    "\n".join(ln[_node_indent(ln):] for ln in block),
+                )
+                if canon not in seen:
+                    seen.add(canon)
+                    pending.append(block[1:])  # the fill's own plan
+                i = j
+                continue
+            live.append(line)
+            i += 1
+        for loc in re.findall(
+            r"Location: InMemoryFileIndex[^\[]*\[([^\]]+)\]", "\n".join(live)
+        ):
+            counts[loc.rsplit("/", 1)[-1].split(",")[0]] += 1
+        for body in pending:
+            scan_scope(body)
+
+    scan_scope(pruned)
+    return counts
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -52,9 +141,7 @@ def main() -> int:
             continue
         finally:
             spark.catalog.clearCache()
-        locs = re.findall(r"Location: InMemoryFileIndex[^\[]*\[([^\]]+)\]", plan)
-        c = Counter(loc.rsplit("/", 1)[-1].split(",")[0] for loc in locs)
-        dups = {t: n for t, n in c.items() if n >= 2}
+        dups = {t: n for t, n in live_scan_counts(plan).items() if n >= 2}
         if dups:
             flagged += 1
             print(f"multi  {name}: {dups}")
