@@ -429,13 +429,19 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     source falls back to the sketch path (approx_percentile) without
     changing the report schema."""
     from etl_orders_spark.functions.text import fingerprint
+    from etl_orders_spark.operators.materialize import cache_stage
 
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        "n_chars",
-        fingerprint("text").alias("f"),
-        F.floor(quality_score("text") * F.lit(1000.0)).cast("long").alias("q_milli"),
+    # d feeds the fingerprint count AND the scoring join; cache it so
+    # the md5/quality expression chain evaluates once per doc
+    d = cache_stage(
+        T(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            "n_chars",
+            fingerprint("text").alias("f"),
+            F.floor(quality_score("text") * F.lit(1000.0)).cast("long").alias("q_milli"),
+        ),
+        "source_quality_report.d",
     )
     cnt = d.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("c"))
     j = d.join(cnt, "f").withColumn(
