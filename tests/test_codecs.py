@@ -251,3 +251,26 @@ def test_resize_nearest_identity_and_idempotence():
     assert np.array_equal(resize_nearest(once, 5, 3), once)
     with pytest.raises(ValueError):
         resize_nearest(a, 0, 3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prefix=st.sampled_from(
+        [b"", b"P6", b"P5", b"BM", b"RIFF", b"RIFFxxxxWAVE", b"YUV4MPEG2 ",
+         b"YUV4MPEG2 W4 H2 F30:1 Cmono\n", b"\x89PNG\r\n\x1a\n"]
+    ),
+    junk=st.binary(max_size=120),
+)
+def test_decoders_fail_closed_on_adversarial_bytes(prefix, junk):
+    """Malformed input must surface as the two CONTROLLED failures
+    (ValueError for bad bytes, NotImplementedError for honest codec
+    gates) — never a struct/index/numpy error escaping from parser
+    internals. At 100 TB every corrupt blob WILL occur; a worker dying
+    on an uncontrolled exception class is a pipeline outage, a
+    ValueError is a quarantine-lane row."""
+    blob = prefix + junk
+    for fn in (decode_image, decode_wav, decode_y4m):
+        try:
+            fn(blob)
+        except (ValueError, NotImplementedError):
+            pass
