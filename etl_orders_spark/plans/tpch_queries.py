@@ -793,8 +793,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    per_part = natps.groupBy("partkey").agg(
-        F.sum("value_cents").cast("decimal(38,0)").alias("part_value_cents")
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    # per_part feeds the threshold filter AND the national total — the
+    # keyed cache stops the lineitem scan + three joins replaying for
+    # the 1-row total branch (the scan audit's finding)
+    per_part = cache_stage(
+        natps.groupBy("partkey").agg(
+            F.sum("value_cents").cast("decimal(38,0)").alias("part_value_cents")
+        ),
+        "q11.per_part",
     )
     total = per_part.agg(F.sum("part_value_cents").alias("_total"))
     return (
