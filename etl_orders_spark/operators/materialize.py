@@ -29,8 +29,14 @@ def materialize_small(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-# One handle per call site: cache_stage replaces, never accumulates.
-_STAGE_CACHE: dict[str, DataFrame] = {}
+# Per call site: a tiny FIFO of live cache handles (newest last).
+# Two slots, not one: a generic operator invoked over two DIFFERENT
+# inputs in alternation (e.g. ngram_jaccard_pairs on two corpora in
+# one session) would otherwise evict the other input's cache on every
+# build and silently lose the materialize-once property both plans
+# paid for. Bounded at _STAGE_SLOTS per site either way.
+_STAGE_SLOTS = 2
+_STAGE_CACHE: dict[str, list[DataFrame]] = {}
 
 
 def cache_stage(df: DataFrame, key: str) -> DataFrame:
@@ -51,8 +57,8 @@ def cache_stage(df: DataFrame, key: str) -> DataFrame:
     Python handle is GC'd (unlike localCheckpoint blocks, which the
     ContextCleaner frees), so repeated invocations in a long-lived
     session accumulate cached blocks without bound. The keyed registry
-    bounds that at exactly ONE live cache per call site: each call
-    unpersists the predecessor (non-blocking) before persisting anew.
+    bounds that at _STAGE_SLOTS live caches per call site: a new plan
+    evicts (unpersists, non-blocking) the oldest entry beyond the cap.
 
     Warm reuse: when the same call site rebuilds the SAME logical plan
     (re-running a query in one session — the bench's repeated reps,
@@ -66,24 +72,38 @@ def cache_stage(df: DataFrame, key: str) -> DataFrame:
     Single-threaded builders assumed (the registry/bench/driver all
     build serially); a racing rebuild would at worst re-cache, never
     corrupt results."""
-    old = _STAGE_CACHE.get(key)
-    if old is not None:
+    slots = _STAGE_CACHE.setdefault(key, [])
+    keep: list[DataFrame] = []
+    hit: DataFrame | None = None
+    for old in slots:
         try:
             # storageLevel guards against an external clearCache()/
             # unpersist having dropped the entry while the handle
             # survived (is_cached is a stale Python-side flag) — a
             # stale handle must re-persist, not masquerade as cached
             lvl = old.storageLevel
-            same = (lvl.useMemory or lvl.useDisk) and old._jdf.queryExecution().analyzed(
-            ).sameResult(df._jdf.queryExecution().analyzed())
-        except Exception:  # noqa: BLE001 — dead session handle: fall through to replace
-            same = False
-        if same:
-            return old
+            alive = lvl.useMemory or lvl.useDisk
+            if alive and hit is None and old._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            ):
+                hit = old
+            if alive:
+                keep.append(old)
+        except Exception:  # noqa: BLE001 — dead session handle: drop it
+            pass
+    if hit is not None:
+        # refresh recency: the hit moves to the back of the FIFO
+        keep.remove(hit)
+        keep.append(hit)
+        _STAGE_CACHE[key] = keep
+        return hit
+    out = df.persist()
+    keep.append(out)
+    while len(keep) > _STAGE_SLOTS:
+        evicted = keep.pop(0)
         try:
-            old.unpersist(blocking=False)
+            evicted.unpersist(blocking=False)
         except Exception:  # noqa: BLE001 — a dead session's handle is already free
             pass
-    out = df.persist()
-    _STAGE_CACHE[key] = out
+    _STAGE_CACHE[key] = keep
     return out

@@ -125,27 +125,41 @@ def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> 
     move table formats (Delta/Iceberg) make, reduced to its minimum
     for plain parquet. Returns the published directory.
 
-    ``keep`` bounds retained versions: older directories are removed
-    AFTER the pointer flip, so a concurrent reader mid-scan on the
-    previous version has ``keep - 1`` publishes of grace."""
+    ``keep`` bounds retained versions: the pointer file holds the
+    PUBLISH HISTORY (newest first, one version per line); GC keeps the
+    newest ``keep`` PUBLISHED versions and removes every other v_*
+    directory — including dangling never-published ones from crashed
+    publishes. Retention therefore counts successful publishes, never
+    dangling directories: a crash between the directory write and the
+    pointer flip can never cost a reader the version the pointer still
+    names (a raw count of v_* dirs would GC the live version in
+    exactly that case)."""
     import os
     import shutil
 
     os.makedirs(table_root, exist_ok=True)
-    existing = sorted(
+    pointer = os.path.join(table_root, _LATEST_POINTER)
+    history: list[str] = []
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            history = [ln.strip() for ln in f if ln.strip()]
+    dirs = sorted(
         int(d[2:]) for d in os.listdir(table_root)
         if d.startswith("v_") and d[2:].isdigit()
     )
-    version = (existing[-1] + 1) if existing else 1
+    version = (dirs[-1] + 1) if dirs else 1
     vdir = os.path.join(table_root, f"v_{version}")
     df.write.mode("overwrite").parquet(vdir)
-    pointer = os.path.join(table_root, _LATEST_POINTER)
+    history = [f"v_{version}"] + history
     tmp = pointer + ".tmp"
     with open(tmp, "w") as f:
-        f.write(f"v_{version}\n")
+        f.write("\n".join(history) + "\n")
     os.replace(tmp, pointer)  # the atomic publish
-    for old in existing[: max(0, len(existing) - (keep - 1))]:
-        shutil.rmtree(os.path.join(table_root, f"v_{old}"), ignore_errors=True)
+    published_keep = set(history[:keep])
+    for d in dirs:
+        name = f"v_{d}"
+        if name not in published_keep:
+            shutil.rmtree(os.path.join(table_root, name), ignore_errors=True)
     return vdir
 
 
@@ -159,5 +173,5 @@ def read_published(spark, table_root: str) -> DataFrame | None:
     if not os.path.exists(pointer):
         return None
     with open(pointer) as f:
-        version = f.read().strip()
+        version = f.readline().strip()  # line 1 = newest; the rest is GC history
     return spark.read.parquet(os.path.join(table_root, version))

@@ -29,11 +29,14 @@ from etl_orders_spark.sources.writers import write_parquet
 _MONTH = "1996-03"
 
 
-def _staged_path(sf_dir: str, name: str) -> str:
+def _staged_path(sf_dir: str, name: str, params: str = "") -> str:
     """Deterministic scratch location for one staged copy of one
-    sf_dir's data (content-addressed by source dir, so repeated runs
-    overwrite their own staging, never another dataset's)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    sf_dir's data, content-addressed by source dir AND the staging
+    parameters: a layout-parameter change (partition column, z-order
+    file count) must land in a fresh directory, or the mtime freshness
+    gate would happily serve a copy built by OLD code across sessions
+    (/tmp staging outlives checkouts)."""
+    key = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "spark_graft_stage", f"{name}_{key}")
 
 
@@ -54,7 +57,7 @@ def _staging_is_fresh(path: str, sf_dir: str, table: str) -> bool:
 
 
 def staged_orders_path(sf_dir: str) -> str:
-    return _staged_path(sf_dir, "orders_by_month")
+    return _staged_path(sf_dir, "orders_by_month", params="partition_by=o_month(yyyy-MM)")
 
 
 def stage_orders_by_month(spark: SparkSession, sf_dir: str) -> str:
@@ -115,7 +118,9 @@ _Z_SUPP_LO, _Z_SUPP_HI = 10, 59
 
 
 def staged_zorder_path(sf_dir: str) -> str:
-    return _staged_path(sf_dir, "lineitem_zorder")
+    return _staged_path(
+        sf_dir, "lineitem_zorder", params=f"z{_Z_FILES}:l_partkey,l_suppkey"
+    )
 
 
 def stage_lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:

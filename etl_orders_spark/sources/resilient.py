@@ -107,12 +107,13 @@ def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> Dat
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    # schema from ONE good footer — a single bounded driver-side read.
+    # schema from the lexicographically-FIRST good footer — one bounded
+    # driver-side read, and deterministic across runs (limit(1) is not).
     # prefer_timestamp_ntz matches Spark's native parquet inference for
     # timestamps without timezone (isAdjustedToUTC=false): without it a
     # TIMESTAMP_NTZ column would come back session-tz-adjusted and the
     # two scan modes would diverge in any non-UTC session.
-    first = good_paths.limit(1).collect()[0]["path"]
+    first = good_paths.agg({"path": "min"}).collect()[0][0]
     schema = from_arrow_schema(pq.ParquetFile(first).schema_arrow, prefer_timestamp_ntz=True)
     part_keys = [k for k, _ in _partition_keys(first, root)]
     ddl_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields] + [
@@ -130,7 +131,11 @@ def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> Dat
         for pdf in batches:
             for p in pdf["path"]:
                 out = _pq.read_table(p).to_pandas()
-                out = out[data_cols]
+                # conform each file to the manifest schema: a column a
+                # schema-evolved older generation lacks fills with NULL
+                # (matching the native reader's behavior) instead of a
+                # worker-killing KeyError; extra columns drop
+                out = out.reindex(columns=data_cols)
                 rel = _os.path.relpath(_os.path.dirname(_os.path.abspath(p)), root_abs)
                 vals = dict(
                     seg.partition("=")[::2]

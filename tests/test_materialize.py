@@ -12,7 +12,7 @@ def _is_cached(df) -> bool:
     return lvl.useMemory or lvl.useDisk
 
 
-def test_cache_stage_warm_reuse_and_invalidation(spark):
+def test_cache_stage_warm_reuse_and_bounded_eviction(spark):
     key = "test.cache_stage.unit"
     _STAGE_CACHE.pop(key, None)
 
@@ -23,11 +23,18 @@ def test_cache_stage_warm_reuse_and_invalidation(spark):
     b = cache_stage(spark.range(10).selectExpr("id * 2 AS x"), key)
     assert b is a
 
-    # changed plan -> predecessor released, new frame cached
+    # a SECOND distinct plan coexists (two slots: interleaved builds
+    # over two inputs must not evict each other's cache)
     c = cache_stage(spark.range(5).selectExpr("id * 3 AS x"), key)
     assert c is not a
-    assert c.count() == 5 and _is_cached(c)
-    assert not _is_cached(a)  # old blocks released
+    assert c.count() == 5 and _is_cached(c) and _is_cached(a)
+    assert cache_stage(spark.range(10).selectExpr("id * 2 AS x"), key) is a
+
+    # a THIRD distinct plan evicts the least-recently-used entry —
+    # which is c after a's warm hit refreshed its recency
+    d = cache_stage(spark.range(3).selectExpr("id * 5 AS x"), key)
+    assert d.count() == 3 and _is_cached(d)
+    assert _is_cached(a) and not _is_cached(c)
 
     _STAGE_CACHE.pop(key, None)
 

@@ -126,14 +126,20 @@ def test_publish_parquet_versioned_atomicity_and_gc(spark, tmp_path):
     os.makedirs(os.path.join(root, "v_2"))
     assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 2, 4]
 
-    # the next successful publish claims v_3 and readers move forward
+    # the next successful publish claims v_3 and readers move forward;
+    # retention counts PUBLISHED versions, so the dangling v_2 is
+    # garbage-collected while v_1 — the version a straggling reader
+    # may still be scanning — SURVIVES (a raw directory count would
+    # have deleted v_1 and kept the garbage)
     publish_parquet_versioned(spark.range(2).selectExpr("id", "id + 10 AS v"), root)
     assert sorted(r["v"] for r in read_published(spark, root).collect()) == [10, 11]
     with open(os.path.join(root, "_LATEST")) as f:
-        assert f.read().strip() == "v_3"
+        assert f.readline().strip() == "v_3"
+    dirs = {d for d in os.listdir(root) if d.startswith("v_")}
+    assert dirs == {"v_1", "v_3"}
 
-    # keep=2: after one more publish the oldest version is gone but the
-    # immediately-previous one survives (reader grace)
+    # keep=2: after one more publish the oldest PUBLISHED version is
+    # gone but the immediately-previous one survives (reader grace)
     publish_parquet_versioned(spark.range(1).selectExpr("id", "id AS v"), root)
     dirs = {d for d in os.listdir(root) if d.startswith("v_")}
-    assert "v_1" not in dirs and "v_3" in dirs and "v_4" in dirs
+    assert dirs == {"v_3", "v_4"}

@@ -247,3 +247,18 @@ def test_pixel_features_partition_invariance(spark):
             assert sr == sg == sb
         else:
             assert len({sr, sg, sb}) == 3  # distinct by the +85/+170 law
+
+
+def test_pixel_media_dims_is_the_single_source_of_truth(spark):
+    """The generator closure inlines the dims law (it must pickle by
+    value for bare-session workers); this guard pins inline == helper
+    so the two copies — and the SQL oracle derived from the helper's
+    law — cannot drift apart silently."""
+    from etl_orders_spark.multimodal.schemas import gen_pixel_media, pixel_media_dims
+
+    rows = gen_pixel_media(spark, 40).select(
+        "media_id", "meta.width", "meta.height"
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert (r["width"], r["height"]) == pixel_media_dims(r["media_id"])

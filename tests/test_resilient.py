@@ -166,3 +166,28 @@ def test_manifest_mode_preserves_timestamp_ntz(spark, sf_dir, tmp_path):
     rn = sorted(map(tuple, native.collect()))
     rm = sorted(map(tuple, manifest.select(*native.columns).collect()))
     assert rn == rm
+
+
+def test_manifest_mode_survives_schema_evolution(spark, tmp_path):
+    """A schema-evolved directory (older generation missing columns)
+    must behave identically in both scan modes: missing columns fill
+    with NULL, never a worker KeyError — and the manifest schema is
+    deterministic (lexicographically-first good footer, not limit(1))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "evolved"
+    root.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "k": pa.array([7, 8], pa.int64())}),
+        root / "a-new-gen.parquet",
+    )
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64())}), root / "b-old-gen.parquet")
+    (root / "junk.parquet").write_bytes(b"junk")
+
+    native, _ = read_parquet_resilient(spark, str(root))
+    manifest, _ = read_parquet_resilient(spark, str(root), manifest_threshold=0)
+    assert sorted(manifest.columns) == sorted(native.columns)
+    rn = sorted(map(tuple, native.collect()))
+    rm = sorted(map(tuple, manifest.select(*native.columns).collect()))
+    assert rn == rm == [(1, 7), (2, 8), (3, None)]
