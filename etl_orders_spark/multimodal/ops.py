@@ -165,10 +165,12 @@ def audio_features(media: DataFrame) -> DataFrame:
     sign-change (zero-crossing) count — all exact integer arithmetic
     over codecs.decode_wav output, so the row is bit-stable and
     carries a DuckDB value-hash oracle on the generated fixtures.
-    Crossings count positions t >= 1 where sign(s[t-1] < 0) differs
-    from sign(s[t] < 0) — the integer convention both engines share.
-    Multi-channel clips flatten channel-major per frame (interleaved),
-    matching the on-disk PCM order."""
+    Crossings are PER CHANNEL: for each channel, count frames t >= 1
+    where sign(s[t-1] < 0) differs from sign(s[t] < 0), then sum the
+    channels — never across the interleaved stream, where a frame
+    boundary between unrelated channels would register phantom
+    crossings (ADVICE r4). Amplitude sums/peaks flatten across
+    channels (order-free, so interleaving is irrelevant there)."""
     from etl_orders_spark.multimodal.codecs import decode_wav as _decode_wav
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -178,10 +180,12 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                samples, rate = _decode_wav(bytes(content))
+                samples, rate = _decode_wav(bytes(content))  # (n, channels)
                 flat = samples.reshape(-1).astype(np.int64)
-                neg = flat < 0
-                zc = int((neg[1:] != neg[:-1]).sum()) if flat.size > 1 else 0
+                neg = samples < 0  # (n, channels)
+                zc = (
+                    int((neg[1:] != neg[:-1]).sum()) if samples.shape[0] > 1 else 0
+                )
                 rows.append(
                     (
                         mid,

@@ -133,33 +133,88 @@ def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> 
     dangling directories: a crash between the directory write and the
     pointer flip can never cost a reader the version the pointer still
     names (a raw count of v_* dirs would GC the live version in
-    exactly that case)."""
+    exactly that case).
+
+    Concurrent publishers are safe: each claims its version number by
+    an atomic ``os.mkdir`` of the ``v_<n>`` directory — on
+    ``FileExistsError`` it retries with the next number — so two racing
+    publishers can never write into (or delete-then-rewrite) the same
+    directory. The pointer flip itself is last-writer-wins: each
+    publisher rereads the pointer AFTER its data write and prepends its
+    own version, so whichever ``os.replace`` lands last names the
+    current version and readers still only ever resolve
+    fully-committed directories. GC never touches a dangling dir
+    younger than ``gc_grace_sec`` (mtime), so an in-flight concurrent
+    publish's claimed directory is never deleted out from under it;
+    only crashed-and-abandoned claims are collected. The persisted
+    history is truncated to a bounded window (``keep + 8`` lines) so a
+    long-lived foreachBatch sink never grows the pointer file without
+    bound — GC only ever consults ``history[:keep]``."""
     import os
     import shutil
+    import time
 
     os.makedirs(table_root, exist_ok=True)
     pointer = os.path.join(table_root, _LATEST_POINTER)
-    history: list[str] = []
-    if os.path.exists(pointer):
+
+    def _read_history() -> list[str]:
+        if not os.path.exists(pointer):
+            return []
         with open(pointer) as f:
-            history = [ln.strip() for ln in f if ln.strip()]
-    dirs = sorted(
-        int(d[2:]) for d in os.listdir(table_root)
-        if d.startswith("v_") and d[2:].isdigit()
-    )
-    version = (dirs[-1] + 1) if dirs else 1
-    vdir = os.path.join(table_root, f"v_{version}")
-    df.write.mode("overwrite").parquet(vdir)
-    history = [f"v_{version}"] + history
-    tmp = pointer + ".tmp"
+            return [ln.strip() for ln in f if ln.strip()]
+
+    # Claim a version directory atomically: mkdir either creates it or
+    # raises FileExistsError (another publisher got there first) — the
+    # POSIX primitive that makes two racing publishers impossible to
+    # land in one directory.
+    version = 0
+    vdir = ""
+    while True:
+        existing = sorted(
+            int(d[2:]) for d in os.listdir(table_root)
+            if d.startswith("v_") and d[2:].isdigit()
+        )
+        version = (existing[-1] + 1) if existing else 1
+        vdir = os.path.join(table_root, f"v_{version}")
+        try:
+            os.mkdir(vdir)
+            break
+        except FileExistsError:
+            continue  # raced with another publisher; take the next number
+    # Write into a private stage dir, then rename over the empty claim
+    # dir (POSIX rename replaces an empty directory atomically). A
+    # direct mode("overwrite") into vdir would DELETE the claim first,
+    # briefly letting another publisher re-claim the same number.
+    stage = os.path.join(table_root, f".stage_v_{version}")
+    df.write.mode("overwrite").parquet(stage)
+    os.rename(stage, vdir)
+    # Reread the pointer after the data write so a publish that landed
+    # while we were writing stays in the history we prepend to.
+    history = [f"v_{version}"] + _read_history()
+    persisted = history[: keep + 8]  # bounded: GC reads only [:keep]
+    tmp = pointer + f".tmp.{version}"
     with open(tmp, "w") as f:
-        f.write("\n".join(history) + "\n")
+        f.write("\n".join(persisted) + "\n")
     os.replace(tmp, pointer)  # the atomic publish
     published_keep = set(history[:keep])
-    for d in dirs:
-        name = f"v_{d}"
-        if name not in published_keep:
-            shutil.rmtree(os.path.join(table_root, name), ignore_errors=True)
+    published_all = set(history)
+    now = time.time()
+    gc_grace_sec = 3600.0
+    for d in os.listdir(table_root):
+        is_version = d.startswith("v_") and d[2:].isdigit()
+        is_stage = d.startswith(".stage_v_")
+        if (not is_version and not is_stage) or d in published_keep:
+            continue
+        path = os.path.join(table_root, d)
+        if is_stage or d not in published_all:
+            # Dangling (never published): could be a crashed publish OR
+            # a concurrent one mid-write — only collect once stale.
+            try:
+                if now - os.path.getmtime(path) < gc_grace_sec:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(path, ignore_errors=True)
     return vdir
 
 

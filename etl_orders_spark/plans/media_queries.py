@@ -250,6 +250,13 @@ def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_Y4M = 60
+# sampling law shared by the Spark call and the oracle predicate: keep
+# frame i iff i % every_n == 0 AND i < every_n * max_frames — the same
+# set as range(0, nf, every_n)[:max_frames]. Deriving the SQL from
+# these constants (ADVICE r4) means changing either knob, or the
+# fixture frame-count law, can never silently drift the pair.
+_VIDEO_EVERY_N = 2
+_VIDEO_MAX_FRAMES = 8
 
 
 @register(
@@ -260,7 +267,8 @@ _N_Y4M = 60
     fr AS (
       SELECT media_id, nf, f.i AS frame_idx
       FROM dims, UNNEST(generate_series(0, nf - 1)) AS f(i)
-      WHERE f.i % 2 = 0
+      WHERE f.i % {_VIDEO_EVERY_N} = 0
+        AND f.i < {_VIDEO_EVERY_N * _VIDEO_MAX_FRAMES}
     ),
     px AS (
       SELECT media_id, frame_idx, nf,
@@ -296,7 +304,9 @@ def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.multimodal.ops import video_frame_stats
     from etl_orders_spark.multimodal.schemas import gen_y4m_media
 
-    return video_frame_stats(gen_y4m_media(spark, _N_Y4M), every_n=2, max_frames=8)
+    return video_frame_stats(
+        gen_y4m_media(spark, _N_Y4M), every_n=_VIDEO_EVERY_N, max_frames=_VIDEO_MAX_FRAMES
+    )
 
 
 _N_NOISE = 100

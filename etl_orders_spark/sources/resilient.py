@@ -56,16 +56,27 @@ def _list_parquet_files(root: str) -> list[str]:
     return sorted(out)
 
 
+_AUDIT_SCHEMA = "path string, ok boolean, error string, error_class string, bytes bigint"
+
+
 def validate_parquet_files(spark: SparkSession, root: str) -> DataFrame:
-    """Distributed footer audit → (path, ok, error) per data file."""
+    """Distributed footer audit → (path, ok, error, error_class, bytes)
+    per data file. ``error_class`` is the exception type name (a
+    bounded-cardinality grouping key for dashboards) and ``bytes`` the
+    on-disk file size — together they make the quarantine report a
+    METRICS relation, not a log line: at 10⁵–10⁶ files the daily
+    question is "how many bytes died, of what error class", and that
+    aggregation must happen distributed, not by grepping driver logs."""
     files = _list_parquet_files(root)
     if not files:
-        return spark.createDataFrame([], "path string, ok boolean, error string")
+        return spark.createDataFrame([], _AUDIT_SCHEMA)
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
         min(len(files), 64)
     )
 
     def check(batches):  # closure: pickled by value
+        import os as _os
+
         import pandas as pd
         import pyarrow.parquet as pq
 
@@ -73,15 +84,44 @@ def validate_parquet_files(spark: SparkSession, root: str) -> DataFrame:
             rows = []
             for p in pdf["path"]:
                 try:
+                    size = _os.path.getsize(p)
+                except OSError:
+                    size = 0
+                try:
                     md = pq.ParquetFile(p).metadata  # footer parse only
-                    rows.append((p, True, None)) if md is not None else rows.append(
-                        (p, False, "no metadata")
-                    )
+                    if md is not None:
+                        rows.append((p, True, None, None, size))
+                    else:
+                        rows.append((p, False, "no metadata", "NoMetadata", size))
                 except Exception as e:  # noqa: BLE001 — the point is to report
-                    rows.append((p, False, f"{type(e).__name__}: {e}"[:200]))
-            yield pd.DataFrame(rows, columns=["path", "ok", "error"])
+                    rows.append(
+                        (p, False, f"{type(e).__name__}: {e}"[:200], type(e).__name__, size)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "ok", "error", "error_class", "bytes"]
+            )
 
-    return fdf.mapInPandas(check, "path string, ok boolean, error string")
+    return fdf.mapInPandas(check, _AUDIT_SCHEMA)
+
+
+def dead_letter_metrics(report: DataFrame) -> DataFrame:
+    """Aggregate a footer-audit report into the per-run dead-letter
+    relation an operator watches daily: one row per error class with
+    file count and total bytes quarantined. Pure groupBy over the
+    file-grain report (bounded by file count, never rows), so it runs
+    through the same distributed path as the audit itself — at 10⁶
+    files this is a trivial shuffle of ≤ a few distinct error classes."""
+    from pyspark.sql import functions as F
+
+    return (
+        report.filter(~F.col("ok"))
+        .groupBy("error_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy(F.col("n_files").desc(), "error_class")
+    )
 
 
 def _partition_keys(path: str, root: str) -> list[tuple[str, str]]:
@@ -107,14 +147,35 @@ def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> Dat
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    # schema from the lexicographically-FIRST good footer — one bounded
-    # driver-side read, and deterministic across runs (limit(1) is not).
+    # schema from the UNION of the lexicographically first and last
+    # good footers — two bounded driver-side reads, deterministic
+    # across runs (limit(1) is not). Sampling one footer silently
+    # DROPS columns a newer generation added whenever an old-generation
+    # file happens to sort first; unioning both ends of the sort order
+    # covers the common evolve-over-time layout (generations cluster
+    # lexicographically), and files conform to the union by NULL-fill.
+    # A generation hidden strictly in the middle of the sort order with
+    # columns neither end has is the documented residual gap.
     # prefer_timestamp_ntz matches Spark's native parquet inference for
     # timestamps without timezone (isAdjustedToUTC=false): without it a
     # TIMESTAMP_NTZ column would come back session-tz-adjusted and the
     # two scan modes would diverge in any non-UTC session.
-    first = good_paths.agg({"path": "min"}).collect()[0][0]
-    schema = from_arrow_schema(pq.ParquetFile(first).schema_arrow, prefer_timestamp_ntz=True)
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    row = good_paths.agg(F.min("path"), F.max("path")).collect()[0]
+    bounds = (row[0], row[1])
+    first = bounds[0]
+    arrow_schemas = [pq.ParquetFile(p).schema_arrow for p in dict.fromkeys(bounds)]
+    try:
+        unified = pa.unify_schemas(arrow_schemas)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # conflicting types for a shared column: fall back to the first
+        # footer's schema (the pre-union behavior) rather than guess a
+        # promotion DuckDB/Spark native readers wouldn't make
+        unified = arrow_schemas[0]
+    schema = from_arrow_schema(unified, prefer_timestamp_ntz=True)
     part_keys = [k for k, _ in _partition_keys(first, root)]
     ddl_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields] + [
         f"`{k}` string" for k in part_keys

@@ -122,12 +122,16 @@ def test_publish_parquet_versioned_atomicity_and_gc(spark, tmp_path):
     assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 2, 4]
 
     # simulate a publish killed after the directory write, before the
-    # pointer flip: readers must still resolve v_1
+    # pointer flip: readers must still resolve v_1. Backdate the
+    # dangling claim past the GC grace window so it reads as
+    # crashed-and-abandoned, not a concurrent publish mid-write.
     os.makedirs(os.path.join(root, "v_2"))
+    stale = os.path.getmtime(os.path.join(root, "v_2")) - 7200
+    os.utime(os.path.join(root, "v_2"), (stale, stale))
     assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 2, 4]
 
     # the next successful publish claims v_3 and readers move forward;
-    # retention counts PUBLISHED versions, so the dangling v_2 is
+    # retention counts PUBLISHED versions, so the stale dangling v_2 is
     # garbage-collected while v_1 — the version a straggling reader
     # may still be scanning — SURVIVES (a raw directory count would
     # have deleted v_1 and kept the garbage)
@@ -143,3 +147,14 @@ def test_publish_parquet_versioned_atomicity_and_gc(spark, tmp_path):
     publish_parquet_versioned(spark.range(1).selectExpr("id", "id AS v"), root)
     dirs = {d for d in os.listdir(root) if d.startswith("v_")}
     assert dirs == {"v_3", "v_4"}
+
+    # a FRESH dangling claim (a concurrent publisher mid-write) must
+    # survive GC — only stale abandoned claims are collected — and its
+    # claimed number can never be reused: the next publish skips to v_6
+    os.makedirs(os.path.join(root, "v_5"))
+    publish_parquet_versioned(spark.range(1).selectExpr("id", "id + 99 AS v"), root)
+    with open(os.path.join(root, "_LATEST")) as f:
+        assert f.readline().strip() == "v_6"
+    assert os.path.isdir(os.path.join(root, "v_5"))  # fresh claim untouched
+    dirs = {d for d in os.listdir(root) if d.startswith("v_")}
+    assert dirs == {"v_4", "v_5", "v_6"}

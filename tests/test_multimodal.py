@@ -231,6 +231,31 @@ def test_audio_features_partition_invariance(spark):
         assert n // 4 < zc < n  # hash noise: roughly half the steps cross
 
 
+def test_audio_zero_crossings_are_per_channel(spark):
+    """ADVICE r4: crossings must count per channel along the frame
+    axis, never across channel boundaries in the interleaved stream.
+    A stereo clip with a constant-positive left channel and an
+    alternating right channel has exactly the right channel's
+    crossings; the interleaved-flat bug would also count every
+    L->R / R->L sign boundary."""
+    import numpy as np
+
+    from etl_orders_spark.multimodal import audio_features
+    from etl_orders_spark.multimodal.codecs import encode_wav
+
+    n = 16
+    left = np.full(n, 1000, dtype=np.int64)            # never crosses
+    right = np.where(np.arange(n) % 2 == 0, 500, -500)  # crosses every step
+    stereo = np.stack([left, right], axis=1)
+    wav = encode_wav(stereo, 8000)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav))], "media_id long, kind string, content binary"
+    )
+    row = audio_features(media).collect()[0]
+    assert row["n_samples"] == 2 * n  # amplitude stats stay flattened
+    assert row["zero_crossings"] == n - 1  # right channel only
+
+
 def test_pixel_features_partition_invariance(spark):
     """Decode features are pure functions of content — layout-free."""
     from etl_orders_spark.multimodal import gen_pixel_media, pixel_features

@@ -143,11 +143,28 @@ def test_manifest_mode_bounded_at_large_file_counts(spark, tmp_path):
         )
     (root / "part-junk.parquet").write_bytes(b"junk")
 
+    (root / "part-torn.parquet").write_bytes(b"PAR1" + b"\x00" * 64)
+
     df, rep = read_parquet_resilient(spark, str(root), manifest_threshold=100)
     assert df.count() == n
     assert df.agg({"id": "sum"}).collect()[0][0] == n * (n - 1) // 2
-    assert rep.count() == n + 1
-    assert rep.filter("NOT ok").count() == 1
+    assert rep.count() == n + 2
+    assert rep.filter("NOT ok").count() == 2
+
+    # the dead-letter relation: per-error-class file counts and bytes,
+    # computed distributed through the same report — the daily operator
+    # surface at 10^5-file scale (VERDICT r4 task 6)
+    from etl_orders_spark.sources.resilient import dead_letter_metrics
+
+    dl = dead_letter_metrics(rep).collect()
+    assert sum(r["n_files"] for r in dl) == 2
+    bad_bytes = {
+        os.path.basename(r["path"]): r["bytes"] for r in rep.filter("NOT ok").collect()
+    }
+    assert bad_bytes["part-junk.parquet"] == len(b"junk")
+    assert bad_bytes["part-torn.parquet"] == 68
+    assert sum(r["total_bytes"] for r in dl) == len(b"junk") + 68
+    assert all(r["error_class"] for r in dl)  # bounded grouping key present
 
 
 def test_manifest_mode_preserves_timestamp_ntz(spark, sf_dir, tmp_path):
@@ -191,3 +208,26 @@ def test_manifest_mode_survives_schema_evolution(spark, tmp_path):
     rn = sorted(map(tuple, native.collect()))
     rm = sorted(map(tuple, manifest.select(*native.columns).collect()))
     assert rn == rm == [(1, 7), (2, 8), (3, None)]
+
+
+def test_manifest_mode_schema_evolution_unfavorable_ordering(spark, tmp_path):
+    """ADVICE r4: when the OLD generation sorts lexicographically first,
+    a single-footer schema sample silently drops the new generation's
+    columns. The manifest schema now unions the first AND last good
+    footers, so the evolved column survives either sort position."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "evolved_rev"
+    root.mkdir()
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64())}), root / "a-old-gen.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "k": pa.array([7, 8], pa.int64())}),
+        root / "z-new-gen.parquet",
+    )
+    (root / "junk.parquet").write_bytes(b"junk")
+
+    manifest, _ = read_parquet_resilient(spark, str(root), manifest_threshold=0)
+    assert set(manifest.columns) == {"id", "k"}  # evolved column SURVIVES
+    rows = sorted(map(tuple, manifest.select("id", "k").collect()))
+    assert rows == [(1, 7), (2, 8), (3, None)]
