@@ -3,11 +3,20 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: warm_sec, ...},
+     "queries_cold": {name: cold_sec, ...},
+     "cold_total_sec": N, "sf": 0.1}
 
 Each query is forced through the noop sink so the full plan executes
 (count() would let Catalyst prune the projected columns).
-"""
+
+Two timings per query: **cold** is the first execution in the session
+(plan compilation + codegen JIT + every stage cache empty — the number
+a fresh cluster pays), **warm** is best-of-N after that (steady state,
+shared caches populated — the number a long-lived session pays).
+Several plans share a keyed stage cache (operators/materialize.py), so
+warm alone would partially be a cache statement; reporting both keeps
+the 2x-of-baseline bound honest (VERDICT r4)."""
 
 from __future__ import annotations
 
@@ -33,9 +42,9 @@ def main() -> int:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # one untimed warmup run per query (SPARK_GRAFT_BENCH_WARMUP=0 to skip):
-    # measures steady-state execution rather than one-off Catalyst plan
-    # compilation / codegen JIT, which amortize to zero at 100 TB
+    # the first run per query is TIMED as the cold column (plan
+    # compile + codegen JIT + empty stage caches); SPARK_GRAFT_BENCH_WARMUP=0
+    # skips it and leaves the cold column absent
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     # best-of-N timed runs (default 2): single-run times on a shared
     # box carry ±20% scheduler/GC noise; the minimum is the standard
@@ -43,9 +52,12 @@ def main() -> int:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, builder in bench_queries().items():
         if warmup:
+            t0 = time.time()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.time() - t0, 3)
         best = None
         for _ in range(reps):
             t0 = time.time()
@@ -53,20 +65,21 @@ def main() -> int:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        cold_note = f" (cold {cold[name]}s)" if name in cold else ""
+        print(f"# {name}: {timings[name]}s{cold_note}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if cold:
+        out["queries_cold"] = cold
+        out["cold_total_sec"] = round(sum(cold.values()), 3)
+    print(json.dumps(out))
     return 0
 
 
