@@ -8,14 +8,15 @@ Design for 100 TB of media:
   Arrow-batched pandas functions over `mapInPandas` — one Python
   worker per partition, whole column batches across the Arrow
   boundary, never per-row pickling;
-- pixel decode is REAL for uncompressed containers (PPM/PGM/BMP,
-  pure-Python codecs in multimodal/codecs.py — the strict
-  decode -> resize -> feature path executes here and carries DuckDB
-  value-hash oracles on generated fixtures); compressed codecs
-  (PNG/JPEG) route through PIL when present and otherwise raise the
-  honest ImportError-gated NotImplementedError, while byte-level
-  features (size, entropy-ish stats, content fingerprint) stay
-  codec-free and deterministic.
+- pixel decode is REAL for uncompressed containers (PPM/PGM/BMP)
+  AND for PNG (stdlib-zlib DEFLATE + the five scanline unfilters,
+  chunk CRCs verified — pure-Python codecs in multimodal/codecs.py);
+  the strict decode -> resize -> feature path executes here and
+  carries DuckDB value-hash oracles on generated fixtures. Lossy /
+  entropy-coded codecs (JPEG/GIF/WebP) route through PIL when present
+  and otherwise raise the honest ImportError-gated
+  NotImplementedError, while byte-level features (size, entropy-ish
+  stats, content fingerprint) stay codec-free and deterministic.
 """
 
 from etl_orders_spark.multimodal.codecs import (
@@ -40,6 +41,7 @@ from etl_orders_spark.multimodal.schemas import (
     gen_media,
     gen_noise_media,
     gen_pixel_media,
+    gen_png_media,
     gen_wav_media,
     gen_y4m_media,
 )
@@ -55,6 +57,7 @@ __all__ = [
     "gen_media",
     "gen_noise_media",
     "gen_pixel_media",
+    "gen_png_media",
     "gen_wav_media",
     "gen_y4m_media",
     "video_frame_stats",

@@ -12,10 +12,15 @@ is small, exact, and trustworthy, so those are now first-class:
   BI_RGB at 24/32 bits per pixel, bottom-up or top-down row order,
   4-byte row padding, BGR(A) sample order.
 
-Compressed codecs stay honestly gated: a from-scratch inflate+predictor
-(PNG) or entropy-decode+IDCT (JPEG) would be slow and easy to get
-subtly wrong, so those raise ``NotImplementedError`` naming the missing
-library (PIL/libvips) exactly as before.
+**PNG** decodes here too (``decode_png``): DEFLATE is stdlib ``zlib``,
+so the codec work is chunk CRC verification plus the five scanline
+unfilters — exact modular arithmetic, fail-closed on bit rot. 8-bit
+depth, color types 0/2/3/4/6, non-interlaced; 16-bit and Adam7 raise
+``NotImplementedError``. Lossy/entropy-coded codecs stay honestly
+gated: a from-scratch entropy-decode+IDCT (JPEG) or LZW (GIF) would be
+slow and easy to get subtly wrong, so those raise
+``NotImplementedError`` naming the missing library (PIL/libvips)
+exactly as before.
 
 Everything returns/accepts ``numpy.uint8`` arrays shaped ``(H, W, 3)``
 (grayscale expands to three equal channels), so downstream resize /
@@ -39,7 +44,7 @@ import sys as _sys
 
 import numpy as np
 
-_GATED = {"png": "PNG (deflate)", "jpeg": "JPEG (DCT)", "gif": "GIF (LZW)", "webp": "WebP"}
+_GATED = {"jpeg": "JPEG (DCT)", "gif": "GIF (LZW)", "webp": "WebP"}
 
 
 def sniff_format(content: bytes) -> str | None:
@@ -187,6 +192,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_pgm(content)
     if fmt == "bmp":
         return decode_bmp(content)
+    if fmt == "png":
+        return decode_png(content)
     if fmt in _GATED:
         try:
             import PIL.Image as Image
@@ -370,6 +377,206 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
         out.append(b"FRAME\n")
         out.append(a[i].tobytes())
     return b"".join(out)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel for the 8-bit color types decoded here
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Invert the five PNG scanline filters (spec §9: None/Sub/Up/
+    Average/Paeth). Sequential by construction — each byte depends on
+    the reconstructed left/up/up-left neighbors — so this is the honest
+    per-byte loop, exact modular arithmetic."""
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"png: decompressed size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"png: unknown filter type {ft} on row {y}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8, pure Python over stdlib ``zlib``.
+
+    Covers the dominant lossless web format's common shapes: 8-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), non-interlaced, all five scanline filters. Alpha drops;
+    gray expands to three equal channels; palette indices look up PLTE.
+    Per-chunk CRCs are VERIFIED (fail closed on bit rot — this decoder
+    feeds a quarantine lane, so silent acceptance of torn bytes is the
+    one unforgivable behavior). 16-bit depth and Adam7 interlacing
+    raise NotImplementedError (rare in web corpora; a real codec
+    library earns them)."""
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("png: missing signature")
+    pos, n = len(_PNG_SIG), len(content)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body_end = pos + 8 + length
+        if body_end + 4 > n:
+            raise ValueError(f"png: truncated {ctype!r} chunk")
+        body = content[pos + 8 : body_end]
+        (crc,) = struct.unpack_from(">I", content, body_end)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos = body_end + 4
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("png: missing or malformed IHDR")
+    if not seen_iend:
+        raise ValueError("png: missing IEND (truncated stream)")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"png: bad dimensions {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"png: unknown compression/filter method {comp}/{filt}")
+    if interlace == 1:
+        raise NotImplementedError("png: Adam7 interlacing not decoded here")
+    if interlace != 0:
+        raise ValueError(f"png: unknown interlace method {interlace}")
+    if depth != 8:
+        raise NotImplementedError(f"png: bit depth {depth} not decoded here (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"png: unknown color type {color}")
+    if not idat:
+        raise ValueError("png: no IDAT data")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"png: corrupt IDAT stream ({e})") from e
+    stride = w * ch
+    flat = _png_unfilter(raw, h, stride, ch)
+    px = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(h, w, ch)
+    if color == 2:  # RGB
+        return np.ascontiguousarray(px)
+    if color == 6:  # RGBA -> drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 0:  # gray
+        return np.repeat(px, 3, axis=2)
+    if color == 4:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color == 3: palette lookup
+    if plte is None or len(plte) % 3 != 0 or not plte:
+        raise ValueError("png: palette image without a valid PLTE chunk")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("png: palette index out of range")
+    return np.ascontiguousarray(pal[idx])
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> 8-bit truecolor PNG.
+
+    The row filter CYCLES through all five types (``y % 5``), so a
+    round trip — or a decode of fixture images whose pixels follow a
+    closed-form law — exercises every unfilter branch, not just the
+    trivial one. Filtering here is the FORWARD direction (spec §9
+    subtraction); decode must invert it, so law-oracle hash matches
+    certify the inverse, not a shared code path."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"encode_png: expected (H, W, 3), got {a.shape}")
+    h, w, _ = a.shape
+    bpp = 3
+    stride = w * bpp
+    prev = bytearray(stride)
+    lines = bytearray()
+    for y in range(h):
+        row = bytearray(a[y].tobytes())
+        ft = y % 5
+        enc = bytearray(stride)
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                a_ = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - a_) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a_ = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((a_ + prev[i]) >> 1)) & 0xFF
+        else:  # Paeth
+            for i in range(stride):
+                a_ = row[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c_ = prev[i - bpp] if i >= bpp else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                enc[i] = (row[i] - pred) & 0xFF
+        lines.append(ft)
+        lines += enc
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

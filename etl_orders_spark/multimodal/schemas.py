@@ -291,3 +291,51 @@ def gen_noise_media(spark: SparkSession, n: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+def gen_png_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic REAL PNG rows: the gen_pixel_media RGB law
+
+        v = (7*id + 3*x + 5*y) % 256
+        r = v, g = (v+85) % 256, b = (v+170) % 256
+
+    encoded as 8-bit truecolor PNG with the row filter CYCLING through
+    all five scanline filter types (codecs.encode_png). The encoder
+    applies the spec's FORWARD filters; decode must invert them — so a
+    DuckDB value-hash match on the decoded features certifies DEFLATE
+    round-tripping, chunk CRC handling, and every unfilter branch
+    against the closed-form pixel law, with no shared code path between
+    the derivations. Same dims law as gen_pixel_media (w 16..31,
+    h 12..19)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_png
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int, int]:
+            w, h = 16 + mid % 16, 12 + mid % 8  # pixel_media_dims, inlined
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            v = (7 * mid + 3 * x + 5 * y) % 256
+            rgb = np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=2).astype(np.uint8)
+            return encode_png(rgb), w, h
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, w, h = content_for(int(mid))
+                meta = {
+                    "format": "png",
+                    "width": w,
+                    "height": h,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)

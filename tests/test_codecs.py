@@ -22,11 +22,13 @@ from etl_orders_spark.multimodal.codecs import (
     decode_bmp,
     decode_image,
     decode_pgm,
+    decode_png,
     decode_ppm,
     decode_wav,
     decode_y4m,
     encode_bmp,
     encode_pgm,
+    encode_png,
     encode_ppm,
     encode_wav,
     encode_y4m,
@@ -131,17 +133,21 @@ def test_bmp_honest_gates():
 
 
 def test_compressed_formats_gate_or_decode():
-    """PNG/JPEG magic: NotImplementedError naming the codec when PIL is
-    absent (this container); unrecognized bytes are ValueError."""
-    png = b"\x89PNG\r\n\x1a\n" + bytes(32)
+    """JPEG magic: NotImplementedError naming the codec when PIL is
+    absent (this container); PNG now decodes in pure Python, so torn
+    PNG bytes are a ValueError quarantine row, not a gate; unrecognized
+    bytes are ValueError."""
+    jpeg = b"\xff\xd8\xff" + bytes(32)
     try:
         import PIL  # noqa: F401
 
         with pytest.raises(ValueError):  # magic sniffs, bytes don't decode
-            decode_image(png)
+            decode_image(jpeg)
     except ImportError:
         with pytest.raises(NotImplementedError, match="codec"):
-            decode_image(png)
+            decode_image(jpeg)
+    with pytest.raises(ValueError):  # torn PNG: controlled failure
+        decode_image(b"\x89PNG\r\n\x1a\n" + bytes(32))
     with pytest.raises(ValueError, match="not a decodable image"):
         decode_image(b"\x00\x01plain garbage")
     assert sniff_format(b"GIF89a...") == "gif"
@@ -242,6 +248,121 @@ def test_y4m_420_luma_and_gates():
         decode_y4m(b"not video")
     with pytest.raises(ValueError, match="no frames"):
         decode_y4m(b"YUV4MPEG2 W4 H2 F30:1 Cmono\n")
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_raw(w: int, h: int, depth: int, color: int, raw_rows: bytes,
+             plte: bytes | None = None, interlace: int = 0) -> bytes:
+    """Hand-assemble a PNG from pre-filtered scanline bytes (filter
+    byte included per row) — an encode path INDEPENDENT of encode_png,
+    so these tests cannot share a bug with the production encoder."""
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw_rows)) + _png_chunk(b"IEND", b"")
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(min_value=0, max_value=999))
+def test_png_roundtrip_exercises_all_filters(w, h, seed):
+    """encode_png cycles the row filter through all five types, so any
+    h >= 5 round trip covers every unfilter branch bit-exactly."""
+    a = _img(w, h, seed)
+    out = decode_png(encode_png(a))
+    assert out.shape == a.shape and np.array_equal(out, a)
+
+
+def test_png_color_types_decode_to_rgb():
+    """Gray (0), palette (3), gray+alpha (4) and RGBA (6) all normalize
+    to (H, W, 3); alpha drops; palette indices look up PLTE. Scanlines
+    are hand-filtered (filter 0) independently of encode_png."""
+    w, h = 3, 2
+    gray = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    rows0 = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    out = decode_png(_png_raw(w, h, 8, 0, rows0))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+    ga = np.dstack([gray, np.full((h, w), 7, np.uint8)])  # gray+alpha
+    rows4 = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    out = decode_png(_png_raw(w, h, 8, 4, rows4))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+    rgb = _img(w, h, seed=3)
+    rgba = np.dstack([rgb, np.full((h, w), 9, np.uint8)])
+    rows6 = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    assert np.array_equal(decode_png(_png_raw(w, h, 8, 6, rows6)), rgb)
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    rows3 = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    out = decode_png(_png_raw(w, h, 8, 3, rows3, plte=pal))
+    expect = np.frombuffer(pal, np.uint8).reshape(3, 3)[idx]
+    assert np.array_equal(out, expect)
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(_png_raw(w, h, 8, 3, rows3))  # PLTE missing
+    bad_idx = np.array([[0, 1, 5], [2, 1, 0]], dtype=np.uint8)  # 5 > max entry
+    rows_bad = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(h))
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(_png_raw(w, h, 8, 3, rows_bad, plte=pal))
+
+
+def test_png_unfilter_against_hand_computed_vectors():
+    """Each filter type inverted against by-hand spec arithmetic on a
+    2x2 gray image (small enough to verify every byte on paper)."""
+    # reference pixels (gray, bpp=1): row0 = [100, 150], row1 = [200, 90]
+    # Sub row (left of pixel 0 is 0): raw0 = 200, raw1 = 90-200 = 146 mod 256
+    # Up row (prev = [100, 150]): raw = [100, 196] (200-100, 90-150 mod 256)
+    # Average row: raw0 = 200-(0+100)//2 = 150,
+    #              raw1 = 90 - (200+150)//2 = 90-175 = -85 = 171 mod 256
+    # Paeth row: pixel0 a=0,b=100,c=0 -> p=100 -> pred=b=100 -> raw0 = 100;
+    #            pixel1 a=200,b=150,c=100 -> p=250 -> pa=50,pb=100,pc=150
+    #            -> pred=a=200 -> raw1 = 90-200 = 146 mod 256
+    cases = [
+        (1, bytes([0, 100, 150, 1, 200, 146])),    # row1 Sub
+        (2, bytes([0, 100, 150, 2, 100, 196])),    # row1 Up
+        (3, bytes([0, 100, 150, 3, 150, 171])),    # row1 Average
+        (4, bytes([0, 100, 150, 4, 100, 146])),    # row1 Paeth
+    ]
+    expect = np.array([[100, 150], [200, 90]], dtype=np.uint8)
+    for _, raw in cases:
+        out = decode_png(_png_raw(2, 2, 8, 0, raw))
+        assert np.array_equal(out, np.repeat(expect[:, :, None], 3, axis=2))
+
+
+def test_png_honest_gates_and_fail_closed():
+    a = _img(4, 3, seed=1)
+    blob = encode_png(a)
+    # 16-bit depth and Adam7 stay honestly gated
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(_png_raw(2, 2, 16, 0, b"\x00" * 10))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_png_raw(2, 2, 8, 0, b"\x00" * 6, interlace=1))
+    # bit rot fails closed: flip one IDAT byte -> CRC mismatch
+    bad = bytearray(blob)
+    bad[len(blob) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated|corrupt"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|missing IEND"):
+        decode_png(blob[: len(blob) - 20])
+    with pytest.raises(ValueError, match="unknown filter type"):
+        decode_png(_png_raw(2, 1, 8, 0, bytes([9, 1, 2])))
+    # decode_image routes png by magic
+    assert sniff_format(blob) == "png"
+    assert np.array_equal(decode_image(blob), a)
 
 
 def test_resize_nearest_identity_and_idempotence():
