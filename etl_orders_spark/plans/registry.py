@@ -105,11 +105,12 @@ PRIORITY: tuple[str, ...] = (
     # by q1/rollup/pivot and string_functions respectively)
     "schema_evolution_scan",
     "scd2_point_in_time",
-    # scalar / filter (P5, P6, P7, A5)
+    # scalar / filter (P5, P6, P7; A5 stays covered by string_functions
+    # + json_extract_props + percentile_prices — array_functions_docs
+    # ceded its slot to the privacy family and stays local-sweep-green)
     "recode_priority_counts",
     "string_functions",
     "filter_predicate",
-    "array_functions_docs",
     # windows / sorts / set ops (A2, A3, A4)
     "window_rank_parts",
     "topk_parts_per_brand",
@@ -133,8 +134,9 @@ PRIORITY: tuple[str, ...] = (
     # time / events / streaming twins (§2.5)
     "tumbling_hourly_events",
     "session_stats_events",
-    # LLM-data north star: dedup / text / split
+    # LLM-data north star: dedup / text / split / privacy scrub
     "llm_prep_corpus",
+    "redact_pii_docs",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash_near_pairs_docs",

@@ -41,6 +41,7 @@ _WINDOW_FAMILIES = (
     "events", "window-time", "sessionize",
     # LLM-data north stars
     "dedup", "lsh", "text", "similarity", "vector", "pipeline", "split",
+    "privacy",
     # per-family singletons
     "stats", "graph", "sketch", "curation", "dq", "drift", "linkage",
     "layout", "sampling",
