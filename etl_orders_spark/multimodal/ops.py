@@ -286,6 +286,45 @@ def dhash_images(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(batches, DHASH_SCHEMA)
 
 
+FRAME_DHASH_SCHEMA = "media_id long, frame_idx long, dhash_hi long, dhash_lo long"
+
+
+def video_frame_dhash(
+    media: DataFrame, every_n: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """Per-frame perceptual dHash for video rows: decode the
+    uncompressed stream (codecs.decode_y4m), keep every ``every_n``-th
+    frame up to ``max_frames``, and dHash each sampled LUMA frame with
+    exactly the image convention (floor-map resize to 9x8, right-
+    neighbor bits, two 32-bit halves in longs; dhash_images). Luma is
+    already gray, so the gray step is identity. This is the fan-out
+    stage of video near-dup — one row per sampled frame, 2 longs each,
+    streamed through Arrow batches; a billion-video corpus's dedup
+    state is a few hundred GB spread over the fleet, never pixels."""
+    from etl_orders_spark.multimodal.codecs import decode_y4m as _decode_y4m
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, _ = _decode_y4m(bytes(content))
+                nf = frames.shape[0]
+                for idx in list(range(0, nf, every_n))[:max_frames]:
+                    g = _resize_nearest(frames[idx].astype("int64"), 9, 8)
+                    bits = (g[:, 1:] > g[:, :-1]).flatten()  # i = y*8 + x
+                    hi = sum(int(b) << i for i, b in enumerate(bits[:32]))
+                    lo = sum(int(b) << i for i, b in enumerate(bits[32:]))
+                    rows.append((mid, idx, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "dhash_hi", "dhash_lo"]
+            )
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "content")
+    return vids.mapInPandas(batches, FRAME_DHASH_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms long, frame_bytes binary"
 
 

@@ -339,3 +339,56 @@ def gen_png_media(spark: SparkSession, n: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+VNOISE_FRAMES = 6  # frames per clip, shared with the SQL oracle
+
+
+def gen_noise_y4m_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic 'noisy' Y4M clips for video near-dup tests: the
+    gen_noise_media pixel law extended with a frame term,
+
+        base = id - 1 if id % 5 == 4 else id
+        v(base, f, x, y) = ((base*73 + f*29 + x*37 + y*101)
+                             * 2654435761 mod 2^32) >> 24
+
+    over VNOISE_FRAMES frames of NOISE_W x NOISE_H mono luma. Every
+    id % 5 == 4 is a PLANTED CLONE of id-1 with source pixel (0, 0)
+    perturbed (+128 mod 256) in EVERY frame — so each of a clone
+    pair's frame dHashes sits at hamming <= 1 while distinct clips'
+    frames sit ~32 bits apart per frame (coin-flip neighbor bits).
+    Exact 64-bit integer arithmetic, closed form: the DuckDB oracle
+    re-derives every sampled frame's dHash bits from this law."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_y4m
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> bytes:
+            base = mid - 1 if mid % NOISE_CLONE_EVERY == NOISE_CLONE_EVERY - 1 else mid
+            f = np.arange(VNOISE_FRAMES, dtype=np.int64)[:, None, None]
+            y = np.arange(NOISE_H, dtype=np.int64)[None, :, None]
+            x = np.arange(NOISE_W, dtype=np.int64)[None, None, :]
+            v = (((base * 73 + f * 29 + x * 37 + y * 101) * 2654435761) % (2**32)) >> 24
+            if base != mid:  # planted clone: one perturbed pixel per frame
+                v[:, 0, 0] = (v[:, 0, 0] + 128) % 256
+            return encode_y4m(v.astype(np.uint8))
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                meta = {
+                    "format": "y4m",
+                    "width": NOISE_W,
+                    "height": NOISE_H,
+                    "sample_rate": None,
+                    "duration_ms": VNOISE_FRAMES * 1000 // 30,
+                }
+                rows.append((int(mid), "video", content_for(int(mid)), meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)

@@ -214,6 +214,51 @@ def test_dhash_planted_clone_recall(spark):
     assert got == brute  # banding is lossless at the pigeonhole bound
 
 
+def test_video_near_dup_majority_vote_matches_brute_force(spark):
+    """The video near-dup query (per-frame dHash -> frame-grain band
+    join -> majority vote) equals a brute-force per-frame hamming scan
+    with the same vote, every planted clone pair matches on ALL
+    sampled frames, and frame hashes are pure functions of content."""
+    import itertools
+    from collections import Counter
+
+    from etl_orders_spark.multimodal.ops import video_frame_dhash
+    from etl_orders_spark.multimodal.schemas import (
+        NOISE_CLONE_EVERY,
+        gen_noise_y4m_media,
+    )
+    from etl_orders_spark.plans.registry import query_map
+
+    n = 60
+    media = gen_noise_y4m_media(spark, n)
+    fh = video_frame_dhash(media, every_n=2, max_frames=8)
+    rows = fh.collect()
+    assert sorted(set(r["frame_idx"] for r in rows)) == [0, 2, 4]
+    hashes = {(r["media_id"], r["frame_idx"]): (r["dhash_hi"], r["dhash_lo"]) for r in rows}
+    assert len(hashes) == 3 * n
+    # partition invariance
+    rows2 = video_frame_dhash(media.repartition(7), every_n=2, max_frames=8).collect()
+    assert {(r["media_id"], r["frame_idx"]): (r["dhash_hi"], r["dhash_lo"]) for r in rows2} == hashes
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    votes = Counter()
+    for a, b in itertools.combinations(range(n), 2):
+        for f in (0, 2, 4):
+            if ham(hashes[(a, f)], hashes[(b, f)]) <= 3:
+                votes[(a, b)] += 1
+    brute = {(a, b): c for (a, b), c in votes.items() if c >= 2}
+    got = {
+        (r["id_a"], r["id_b"]): r["frames_matched"]
+        for r in query_map()["media_video_near_dup"](spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == brute  # frame-grain banding is lossless; the vote agrees
+    for i in range(n):
+        if i % NOISE_CLONE_EVERY == NOISE_CLONE_EVERY - 1:
+            assert got[(i - 1, i)] == 3  # planted clones match on every frame
+
+
 def test_audio_features_partition_invariance(spark):
     """WAV decode features are pure functions of content — layout-free
     — and the planted law's properties hold (full int16 peak range,
