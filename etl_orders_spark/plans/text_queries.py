@@ -1906,3 +1906,88 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).cast("long").alias("n_chars_redacted"),
         F.md5(F.encode(redacted, "UTF-8")).alias("redacted_fp"),
     )
+
+
+_BOILER_W = 4  # tokens per chunk, shared with the oracle
+_BOILER_DF = 3  # chunks in >= this many distinct docs are boilerplate
+
+
+@register(
+    "boilerplate_chunk_removal_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(
+               list_slice(t, i*{_BOILER_W}+1, i*{_BOILER_W}+{_BOILER_W}), ' ') AS chunk
+      FROM toks,
+           UNNEST(generate_series(
+             0, CAST(ceil(len(t) / {_BOILER_W}.0) AS BIGINT) - 1)) AS g(i)
+    ),
+    dfreq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk),
+    j AS (SELECT c.doc_id, c.idx, c.chunk, d.df FROM chunks c JOIN dfreq d USING (chunk))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(CASE WHEN df < {_BOILER_DF} THEN chunk END,
+                                   ' ' ORDER BY idx), '')) AS clean_fp,
+           CAST(length(COALESCE(string_agg(CASE WHEN df < {_BOILER_DF} THEN chunk END,
+                                           ' ' ORDER BY idx), '')) AS BIGINT) AS n_chars_clean
+    FROM j GROUP BY doc_id
+    """,
+    tags=("text", "curation", "llm", "dedup"),
+)
+def boilerplate_chunk_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
+    paragraph-dedup scrub at token-chunk grain: segment every document
+    into fixed {W}-token chunks, count each chunk's document frequency
+    across the WHOLE corpus, drop chunks appearing in >= {K} distinct
+    documents (navigation, headers, license blurbs — whatever repeats
+    verbatim corpus-wide), and reconstruct the cleaned text in order.
+    The value hash certifies the reconstruction byte-for-byte (md5 of
+    the cleaned text), not just drop counts.
+
+    Plan shape at 100 TB: chunking is a pure map (transform over
+    sequence builds chunk strings INSIDE the row, then posexplode emits
+    only (doc_id, idx, chunk) — the token array never duplicates
+    across the fan-out); the document-frequency table is one
+    chunk-keyed aggregate with map-side partial counts; the join back
+    is chunk-keyed; reconstruction is one doc-keyed aggregate. Two
+    shuffles total, both on bounded keys. On a real corpus the chunk
+    key would carry xxhash64(chunk) longs instead of strings (the
+    hashed-twin pattern the n-gram family benches); the string form
+    here keeps the bit-exact SQL oracle."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / _BOILER_W).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), i * _BOILER_W + 1, _BOILER_W), " "
+        ),
+    )
+    chunks = toks.select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    dfreq = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    kept = F.col("df") < _BOILER_DF
+    clean_struct = F.array_sort(
+        F.collect_list(F.when(kept, F.struct("idx", "chunk")))
+    )
+    clean_text = F.array_join(
+        F.transform(clean_struct, lambda s: s["chunk"]), " "
+    )
+    return (
+        chunks.join(dfreq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.md5(F.encode(clean_text, "UTF-8")).alias("clean_fp"),
+            F.length(clean_text).cast("long").alias("n_chars_clean"),
+        )
+    )
