@@ -20,7 +20,9 @@ Design for 100 TB of media:
 """
 
 from etl_orders_spark.multimodal.codecs import (
+    decode_gif,
     decode_image,
+    decode_png,
     resize_nearest,
     sniff_format,
 )
@@ -38,8 +40,10 @@ from etl_orders_spark.multimodal.ops import (
 )
 from etl_orders_spark.multimodal.schemas import (
     MEDIA_SCHEMA,
+    gen_gif_media,
     gen_media,
     gen_noise_media,
+    gen_noise_y4m_media,
     gen_pixel_media,
     gen_png_media,
     gen_wav_media,
@@ -49,13 +53,17 @@ from etl_orders_spark.multimodal.schemas import (
 __all__ = [
     "MEDIA_SCHEMA",
     "audio_features",
+    "decode_gif",
     "decode_image",
     "decode_images",
+    "decode_png",
     "decode_wav",
     "decode_y4m",
     "dhash_images",
+    "gen_gif_media",
     "gen_media",
     "gen_noise_media",
+    "gen_noise_y4m_media",
     "gen_pixel_media",
     "gen_png_media",
     "gen_wav_media",

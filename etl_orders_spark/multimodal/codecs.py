@@ -16,11 +16,13 @@ is small, exact, and trustworthy, so those are now first-class:
 so the codec work is chunk CRC verification plus the five scanline
 unfilters — exact modular arithmetic, fail-closed on bit rot. 8-bit
 depth, color types 0/2/3/4/6, non-interlaced; 16-bit and Adam7 raise
-``NotImplementedError``. Lossy/entropy-coded codecs stay honestly
-gated: a from-scratch entropy-decode+IDCT (JPEG) or LZW (GIF) would be
-slow and easy to get subtly wrong, so those raise
-``NotImplementedError`` naming the missing library (PIL/libvips)
-exactly as before.
+``NotImplementedError``. **GIF** decodes too (``decode_gif``): LZW is
+exact integer/bit arithmetic (variable-width LSB-first codes, the
+spec dictionary algorithm, 4-pass interlace unweaving) — with PNG this
+covers both lossless web formats. Lossy codecs stay honestly gated: a
+from-scratch entropy-decode+IDCT (JPEG) or VP8 (WebP) would be slow
+and easy to get subtly wrong, so those raise ``NotImplementedError``
+naming the missing library (PIL/libvips) exactly as before.
 
 Everything returns/accepts ``numpy.uint8`` arrays shaped ``(H, W, 3)``
 (grayscale expands to three equal channels), so downstream resize /
@@ -44,7 +46,7 @@ import sys as _sys
 
 import numpy as np
 
-_GATED = {"jpeg": "JPEG (DCT)", "gif": "GIF (LZW)", "webp": "WebP"}
+_GATED = {"jpeg": "JPEG (DCT)", "webp": "WebP"}
 
 
 def sniff_format(content: bytes) -> str | None:
@@ -194,6 +196,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_bmp(content)
     if fmt == "png":
         return decode_png(content)
+    if fmt == "gif":
+        return decode_gif(content)
     if fmt in _GATED:
         try:
             import PIL.Image as Image
@@ -577,6 +581,220 @@ def encode_png(arr: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
     )
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) per pass
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row output order of an interlaced GIF (spec appendix E)."""
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW (LSB-first variable-width codes): the exact
+    dictionary algorithm from the spec — clear resets the table, code
+    width grows at 2^width up to 12 bits, the deferred-clear convention
+    (width stays 12 until the encoder sends clear) is honored."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                if len(out) >= n_pixels:
+                    return out  # EOI omitted by a sloppy encoder: tolerated
+                raise ValueError("gif: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"gif: first LZW code {code} out of table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"gif: LZW code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_pixels:
+            raise ValueError("gif: LZW output exceeds image size")
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """GIF87a/89a -> (H, W, 3) uint8, pure Python (first frame).
+
+    LZW here is exact integer/bit arithmetic (no entropy model, no
+    transform), so like PNG it earns a from-scratch decoder: header +
+    logical screen descriptor, global/local color tables, extension
+    blocks skipped (transparency drops — output is always RGB),
+    variable-width LSB-first LZW with the deferred-clear convention,
+    and 4-pass interlace unweaving. Animated GIFs decode their first
+    image descriptor. Malformed bytes raise ValueError (quarantine
+    lane), never parser internals."""
+    if not content.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("gif: missing GIF87a/GIF89a signature")
+    n = len(content)
+    if n < 13:
+        raise ValueError("gif: truncated logical screen descriptor")
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (2 << (packed & 0x07))
+        if pos + size > n:
+            raise ValueError("gif: truncated global color table")
+        gct = np.frombuffer(content[pos : pos + size], dtype=np.uint8).reshape(-1, 3)
+        pos += size
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= n:
+                raise ValueError("gif: truncated sub-block chain")
+            sz = content[p]
+            p += 1
+            if sz == 0:
+                return p
+            p += sz
+
+    while pos < n:
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("gif: no image descriptor")
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos >= n:
+                raise ValueError("gif: truncated extension block")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block introducer 0x{b:02x}")
+        # image descriptor
+        if pos + 9 > n:
+            raise ValueError("gif: truncated image descriptor")
+        _, _, w, h = struct.unpack_from("<HHHH", content, pos)
+        ipacked = content[pos + 8]
+        pos += 9
+        if w <= 0 or h <= 0:
+            raise ValueError(f"gif: bad image dimensions {w}x{h}")
+        table = gct
+        if ipacked & 0x80:  # local color table
+            size = 3 * (2 << (ipacked & 0x07))
+            if pos + size > n:
+                raise ValueError("gif: truncated local color table")
+            table = np.frombuffer(content[pos : pos + size], dtype=np.uint8).reshape(-1, 3)
+            pos += size
+        if table is None:
+            raise ValueError("gif: image without any color table")
+        if pos >= n:
+            raise ValueError("gif: missing LZW minimum code size")
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"gif: bad LZW minimum code size {min_code}")
+        chunks = bytearray()
+        while True:
+            if pos >= n:
+                raise ValueError("gif: truncated image data sub-blocks")
+            sz = content[pos]
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > n:
+                raise ValueError("gif: truncated image data sub-block")
+            chunks += content[pos : pos + sz]
+            pos += sz
+        idx_stream = _lzw_decode(bytes(chunks), min_code, w * h)
+        if len(idx_stream) < w * h:
+            raise ValueError(
+                f"gif: LZW produced {len(idx_stream)} of {w * h} pixels"
+            )
+        idx = np.frombuffer(bytes(idx_stream[: w * h]), dtype=np.uint8).reshape(h, w)
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("gif: palette index out of range")
+        if ipacked & 0x40:  # interlaced: unweave the 4 passes
+            dest = np.empty_like(idx)
+            dest[_gif_interlace_order(h)] = idx
+            idx = dest
+        return np.ascontiguousarray(table[idx])
+    raise ValueError("gif: stream ended without an image")
+
+
+def encode_gif(arr: np.ndarray, interlaced: bool = False) -> bytes:
+    """(H, W) uint8 GRAYSCALE indices -> GIF89a with a 256-gray global
+    palette. Uses the classic fixed-width LZW form: literal codes at
+    9 bits with a CLEAR every 254 codes so the dictionary never
+    outgrows the width — a valid (merely uncompressed) LZW stream any
+    conforming decoder must accept, and one that exercises the
+    clear-code reset path on every decode. ``interlaced=True`` writes
+    rows in the 4-pass interlace order with the flag set."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"encode_gif: expected (H, W) gray indices, got {a.shape}")
+    h, w = a.shape
+    header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    palette = bytes(v for g in range(256) for v in (g, g, g))
+    rows = a[_gif_interlace_order(h)] if interlaced else a
+    pixels = rows.tobytes()
+    # LZW: 9-bit codes, LSB-first; CLEAR(256) then literals, re-CLEAR
+    # every 254 literals, EOI(257) at the end
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(256)
+    for i, px in enumerate(pixels):
+        if i and i % 254 == 0:
+            put(256)
+        put(px)
+    put(257)
+    if nbits:
+        bits.append(acc & 0xFF)
+    body = bytearray()
+    body.append(8)  # min code size
+    for off in range(0, len(bits), 255):
+        chunk = bits[off : off + 255]
+        body.append(len(chunk))
+        body += chunk
+    body.append(0)  # sub-block terminator
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    return header + palette + desc + bytes(body) + b"\x3b"
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -392,3 +392,46 @@ def gen_noise_y4m_media(spark: SparkSession, n: int = 60) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+def gen_gif_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic REAL GIF rows: the pixel law's gray form
+
+        v = (7*id + 3*x + 5*y) % 256   (decodes to r = g = b = v)
+
+    encoded as GIF89a over a 256-gray palette with the fixed-width LZW
+    form (clear-code resets every 254 literals — a valid stream that
+    exercises the decoder's reset path), ODD ids written INTERLACED so
+    the 4-pass unweave is under the oracle too. Same dims law as
+    gen_pixel_media."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_gif
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int, int]:
+            w, h = 16 + mid % 16, 12 + mid % 8  # pixel_media_dims, inlined
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            v = ((7 * mid + 3 * x + 5 * y) % 256).astype(np.uint8)
+            return encode_gif(v, interlaced=bool(mid % 2)), w, h
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, w, h = content_for(int(mid))
+                meta = {
+                    "format": "gif",
+                    "width": w,
+                    "height": h,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)

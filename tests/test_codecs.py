@@ -365,6 +365,119 @@ def test_png_honest_gates_and_fail_closed():
     assert np.array_equal(decode_image(blob), a)
 
 
+def _lzw_compress_reference(pixels: bytes, min_code: int) -> bytes:
+    """Textbook GIF LZW compressor (greedy longest-match dictionary,
+    variable-width LSB-first codes, clear at 4096) — written HERE,
+    independent of codecs.encode_gif's fixed-width form, so decoding
+    it exercises the dictionary-growth paths (entry appends, width
+    bumps, KwKwK) that literal-only streams never reach."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    put(clear)
+    prev = b""
+    for b in pixels:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # GIF late change: width grows when next_code exceeds 2^width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        prev = bytes([b])
+    if prev:
+        put(table[prev])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n=st.integers(1, 4000),
+    alphabet=st.integers(2, 256),
+)
+def test_gif_lzw_decode_inverts_reference_compressor(seed, n, alphabet):
+    """_lzw_decode must invert a textbook LZW compressor bit-exactly —
+    repetitive inputs drive real dictionary growth, width bumps at
+    512/1024/2048, and the KwKwK corner."""
+    from etl_orders_spark.multimodal.codecs import _lzw_decode
+
+    rng = np.random.default_rng(seed)
+    # low-entropy stream: runs + repeats force long dictionary matches
+    runs = []
+    total = 0
+    while total < n:
+        ln = int(rng.integers(1, 40))
+        runs.append(bytes([int(rng.integers(0, alphabet))]) * ln)
+        total += ln
+    pixels = b"".join(runs)[:n]
+    comp = _lzw_compress_reference(pixels, 8)
+    assert bytes(_lzw_decode(comp, 8, len(pixels))) == pixels
+
+
+def test_gif_lzw_kwkwk_hand_vector():
+    """The classic KwKwK stream: input 'ababab...' makes the encoder
+    emit a code equal to the table size. Hand-driven through the
+    reference compressor at min_code=2 for a tiny, auditable case."""
+    from etl_orders_spark.multimodal.codecs import _lzw_decode
+
+    pixels = bytes([0, 1, 0, 1, 0, 1, 0, 1, 0])
+    comp = _lzw_compress_reference(pixels, 2)
+    assert bytes(_lzw_decode(comp, 2, len(pixels))) == pixels
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 999), interlaced=st.booleans())
+def test_gif_roundtrip_including_interlace(w, h, seed, interlaced):
+    from etl_orders_spark.multimodal.codecs import decode_gif, encode_gif
+
+    g = _img(w, h, seed, channels=1)
+    out = decode_gif(encode_gif(g, interlaced=interlaced))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_gif_fail_closed_and_routing():
+    from etl_orders_spark.multimodal.codecs import decode_gif, encode_gif
+
+    g = _img(10, 8, seed=2, channels=1)
+    blob = encode_gif(g)
+    assert sniff_format(blob) == "gif"
+    assert np.array_equal(decode_image(blob), np.repeat(g[:, :, None], 3, axis=2))
+    with pytest.raises(ValueError):
+        decode_gif(blob[: len(blob) // 2])  # truncated
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"GIF88a" + blob[6:])
+    with pytest.raises(ValueError, match="no image"):
+        # minimal LSD without a color table, then straight to trailer
+        decode_gif(b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b")
+
+
 def test_resize_nearest_identity_and_idempotence():
     a = _img(11, 7, seed=5)
     assert np.array_equal(resize_nearest(a, 11, 7), a)
@@ -378,7 +491,8 @@ def test_resize_nearest_identity_and_idempotence():
 @given(
     prefix=st.sampled_from(
         [b"", b"P6", b"P5", b"BM", b"RIFF", b"RIFFxxxxWAVE", b"YUV4MPEG2 ",
-         b"YUV4MPEG2 W4 H2 F30:1 Cmono\n", b"\x89PNG\r\n\x1a\n"]
+         b"YUV4MPEG2 W4 H2 F30:1 Cmono\n", b"\x89PNG\r\n\x1a\n",
+         b"GIF89a", b"GIF87a"]
     ),
     junk=st.binary(max_size=120),
 )
