@@ -1954,11 +1954,15 @@ def boilerplate_chunk_removal_docs(spark: SparkSession, sf_dir: str) -> DataFram
     only (doc_id, idx, chunk) — the token array never duplicates
     across the fan-out); the document-frequency table is one
     chunk-keyed aggregate with map-side partial counts; the join back
-    is chunk-keyed; reconstruction is one doc-keyed aggregate. Two
-    shuffles total, both on bounded keys. On a real corpus the chunk
-    key would carry xxhash64(chunk) longs instead of strings (the
-    hashed-twin pattern the n-gram family benches); the string form
-    here keeps the bit-exact SQL oracle."""
+    is chunk-keyed; reconstruction is one doc-keyed aggregate. Three
+    hash exchanges (chunk agg, chunk-keyed probe, doc-grain rebuild),
+    and the corpus scan runs twice by DECISION: the probe branch
+    re-chunks from the scan because map-side re-chunking is cheaper
+    than materializing the exploded chunk stream corpus-wide (the
+    scan-audit tradeoff the threshold-sweep queries document). On a
+    real corpus the chunk key would carry xxhash64(chunk) longs
+    instead of strings (the hashed-twin pattern the n-gram family
+    benches); the string form here keeps the bit-exact SQL oracle."""
     docs = T(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n_chunks = F.ceil(F.size("t") / _BOILER_W).cast("int")
