@@ -46,10 +46,12 @@ def main() -> int:
     # compile + codegen JIT + empty stage caches); SPARK_GRAFT_BENCH_WARMUP=0
     # skips it and leaves the cold column absent
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
-    # best-of-N timed runs (default 2): single-run times on a shared
-    # box carry ±20% scheduler/GC noise; the minimum is the standard
-    # low-variance estimator of a query's true cost
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # best-of-N timed runs (default 3): single-run times on a shared
+    # box carry ±20% scheduler/GC noise, and the xxhash64-heavy codegen
+    # plans need 3-4 executions to reach JIT steady state (SCALE.md,
+    # round 5) — the minimum of three post-warmup runs samples past the
+    # convergence tail that best-of-2 kept landing on
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
