@@ -12,11 +12,14 @@ Design for 100 TB of media:
   AND for PNG (stdlib-zlib DEFLATE + the five scanline unfilters,
   chunk CRCs verified — pure-Python codecs in multimodal/codecs.py);
   the strict decode -> resize -> feature path executes here and
-  carries DuckDB value-hash oracles on generated fixtures. Lossy /
-  entropy-coded codecs (JPEG/GIF/WebP) route through PIL when present
-  and otherwise raise the honest ImportError-gated
-  NotImplementedError, while byte-level features (size, entropy-ish
-  stats, content fingerprint) stay codec-free and deterministic.
+  carries DuckDB value-hash oracles on generated fixtures. GIF decodes
+  natively too (from-scratch variable-width LZW + 4-pass interlace
+  unweave), closing both lossless web formats; PNG/GIF shapes the
+  native codecs gate (16-bit, Adam7) fall through to PIL when present.
+  Lossy codecs (JPEG/WebP) route through PIL when present and
+  otherwise raise the honest ImportError-gated NotImplementedError,
+  while byte-level features (size, entropy-ish stats, content
+  fingerprint) stay codec-free and deterministic.
 """
 
 from etl_orders_spark.multimodal.codecs import (

@@ -180,13 +180,38 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+def _decode_via_pil(content: bytes, gate_name: str) -> np.ndarray:
+    """Decode through Pillow when installed, else the honest
+    ImportError-gated NotImplementedError naming the missing codec."""
+    try:
+        import PIL.Image as Image
+    except ImportError as e:
+        raise NotImplementedError(
+            f"pixel decode for {gate_name} needs an image codec (PIL/libvips); "
+            "not available in this environment"
+        ) from e
+    import io
+
+    # open parses only the header lazily; .load() is the real decode
+    try:
+        img = Image.open(io.BytesIO(content))
+        img.load()
+    except Exception as e:
+        raise ValueError("content is not a decodable image") from e
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Decode any supported container -> (H, W, 3) uint8.
 
-    PPM/PGM/BMP decode here in pure Python; recognized compressed
-    formats route through PIL when it exists and otherwise raise
-    ``NotImplementedError`` naming the missing codec (the honest gate
-    ops.py always had); unrecognized bytes raise ``ValueError``."""
+    PPM/PGM/BMP, PNG and GIF decode here in pure Python. PNG/GIF
+    shapes the native decoders gate (16-bit or sub-byte depth, Adam7
+    interlace) FALL THROUGH to PIL when it is installed — the native
+    path never reduces capability vs the pre-native behavior — and
+    re-raise the native ``NotImplementedError`` when it is not.
+    JPEG/WebP route through PIL when it exists and otherwise raise the
+    honest ImportError-gated ``NotImplementedError``; unrecognized or
+    torn bytes raise ``ValueError`` (the quarantine-lane class)."""
     fmt = sniff_format(content)
     if fmt == "ppm":
         return decode_ppm(content)
@@ -194,27 +219,19 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_pgm(content)
     if fmt == "bmp":
         return decode_bmp(content)
-    if fmt == "png":
-        return decode_png(content)
-    if fmt == "gif":
-        return decode_gif(content)
+    if fmt in ("png", "gif"):
+        native = decode_png if fmt == "png" else decode_gif
+        try:
+            return native(content)
+        except NotImplementedError:
+            # a legal shape the pure-Python codec declines (e.g. 16-bit
+            # or Adam7 PNG): give PIL a chance before gating
+            try:
+                return _decode_via_pil(content, fmt.upper())
+            except NotImplementedError:
+                raise  # PIL absent: surface the gate, not a ValueError
     if fmt in _GATED:
-        try:
-            import PIL.Image as Image
-        except ImportError as e:
-            raise NotImplementedError(
-                f"pixel decode for {_GATED[fmt]} needs an image codec (PIL/libvips); "
-                "not available in this environment"
-            ) from e
-        import io
-
-        # open parses only the header lazily; .load() is the real decode
-        try:
-            img = Image.open(io.BytesIO(content))
-            img.load()
-        except Exception as e:
-            raise ValueError("content is not a decodable image") from e
-        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return _decode_via_pil(content, _GATED[fmt])
     raise ValueError("content is not a decodable image (no known container magic)")
 
 

@@ -139,17 +139,19 @@ def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> 
     an atomic ``os.mkdir`` of the ``v_<n>`` directory — on
     ``FileExistsError`` it retries with the next number — so two racing
     publishers can never write into (or delete-then-rewrite) the same
-    directory. The pointer flip itself is last-writer-wins: each
-    publisher rereads the pointer AFTER its data write and prepends its
-    own version, so whichever ``os.replace`` lands last names the
-    current version and readers still only ever resolve
-    fully-committed directories. GC never touches a dangling dir
-    younger than ``gc_grace_sec`` (mtime), so an in-flight concurrent
-    publish's claimed directory is never deleted out from under it;
-    only crashed-and-abandoned claims are collected. The persisted
-    history is truncated to a bounded window (``keep + 8`` lines) so a
-    long-lived foreachBatch sink never grows the pointer file without
-    bound — GC only ever consults ``history[:keep]``."""
+    directory. Each committed version carries a ``_COMMITTED`` marker
+    file written after its data lands, and GC RETENTION IS
+    MARKER-BASED: the newest ``keep`` committed versions (by version
+    number) plus whatever the pointer currently names survive, so a
+    publish that lost the pointer race (the flip is last-writer-wins)
+    keeps its fully-written directory on disk — concurrent flips can
+    reorder "latest" but can never silently destroy a committed
+    version. Dangling claims (no marker: a crash, or a concurrent
+    publish mid-write) are collected only once older than
+    ``gc_grace_sec`` (mtime). The pointer keeps a bounded history
+    window (``keep + 8`` lines, advisory — GC no longer depends on it)
+    so a long-lived foreachBatch sink never grows the file without
+    bound."""
     import os
     import shutil
     import time
@@ -188,27 +190,46 @@ def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> 
     stage = os.path.join(table_root, f".stage_v_{version}")
     df.write.mode("overwrite").parquet(stage)
     os.rename(stage, vdir)
+    # Commit marker: the durable record that this version's data is
+    # complete. GC trusts markers, not the pointer, so losing the
+    # pointer race below can never cost this version its data.
+    with open(os.path.join(vdir, "_COMMITTED"), "w"):
+        pass
     # Reread the pointer after the data write so a publish that landed
-    # while we were writing stays in the history we prepend to.
+    # while we were writing stays in the (advisory) history we prepend.
     history = [f"v_{version}"] + _read_history()
-    persisted = history[: keep + 8]  # bounded: GC reads only [:keep]
+    persisted = history[: keep + 8]  # bounded; advisory — GC uses markers
     tmp = pointer + f".tmp.{version}"
     with open(tmp, "w") as f:
         f.write("\n".join(persisted) + "\n")
     os.replace(tmp, pointer)  # the atomic publish
-    published_keep = set(history[:keep])
-    published_all = set(history)
+    # Marker-based retention: newest `keep` committed versions by
+    # number, plus whatever the pointer NOW names (a concurrent flip
+    # may have landed after ours — its line-1 must stay readable).
+    committed = sorted(
+        (
+            int(d[2:])
+            for d in os.listdir(table_root)
+            if d.startswith("v_") and d[2:].isdigit()
+            and os.path.exists(os.path.join(table_root, d, "_COMMITTED"))
+        ),
+        reverse=True,
+    )
+    keep_set = {f"v_{v}" for v in committed[:keep]}
+    current = _read_history()
+    if current:
+        keep_set.add(current[0])
     now = time.time()
     gc_grace_sec = 3600.0
     for d in os.listdir(table_root):
         is_version = d.startswith("v_") and d[2:].isdigit()
         is_stage = d.startswith(".stage_v_")
-        if (not is_version and not is_stage) or d in published_keep:
+        if (not is_version and not is_stage) or d in keep_set:
             continue
         path = os.path.join(table_root, d)
-        if is_stage or d not in published_all:
-            # Dangling (never published): could be a crashed publish OR
-            # a concurrent one mid-write — only collect once stale.
+        if is_stage or not os.path.exists(os.path.join(path, "_COMMITTED")):
+            # Dangling (never committed): a crashed publish OR a
+            # concurrent one mid-write — only collect once stale.
             try:
                 if now - os.path.getmtime(path) < gc_grace_sec:
                     continue

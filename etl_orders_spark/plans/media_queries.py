@@ -511,6 +511,9 @@ def media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from etl_orders_spark.multimodal.schemas import NOISE_CLONE_EVERY as _VND_CLONE
+from etl_orders_spark.multimodal.schemas import NOISE_H as _VND_H
+from etl_orders_spark.multimodal.schemas import NOISE_W as _VND_W
 from etl_orders_spark.multimodal.schemas import VNOISE_FRAMES as _VNOISE_FRAMES
 
 _N_VNOISE = 60
@@ -523,8 +526,10 @@ _VND_MAJORITY = 2  # of the 3 sampled frames (0, 2, 4)
     WITH ids AS (SELECT UNNEST(generate_series(0, {_N_VNOISE - 1})) AS media_id),
     base AS (
       SELECT media_id,
-             CASE WHEN media_id % 5 = 4 THEN media_id - 1 ELSE media_id END AS b,
-             CASE WHEN media_id % 5 = 4 THEN 1 ELSE 0 END AS pert
+             CASE WHEN media_id % {_VND_CLONE} = {_VND_CLONE - 1}
+                  THEN media_id - 1 ELSE media_id END AS b,
+             CASE WHEN media_id % {_VND_CLONE} = {_VND_CLONE - 1}
+                  THEN 1 ELSE 0 END AS pert
       FROM ids
     ),
     -- sampled frames from the SAME constants the Spark call passes
@@ -535,14 +540,18 @@ _VND_MAJORITY = 2  # of the 3 sampled frames (0, 2, 4)
         AND f.i < {_VIDEO_EVERY_N * _VIDEO_MAX_FRAMES}
     ),
     -- resized 9x8 luma grid straight from the generator law (floor
-    -- map from 32x24); clone perturbation where the map lands on
-    -- source pixel (0, 0)
+    -- map from the fixture dims); clone perturbation where the map
+    -- lands on source pixel (0, 0) — every constant interpolated from
+    -- schemas.py so a knob change can never silently drift the pair
     px AS (
       SELECT media_id, f, dy.i AS y, dx.i AS x,
-             CASE WHEN (dx.i * 32) // 9 = 0 AND (dy.i * 24) // 8 = 0 AND pert = 1
-                  THEN (((b*73 + f*29 + ((dx.i*32)//9)*37 + ((dy.i*24)//8)*101)
+             CASE WHEN (dx.i * {_VND_W}) // 9 = 0 AND (dy.i * {_VND_H}) // 8 = 0
+                       AND pert = 1
+                  THEN (((b*73 + f*29 + ((dx.i*{_VND_W})//9)*37
+                          + ((dy.i*{_VND_H})//8)*101)
                          * 2654435761 % 4294967296) // 16777216 + 128) % 256
-                  ELSE ((b*73 + f*29 + ((dx.i*32)//9)*37 + ((dy.i*24)//8)*101)
+                  ELSE ((b*73 + f*29 + ((dx.i*{_VND_W})//9)*37
+                         + ((dy.i*{_VND_H})//8)*101)
                         * 2654435761 % 4294967296) // 16777216
              END AS v
       FROM fr,

@@ -158,3 +158,37 @@ def test_publish_parquet_versioned_atomicity_and_gc(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "v_5"))  # fresh claim untouched
     dirs = {d for d in os.listdir(root) if d.startswith("v_")}
     assert dirs == {"v_4", "v_5", "v_6"}
+
+
+def test_publish_lost_pointer_race_keeps_committed_version(spark, tmp_path):
+    """ADVICE r5 (self-review): a publisher whose pointer flip lost the
+    last-writer-wins race is absent from every later pointer history —
+    GC retention is therefore MARKER-based, so its fully-committed
+    directory survives even once stale, and only truly-uncommitted
+    claims are collected."""
+    import os
+
+    from etl_orders_spark.operators.merge import (
+        publish_parquet_versioned,
+        read_published,
+    )
+
+    root = str(tmp_path / "serving")
+    publish_parquet_versioned(spark.range(1).selectExpr("id", "id AS v"), root)  # v_1
+    # Simulate publisher B: committed v_2 (data + marker) whose pointer
+    # flip was overwritten — the pointer still says v_1, and v_2 never
+    # appears in any history line.
+    spark.range(2).selectExpr("id", "id + 50 AS v").write.parquet(
+        os.path.join(root, "v_2")
+    )
+    with open(os.path.join(root, "v_2", "_COMMITTED"), "w"):
+        pass
+    stale = os.path.getmtime(os.path.join(root, "v_2")) - 7200
+    os.utime(os.path.join(root, "v_2"), (stale, stale))  # well past grace
+
+    publish_parquet_versioned(spark.range(3).selectExpr("id", "id AS v"), root)  # v_3
+    dirs = {d for d in os.listdir(root) if d.startswith("v_")}
+    # keep=2 committed -> {v_3, v_2}; v_1 (committed, beyond keep) GC'd;
+    # the race-losing v_2 is RETAINED despite being stale and unlisted
+    assert dirs == {"v_2", "v_3"}
+    assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 1, 2]
