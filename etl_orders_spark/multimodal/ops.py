@@ -429,3 +429,44 @@ def resize_images(media: DataFrame, max_side: int = 64, strict: bool = False) ->
         F.col("meta.height").alias("height"),
     )
     return imgs.mapInPandas(batches, RESIZED_SCHEMA)
+
+SPECTRAL_SCHEMA = "media_id long, n_fft long, n_frames long, dominant_bin long"
+
+
+def audio_spectral_features(media: DataFrame, n_fft: int = 256) -> DataFrame:
+    """Frequency-domain feature extraction from REAL decoded PCM: frame
+    channel 0 into non-overlapping ``n_fft`` windows, rFFT each, sum
+    magnitudes across frames, and emit the dominant frequency bin —
+    the minimal spectral fingerprint (tuning detection, tone/DTMF
+    classification, bandwidth audits) a media pipeline extracts before
+    any model sees audio. numpy's pocketfft runs per Arrow batch; only
+    integer rows cross back, and the output is an ARGMAX — bit-stable
+    across platforms for any input whose spectrum has a separated peak
+    (the fixture law plants exact-bin tones, so the DuckDB twin states
+    the answer in closed form without computing an FFT). Clips shorter
+    than one window emit n_frames = 0 and dominant_bin = -1 rather
+    than a worker error."""
+    from etl_orders_spark.multimodal.codecs import decode_wav as _decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _ = _decode_wav(bytes(content))  # (n, channels)
+                ch0 = samples[:, 0].astype(np.float64)
+                n_frames = ch0.size // n_fft
+                if n_frames == 0:
+                    rows.append((mid, n_fft, 0, -1))
+                    continue
+                frames = ch0[: n_frames * n_fft].reshape(n_frames, n_fft)
+                mag = np.abs(np.fft.rfft(frames, axis=1)).sum(axis=0)
+                rows.append((mid, n_fft, n_frames, int(mag.argmax())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_fft", "n_frames", "dominant_bin"]
+            )
+
+    clips = media.filter(F.col("kind") == "audio").select("media_id", "content")
+    return clips.mapInPandas(batches, SPECTRAL_SCHEMA)

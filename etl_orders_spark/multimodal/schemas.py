@@ -435,3 +435,49 @@ def gen_gif_media(spark: SparkSession, n: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+TONE_N_FFT = 256  # analysis window, shared with the SQL oracle
+TONE_N_SAMPLES = 1024  # 4 full windows per clip
+
+
+def gen_tone_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic pure-tone WAV clips for spectral-feature tests:
+
+        k(id) = 3 + id % 40          (cycles per analysis window)
+        s(id, t) = round(18000 · sin(2π · k(id) · t / TONE_N_FFT))
+
+    Each clip holds TONE_N_SAMPLES = 4 whole windows, so the tone sits
+    EXACTLY on DFT bin k(id) — the rFFT magnitude argmax equals k(id)
+    by construction (int16 quantization spreads only a ~-60 dB noise
+    floor), which gives the FFT feature extractor a closed-form
+    integer oracle without the oracle engine ever computing an FFT."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> bytes:
+            k = 3 + mid % 40
+            t = np.arange(TONE_N_SAMPLES, dtype=np.float64)
+            s = np.round(18000.0 * np.sin(2.0 * np.pi * k * t / TONE_N_FFT))
+            return encode_wav(s.astype(np.int16), WAV_RATE)
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                meta = {
+                    "format": "wav",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": WAV_RATE,
+                    "duration_ms": TONE_N_SAMPLES * 1000 // WAV_RATE,
+                }
+                rows.append((int(mid), "audio", content_for(int(mid)), meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)

@@ -662,3 +662,38 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling fan-out (1 row per sampled frame)."""
     frames = sample_frames(gen_media(spark, 300), every_ms=1000, max_frames=8)
     return frames.select("media_id", "frame_idx", "frame_ms", F.length("frame_bytes").alias("n"))
+
+
+from etl_orders_spark.multimodal.schemas import TONE_N_FFT as _TONE_N_FFT
+from etl_orders_spark.multimodal.schemas import TONE_N_SAMPLES as _TONE_N_SAMPLES
+
+_N_TONE = 100
+
+
+@register(
+    "media_audio_dominant_tone",
+    f"""
+    SELECT media_id,
+           CAST({_TONE_N_FFT} AS BIGINT) AS n_fft,
+           CAST({_TONE_N_SAMPLES // _TONE_N_FFT} AS BIGINT) AS n_frames,
+           CAST(3 + media_id % 40 AS BIGINT) AS dominant_bin
+    FROM (SELECT UNNEST(generate_series(0, {_N_TONE - 1})) AS media_id)
+    """,
+    tags=("media", "audio", "fft", "pandas-udf"),
+)
+def media_audio_dominant_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain analysis, oracle-checked: generate 16-bit
+    pure-tone WAVs whose frequency sits EXACTLY on DFT bin
+    k(id) = 3 + id % 40 of a {_TONE_N_FFT}-point window (the fixture
+    law), decode + frame + rFFT inside an Arrow-batched mapInPandas,
+    and emit the dominant bin. The DuckDB twin states the expected bin
+    in closed form from the same law — the oracle never computes an
+    FFT, so a hash match certifies the whole chain (PCM decode,
+    framing, transform, argmax) against ground truth rather than
+    against a second FFT implementation. Output is pure integers
+    (argmax of a spectrum with one separated peak), so the row is
+    bit-stable despite the floating-point transform inside."""
+    from etl_orders_spark.multimodal.ops import audio_spectral_features
+    from etl_orders_spark.multimodal.schemas import gen_tone_wav_media
+
+    return audio_spectral_features(gen_tone_wav_media(spark, _N_TONE), n_fft=_TONE_N_FFT)

@@ -332,3 +332,33 @@ def test_pixel_media_dims_is_the_single_source_of_truth(spark):
     assert len(rows) == 40
     for r in rows:
         assert (r["width"], r["height"]) == pixel_media_dims(r["media_id"])
+
+
+def test_audio_spectral_dominant_bin_matches_tone_law(spark):
+    """The rFFT dominant-bin extractor recovers every planted tone's
+    exact bin, is partition-invariant, and short clips emit the
+    n_frames = 0 / dominant_bin = -1 sentinel instead of erroring."""
+    import numpy as np
+
+    from etl_orders_spark.multimodal.codecs import encode_wav
+    from etl_orders_spark.multimodal.ops import audio_spectral_features
+    from etl_orders_spark.multimodal.schemas import TONE_N_FFT, gen_tone_wav_media
+
+    media = gen_tone_wav_media(spark, 50)
+    rows = {r["media_id"]: r for r in audio_spectral_features(media, n_fft=TONE_N_FFT).collect()}
+    assert len(rows) == 50
+    for mid, r in rows.items():
+        assert r["dominant_bin"] == 3 + mid % 40
+        assert r["n_frames"] == 4
+    again = {
+        r["media_id"]: r["dominant_bin"]
+        for r in audio_spectral_features(media.repartition(7), n_fft=TONE_N_FFT).collect()
+    }
+    assert again == {m: r["dominant_bin"] for m, r in rows.items()}
+
+    short = spark.createDataFrame(
+        [(9, "audio", bytearray(encode_wav(np.zeros(10, np.int16), 8000)))],
+        "media_id long, kind string, content binary",
+    )
+    r = audio_spectral_features(short, n_fft=TONE_N_FFT).collect()[0]
+    assert (r["n_frames"], r["dominant_bin"]) == (0, -1)
