@@ -147,15 +147,21 @@ def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> Dat
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    # schema from the UNION of the lexicographically first and last
-    # good footers — two bounded driver-side reads, deterministic
-    # across runs (limit(1) is not). Sampling one footer silently
-    # DROPS columns a newer generation added whenever an old-generation
-    # file happens to sort first; unioning both ends of the sort order
-    # covers the common evolve-over-time layout (generations cluster
-    # lexicographically), and files conform to the union by NULL-fill.
-    # A generation hidden strictly in the middle of the sort order with
-    # columns neither end has is the documented residual gap.
+    # schema from the UNION of a bounded footer sample: the
+    # lexicographically first and last good paths (deterministic across
+    # runs — limit(1) is not) PLUS six hash-selected paths (smallest
+    # xxhash64(path): deterministic, spread uniformly over the listing
+    # regardless of naming). Sampling one footer silently DROPS columns
+    # a newer generation added whenever an old-generation file happens
+    # to sort first; the first/last pair covers the common
+    # evolve-over-time layout (generations cluster lexicographically),
+    # and the hash sample catches generations hidden mid-sort. The
+    # sample is a pure function of the file SET (hash order), so a
+    # given layout either always resolves the full schema or always
+    # misses it — no run-to-run flakiness; a mid-sort generation
+    # holding share s of the files is missed with probability ~(1-s)^6
+    # (documented residual: tiny interleaved generations), and files
+    # conform to the union by NULL-fill either way.
     # prefer_timestamp_ntz matches Spark's native parquet inference for
     # timestamps without timezone (isAdjustedToUTC=false): without it a
     # TIMESTAMP_NTZ column would come back session-tz-adjusted and the
@@ -165,9 +171,13 @@ def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> Dat
     from pyspark.sql import functions as F
 
     row = good_paths.agg(F.min("path"), F.max("path")).collect()[0]
-    bounds = (row[0], row[1])
-    first = bounds[0]
-    arrow_schemas = [pq.ParquetFile(p).schema_arrow for p in dict.fromkeys(bounds)]
+    first = row[0]
+    sampled = [
+        r["path"]
+        for r in good_paths.orderBy(F.xxhash64("path"), "path").limit(6).collect()
+    ]
+    sample_paths = list(dict.fromkeys([row[0], row[1], *sampled]))
+    arrow_schemas = [pq.ParquetFile(p).schema_arrow for p in sample_paths]
     try:
         unified = pa.unify_schemas(arrow_schemas)
     except (pa.ArrowInvalid, pa.ArrowTypeError):

@@ -231,3 +231,26 @@ def test_manifest_mode_schema_evolution_unfavorable_ordering(spark, tmp_path):
     assert set(manifest.columns) == {"id", "k"}  # evolved column SURVIVES
     rows = sorted(map(tuple, manifest.select("id", "k").collect()))
     assert rows == [(1, 7), (2, 8), (3, None)]
+
+
+def test_manifest_mode_schema_evolution_midsort_generation(spark, tmp_path):
+    """A generation hidden STRICTLY mid-sort (neither first nor last
+    path) is covered by the hash-sampled footers in the schema union —
+    with <= 6 good files every footer is sampled, so the evolved
+    column survives deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "evolved_mid"
+    root.mkdir()
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), root / "a-old.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64()), "k": pa.array([9], pa.int64())}),
+        root / "m-new.parquet",
+    )
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64())}), root / "z-old.parquet")
+
+    manifest, _ = read_parquet_resilient(spark, str(root), manifest_threshold=0)
+    assert set(manifest.columns) == {"id", "k"}
+    rows = sorted(map(tuple, manifest.select("id", "k").collect()))
+    assert rows == [(1, None), (2, 9), (3, None)]
