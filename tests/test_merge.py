@@ -192,3 +192,50 @@ def test_publish_lost_pointer_race_keeps_committed_version(spark, tmp_path):
     # the race-losing v_2 is RETAINED despite being stale and unlisted
     assert dirs == {"v_2", "v_3"}
     assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 1, 2]
+
+
+def test_publish_parquet_versioned_concurrent_publishers(spark, tmp_path):
+    """Four ACTUAL concurrent publishers (threads sharing the session):
+    every publisher gets a distinct version directory (mkdir claim),
+    every committed directory survives GC with its marker, the pointer
+    resolves one of the committed versions, and no publish's data is
+    lost or interleaved."""
+    import os
+    import threading
+
+    from etl_orders_spark.operators.merge import (
+        publish_parquet_versioned,
+        read_published,
+    )
+
+    root = str(tmp_path / "serving")
+    results: dict[int, str] = {}
+    errors: list[Exception] = []
+
+    def publish(i: int) -> None:
+        try:
+            df = spark.range(10).selectExpr("id", f"id + {i * 100} AS v")
+            results[i] = publish_parquet_versioned(df, root, keep=4)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=publish, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    vdirs = set(results.values())
+    assert len(vdirs) == 4  # no two publishers shared a directory
+    for i, vdir in results.items():
+        assert os.path.exists(os.path.join(vdir, "_COMMITTED"))
+        vals = sorted(
+            r["v"] for r in spark.read.parquet(vdir).collect()
+        )
+        assert vals == [i * 100 + k for k in range(10)]  # no interleave
+    # the pointer names one committed, readable version
+    served = read_published(spark, root)
+    first = sorted(r["v"] for r in served.collect())[0]
+    assert first % 100 == 0 and 0 <= first <= 300
+    # no stage leftovers
+    assert not [d for d in os.listdir(root) if d.startswith(".stage_")]
