@@ -2394,3 +2394,88 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_cents",
         F.date_format("valid_from", "yyyy-MM-dd").alias("since"),
     )
+
+
+@register(
+    "scd2_enrich_orders_asof",
+    """
+    WITH base AS (
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer
+    )
+    SELECT o.o_orderkey, b.c_custkey,
+           CASE CAST(o.o_orderkey % 3 AS INTEGER)
+             WHEN 0 THEN b.bal
+             WHEN 1 THEN CASE WHEN b.c_custkey % 7 = 0 THEN b.bal + 1000 ELSE b.bal END
+             ELSE CASE WHEN b.c_custkey % 5 = 0 THEN b.bal + 500
+                       WHEN b.c_custkey % 7 = 0 THEN b.bal + 1000
+                       ELSE b.bal END
+           END AS bal_cents_asof
+    FROM orders o JOIN base b ON o.o_custkey = b.c_custkey
+    """,
+    tags=("merge", "scd2", "time", "join", "range"),
+)
+def scd2_enrich_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fact SCD2 temporal enrichment — the staple warehouse join
+    scd2_point_in_time's single snapshot doesn't cover: each ORDER is
+    enriched with the dimension version valid AT ITS OWN event time.
+    The same three-generation customer history as scd2_point_in_time
+    (initial load; +1000 cents for custkey%7 at Feb 1; +500 cents for
+    custkey%5 at Mar 1) joins facts whose synthetic event time buckets
+    by o_orderkey%3 into Jan 15 / Feb 15 / Mar 15 — so every fact picks
+    a DIFFERENT generation depending on (key mods, time bucket), and
+    the oracle states the expected enriched value in closed form over
+    the raw tables. A hash match proves the interval-containment join
+    resolves every fact to exactly one version (close-at-open
+    boundaries: a version is live on [valid_from, valid_to)).
+
+    Scale: this is an EQUI-join on the dimension key with the interval
+    containment as a residual predicate — shuffle/broadcast hash join
+    on c_custkey, never a range nested loop; each key carries at most
+    its few versions, so the residual scans a handful of rows per
+    probe. That plan shape holds at any fact count, which is why SCD2
+    beats snapshot-per-day copies at 100 TB."""
+    from datetime import datetime
+
+    from etl_orders_spark.operators.merge import scd2_apply
+
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    dim = (
+        base.withColumn("valid_from", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    upd1 = base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 1000
+    )
+    upd2 = base.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 500
+    )
+    hist = scd2_apply(dim, upd1, ["c_custkey"], datetime(2024, 2, 1))
+    hist = scd2_apply(hist, upd2, ["c_custkey"], datetime(2024, 3, 1))
+
+    facts = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.element_at(
+            F.array(
+                F.lit("2024-01-15"), F.lit("2024-02-15"), F.lit("2024-03-15")
+            ),
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+        ).cast("timestamp").alias("event_ts"),
+    )
+    return (
+        facts.join(hist, facts["o_custkey"] == hist["c_custkey"])
+        .filter(
+            (F.col("event_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("event_ts") < F.col("valid_to")))
+        )
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            F.col("bal_cents").alias("bal_cents_asof"),
+        )
+    )
