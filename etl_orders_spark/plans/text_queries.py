@@ -1995,3 +1995,76 @@ def boilerplate_chunk_removal_docs(spark: SparkSession, sf_dir: str) -> DataFram
             F.length(clean_text).cast("long").alias("n_chars_clean"),
         )
     )
+
+
+@register(
+    "unicode_nfc_dedup_key",
+    """
+    WITH forms AS (
+      SELECT doc_id,
+             text || ' caf' || chr(233) AS s
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             text || ' caf' || 'e' || chr(769) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT md5(s)) AS BIGINT) AS n_raw_fps,
+           CAST(COUNT(DISTINCT md5(nfc_normalize(s))) AS BIGINT) AS n_nfc_fps,
+           ANY_VALUE(md5(nfc_normalize(s))) AS nfc_fp
+    FROM forms GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "curation", "llm", "pandas-udf"),
+)
+def unicode_nfc_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalized dedup keys — the scrub exact dedup needs on
+    real web text: visually identical documents hash apart when one
+    carries COMPOSED codepoints (U+00E9) and the other DECOMPOSED
+    sequences (e + U+0301). Each document emits both forms of a salted
+    suffix; the raw md5 fingerprints differ (n_raw_fps = 2 per doc)
+    while the NFC-normalized fingerprints collapse (n_nfc_fps = 1) —
+    and the DuckDB twin (utf8proc's nfc_normalize vs Python's
+    unicodedata, two independent implementations of UAX #15) value-
+    hashes the normalized fingerprint itself, certifying byte-level
+    normalization parity, not just the counts.
+
+    Scale: NFC runs in an Arrow-batched pandas UDF (pure map, no
+    shuffle); the dedup key is then an ordinary md5 — everything
+    downstream (exact dedup, LSH) composes unchanged. ASCII-only text
+    is NFC-invariant, so the salt plants the only non-ASCII bytes and
+    the oracle stays closed-form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(col):  # closure: pickled by value
+        import unicodedata
+
+        return col.map(lambda x: unicodedata.normalize("NFC", x))
+
+    # real class annotations, assigned explicitly: this module's
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf's type-hint inference cannot resolve
+    _nfc.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    nfc = pandas_udf(_nfc, "string")
+
+    docs = T(spark, sf_dir, "documents")
+    forms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.col("text"), F.lit(" café")),
+                F.concat(F.col("text"), F.lit(" café")),
+            )
+        ).alias("s"),
+    )
+    with_fps = forms.select(
+        "doc_id",
+        F.md5(F.encode("s", "UTF-8")).alias("raw_fp"),
+        F.md5(F.encode(nfc("s"), "UTF-8")).alias("nfc_fp"),
+    )
+    return with_fps.groupBy("doc_id").agg(
+        F.count_distinct("raw_fp").cast("long").alias("n_raw_fps"),
+        F.count_distinct("nfc_fp").cast("long").alias("n_nfc_fps"),
+        F.any_value("nfc_fp").alias("nfc_fp"),
+    )
