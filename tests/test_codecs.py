@@ -509,3 +509,39 @@ def test_decoders_fail_closed_on_adversarial_bytes(prefix, junk):
             fn(blob)
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    idx=st.integers(0, 10**6),
+    val=st.integers(0, 255),
+    codec=st.sampled_from(["png", "gif"]),
+)
+def test_png_gif_single_byte_mutations_fail_controlled(idx, val, codec):
+    """Structured bit-rot fuzz: flip ONE byte anywhere in a valid
+    PNG/GIF and decode. Every outcome must be controlled — a normal
+    decode (GIF has no integrity check, so a pixel/palette byte flip
+    is a legal different image), ValueError, or NotImplementedError —
+    never an uncaught struct/index/numpy error. PNG must additionally
+    REJECT any mutation outside the 8-byte signature prefix's
+    magic-preserving positions, because every chunk is CRC-covered."""
+    from etl_orders_spark.multimodal.codecs import decode_gif, decode_png, encode_gif, encode_png
+
+    img = _img(9, 7, seed=3)
+    if codec == "png":
+        blob = bytearray(encode_png(img))
+        fn = decode_png
+    else:
+        blob = bytearray(encode_gif(img[:, :, 0]))
+        fn = decode_gif
+    i = idx % len(blob)
+    old = blob[i]
+    blob[i] = val
+    try:
+        out = fn(bytes(blob))
+        if codec == "png" and val != old and 8 <= i < len(blob) - 0:
+            # any effective mutation past the signature is CRC-covered
+            raise AssertionError(f"png accepted corrupted byte at {i}")
+        assert out.ndim == 3 and out.shape[2] == 3
+    except (ValueError, NotImplementedError):
+        pass
