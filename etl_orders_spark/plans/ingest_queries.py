@@ -301,3 +301,67 @@ def pysource_firehose_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value_cents"),
         )
     )
+
+
+_JSONL_Q_DIR = os.path.join(os.path.dirname(ORDERS_CSV), "orders_jsonl_q")
+_N_BAD_LINES = 3
+
+
+def _ensure_orders_jsonl_quarantine(spark: SparkSession) -> str:
+    """Stage orders as JSONL, then plant a shard of malformed lines
+    beside the good parts — the torn-line reality of corpus landing
+    directories. A SEPARATE directory from the clean jsonl staging so
+    the round-trip query's relation stays pristine."""
+    _stage_orders(spark, _JSONL_Q_DIR, lambda w, d: w.json(d))
+    bad = os.path.join(_JSONL_Q_DIR, "part-torn.json")
+    if not os.path.exists(bad):
+        with open(bad, "w") as f:
+            f.write('{"Fecha": "2023-01-01", "Product_ID": 1, "User_ID"\n')  # truncated
+            f.write("this was never json\n")
+            f.write('{"Fecha": "2023-01-02", "Product_ID": "not a number", "User_ID": 2}\n')
+    return _JSONL_Q_DIR
+
+
+@register(
+    "jsonl_quarantine_ingest",
+    f"""
+    SELECT o.Fecha AS order_date,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.Product_ID) AS BIGINT) AS sum_product_ids
+    FROM read_csv('{ORDERS_CSV}', header=true, columns={_ORDERS_COLS}) o
+    GROUP BY o.Fecha
+    """,
+    tags=("source", "json", "quarantine", "agg"),
+)
+def jsonl_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hardened — the JSONL quarantine lane, oracle-checked: stage
+    orders as JSONL, plant a shard of malformed lines (truncated JSON,
+    stray text, a type-violating value), read through
+    read_jsonl_quarantine, and aggregate the GOOD lane per date. The
+    oracle aggregates the clean source CSV, so a hash match proves the
+    quarantine split loses no good row and admits no torn one; the bad
+    lane's count is asserted inside the builder (= the planted lines),
+    so the lane is genuinely exercised, and the shared parse cache is
+    released once both lanes are consumed.
+
+    Scale: one parse of the landing bytes serves both lanes (the
+    production form writes good->staging and bad->dead-letter in one
+    job); PERMISSIVE mode costs nothing on clean shards."""
+    from etl_orders_spark.sources.readers import read_jsonl_quarantine
+
+    ensure_ingest_fixtures()
+    path = _ensure_orders_jsonl_quarantine(spark)
+    good, bad, parsed = read_jsonl_quarantine(spark, path, ORDERS_SCHEMA)
+    n_bad = bad.count()
+    if n_bad != _N_BAD_LINES:
+        parsed.unpersist()
+        raise AssertionError(f"quarantined {n_bad} lines, expected {_N_BAD_LINES}")
+    out = good.groupBy(F.col("Fecha").alias("order_date")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("Product_ID").cast("long").alias("sum_product_ids"),
+    )
+    # the aggregate is tiny (one row per date): materialize it off the
+    # cached parse, then release the parse — the documented contract
+    rows = out.collect()
+    parsed.unpersist()
+    return spark.createDataFrame(rows, out.schema)

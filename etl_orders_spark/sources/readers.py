@@ -253,3 +253,39 @@ def from_json_strings(df: DataFrame, column: str, schema: T.StructType | str) ->
     """S2 variant — parse a string column of embedded JSON (e.g. events.props)
     into a struct column named ``parsed`` via `from_json` (JVM-side, no UDF)."""
     return df.withColumn("parsed", F.from_json(F.col(column), schema))
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    **options: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """S2 hardened for production ingestion: JSONL scan with the same
+    quarantine contract as read_csv_quarantine — malformed lines
+    (truncated JSON, wrong types, stray text) land in
+    ``_corrupt_record`` under PERMISSIVE mode instead of failing the
+    load or silently nulling. Returns ``(good, bad, parsed)``; the
+    caller unpersists ``parsed`` once both lanes are written.
+
+    JSONL is the landing format LLM corpora actually arrive in, and at
+    corpus scale a torn line per shard is a certainty — the quarantine
+    lane makes the loss measured and replayable (raw_line preserves
+    the original bytes for a dead-letter sink) instead of a crashed
+    task or a silent null row."""
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**options)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad, df
