@@ -2434,7 +2434,12 @@ def scd2_enrich_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     on c_custkey, never a range nested loop; each key carries at most
     its few versions, so the residual scans a handful of rows per
     probe. That plan shape holds at any fact count, which is why SCD2
-    beats snapshot-per-day copies at 100 TB."""
+    beats snapshot-per-day copies at 100 TB. The customer scan appears
+    three times in the executed plan (dim seed + both update batches
+    derive from one base) — the same deliberate demo artifact as
+    scd2_point_in_time: a real deployment reads the persisted history
+    table, it doesn't rebuild the dimension from source inside the
+    query."""
     from datetime import datetime
 
     from etl_orders_spark.operators.merge import scd2_apply

@@ -2053,8 +2053,11 @@ def unicode_nfc_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.array(
-                F.concat(F.col("text"), F.lit(" café")),
-                F.concat(F.col("text"), F.lit(" café")),
+                # composed U+00E9 — explicit escape: an NFC-normalizing
+                # editor would otherwise silently merge these two literals
+                F.concat(F.col("text"), F.lit(" caf\u00e9")),
+                # decomposed e + U+0301 (combining acute)
+                F.concat(F.col("text"), F.lit(" cafe\u0301")),
             )
         ).alias("s"),
     )

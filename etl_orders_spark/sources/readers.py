@@ -202,18 +202,31 @@ def read_csv_quarantine(
     and the production form writes both lanes write-through in one
     job (foreachBatch / two .write calls over this same cached frame)
     rather than holding a 100 TB cache interactively."""
+    return _quarantine_split(
+        schema,
+        lambda reader: reader.option("header", header).options(**options).csv(path),
+        spark,
+    )
+
+
+def _quarantine_split(schema, load, spark):
+    """The shared quarantine mechanism for text landing formats: one
+    augmented-schema PERMISSIVE parse, cached (the analyzer rejects a
+    scan reading ONLY the internal corrupt column, and caching is the
+    honest one-parse-two-lanes cost model), split into the good lane
+    (declared schema) and the dead-letter lane (raw bytes preserved).
+    ``load`` receives a reader pre-configured with the corrupt-record
+    options and issues the format-specific call — keeping the
+    contract (augmentation, cache-before-filter, lane filters) in ONE
+    place so a fix to one format cannot silently miss the other."""
     aug = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
-    df = (
+    df = load(
         spark.read.schema(aug)
-        .option("header", header)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .options(**options)
-        .csv(path)
-        .cache()
-    )
+    ).cache()
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
@@ -273,19 +286,6 @@ def read_jsonl_quarantine(
     lane makes the loss measured and replayable (raw_line preserves
     the original bytes for a dead-letter sink) instead of a crashed
     task or a silent null row."""
-    aug = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    return _quarantine_split(
+        schema, lambda reader: reader.options(**options).json(path), spark
     )
-    df = (
-        spark.read.schema(aug)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .options(**options)
-        .json(path)
-        .cache()
-    )
-    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
-    return good, bad, df

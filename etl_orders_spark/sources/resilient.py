@@ -181,10 +181,17 @@ def _manifest_scan(spark: SparkSession, good_paths: DataFrame, root: str) -> Dat
     try:
         unified = pa.unify_schemas(arrow_schemas)
     except (pa.ArrowInvalid, pa.ArrowTypeError):
-        # conflicting types for a shared column: fall back to the first
-        # footer's schema (the pre-union behavior) rather than guess a
+        # conflicting types for a shared column somewhere in the
+        # sample: degrade to the two-ended union (never WORSE than the
+        # pre-sampling behavior — a conflicting mid-sort file must not
+        # collapse the schema below what first+last alone provide),
+        # then to the first footer alone, rather than guess a type
         # promotion DuckDB/Spark native readers wouldn't make
-        unified = arrow_schemas[0]
+        ends = [pq.ParquetFile(p).schema_arrow for p in dict.fromkeys((row[0], row[1]))]
+        try:
+            unified = pa.unify_schemas(ends)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            unified = ends[0]
     schema = from_arrow_schema(unified, prefer_timestamp_ntz=True)
     part_keys = [k for k, _ in _partition_keys(first, root)]
     ddl_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields] + [

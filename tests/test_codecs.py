@@ -539,7 +539,7 @@ def test_png_gif_single_byte_mutations_fail_controlled(idx, val, codec):
     blob[i] = val
     try:
         out = fn(bytes(blob))
-        if codec == "png" and val != old and 8 <= i < len(blob) - 0:
+        if codec == "png" and val != old and i >= 8:
             # any effective mutation past the signature is CRC-covered
             raise AssertionError(f"png accepted corrupted byte at {i}")
         assert out.ndim == 3 and out.shape[2] == 3
