@@ -1,11 +1,17 @@
 """Headline benchmark: runs every bench-tagged registry query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is the compact
+warm-only object the driver parses:
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
-     "queries": {name: warm_sec, ...},
-     "queries_cold": {name: cold_sec, ...},
-     "cold_total_sec": N, "sf": 0.1}
+     "queries": {name: warm_sec, ...}, "sf": 0.1}
+
+The cold column (first-execution timings) is emitted SEPARATELY — a
+preceding stdout JSON line plus a ``bench_cold.json`` sidecar — and
+must NEVER be folded into the final line: the driver captures only
+the tail of output (~2 KB), and round 5's combined line grew past
+that and recorded ``parsed: null`` (VERDICT r5 #1). New columns go on
+their own line/file; the driver-facing line stays fixed-format.
 
 Each query is forced through the noop sink so the full plan executes
 (count() would let Catalyst prune the projected columns).
@@ -71,6 +77,23 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s{cold_note}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    if cold:
+        cold_out = {
+            "metric": "bench_cold_total_sec",
+            "value": round(sum(cold.values()), 3),
+            "unit": "sec",
+            "queries_cold": cold,
+            "sf": sf,
+        }
+        # Preceding line + sidecar file, never the final line (the
+        # driver's tail capture is ~2 KB and parses only the last line).
+        print(json.dumps(cold_out))
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_cold.json"), "w") as f:
+                json.dump(cold_out, f)
+        except OSError:
+            pass
     out = {
         "metric": "bench_total_sec",
         "value": total,
@@ -78,9 +101,6 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    if cold:
-        out["queries_cold"] = cold
-        out["cold_total_sec"] = round(sum(cold.values()), 3)
     print(json.dumps(out))
     return 0
 

@@ -403,6 +403,9 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # bytes per pixel for the 8-bit color types decoded here
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# sanity cap on declared w*h (64 Mpx ~= 8192x8192): bounds worker
+# memory against a crafted IHDR before any inflate happens
+_PNG_MAX_PIXELS = 1 << 26
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
@@ -509,11 +512,28 @@ def decode_png(content: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("png: no IDAT data")
     ch = _PNG_CHANNELS[color]
+    # Bounded inflate (ADVICE r5): the exact decompressed size is known
+    # from IHDR, so cap the allocation BEFORE inflating — a crafted
+    # bomb (~1000:1 zlib ratio, or a huge declared w*h) must not
+    # allocate gigabytes on a worker just to be rejected. This decoder
+    # explicitly feeds the untrusted-bytes quarantine lane.
+    if w * h > _PNG_MAX_PIXELS:
+        raise ValueError(f"png: declared size {w}x{h} exceeds decode cap")
+    stride = w * ch
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"png: corrupt IDAT stream ({e})") from e
-    stride = w * ch
+    if len(raw) > expected or d.unconsumed_tail:
+        raise ValueError(f"png: IDAT inflates past expected {expected} bytes")
+    if not d.eof:
+        # flush() is bounded here: everything pending was already
+        # produced above or the stream is truncated/corrupt.
+        tail = d.flush()
+        if tail:
+            raise ValueError(f"png: IDAT inflates past expected {expected} bytes")
     flat = _png_unfilter(raw, h, stride, ch)
     px = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(h, w, ch)
     if color == 2:  # RGB
@@ -601,6 +621,7 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) per pass
+_LZW_MAX_CODES = 4096  # 12-bit code space; the table freezes here (GIF spec)
 
 
 def _gif_interlace_order(h: int) -> list[int]:
@@ -645,13 +666,19 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
             continue
         if code == eoi:
             return out
+        if code >= _LZW_MAX_CODES:
+            # Spec: the table FREEZES at 4096 under deferred clear, so
+            # a conforming encoder can never emit a code this large —
+            # including the KwKwK shape at exactly 4096 (ADVICE r5).
+            raise ValueError(f"gif: LZW code {code} beyond the 4096-entry table cap")
         if prev is None:
             if code >= len(table):
                 raise ValueError(f"gif: first LZW code {code} out of table")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
+            if len(table) < _LZW_MAX_CODES:  # frozen past 4096 (spec)
+                table.append(prev + entry[:1])
         elif code == len(table):  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)

@@ -109,7 +109,9 @@ def snapshot_as_of(
 _LATEST_POINTER = "_LATEST"
 
 
-def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> str:
+def publish_parquet_versioned(
+    df: DataFrame, table_root: str, keep: int = 2, gc_grace_sec: float = 3600.0
+) -> str:
     """Atomically publish ``df`` as the new version of a parquet
     serving table. ``mode("overwrite").parquet(dir)`` is delete-then-
     write: a reader (or a kill — a stopped streaming query, a
@@ -148,7 +150,12 @@ def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> 
     reorder "latest" but can never silently destroy a committed
     version. Dangling claims (no marker: a crash, or a concurrent
     publish mid-write) are collected only once older than
-    ``gc_grace_sec`` (mtime). The pointer keeps a bounded history
+    ``gc_grace_sec`` (mtime). CONTRACT: a publish must land its data
+    within ``gc_grace_sec`` of claiming its version directory — a
+    slower write risks a faster concurrent publisher GC'ing the still-
+    empty claim, after which the late rename would resurrect an old
+    version number. Callers with multi-hour writes pass a larger
+    grace (it is a keyword parameter precisely for that; ADVICE r5). The pointer keeps a bounded history
     window (``keep + 8`` lines, advisory — GC no longer depends on it)
     so a long-lived foreachBatch sink never grows the file without
     bound."""
@@ -220,7 +227,6 @@ def publish_parquet_versioned(df: DataFrame, table_root: str, keep: int = 2) -> 
     if current:
         keep_set.add(current[0])
     now = time.time()
-    gc_grace_sec = 3600.0
     for d in os.listdir(table_root):
         is_version = d.startswith("v_") and d[2:].isdigit()
         is_stage = d.startswith(".stage_v_")

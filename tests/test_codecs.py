@@ -545,3 +545,87 @@ def test_png_gif_single_byte_mutations_fail_controlled(idx, val, codec):
         assert out.ndim == 3 and out.shape[2] == 3
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_png_decompression_bomb_bounded():
+    """Adversarial IDAT (ADVICE r5): a small crafted PNG must be
+    rejected WITHOUT inflating gigabytes. Two shapes: (a) a huge
+    declared w*h fails the pixel cap before any inflate; (b) honest
+    dims but an IDAT that inflates far past h*(stride+1) stops at the
+    bounded cap, not at the bomb's full size."""
+    import zlib
+
+    # (a) absurd declared dimensions: rejected pre-inflate
+    huge = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(huge)
+
+    # (b) 2x2 gray declares 6 raw bytes; IDAT holds a 64 MiB zero bomb
+    # (~64000:1). Must raise the expected-size error; the bounded
+    # decompressobj guarantees only ~expected+1 bytes ever materialize.
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+    assert len(bomb) < 100_000  # it IS a bomb
+    blob = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates past expected"):
+        decode_png(blob)
+
+
+def test_gif_lzw_table_freezes_at_4096():
+    """Spec conformance (ADVICE r5): the decode table FREEZES at 4096
+    entries under deferred clear — appends stop, code width stays 12,
+    and already-assigned codes keep decoding. (A code >= 4096 can
+    never appear on the wire — width is capped at 12 bits — so the
+    explicit reject of larger codes is defense-in-depth; the
+    observable contract is that a deferred-clear stream running far
+    past the freeze point still decodes exactly, with table memory
+    bounded.) Drive 6000 literal-0 codes (3838 appends reach the cap,
+    the rest exercise the frozen branch) plus a post-freeze lookup of
+    code 4095, and check byte-exact output."""
+    from etl_orders_spark.multimodal.codecs import _lzw_decode
+
+    def pack(codes, widths):
+        acc = nbits = 0
+        out = bytearray()
+        for c, wdt in zip(codes, widths):
+            acc |= c << nbits
+            nbits += wdt
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # widths follow the decoder: start at 9, bump when the table hits
+    # 2^w, stop growing (freeze) at 4096 — the schedule below mirrors
+    # the decoder's exactly, including the freeze
+    codes, widths = [], []
+    table_len = 258  # 256 literals + clear + eoi
+    width = 9
+    expect = bytearray()
+    for i in range(6000):
+        codes.append(0)
+        widths.append(width)
+        expect += b"\x00"
+        if i > 0 and table_len < 4096:
+            table_len += 1
+        if table_len == (1 << width) and width < 12:
+            width += 1
+    assert table_len == 4096 and width == 12  # we really crossed the freeze
+    # post-freeze: the LAST code assigned before the freeze (4095) must
+    # still resolve. Append rule is prev + entry[:1]; in this all-
+    # literal-0 stream prev is ALWAYS the 1-byte literal, so every
+    # appended entry (258..4095) is exactly 2 zeros.
+    codes.append(4095)
+    widths.append(12)
+    expect += b"\x00" * 2
+    codes.append(257)  # EOI
+    widths.append(12)
+    data = pack(codes, widths)
+    out = _lzw_decode(data, 8, n_pixels=10**9)
+    assert bytes(out) == bytes(expect)
