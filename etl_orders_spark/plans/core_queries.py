@@ -2414,6 +2414,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN base b ON o.o_custkey = b.c_custkey
     """,
     tags=("merge", "scd2", "time", "join", "range"),
+    bench=True,
 )
 def scd2_enrich_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-fact SCD2 temporal enrichment — the staple warehouse join

@@ -211,6 +211,7 @@ _N_GIF = 100
     FROM agg
     """,
     tags=("media", "pixel", "gif", "pandas-udf"),
+    bench=True,
 )
 def media_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode, oracle-checked: generate gray-law GIFs (odd
@@ -582,6 +583,7 @@ _VND_MAJORITY = 2  # of the 3 sampled frames (0, 2, 4)
     HAVING COUNT(*) >= {_VND_MAJORITY}
     """,
     tags=("media", "video", "pixel", "dedup", "lsh"),
+    bench=True,
 )
 def media_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup via per-frame dHash + majority vote (VERDICT r4

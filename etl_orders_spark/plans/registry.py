@@ -105,16 +105,19 @@ PRIORITY: tuple[str, ...] = (
     # by q1/rollup/pivot and string_functions respectively)
     "schema_evolution_scan",
     "scd2_point_in_time",
-    # scalar / filter (P5, P6, P7; A5 stays covered by string_functions
-    # + json_extract_props + percentile_prices — array_functions_docs
-    # ceded its slot to the privacy family and stays local-sweep-green)
-    "recode_priority_counts",
+    # scalar / filter (P6, P7; P5 recode_priority_counts ceded its slot
+    # to the round-5 video near-dup lane per VERDICT r5 #4 — its CASE
+    # recode stays local-sweep-green, and A5 stays covered by
+    # string_functions + json_extract_props + percentile_prices)
     "string_functions",
     "filter_predicate",
-    # windows / sorts / set ops (A2, A3, A4)
+    "media_video_near_dup",
+    # windows / sorts (A2, A3; A4 union_high_value_keys ceded its slot
+    # to the round-5 boilerplate lane per VERDICT r5 #4 — set ops stay
+    # local-sweep-green)
     "window_rank_parts",
     "topk_parts_per_brand",
-    "union_high_value_keys",
+    "boilerplate_chunk_removal_docs",
     # round-3 flagship additions: drift gate + trainer-shard shuffle
     "dq_psi_price_drift",
     "shuffle_corpus_shards",
@@ -143,8 +146,10 @@ PRIORITY: tuple[str, ...] = (
     "winnow_fingerprints_docs",
     "text_quality_by_lang",
     "train_val_test_split",
-    # vectors / similarity search
-    "near_dup_embeddings",
+    # vectors / similarity search (the planted-clone variant carries
+    # the graded slot: the unplanted corpus has no pairs at τ=0.9 at
+    # sf0.01, so its green row was vacuous — VERDICT r5 #3)
+    "near_dup_embeddings_planted",
     "ann_topk_cosine",
     # one per remaining family: stats, distributed-rank stats, graph,
     # sketch, curation, dq, linkage, layout, events-analytics

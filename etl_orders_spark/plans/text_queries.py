@@ -1938,6 +1938,7 @@ _BOILER_DF = 3  # chunks in >= this many distinct docs are boilerplate
     FROM j GROUP BY doc_id
     """,
     tags=("text", "curation", "llm", "dedup"),
+    bench=True,
 )
 def boilerplate_chunk_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb

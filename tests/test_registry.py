@@ -32,8 +32,10 @@ def duck(sf_dir):
 _WINDOW_FAMILIES = (
     # landing formats / sources (S1/S1b/S2/S3 + Spark-4 surfaces)
     "source", "csv", "orc", "json", "variant", "evolution", "scd2",
-    # relational core: A1-A5, P5-P7, J1-J4
-    "agg", "pivot", "window", "topk", "setop", "join", "asof", "range",
+    # relational core: A1-A5, P6-P7, J1-J4 (setop + the P5 recode ceded
+    # their slots to round-5 lanes per VERDICT r5 #4; both stay
+    # local-sweep-green)
+    "agg", "pivot", "window", "topk", "join", "asof", "range",
     "scalar", "filter", "projection", "percentile",
     # UDF/UDTF surface (§2.6)
     "udtf",
@@ -45,8 +47,8 @@ _WINDOW_FAMILIES = (
     # per-family singletons
     "stats", "graph", "sketch", "curation", "dq", "drift", "linkage",
     "layout", "sampling",
-    # multimodal pixel lane (real decode, r4)
-    "media", "pixel",
+    # multimodal pixel lane (real decode, r4; video near-dup r5)
+    "media", "pixel", "video",
 )
 
 
