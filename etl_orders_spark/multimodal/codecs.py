@@ -204,11 +204,12 @@ def _decode_via_pil(content: bytes, gate_name: str) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode any supported container -> (H, W, 3) uint8.
 
-    PPM/PGM/BMP, PNG and GIF decode here in pure Python. PNG/GIF
-    shapes the native decoders gate (16-bit or sub-byte depth, Adam7
-    interlace) FALL THROUGH to PIL when it is installed — the native
-    path never reduces capability vs the pre-native behavior — and
-    re-raise the native ``NotImplementedError`` when it is not.
+    PPM/PGM/BMP, PNG and GIF decode here in pure Python (PNG includes
+    16-bit depth and Adam7). The few shapes the native decoders still
+    gate (sub-byte PNG depths) FALL THROUGH to PIL when it is
+    installed — the native path never reduces capability vs the
+    pre-native behavior — and re-raise the native
+    ``NotImplementedError`` when it is not.
     JPEG/WebP route through PIL when it exists and otherwise raise the
     honest ImportError-gated ``NotImplementedError``; unrecognized or
     torn bytes raise ``ValueError`` (the quarantine-lane class)."""
@@ -401,68 +402,93 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# bytes per pixel for the 8-bit color types decoded here
+# channels per pixel for the color types decoded here
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass. Each pass is
+# an independently-filtered sub-image; empty passes contribute no
+# bytes, not even filter bytes.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 # sanity cap on declared w*h (64 Mpx ~= 8192x8192): bounds worker
 # memory against a crafted IHDR before any inflate happens
 _PNG_MAX_PIXELS = 1 << 26
 
 
-def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
     """Invert the five PNG scanline filters (spec §9: None/Sub/Up/
-    Average/Paeth). Sequential by construction — each byte depends on
-    the reconstructed left/up/up-left neighbors — so this is the honest
-    per-byte loop, exact modular arithmetic."""
+    Average/Paeth), exact modular arithmetic.
+
+    Vectorization (VERDICT r5 #7): None is a copy; Up is a pure
+    uint8 wrap-add against the previous reconstructed row; Sub's
+    byte-recurrence out[i] = raw[i] + out[i-bpp] is a running sum per
+    channel lane, i.e. a mod-256 ``cumsum`` over the pixel axis — all
+    three run whole-row in numpy. Average and Paeth stay honest
+    per-byte loops: each output byte feeds the next byte's predictor
+    through a floor/branch, so no closed form exists (per-pixel numpy
+    slices were MEASURED slower than the byte loop for bpp <= 8 —
+    interpreter-dispatch per tiny array beats nothing)."""
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"png: decompressed size {len(raw)} != expected {h * (stride + 1)}"
         )
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
-    pos = 0
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fts = arr[:, 0]
+    filt = arr[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    npx = stride // bpp
     for y in range(h):
-        ft = raw[pos]
-        pos += 1
-        row = bytearray(raw[pos : pos + stride])
-        pos += stride
-        if ft == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
+        ft = int(fts[y])
+        if ft == 0:
+            out[y] = filt[y]
+        elif ft == 1:  # Sub: per-lane running sum, mod-256 cumsum
+            out[y] = np.cumsum(
+                filt[y].reshape(npx, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up: uint8 wrap-add
+            np.add(filt[y], prev, out=out[y])
         elif ft == 3:  # Average
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+            row = bytearray(filt[y].tobytes())
+            pv = prev.tobytes()
+            for i in range(bpp):
+                row[i] = (row[i] + (pv[i] >> 1)) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + ((row[i - bpp] + pv[i]) >> 1)) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
         elif ft == 4:  # Paeth
+            row = bytearray(filt[y].tobytes())
+            pv = prev.tobytes()
             for i in range(stride):
                 a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                c = pv[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 row[i] = (row[i] + pred) & 0xFF
-        elif ft != 0:
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        else:
             raise ValueError(f"png: unknown filter type {ft} on row {y}")
-        out[y * stride : (y + 1) * stride] = row
-        prev = row
-    return out
+        prev = out[y]
+    return out.tobytes()
 
 
 def decode_png(content: bytes) -> np.ndarray:
     """PNG -> (H, W, 3) uint8, pure Python over stdlib ``zlib``.
 
-    Covers the dominant lossless web format's common shapes: 8-bit
-    depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA), non-interlaced, all five scanline filters. Alpha drops;
-    gray expands to three equal channels; palette indices look up PLTE.
-    Per-chunk CRCs are VERIFIED (fail closed on bit rot — this decoder
-    feeds a quarantine lane, so silent acceptance of torn bytes is the
-    one unforgivable behavior). 16-bit depth and Adam7 interlacing
-    raise NotImplementedError (rare in web corpora; a real codec
-    library earns them)."""
+    Covers the dominant lossless web format's real shapes: 8-bit AND
+    16-bit depth (16-bit strips to the high byte on output), color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    BOTH interlace methods (none / Adam7 seven-pass, each pass its own
+    independently-filtered sub-image), all five scanline filters.
+    Alpha drops; gray expands to three equal channels; palette indices
+    look up PLTE. Per-chunk CRCs are VERIFIED (fail closed on bit rot
+    — this decoder feeds a quarantine lane, so silent acceptance of
+    torn bytes is the one unforgivable behavior). Sub-byte depths
+    (1/2/4) raise NotImplementedError (rare in web corpora; a real
+    codec library earns them)."""
     import zlib
 
     if not content.startswith(_PNG_SIG):
@@ -501,17 +527,20 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(f"png: bad dimensions {w}x{h}")
     if comp != 0 or filt != 0:
         raise ValueError(f"png: unknown compression/filter method {comp}/{filt}")
-    if interlace == 1:
-        raise NotImplementedError("png: Adam7 interlacing not decoded here")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise ValueError(f"png: unknown interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(f"png: bit depth {depth} not decoded here (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"png: bit depth {depth} not decoded here (8/16 only)"
+        )
     if color not in _PNG_CHANNELS:
         raise ValueError(f"png: unknown color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("png: palette images cannot be 16-bit (spec §11.2.2)")
     if not idat:
         raise ValueError("png: no IDAT data")
     ch = _PNG_CHANNELS[color]
+    bpp = ch * (depth // 8)  # filter delta distance, in BYTES (spec §9)
     # Bounded inflate (ADVICE r5): the exact decompressed size is known
     # from IHDR, so cap the allocation BEFORE inflating — a crafted
     # bomb (~1000:1 zlib ratio, or a huge declared w*h) must not
@@ -519,8 +548,13 @@ def decode_png(content: bytes) -> np.ndarray:
     # explicitly feeds the untrusted-bytes quarantine lane.
     if w * h > _PNG_MAX_PIXELS:
         raise ValueError(f"png: declared size {w}x{h} exceeds decode cap")
-    stride = w * ch
-    expected = h * (stride + 1)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    dims = []
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        dims.append((x0, y0, dx, dy, wp, hp))
+    expected = sum(hp * (1 + wp * bpp) for (_, _, _, _, wp, hp) in dims if wp and hp)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected + 1)
@@ -534,8 +568,24 @@ def decode_png(content: bytes) -> np.ndarray:
         tail = d.flush()
         if tail:
             raise ValueError(f"png: IDAT inflates past expected {expected} bytes")
-    flat = _png_unfilter(raw, h, stride, ch)
-    px = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(h, w, ch)
+    px = np.empty((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, wp, hp in dims:
+        if not wp or not hp:
+            continue
+        stride_p = wp * bpp
+        nb = hp * (stride_p + 1)
+        flat = _png_unfilter(raw[pos : pos + nb], hp, stride_p, bpp)
+        pos += nb
+        sub = np.frombuffer(flat, dtype=np.uint8)
+        if depth == 16:
+            # big-endian 16-bit samples; 16 -> 8 takes the high byte
+            # (the libpng strip-16 convention — exact for v*257-coded
+            # fixtures, and what a real pipeline's 8-bit features want)
+            sub = sub.reshape(hp, wp, ch, 2)[:, :, :, 0]
+        else:
+            sub = sub.reshape(hp, wp, ch)
+        px[y0::dy, x0::dx] = sub
     if color == 2:  # RGB
         return np.ascontiguousarray(px)
     if color == 6:  # RGBA -> drop alpha
@@ -554,27 +604,15 @@ def decode_png(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(pal[idx])
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """(H, W, 3) uint8 -> 8-bit truecolor PNG.
-
-    The row filter CYCLES through all five types (``y % 5``), so a
-    round trip — or a decode of fixture images whose pixels follow a
-    closed-form law — exercises every unfilter branch, not just the
-    trivial one. Filtering here is the FORWARD direction (spec §9
-    subtraction); decode must invert it, so law-oracle hash matches
-    certify the inverse, not a shared code path."""
-    import zlib
-
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"encode_png: expected (H, W, 3), got {a.shape}")
-    h, w, _ = a.shape
-    bpp = 3
-    stride = w * bpp
+def _png_forward_filter(rows: np.ndarray, bpp: int) -> bytearray:
+    """FORWARD-filter raster rows (H, stride), cycling the filter type
+    through all five (``y % 5``) — spec §9 subtraction. Scalar loops
+    are fine here: the encoder is fixture-side only."""
+    h, stride = rows.shape
     prev = bytearray(stride)
     lines = bytearray()
     for y in range(h):
-        row = bytearray(a[y].tobytes())
+        row = bytearray(rows[y].tobytes())
         ft = y % 5
         enc = bytearray(stride)
         if ft == 0:
@@ -602,6 +640,46 @@ def encode_png(arr: np.ndarray) -> bytes:
         lines.append(ft)
         lines += enc
         prev = row
+    return lines
+
+
+def encode_png(arr: np.ndarray, depth: int = 8, interlace: int = 0) -> bytes:
+    """(H, W, 3) uint8 -> truecolor PNG (8- or 16-bit, optionally
+    Adam7-interlaced).
+
+    The row filter CYCLES through all five types (``y % 5``), so a
+    round trip — or a decode of fixture images whose pixels follow a
+    closed-form law — exercises every unfilter branch, not just the
+    trivial one. Filtering here is the FORWARD direction (spec §9
+    subtraction); decode must invert it, so law-oracle hash matches
+    certify the inverse, not a shared code path. ``depth=16`` expands
+    each 8-bit sample to v*257 (the spec's bit-replication scaling, so
+    the decoder's high-byte strip returns v exactly); ``interlace=1``
+    splits the image into the seven Adam7 passes, each filtered
+    independently — the decoder must unweave them."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"encode_png: expected (H, W, 3), got {a.shape}")
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError(f"encode_png: unsupported depth/interlace {depth}/{interlace}")
+    h, w, _ = a.shape
+    bpp = 3 * (depth // 8)
+
+    def rows_of(img: np.ndarray) -> np.ndarray:
+        hp, wp, _ = img.shape
+        if depth == 8:
+            return img.reshape(hp, wp * 3)
+        wide = (img.astype(np.uint16) * 257).astype(">u2")  # v -> v<<8 | v
+        return np.frombuffer(wide.tobytes(), dtype=np.uint8).reshape(hp, wp * 6)
+
+    lines = bytearray()
+    for x0, y0, dx, dy in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue  # empty pass: no bytes, not even filter bytes
+        lines += _png_forward_filter(rows_of(sub), bpp)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -611,7 +689,7 @@ def encode_png(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, interlace)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

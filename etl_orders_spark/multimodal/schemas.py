@@ -298,14 +298,17 @@ def gen_png_media(spark: SparkSession, n: int = 100) -> DataFrame:
         v = (7*id + 3*x + 5*y) % 256
         r = v, g = (v+85) % 256, b = (v+170) % 256
 
-    encoded as 8-bit truecolor PNG with the row filter CYCLING through
-    all five scanline filter types (codecs.encode_png). The encoder
-    applies the spec's FORWARD filters; decode must invert them — so a
-    DuckDB value-hash match on the decoded features certifies DEFLATE
-    round-tripping, chunk CRC handling, and every unfilter branch
-    against the closed-form pixel law, with no shared code path between
-    the derivations. Same dims law as gen_pixel_media (w 16..31,
-    h 12..19)."""
+    encoded as truecolor PNG with the row filter CYCLING through all
+    five scanline filter types (codecs.encode_png), and the SHAPE
+    cycling through the full decode matrix by ``media_id % 4``:
+    0 = 8-bit plain, 1 = 16-bit (samples v*257, high-byte strip
+    returns v), 2 = 8-bit Adam7-interlaced, 3 = 16-bit Adam7. The
+    pixel LAW is shape-invariant, so the DuckDB oracle is unchanged —
+    a value-hash match now certifies DEFLATE round-tripping, chunk CRC
+    handling, every unfilter branch, the 7-pass unweave, AND the
+    16-bit byte-distance filter semantics against the closed form,
+    with no shared code path between the derivations. Same dims law
+    as gen_pixel_media (w 16..31, h 12..19)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -322,7 +325,9 @@ def gen_png_media(spark: SparkSession, n: int = 100) -> DataFrame:
             x = np.arange(w, dtype=np.int64)[None, :]
             v = (7 * mid + 3 * x + 5 * y) % 256
             rgb = np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=2).astype(np.uint8)
-            return encode_png(rgb), w, h
+            depth = 16 if mid % 4 in (1, 3) else 8
+            interlace = 1 if mid % 4 in (2, 3) else 0
+            return encode_png(rgb, depth=depth, interlace=interlace), w, h
 
         for pdf in it:
             rows = []

@@ -346,11 +346,11 @@ def test_png_unfilter_against_hand_computed_vectors():
 def test_png_honest_gates_and_fail_closed():
     a = _img(4, 3, seed=1)
     blob = encode_png(a)
-    # 16-bit depth and Adam7 stay honestly gated
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(_png_raw(2, 2, 16, 0, b"\x00" * 10))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(_png_raw(2, 2, 8, 0, b"\x00" * 6, interlace=1))
+    # sub-byte depths stay honestly gated (16-bit + Adam7 decode now)
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(_png_raw(2, 2, 4, 0, b"\x00" * 4))
+    with pytest.raises(ValueError, match="palette.*16-bit|16-bit.*palette"):
+        decode_png(_png_raw(2, 2, 16, 3, b"\x00" * 10, plte=bytes(9)))
     # bit rot fails closed: flip one IDAT byte -> CRC mismatch
     bad = bytearray(blob)
     bad[len(blob) // 2] ^= 0xFF
@@ -515,7 +515,7 @@ def test_decoders_fail_closed_on_adversarial_bytes(prefix, junk):
 @given(
     idx=st.integers(0, 10**6),
     val=st.integers(0, 255),
-    codec=st.sampled_from(["png", "gif"]),
+    codec=st.sampled_from(["png", "png16", "png_adam7", "gif"]),
 )
 def test_png_gif_single_byte_mutations_fail_controlled(idx, val, codec):
     """Structured bit-rot fuzz: flip ONE byte anywhere in a valid
@@ -528,18 +528,20 @@ def test_png_gif_single_byte_mutations_fail_controlled(idx, val, codec):
     from etl_orders_spark.multimodal.codecs import decode_gif, decode_png, encode_gif, encode_png
 
     img = _img(9, 7, seed=3)
-    if codec == "png":
-        blob = bytearray(encode_png(img))
-        fn = decode_png
-    else:
+    if codec == "gif":
         blob = bytearray(encode_gif(img[:, :, 0]))
         fn = decode_gif
+    else:
+        depth = 16 if codec == "png16" else 8
+        interlace = 1 if codec == "png_adam7" else 0
+        blob = bytearray(encode_png(img, depth=depth, interlace=interlace))
+        fn = decode_png
     i = idx % len(blob)
     old = blob[i]
     blob[i] = val
     try:
         out = fn(bytes(blob))
-        if codec == "png" and val != old and i >= 8:
+        if codec != "gif" and val != old and i >= 8:
             # any effective mutation past the signature is CRC-covered
             raise AssertionError(f"png accepted corrupted byte at {i}")
         assert out.ndim == 3 and out.shape[2] == 3
@@ -629,3 +631,59 @@ def test_gif_lzw_table_freezes_at_4096():
     data = pack(codes, widths)
     out = _lzw_decode(data, 8, n_pixels=10**9)
     assert bytes(out) == bytes(expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 999),
+       depth=st.sampled_from([8, 16]), interlace=st.sampled_from([0, 1]))
+def test_png_depth16_and_adam7_round_trip(w, h, seed, depth, interlace):
+    """The full shape matrix (VERDICT r5 #5): 16-bit samples encode as
+    v*257 so the high-byte strip returns v exactly; Adam7 encodes
+    seven independently-filtered passes (w,h in 1..37 sweeps every
+    empty-pass combination) that decode must unweave."""
+    a = _img(w, h, seed)
+    out = decode_png(encode_png(a, depth=depth, interlace=interlace))
+    assert out.shape == a.shape and np.array_equal(out, a)
+
+
+def test_png_adam7_hand_built_vector():
+    """Encoder-independent Adam7: a 3x3 gray image assembled by hand in
+    spec pass order (passes 2 and 3 are empty and contribute no bytes),
+    every row filter 0. Verifies the unweave against paper-derived
+    byte positions, with no shared code path with encode_png."""
+    # g = [[1,2,3],[4,5,6],[7,8,9]]; pass order:
+    # p1 -> (0,0); p4 -> (0,2); p5 -> (2,0),(2,2); p6 -> (0,1),(2,1);
+    # p7 -> full row 1
+    raw = bytes([0, 1,   0, 3,   0, 7, 9,   0, 2,   0, 8,   0, 4, 5, 6])
+    out = decode_png(_png_raw(3, 3, 8, 0, raw, interlace=1))
+    g = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.uint8)
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_png_16bit_hand_built_vector():
+    """Encoder-independent 16-bit gray: big-endian sample pairs with
+    filter 0; decode strips to the high byte."""
+    # pixels: [[0x1234, 0xFF01], [0x0080, 0xABCD]]
+    raw = bytes([0, 0x12, 0x34, 0xFF, 0x01,
+                 0, 0x00, 0x80, 0xAB, 0xCD])
+    out = decode_png(_png_raw(2, 2, 16, 0, raw))
+    hi = np.array([[0x12, 0xFF], [0x00, 0xAB]], dtype=np.uint8)
+    assert np.array_equal(out, np.repeat(hi[:, :, None], 3, axis=2))
+
+
+def test_png_16bit_filters_operate_on_bytes():
+    """Spec §9: filters work on BYTES at distance bpp (6 for 16-bit
+    RGB), not on samples — a Sub row whose reconstruction crosses the
+    hi/lo byte boundary distinguishes the two readings. Built by
+    forward-filtering by hand, decoded by the production path."""
+    # one row, two 16-bit RGB pixels; recon bytes chosen to carry
+    # hi-byte info: pixel0 = (0x0102, 0x0304, 0x0506) as bytes
+    # [1,2,3,4,5,6]; pixel1 bytes = [7,8,9,10,11,12]
+    recon = bytes(range(1, 13))
+    filt = bytearray([1])  # Sub
+    for i, b in enumerate(recon):
+        left = recon[i - 6] if i >= 6 else 0
+        filt.append((b - left) & 0xFF)
+    out = decode_png(_png_raw(2, 1, 16, 2, bytes(filt)))
+    # high bytes of each sample: pixel0 (1,3,5), pixel1 (7,9,11)
+    assert np.array_equal(out, np.array([[[1, 3, 5], [7, 9, 11]]], dtype=np.uint8))
