@@ -101,7 +101,19 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # The driver captures only the TAIL of stdout (~2 KB) and parses
+    # the last line; round 5's combined line outgrew that and recorded
+    # parsed:null. The final line grows with every bench=True query,
+    # so warn well before the cliff (ADVICE r6 #3).
+    if len(line) > 1536:
+        print(
+            f"WARNING: bench line is {len(line)}B (driver tail capture ~2KB); "
+            "move per-query timings off the final line before adding more "
+            "bench queries",
+            file=sys.stderr,
+        )
+    print(line)
     return 0
 
 

@@ -14,9 +14,11 @@ is small, exact, and trustworthy, so those are now first-class:
 
 **PNG** decodes here too (``decode_png``): DEFLATE is stdlib ``zlib``,
 so the codec work is chunk CRC verification plus the five scanline
-unfilters — exact modular arithmetic, fail-closed on bit rot. 8-bit
-depth, color types 0/2/3/4/6, non-interlaced; 16-bit and Adam7 raise
-``NotImplementedError``. **GIF** decodes too (``decode_gif``): LZW is
+unfilters — exact modular arithmetic, fail-closed on bit rot. The FULL
+legal matrix decodes natively: every bit depth (1/2/4/8/16), color
+types 0/2/3/4/6, both interlace methods (none / Adam7, each pass its
+own independently-filtered, independently-bit-packed sub-image).
+**GIF** decodes too (``decode_gif``): LZW is
 exact integer/bit arithmetic (variable-width LSB-first codes, the
 spec dictionary algorithm, 4-pass interlace unweaving) — with PNG this
 covers both lossless web formats. Lossy codecs stay honestly gated: a
@@ -204,12 +206,12 @@ def _decode_via_pil(content: bytes, gate_name: str) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode any supported container -> (H, W, 3) uint8.
 
-    PPM/PGM/BMP, PNG and GIF decode here in pure Python (PNG includes
-    16-bit depth and Adam7). The few shapes the native decoders still
-    gate (sub-byte PNG depths) FALL THROUGH to PIL when it is
-    installed — the native path never reduces capability vs the
-    pre-native behavior — and re-raise the native
-    ``NotImplementedError`` when it is not.
+    PPM/PGM/BMP, PNG and GIF decode here in pure Python (PNG covers
+    its FULL legal depth/color/interlace matrix, sub-byte through
+    16-bit). Should a native decoder ever decline a legal shape with
+    ``NotImplementedError``, it FALLS THROUGH to PIL when installed —
+    the native path never reduces capability vs the pre-native
+    behavior — and re-raises the native gate when it is not.
     JPEG/WebP route through PIL when it exists and otherwise raise the
     honest ImportError-gated ``NotImplementedError``; unrecognized or
     torn bytes raise ``ValueError`` (the quarantine-lane class)."""
@@ -414,6 +416,14 @@ _ADAM7 = (
 # sanity cap on declared w*h (64 Mpx ~= 8192x8192): bounds worker
 # memory against a crafted IHDR before any inflate happens
 _PNG_MAX_PIXELS = 1 << 26
+# cap on the DECOMPRESSED byte size derived from IHDR (ADVICE r6): the
+# pixel cap alone lets a declared 8192x8192 16-bit RGBA allocate ~8x
+# the budget the 64 Mpx figure implies for 8-bit gray — bound the
+# actual allocation, not a proxy for it
+_PNG_MAX_RAW_BYTES = 256 << 20
+# 8-bit expansion factor per sub-byte sample (spec bit replication:
+# v * 255 / (2^depth - 1), exact in integers for depths 1/2/4)
+_PNG_SUBBYTE_SCALE = {1: 255, 2: 85, 4: 17}
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
@@ -478,17 +488,18 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
 def decode_png(content: bytes) -> np.ndarray:
     """PNG -> (H, W, 3) uint8, pure Python over stdlib ``zlib``.
 
-    Covers the dominant lossless web format's real shapes: 8-bit AND
-    16-bit depth (16-bit strips to the high byte on output), color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    BOTH interlace methods (none / Adam7 seven-pass, each pass its own
-    independently-filtered sub-image), all five scanline filters.
-    Alpha drops; gray expands to three equal channels; palette indices
-    look up PLTE. Per-chunk CRCs are VERIFIED (fail closed on bit rot
-    — this decoder feeds a quarantine lane, so silent acceptance of
-    torn bytes is the one unforgivable behavior). Sub-byte depths
-    (1/2/4) raise NotImplementedError (rare in web corpora; a real
-    codec library earns them)."""
+    Covers the dominant lossless web format's FULL depth matrix: every
+    legal bit depth (1/2/4/8/16 — sub-byte samples bit-unpack MSB-first
+    and gray scales by the spec's bit-replication factor; 16-bit strips
+    to the high byte on output), color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA), BOTH interlace methods (none /
+    Adam7 seven-pass, each pass its own independently-filtered
+    sub-image whose scanlines bit-pack separately at sub-byte depths),
+    all five scanline filters. Alpha drops; gray expands to three equal
+    channels; palette indices look up PLTE. Per-chunk CRCs are VERIFIED
+    (fail closed on bit rot — this decoder feeds a quarantine lane, so
+    silent acceptance of torn bytes is the one unforgivable
+    behavior)."""
     import zlib
 
     if not content.startswith(_PNG_SIG):
@@ -529,18 +540,19 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(f"png: unknown compression/filter method {comp}/{filt}")
     if interlace not in (0, 1):
         raise ValueError(f"png: unknown interlace method {interlace}")
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"png: bit depth {depth} not decoded here (8/16 only)"
-        )
     if color not in _PNG_CHANNELS:
         raise ValueError(f"png: unknown color type {color}")
-    if depth == 16 and color == 3:
-        raise ValueError("png: palette images cannot be 16-bit (spec §11.2.2)")
+    # legal depth/color combinations (spec §11.2.2): sub-byte depths
+    # exist only for gray and palette; palette caps at 8-bit
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if depth not in legal[color]:
+        raise ValueError(f"png: illegal depth {depth} for color type {color}")
     if not idat:
         raise ValueError("png: no IDAT data")
     ch = _PNG_CHANNELS[color]
-    bpp = ch * (depth // 8)  # filter delta distance, in BYTES (spec §9)
+    # filter delta distance, in BYTES, floored to 1 at sub-byte depths
+    # (spec §9: filters operate on the PACKED scanline bytes there)
+    bpp = max(1, ch * depth // 8)
     # Bounded inflate (ADVICE r5): the exact decompressed size is known
     # from IHDR, so cap the allocation BEFORE inflating — a crafted
     # bomb (~1000:1 zlib ratio, or a huge declared w*h) must not
@@ -553,8 +565,15 @@ def decode_png(content: bytes) -> np.ndarray:
     for x0, y0, dx, dy in passes:
         wp = (w - x0 + dx - 1) // dx if w > x0 else 0
         hp = (h - y0 + dy - 1) // dy if h > y0 else 0
-        dims.append((x0, y0, dx, dy, wp, hp))
-    expected = sum(hp * (1 + wp * bpp) for (_, _, _, _, wp, hp) in dims if wp and hp)
+        # packed scanline bytes for this pass: each pass's scanlines
+        # bit-pack independently, padded to a byte boundary (spec §8.2)
+        sp = (wp * ch * depth + 7) // 8
+        dims.append((x0, y0, dx, dy, wp, hp, sp))
+    expected = sum(hp * (1 + sp) for (*_, wp, hp, sp) in dims if wp and hp)
+    if expected > _PNG_MAX_RAW_BYTES:
+        raise ValueError(
+            f"png: decoded stream {expected} bytes exceeds {_PNG_MAX_RAW_BYTES} cap"
+        )
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected + 1)
@@ -568,12 +587,17 @@ def decode_png(content: bytes) -> np.ndarray:
         tail = d.flush()
         if tail:
             raise ValueError(f"png: IDAT inflates past expected {expected} bytes")
+    if not d.eof:
+        # exact byte count but no stream trailer: the adler32 integrity
+        # check never ran, so completeness is unproven (ADVICE r6 —
+        # the old one-shot zlib.decompress raised here; keep failing
+        # closed on truncation)
+        raise ValueError("png: truncated IDAT stream")
     px = np.empty((h, w, ch), dtype=np.uint8)
     pos = 0
-    for x0, y0, dx, dy, wp, hp in dims:
+    for x0, y0, dx, dy, wp, hp, stride_p in dims:
         if not wp or not hp:
             continue
-        stride_p = wp * bpp
         nb = hp * (stride_p + 1)
         flat = _png_unfilter(raw[pos : pos + nb], hp, stride_p, bpp)
         pos += nb
@@ -583,8 +607,23 @@ def decode_png(content: bytes) -> np.ndarray:
             # (the libpng strip-16 convention — exact for v*257-coded
             # fixtures, and what a real pipeline's 8-bit features want)
             sub = sub.reshape(hp, wp, ch, 2)[:, :, :, 0]
-        else:
+        elif depth == 8:
             sub = sub.reshape(hp, wp, ch)
+        else:
+            # sub-byte depths (gray or palette, ch == 1): unpack the
+            # packed scanline bytes MSB-first (spec §7.2), then drop
+            # the pad samples past wp. Pure shift arithmetic over the
+            # whole pass at once — no per-pixel loop.
+            per = 8 // depth
+            shifts = (np.arange(per - 1, -1, -1, dtype=np.uint8) * depth)
+            vals = (sub.reshape(hp, stride_p, 1) >> shifts) & ((1 << depth) - 1)
+            vals = vals.reshape(hp, stride_p * per)[:, :wp]
+            if color == 0:
+                # gray expands to 8-bit by bit replication (v * 255 /
+                # (2^depth - 1), exact in integers); palette indices
+                # pass through to the PLTE lookup untouched
+                vals = vals * np.uint8(_PNG_SUBBYTE_SCALE[depth])
+            sub = vals.reshape(hp, wp, 1)
         px[y0::dy, x0::dx] = sub
     if color == 2:  # RGB
         return np.ascontiguousarray(px)
@@ -681,20 +720,88 @@ def encode_png(arr: np.ndarray, depth: int = 8, interlace: int = 0) -> bytes:
             continue  # empty pass: no bytes, not even filter bytes
         lines += _png_forward_filter(rows_of(sub), bpp)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + ctype
-            + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, interlace)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_subbyte(
+    samples: np.ndarray,
+    depth: int,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """(H, W) sample grid -> sub-byte PNG (depth 1, 2 or 4): grayscale
+    (color type 0) or, when ``palette`` (N, 3) uint8 is given, indexed
+    (color type 3) with a PLTE chunk.
+
+    Scanlines bit-pack MSB-first (spec §7.2) and pad to a byte
+    boundary; the row filter cycles through all five types with bpp=1
+    (spec §9: at sub-byte depths filters operate on the PACKED bytes).
+    ``interlace=1`` splits into the seven Adam7 passes, each bit-packed
+    AND filtered independently — the hardest sub-byte shape for a
+    decoder to invert. Fixture-side only: decode correctness is
+    certified against the pixel LAW and hand-built byte vectors
+    (tests/test_codecs.py), never against this encoder alone."""
+    import zlib
+
+    a = np.asarray(samples)
+    if a.ndim != 2:
+        raise ValueError(f"encode_png_subbyte: expected (H, W) samples, got {a.shape}")
+    if depth not in (1, 2, 4):
+        raise ValueError(f"encode_png_subbyte: depth must be 1/2/4, got {depth}")
+    if int(a.min(initial=0)) < 0 or int(a.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"encode_png_subbyte: samples out of {depth}-bit range")
+    a = a.astype(np.uint8)
+    h, w = a.shape
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+
+    def pack_rows(sub: np.ndarray) -> np.ndarray:
+        """(hp, wp) samples -> (hp, stride) MSB-first packed bytes."""
+        hp, wp = sub.shape
+        sp = (wp * depth + 7) // 8
+        padded = np.zeros((hp, sp * per), dtype=np.uint8)
+        padded[:, :wp] = sub
+        return (padded.reshape(hp, sp, per) << shifts).sum(axis=2, dtype=np.uint8)
+
+    lines = bytearray()
+    for x0, y0, dx, dy in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue  # empty pass: no bytes, not even filter bytes
+        lines += _png_forward_filter(pack_rows(sub), 1)
+
+    color = 0 if palette is None else 3
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > (1 << depth):
+            raise ValueError(
+                f"encode_png_subbyte: palette must be (<= {1 << depth}, 3)"
+            )
+        out += _png_chunk(b"PLTE", pal.tobytes())
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 

@@ -292,28 +292,41 @@ def gen_noise_media(spark: SparkSession, n: int = 100) -> DataFrame:
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
 
-def gen_png_media(spark: SparkSession, n: int = 100) -> DataFrame:
+def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
     """Deterministic REAL PNG rows: the gen_pixel_media RGB law
 
         v = (7*id + 3*x + 5*y) % 256
-        r = v, g = (v+85) % 256, b = (v+170) % 256
+        r = q, g = (q+85) % 256, b = (q+170) % 256
 
-    encoded as truecolor PNG with the row filter CYCLING through all
-    five scanline filter types (codecs.encode_png), and the SHAPE
-    cycling through the full decode matrix by ``media_id % 4``:
-    0 = 8-bit plain, 1 = 16-bit (samples v*257, high-byte strip
-    returns v), 2 = 8-bit Adam7-interlaced, 3 = 16-bit Adam7. The
-    pixel LAW is shape-invariant, so the DuckDB oracle is unchanged —
-    a value-hash match now certifies DEFLATE round-tripping, chunk CRC
-    handling, every unfilter branch, the 7-pass unweave, AND the
-    16-bit byte-distance filter semantics against the closed form,
-    with no shared code path between the derivations. Same dims law
-    as gen_pixel_media (w 16..31, h 12..19)."""
+    where q = v for whole-byte shapes and a QUANTIZED v at sub-byte
+    depths (below), encoded with the row filter CYCLING through all
+    five scanline filter types and the SHAPE cycling through the FULL
+    legal decode matrix by ``media_id % 8``:
+
+        0 = 8-bit truecolor plain        1 = 16-bit truecolor plain
+        2 = 8-bit truecolor Adam7        3 = 16-bit truecolor Adam7
+        4 = 4-bit palette plain          5 = 2-bit palette plain
+        6 = 1-bit palette plain          7 = 4-bit palette Adam7
+
+    16-bit samples encode as v*257 so the high-byte strip returns v.
+    Sub-byte shapes store index s = v % 2^depth with palette entry
+    s -> (s*k, (s*k+85)%256, (s*k+170)%256), k = 255/(2^depth - 1)
+    (17/85/255) — i.e. q = (v % 2^depth) * k, a closed form the DuckDB
+    oracle mirrors with one CASE. Channels stay deliberately DISTINCT
+    in every shape so an index/channel mixup cannot hide. A value-hash
+    match therefore certifies DEFLATE round-tripping, chunk CRC
+    handling, every unfilter branch, the 7-pass unweave (including
+    per-pass sub-byte bit-packing), 16-bit byte-distance filter
+    semantics, AND the MSB-first bit-unpack + PLTE lookup against the
+    closed form, with no shared code path between the derivations.
+    Same dims law as gen_pixel_media (w 16..31, h 12..19); ``start``
+    offsets the id range so a consumer can pool this family with
+    others without key collisions."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from etl_orders_spark.multimodal.codecs import encode_png
+    from etl_orders_spark.multimodal.codecs import encode_png, encode_png_subbyte
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -324,9 +337,22 @@ def gen_png_media(spark: SparkSession, n: int = 100) -> DataFrame:
             y = np.arange(h, dtype=np.int64)[:, None]
             x = np.arange(w, dtype=np.int64)[None, :]
             v = (7 * mid + 3 * x + 5 * y) % 256
+            shape = mid % 8
+            if shape >= 4:
+                depth = {4: 4, 5: 2, 6: 1, 7: 4}[shape]
+                nc = 1 << depth
+                k = 255 // (nc - 1)
+                s = (v % nc).astype(np.uint8)
+                i = np.arange(nc, dtype=np.int64) * k
+                pal = np.stack([i, (i + 85) % 256, (i + 170) % 256], axis=1)
+                png = encode_png_subbyte(
+                    s, depth, palette=pal.astype(np.uint8),
+                    interlace=1 if shape == 7 else 0,
+                )
+                return png, w, h
             rgb = np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=2).astype(np.uint8)
-            depth = 16 if mid % 4 in (1, 3) else 8
-            interlace = 1 if mid % 4 in (2, 3) else 0
+            depth = 16 if shape in (1, 3) else 8
+            interlace = 1 if shape in (2, 3) else 0
             return encode_png(rgb, depth=depth, interlace=interlace), w, h
 
         for pdf in it:
@@ -343,7 +369,7 @@ def gen_png_media(spark: SparkSession, n: int = 100) -> DataFrame:
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
 
 VNOISE_FRAMES = 6  # frames per clip, shared with the SQL oracle
 

@@ -346,10 +346,11 @@ def test_png_unfilter_against_hand_computed_vectors():
 def test_png_honest_gates_and_fail_closed():
     a = _img(4, 3, seed=1)
     blob = encode_png(a)
-    # sub-byte depths stay honestly gated (16-bit + Adam7 decode now)
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
-        decode_png(_png_raw(2, 2, 4, 0, b"\x00" * 4))
-    with pytest.raises(ValueError, match="palette.*16-bit|16-bit.*palette"):
+    # illegal depth/color combos (spec §11.2.2) fail closed: sub-byte
+    # exists only for gray/palette, palette caps at 8-bit
+    with pytest.raises(ValueError, match="illegal depth 4 for color type 2"):
+        decode_png(_png_raw(2, 2, 4, 2, b"\x00" * 4))
+    with pytest.raises(ValueError, match="illegal depth 16 for color type 3"):
         decode_png(_png_raw(2, 2, 16, 3, b"\x00" * 10, plte=bytes(9)))
     # bit rot fails closed: flip one IDAT byte -> CRC mismatch
     bad = bytearray(blob)
@@ -515,7 +516,7 @@ def test_decoders_fail_closed_on_adversarial_bytes(prefix, junk):
 @given(
     idx=st.integers(0, 10**6),
     val=st.integers(0, 255),
-    codec=st.sampled_from(["png", "png16", "png_adam7", "gif"]),
+    codec=st.sampled_from(["png", "png16", "png_adam7", "png_sub", "gif"]),
 )
 def test_png_gif_single_byte_mutations_fail_controlled(idx, val, codec):
     """Structured bit-rot fuzz: flip ONE byte anywhere in a valid
@@ -531,6 +532,14 @@ def test_png_gif_single_byte_mutations_fail_controlled(idx, val, codec):
     if codec == "gif":
         blob = bytearray(encode_gif(img[:, :, 0]))
         fn = decode_gif
+    elif codec == "png_sub":
+        from etl_orders_spark.multimodal.codecs import encode_png_subbyte
+
+        pal = np.stack([np.arange(16) * 17, (np.arange(16) * 17 + 85) % 256,
+                        (np.arange(16) * 17 + 170) % 256], axis=1).astype(np.uint8)
+        blob = bytearray(encode_png_subbyte(img[:, :, 0] % 16, 4,
+                                            palette=pal, interlace=1))
+        fn = decode_png
     else:
         depth = 16 if codec == "png16" else 8
         interlace = 1 if codec == "png_adam7" else 0
@@ -687,3 +696,77 @@ def test_png_16bit_filters_operate_on_bytes():
     out = decode_png(_png_raw(2, 1, 16, 2, bytes(filt)))
     # high bytes of each sample: pixel0 (1,3,5), pixel1 (7,9,11)
     assert np.array_equal(out, np.array([[[1, 3, 5], [7, 9, 11]]], dtype=np.uint8))
+
+
+def test_png_subbyte_hand_built_vectors():
+    """Encoder-independent sub-byte decode (VERDICT r6 #2): hand-packed
+    MSB-first scanline bytes for every sub-byte depth, verified against
+    paper-derived pixels — no shared code path with encode_png_subbyte.
+    Covers pad-bit handling (odd widths), the bit-replication gray
+    scaling, palette lookups, and a filtered packed row."""
+    # 4-bit gray, 3x2 (odd width -> low nibble of byte 2 is padding):
+    # samples [[1,2,3],[4,5,6]] -> bytes [0x12, 0x30], [0x45, 0x60]
+    raw = bytes([0, 0x12, 0x30, 0, 0x45, 0x60])
+    out = decode_png(_png_raw(3, 2, 4, 0, raw))
+    g = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8) * 17
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+    # 1-bit gray, 10x1 (crosses a byte boundary): 1010101011 ->
+    # bytes 0xAA, 0xC0 (6 pad bits)
+    out = decode_png(_png_raw(10, 1, 1, 0, bytes([0, 0xAA, 0xC0])))
+    bits = np.array([1, 0, 1, 0, 1, 0, 1, 0, 1, 1], dtype=np.uint8) * 255
+    assert np.array_equal(out, np.repeat(bits[None, :, None], 3, axis=2))
+
+    # 2-bit palette, 3x1: indices [0, 2, 3] -> byte 00_10_11_00 = 0x2C
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    out = decode_png(_png_raw(3, 1, 2, 3, bytes([0, 0x2C]), plte=pal))
+    expect = np.frombuffer(pal, np.uint8).reshape(4, 3)[[0, 2, 3]]
+    assert np.array_equal(out, expect[None, :, :])
+
+    # filters at sub-byte depth operate on the PACKED bytes with bpp=1
+    # (spec §9): 4-bit gray 4x2, row1 Sub-filtered. recon row0 bytes =
+    # [0x12, 0x34], row1 bytes = [0x56, 0x78];
+    # Sub row1: raw = [0x56 - 0, 0x78 - 0x56] = [0x56, 0x22]
+    raw = bytes([0, 0x12, 0x34, 1, 0x56, 0x22])
+    out = decode_png(_png_raw(4, 2, 4, 0, raw))
+    g = np.array([[1, 2, 3, 4], [5, 6, 7, 8]], dtype=np.uint8) * 17
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+    # Adam7 sub-byte: 2x2 4-bit gray, each pass bit-packs its OWN
+    # scanlines. samples [[1,2],[3,4]]; pass1 -> (0,0)=1 byte 0x10;
+    # pass6 -> (1,0)=2 byte 0x20; pass7 -> row1 [3,4] byte 0x34
+    raw = bytes([0, 0x10, 0, 0x20, 0, 0x34])
+    out = decode_png(_png_raw(2, 2, 4, 0, raw, interlace=1))
+    g = np.array([[1, 2], [3, 4]], dtype=np.uint8) * 17
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 999),
+       depth=st.sampled_from([1, 2, 4]), interlace=st.sampled_from([0, 1]),
+       paletted=st.booleans())
+def test_png_subbyte_round_trip(w, h, seed, depth, interlace, paletted):
+    """Sub-byte property sweep: every depth x gray/palette x interlace
+    over w,h in 1..37 (sweeps byte-boundary widths and every empty
+    Adam7 pass combination). Gray scales by bit replication; palette
+    returns exact PLTE colors (channels deliberately distinct so an
+    index/channel mixup cannot hide)."""
+    from etl_orders_spark.multimodal.codecs import encode_png_subbyte
+
+    rng = np.random.RandomState(seed)
+    n = 1 << depth
+    s = rng.randint(0, n, size=(h, w))
+    if paletted:
+        pal = np.stack([
+            np.arange(n) * (255 // (n - 1)) if n > 1 else np.array([0]),
+            (np.arange(n) * 31 + 85) % 256,
+            (np.arange(n) * 7 + 170) % 256,
+        ], axis=1).astype(np.uint8)
+        blob = encode_png_subbyte(s, depth, palette=pal, interlace=interlace)
+        expect = pal[s]
+    else:
+        blob = encode_png_subbyte(s, depth, interlace=interlace)
+        k = {1: 255, 2: 85, 4: 17}[depth]
+        expect = np.repeat((s * k).astype(np.uint8)[:, :, None], 3, axis=2)
+    out = decode_png(blob)
+    assert out.shape == (h, w, 3) and np.array_equal(out, expect)

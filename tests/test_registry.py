@@ -100,3 +100,25 @@ def test_no_duplicate_output_columns(spark, sf_dir):
         if len(cols) != len(set(cols)):
             dupes[name] = cols
     assert not dupes, f"ambiguous output columns: {dupes}"
+
+
+def test_readme_inventory_counts_in_lockstep():
+    """README.md is the coverage inventory SURVEY §2.8 points at; its
+    registry counts drifted twice (VERDICT r6 #4) — pin them to the
+    live registry so they cannot drift silently again."""
+    import os
+    import re
+
+    from etl_orders_spark.plans.registry import oracle_map, query_map
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        text = f.read()
+    m = re.search(r"(\d+) registered queries, (\d+) of them value-hash-checked", text)
+    assert m, "README.md inventory sentence missing"
+    assert int(m.group(1)) == len(query_map()), (
+        f"README says {m.group(1)} registered queries; registry has {len(query_map())}"
+    )
+    assert int(m.group(2)) == len(oracle_map()), (
+        f"README says {m.group(2)} value-hash-checked; registry has {len(oracle_map())}"
+    )
