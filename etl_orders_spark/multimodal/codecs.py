@@ -557,7 +557,12 @@ def decode_png(content: bytes) -> np.ndarray:
     # from IHDR, so cap the allocation BEFORE inflating — a crafted
     # bomb (~1000:1 zlib ratio, or a huge declared w*h) must not
     # allocate gigabytes on a worker just to be rejected. This decoder
-    # explicitly feeds the untrusted-bytes quarantine lane.
+    # explicitly feeds the untrusted-bytes quarantine lane. Both caps
+    # (pixels here, decoded bytes below) raise ValueError DELIBERATELY
+    # rather than the PIL-fallthrough NotImplementedError: a header
+    # this decoder refuses as a resource bomb must not be handed to a
+    # second decoder either — an oversized-but-genuine image is the
+    # quarantine lane's review queue, not a capability gap.
     if w * h > _PNG_MAX_PIXELS:
         raise ValueError(f"png: declared size {w}x{h} exceeds decode cap")
     passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
@@ -582,16 +587,11 @@ def decode_png(content: bytes) -> np.ndarray:
     if len(raw) > expected or d.unconsumed_tail:
         raise ValueError(f"png: IDAT inflates past expected {expected} bytes")
     if not d.eof:
-        # flush() is bounded here: everything pending was already
-        # produced above or the stream is truncated/corrupt.
-        tail = d.flush()
-        if tail:
-            raise ValueError(f"png: IDAT inflates past expected {expected} bytes")
-    if not d.eof:
-        # exact byte count but no stream trailer: the adler32 integrity
-        # check never ran, so completeness is unproven (ADVICE r6 —
-        # the old one-shot zlib.decompress raised here; keep failing
-        # closed on truncation)
+        # all input was consumed (no unconsumed_tail) yet the zlib
+        # stream never reached its end marker — the adler32 integrity
+        # check at the trailer never ran, so completeness is unproven
+        # (ADVICE r6 — the old one-shot zlib.decompress raised here;
+        # keep failing closed on truncation)
         raise ValueError("png: truncated IDAT stream")
     px = np.empty((h, w, ch), dtype=np.uint8)
     pos = 0

@@ -146,12 +146,16 @@ def fan_out_narrow(df: DataFrame, key: str, max_bytes: int = 1 << 30) -> DataFra
     if parts * 2 >= target:
         return df
     import os
+    from urllib.parse import unquote, urlparse
 
     try:
         files = df.inputFiles()
         total = 0
         for uri in files:
-            path = uri.removeprefix("file:")
+            # inputFiles() returns percent-encoded URIs; decode before
+            # stat'ing or paths with spaces fall into the except and
+            # silently disable the fan-out
+            path = unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
             total += os.path.getsize(path)
     except Exception:  # noqa: BLE001 — non-local / unknown source: do not widen blind
         return df

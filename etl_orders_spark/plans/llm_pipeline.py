@@ -46,8 +46,12 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
     # a small single-row-group documents file scans as ONE partition
     # and Catalyst pushes the regex-heavy quality/lang filter back to
     # the scan side — fan the raw rows out across the session's cores
-    # first (gated no-op on real corpus-scale inputs; VERDICT r6 #1)
-    docs = fan_out_narrow(docs, f"llm_prep.docs.{portable}")
+    # first (gated no-op on real corpus-scale inputs; VERDICT r6 #1).
+    # One key for BOTH hash variants: the fanned-out frame is the raw
+    # table either way, and two keys over one CacheManager-deduped
+    # plan would let one key's FIFO eviction unpersist blocks the
+    # other key still depends on
+    docs = fan_out_narrow(docs, "llm_prep.docs")
     kept = docs.filter(
         # floor-to-integer-units gate (repo convention): per-row ROUND is
         # HALF_UP in Spark but half-even in DuckDB, and quality ratios can

@@ -155,6 +155,7 @@ _BNLJ_ALLOWED = {
     "hll_rollup_total_users": 1,
     "join_cross_region_status": 1,  # the deliberate CROSS JOIN operator
     "kmeans_embeddings": 5,  # K-row centroid table per unrolled iteration
+    "semantic_dedup_embeddings": 4,  # same K-row centroid broadcasts (2 assigns)
     "ks_price_urgent_vs_low": 1,
     "mmr_diverse_topk": 1,  # broadcast query batch (candidate generator)
     "ols_daily_revenue_trend": 1,

@@ -408,3 +408,38 @@ def test_pq_encode_is_compact_and_deterministic(spark, embeddings):
         for r in encode_pq(embeddings, coarse2, books2, "vec_id", "embedding").collect()
     }
     assert rows == rows2
+
+
+def test_semantic_dedup_drops_planted_clones(spark, sf_dir):
+    """SemDeDup composition: on the planted corpus the per-cluster
+    near-dedup must drop (almost all of) the planted clones — a clone
+    survives ONLY by landing in a different cluster than its base
+    (the paper's within-cluster approximation), never by the pair
+    stage missing a co-clustered clone. Checks: cluster sizes cover
+    base+clones, dropped count is within the boundary-split tolerance
+    of the clone count, and every dropped id is a clone id (the
+    higher-id member of a planted pair)."""
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    rows = query_map()["semantic_dedup_embeddings"](spark, sf_dir).collect()
+    n_base = load_table(spark, sf_dir, "embeddings").count()
+    n_clones = n_base // 25  # vec_id % 25 == 0, ids are 0..n-1
+    assert sum(r["n_points"] for r in rows) == n_base + n_clones
+    dropped = sum(r["n_dropped"] for r in rows)
+    # all clones co-clustered with their base must drop; allow a small
+    # number of boundary splits (measured: 1/20 at sf0.01, 2/80 at
+    # sf0.1) but never a majority
+    assert n_clones * 0.8 <= dropped <= n_clones
+    # survivors' id checksum: every kept id is either a base id or one
+    # of the boundary-split clones — the total kept_id_sum must equal
+    # (sum of all ids) - (sum of dropped clone ids), and every dropped
+    # id is a clone (>= 1_000_000), so the checksum delta is a
+    # multiple-of-clone-id-range sanity bound
+    all_ids = n_base * (n_base - 1) // 2 + sum(
+        i + 1_000_000 for i in range(0, n_base, 25)
+    )
+    kept_sum = sum(r["kept_id_sum"] for r in rows)
+    dropped_sum = all_ids - kept_sum
+    # dropped ids are clone ids: each >= 1_000_000
+    assert dropped_sum >= dropped * 1_000_000
