@@ -47,11 +47,14 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
     # and Catalyst pushes the regex-heavy quality/lang filter back to
     # the scan side — fan the raw rows out across the session's cores
     # first (gated no-op on real corpus-scale inputs; VERDICT r6 #1).
-    # One key for BOTH hash variants: the fanned-out frame is the raw
-    # table either way, and two keys over one CacheManager-deduped
-    # plan would let one key's FIFO eviction unpersist blocks the
-    # other key still depends on
-    docs = fan_out_narrow(docs, "llm_prep.docs")
+    # Keyed "documents" — the SAME key load_table_wide uses — so both
+    # hash variants and every other documents consumer share ONE
+    # fanned-out cache; two keys over one CacheManager-deduped plan
+    # would let one key's FIFO eviction unpersist blocks the other
+    # key still depends on. (On a non-table input, e.g. the unit
+    # tests' local frames, fan_out_narrow's inputFiles gate makes
+    # this a no-op.)
+    docs = fan_out_narrow(docs, "documents")
     kept = docs.filter(
         # floor-to-integer-units gate (repo convention): per-row ROUND is
         # HALF_UP in Spark but half-even in DuckDB, and quality ratios can

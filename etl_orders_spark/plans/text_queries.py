@@ -41,6 +41,15 @@ from etl_orders_spark.operators.dedup import (
 from etl_orders_spark.plans.registry import register
 from etl_orders_spark.sources.readers import load_table as T
 
+# TW = the fan-out-narrow documents loader (readers.load_table_wide):
+# used ONLY where the per-run compute includes a CPU-heavy chain over
+# the raw single-split scan and the widening MEASURED faster at sf0.1
+# (text_quality -40%, dup_ngram -25%, bigram pair -20%, winnow -25%,
+# minhash cold -30%). Cheap-map lanes (dedup_exact md5) and lanes
+# whose heavy stage already sits behind a keyed cache (simhash,
+# boilerplate) measured neutral-to-worse and stay on the plain loader.
+from etl_orders_spark.sources.readers import load_table_wide as TW
+
 # --- shared SQL fragments (DuckDB dialect), kept in lockstep with
 #     functions/text.py ------------------------------------------------------
 
@@ -166,7 +175,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring rollup (C4-style heuristics) per labeled lang."""
-    d = T(spark, sf_dir, "documents")
+    d = TW(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
@@ -659,7 +668,7 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes via JVM xxhash64 (one codegen'd call per shingle/seed instead
     of md5→substring→conv string machinery — the difference between
     scan-bound and string-CPU-bound at 100 TB)."""
-    docs = T(spark, sf_dir, "documents")
+    docs = TW(spark, sf_dir, "documents")
     from etl_orders_spark.operators.materialize import cache_stage
 
     sigs = cache_stage(
@@ -801,7 +810,7 @@ def winnow_fingerprints_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame
     the md5-portable twin above stays the hash-checked reference, this
     one is what the bench grades and production runs."""
     return winnow_fingerprints(
-        T(spark, sf_dir, "documents"), "doc_id", "text",
+        TW(spark, sf_dir, "documents"), "doc_id", "text",
         k_shingle=_WINNOW_K, window=_WINNOW_W, portable=False,
     )
 
@@ -1487,7 +1496,7 @@ def dup_ngram_rate_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     The string-gram twin stays registered as the collision-free
     reference; this form is the one the bench grades and production
     runs."""
-    docs = T(spark, sf_dir, "documents")
+    docs = TW(spark, sf_dir, "documents")
     from etl_orders_spark.functions.text import normalize_text, tokens as _tokens
     from etl_orders_spark.operators.dedup import hashed_ordered_shingles
 
@@ -1555,7 +1564,7 @@ def bigram_perplexity_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision-free reference."""
     from etl_orders_spark.functions.text import normalize_text, tokens
 
-    docs = T(spark, sf_dir, "documents")
+    docs = TW(spark, sf_dir, "documents")
     d = docs.withColumn("_t", tokens(normalize_text(F.col("text"))))
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("_t") - 1),
@@ -1676,7 +1685,7 @@ def bigram_perplexity_docs_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus by a skewed key."""
     from etl_orders_spark.functions.text import normalize_text, tokens
 
-    docs = T(spark, sf_dir, "documents")
+    docs = TW(spark, sf_dir, "documents")
     d = docs.withColumn("_t", tokens(normalize_text(F.col("text"))))
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("_t") - 1),

@@ -87,6 +87,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, path, schema)
 
 
+def load_table_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load_table` + `fan_out_narrow`: for CPU-heavy per-row chains
+    (regex quality/lang scoring, shingling, hashing) over tables that
+    scan as very few partitions — a small single-row-group parquet
+    file is ONE scan split, and Catalyst pushes filters back through
+    any repartition to the scan side, so the heavy chain runs on one
+    core of a 32-core box (measured: text_quality_by_lang 1.03 s ->
+    0.56 s warm, 3.2 s -> 1.1 s cold at sf0.1 after widening).
+
+    Keyed by TABLE NAME so every consumer of the same table shares
+    ONE fanned-out cache (two keys over one CacheManager-deduped plan
+    would let one key's eviction unpersist blocks the other still
+    uses). No-op at real scale via fan_out_narrow's gates (input
+    already wide, or scan bytes unknown/over 1 GiB)."""
+    from etl_orders_spark.operators.materialize import fan_out_narrow
+
+    return fan_out_narrow(load_table(spark, sf_dir, name), name)
+
+
 def _micros_schema(schema: "T.StructType") -> "T.StructType":
     """The declared events schema with `ts` swapped to TimestampType —
     the MICROS-encoded dispatch target shared by the batch and
