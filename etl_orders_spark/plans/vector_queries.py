@@ -850,7 +850,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_prep_corpus's near-dup stage."""
     from pyspark.sql import Window as W
 
-    x = _planted_corpus(spark, sf_dir)
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    # iterative assignment re-reads the corpus per pass (the scan
+    # audit counted 8 embeddings scans uncached) — pin it behind the
+    # keyed stage cache, the same posture MLlib-style k-means takes
+    # by persisting its training set before iterating
+    x = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
