@@ -63,6 +63,13 @@ def main() -> int:
     cold: dict[str, float] = {}
     for name, builder in bench_queries().items():
         if warmup:
+            # the cold column's contract is "every stage cache empty":
+            # keyed stage caches are now SHARED across lanes (the
+            # fan_out_narrow "documents" key), so without this clear an
+            # earlier lane pre-fills a later lane's input cache and the
+            # recorded cold silently measures warm-cache reads. Clearing
+            # here keeps cold honest; the warm reps below repopulate.
+            spark.catalog.clearCache()
             t0 = time.time()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.time() - t0, 3)

@@ -357,6 +357,28 @@ def near_dup_pairs_bucketed(
     elif num_tables is None:
         raise ValueError("num_tables must be set when num_planes is pinned")
     buckets = _bucket_assign(df, id_col, vec_col, num_planes, num_tables, seed, dim)
+    return (
+        buckets.groupBy("_table", "_bucket")
+        .applyInPandas(
+            make_pair_emitter("_id", "_vec", tau), GROUP_PAIR_SCHEMA
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# output schema of make_pair_emitter's kernels
+GROUP_PAIR_SCHEMA = "id_a long, id_b long, cos double"
+
+
+def make_pair_emitter(id_field: str, vec_field: str, tau: float):
+    """The within-group cosine-pair GEMM kernel, shared by every
+    group-keyed near-dup path (LSH buckets in
+    `near_dup_pairs_bucketed`, k-means clusters in
+    plans/vector_queries.semantic_dedup_embeddings): sort by id,
+    one float64 GEMM over the group's unit vectors, emit the upper
+    triangle at cos >= tau. The zero-norm -> cos 0 convention, the
+    float64 cast, and the round-to-6 contract the DuckDB oracles
+    depend on live HERE, once — callers must not re-implement them."""
     tau_f = float(tau)
 
     def emit_pairs(key, pdf):
@@ -372,9 +394,9 @@ def near_dup_pairs_bucketed(
         )
         if len(pdf) < 2:
             return empty
-        pdf = pdf.sort_values("_id")
-        ids = pdf["_id"].to_numpy()
-        mat = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
+        pdf = pdf.sort_values(id_field)
+        ids = pdf[id_field].to_numpy()
+        mat = np.vstack(pdf[vec_field].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors -> cos 0 by convention
         unit = mat / norms[:, None]
@@ -384,11 +406,7 @@ def near_dup_pairs_bucketed(
         keep = cos >= tau_f
         return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": cos[keep]})
 
-    return (
-        buckets.groupBy("_table", "_bucket")
-        .applyInPandas(emit_pairs, "id_a long, id_b long, cos double")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return emit_pairs
 
 
 def near_dup_pairs_blocked(

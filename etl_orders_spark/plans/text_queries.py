@@ -44,9 +44,10 @@ from etl_orders_spark.sources.readers import load_table as T
 # TW = the fan-out-narrow documents loader (readers.load_table_wide):
 # used ONLY where the per-run compute includes a CPU-heavy chain over
 # the raw single-split scan and the widening MEASURED faster at sf0.1
-# (text_quality -40%, dup_ngram -25%, bigram pair -20%, winnow -25%,
-# minhash cold -30%). Cheap-map lanes (dedup_exact md5) and lanes
-# whose heavy stage already sits behind a keyed cache (simhash,
+# under clearCache-per-rep A/B (text_quality warm -47%, dup_ngram
+# warm -30%, bigram pair warm -10..-19%, winnow warm -13%; minhash
+# warm a wash but cold -30%). Cheap-map lanes (dedup_exact md5) and
+# lanes whose heavy stage already sits behind a keyed cache (simhash,
 # boilerplate) measured neutral-to-worse and stay on the plain loader.
 from etl_orders_spark.sources.readers import load_table_wide as TW
 

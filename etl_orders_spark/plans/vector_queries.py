@@ -122,15 +122,41 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_embeddings_planted",
-    f"""
-    WITH corpus AS (
+# THE planted-clone corpus law (SURVEY §2.8 graded-signal convention):
+# every vec_id % 25 == 0 gains a deterministic affine clone
+# (x -> x*0.95 + 0.01, id + 1,000,000; cosine vs its base ~0.996, all
+# other pairs stay < 0.52). Double mul-add in matching order is
+# IEEE-bit-exact across engines. ONE definition each side — the SQL
+# constant and its Spark twin below anchor near_dup_embeddings_planted,
+# semantic_dedup_embeddings, AND tools/probe_lsh_autoparams.py; edit
+# the clone density/constants here and every consumer moves together.
+_PLANTED_CORPUS_SQL = """
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.95 + 0.01)
       FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_PLANTED_CORPUS_SQL` (same consumers)."""
+    emb = T(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 0.95 + 0.01
+        ).alias("v"),
+    )
+    return base.unionByName(clones)
+
+
+@register(
+    "near_dup_embeddings_planted",
+    f"""
+    WITH corpus AS (
+      {_PLANTED_CORPUS_SQL}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_cos_sql("a.v", "b.v")}, 6) AS cos
@@ -155,17 +181,8 @@ def near_dup_embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     same derived corpus, so the hash certifies the LSH path finds
     every planted pair with its exact score (miss prob ~4e-6/pair at
     τ=0.9 — and far lower at cos 0.996)."""
-    emb = T(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            F.col("embedding").cast("array<double>"), lambda x: x * 0.95 + 0.01
-        ).alias("v"),
-    )
-    corpus = base.unionByName(clones)
     return near_dup_pairs_bucketed(
-        corpus, "vec_id", "v",
+        _planted_corpus(spark, sf_dir), "vec_id", "v",
         tau=_NEAR_DUP_TAU, dim=64, num_planes=4, num_tables=16,
     )
 
@@ -728,31 +745,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SD_K = 4  # SemDeDup clusters (fixture-scale; production ~sqrt(n) or larger)
 _SD_TAU = 0.9
-# planted corpus (SURVEY §2.8 convention): every vec_id % 25 == 0
-# gains the deterministic affine clone x*0.95+0.01 at id+1,000,000 —
-# IEEE-bit-identical in both engines, cosine vs its base ~0.996
-_SD_CORPUS_SQL = """
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000,
-             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.95 + 0.01)
-      FROM embeddings WHERE vec_id % 25 = 0
-"""
-
-
-def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of `_SD_CORPUS_SQL` (shared with
-    near_dup_embeddings_planted's inline build and
-    tools/probe_lsh_autoparams.py)."""
-    emb = T(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            F.col("embedding").cast("array<double>"), lambda x: x * 0.95 + 0.01
-        ).alias("v"),
-    )
-    return base.unionByName(clones)
+_SD_DIM = 64  # embedding dimension, shared with the unrolled SQL oracle
 
 
 def _semantic_dedup_oracle() -> str:
@@ -768,7 +761,7 @@ def _semantic_dedup_oracle() -> str:
     )
     return f"""
     WITH x AS (
-      {_SD_CORPUS_SQL}
+      {_PLANTED_CORPUS_SQL}
     ), cent0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
              v AS c
@@ -783,7 +776,7 @@ def _semantic_dedup_oracle() -> str:
     ), cent1 AS (
       SELECT cid, list(m ORDER BY i) AS c FROM (
         SELECT cid, i, ROUND(AVG(v[i]), 6) AS m
-        FROM assign0 CROSS JOIN range(1, 65) t(i)
+        FROM assign0 CROSS JOIN range(1, {_SD_DIM + 1}) t(i)
         GROUP BY cid, i
       ) GROUP BY cid
     ), assign AS (
@@ -896,28 +889,19 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()  # K rows; truncates re-running assign0 per reference
     )
-    assigned = assign(cent1)
+    # assigned feeds two subtrees (the pair kernel and the final
+    # rollup); uncached, the n-by-K assignment window replays per
+    # consumer — the multi-consumer recompute trap cache_stage exists
+    # for (operators/materialize.py)
+    assigned = cache_stage(assign(cent1), "semantic_dedup.assigned")
 
-    def emit_pairs(key, pdf):
-        import numpy as np
-        import pandas as pd
-
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                                 "id_b": np.array([], dtype=np.int64)})
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0.0] = 1.0
-        unit = mat / norms[:, None]
-        sim = np.round(unit @ unit.T, 6)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= _SD_TAU
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]]})
+    from etl_orders_spark.operators.similarity import (
+        GROUP_PAIR_SCHEMA,
+        make_pair_emitter,
+    )
 
     pairs = assigned.groupBy("cid").applyInPandas(
-        lambda key, pdf: emit_pairs(key, pdf), "id_a long, id_b long"
+        make_pair_emitter("vec_id", "v", _SD_TAU), GROUP_PAIR_SCHEMA
     )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     flagged = assigned.join(

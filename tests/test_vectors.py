@@ -424,7 +424,8 @@ def test_semantic_dedup_drops_planted_clones(spark, sf_dir):
 
     rows = query_map()["semantic_dedup_embeddings"](spark, sf_dir).collect()
     n_base = load_table(spark, sf_dir, "embeddings").count()
-    n_clones = n_base // 25  # vec_id % 25 == 0, ids are 0..n-1
+    # vec_id % 25 == 0 over ids 0..n-1 -> ceil(n/25) clones (id 0 counts)
+    n_clones = len(range(0, n_base, 25))
     assert sum(r["n_points"] for r in rows) == n_base + n_clones
     dropped = sum(r["n_dropped"] for r in rows)
     # all clones co-clustered with their base must drop; allow a small

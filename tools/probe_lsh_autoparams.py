@@ -34,19 +34,14 @@ sys.path.insert(0, REPO)
 
 
 def planted_corpus(spark, sf_dir):
+    # the ONE corpus-law definition (plans/vector_queries._planted_corpus)
     from pyspark.sql import functions as F
 
-    from etl_orders_spark.sources.readers import load_table as T
+    from etl_orders_spark.plans.vector_queries import _planted_corpus
 
-    emb = T(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            F.col("embedding").cast("array<double>"), lambda x: x * 0.95 + 0.01
-        ).alias("v"),
-    )
-    return base.unionByName(clones), clones
+    corpus = _planted_corpus(spark, sf_dir)
+    clones = corpus.filter(F.col("vec_id") >= 1_000_000)
+    return corpus, clones
 
 
 def main() -> int:
