@@ -370,15 +370,26 @@ def near_dup_pairs_bucketed(
 GROUP_PAIR_SCHEMA = "id_a long, id_b long, cos double"
 
 
+# row-block height for the within-group GEMM: peak per-task scratch is
+# _PAIR_BLOCK_ROWS * m * 8 bytes (one sim block) instead of m*m*8 — a
+# degenerate 52k-row group costs ~1.7 GB peak instead of ~21 GB
+_PAIR_BLOCK_ROWS = 4096
+
+
 def make_pair_emitter(id_field: str, vec_field: str, tau: float):
     """The within-group cosine-pair GEMM kernel, shared by every
     group-keyed near-dup path (LSH buckets in
     `near_dup_pairs_bucketed`, k-means clusters in
     plans/vector_queries.semantic_dedup_embeddings): sort by id,
-    one float64 GEMM over the group's unit vectors, emit the upper
-    triangle at cos >= tau. The zero-norm -> cos 0 convention, the
-    float64 cast, and the round-to-6 contract the DuckDB oracles
-    depend on live HERE, once — callers must not re-implement them."""
+    float64 GEMM over the group's unit vectors in ROW BLOCKS, emit
+    upper-triangle pairs at cos >= tau. Blocking bounds peak task
+    memory at blockrows x m doubles regardless of group size (a full
+    m x m sim matrix is quadratic scratch — the 100x probe measured a
+    52k-row cluster needing ~21 GB unblocked); results are identical,
+    it is the same multiply cut into strips. The zero-norm -> cos 0
+    convention, the float64 cast, and the round-to-6 contract the
+    DuckDB oracles depend on live HERE, once — callers must not
+    re-implement them."""
     tau_f = float(tau)
 
     def emit_pairs(key, pdf):
@@ -400,11 +411,28 @@ def make_pair_emitter(id_field: str, vec_field: str, tau: float):
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors -> cos 0 by convention
         unit = mat / norms[:, None]
-        sim = np.round(unit @ unit.T, 6)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cos = sim[iu, ju]
-        keep = cos >= tau_f
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": cos[keep]})
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for r0 in range(0, m - 1, _PAIR_BLOCK_ROWS):
+            r1 = min(r0 + _PAIR_BLOCK_ROWS, m)
+            # rows r0..r1 against every LATER column (upper triangle)
+            sim = np.round(unit[r0:r1] @ unit[r0 + 1 :].T, 6)
+            # strictly-upper mask within the strip: column j (global
+            # index r0+1+j) pairs with row i (global r0+i) iff j >= i
+            iu, ju = np.nonzero(sim >= tau_f)
+            keep = ju >= iu
+            out_a.append(ids[r0 + iu[keep]])
+            out_b.append(ids[r0 + 1 + ju[keep]])
+            out_c.append(sim[iu[keep], ju[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
 
     return emit_pairs
 

@@ -444,3 +444,50 @@ def test_semantic_dedup_drops_planted_clones(spark, sf_dir):
     dropped_sum = all_ids - kept_sum
     # dropped ids are clone ids: each >= 1_000_000
     assert dropped_sum >= dropped * 1_000_000
+
+
+def test_pair_emitter_blocked_equals_full_gemm():
+    """The shared within-group pair kernel computes its GEMM in row
+    blocks to bound task memory on degenerate groups; strip-blocking
+    must be EXACTLY the full multiply — same pairs, same round-to-6
+    scores — across block-boundary shapes, zero vectors, and a
+    guaranteed cos=1 pair."""
+    import numpy as np
+    import pandas as pd
+
+    import etl_orders_spark.operators.similarity as S
+
+    orig = S._PAIR_BLOCK_ROWS
+    try:
+        S._PAIR_BLOCK_ROWS = 3  # force multi-strip paths on tiny inputs
+        rng = np.random.RandomState(0)
+        for m in (1, 2, 3, 4, 7, 50, 101):
+            vecs = rng.randn(m, 8)
+            vecs[m // 2] = 0.0
+            if m > 3:
+                vecs[3] = vecs[0] * 2.0
+            pdf = pd.DataFrame({"_id": np.arange(m)[::-1], "_vec": list(vecs)})
+            got = (
+                S.make_pair_emitter("_id", "_vec", 0.5)(None, pdf)
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+            p = pdf.sort_values("_id")
+            ids = p["_id"].to_numpy()
+            mat = np.vstack(p["_vec"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = 1.0
+            u = mat / n[:, None]
+            sim = np.round(u @ u.T, 6)
+            iu, ju = np.triu_indices(m, k=1)
+            keep = sim[iu, ju] >= 0.5
+            ref = (
+                pd.DataFrame(
+                    {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": sim[iu, ju][keep]}
+                )
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+            assert got.shape == ref.shape and (got.values == ref.values).all(), m
+    finally:
+        S._PAIR_BLOCK_ROWS = orig
