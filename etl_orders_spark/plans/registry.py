@@ -100,11 +100,11 @@ PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "rollup_revenue",
     "pivot_revenue_by_status",
-    # lake-table lifecycle: schema evolution + SCD2 time travel
-    # (agg_global_stats / ship_months moved out: A1 and P6 stay covered
-    # by q1/rollup/pivot and string_functions respectively)
+    # lake-table lifecycle: schema evolution (agg_global_stats /
+    # ship_months moved out earlier; scd2_point_in_time ceded its slot
+    # to the round-7 SemDeDup lane per VERDICT r7 #1 — the SCD2 family
+    # stays benched via scd2_enrich_orders_asof and local-sweep-green)
     "schema_evolution_scan",
-    "scd2_point_in_time",
     # scalar / filter (P6, P7; P5 recode_priority_counts ceded its slot
     # to the round-5 video near-dup lane per VERDICT r5 #4 — its CASE
     # recode stays local-sweep-green, and A5 stays covered by
@@ -151,6 +151,10 @@ PRIORITY: tuple[str, ...] = (
     # sf0.01, so its green row was vacuous — VERDICT r5 #3)
     "near_dup_embeddings_planted",
     "ann_topk_cosine",
+    # SemDeDup semantic dedup (VERDICT r7 #1): k-means cluster +
+    # within-cluster cosine prune over the planted corpus — full
+    # value-hash oracle (unrolled-Lloyd SQL twin + kept_id_sum)
+    "semantic_dedup_embeddings",
     # one per remaining family: stats, distributed-rank stats, graph,
     # sketch, curation, dq, linkage, layout, events-analytics
     "winsorized_nation_revenue",

@@ -30,8 +30,11 @@ def duck(sf_dir):
 # to accidental registration ordering; this pins the window's
 # composition so a refactor can't silently drop one again.
 _WINDOW_FAMILIES = (
-    # landing formats / sources (S1/S1b/S2/S3 + Spark-4 surfaces)
-    "source", "csv", "orc", "json", "variant", "evolution", "scd2",
+    # landing formats / sources (S1/S1b/S2/S3 + Spark-4 surfaces).
+    # "scd2" rotated out per VERDICT r7 #1 (slot ceded to the SemDeDup
+    # lane); the family stays benched (scd2_enrich_orders_asof) and
+    # local-sweep-green.
+    "source", "csv", "orc", "json", "variant", "evolution",
     # relational core: A1-A5, P6-P7, J1-J4 (setop + the P5 recode ceded
     # their slots to round-5 lanes per VERDICT r5 #4; both stay
     # local-sweep-green)
@@ -43,7 +46,7 @@ _WINDOW_FAMILIES = (
     "events", "window-time", "sessionize",
     # LLM-data north stars
     "dedup", "lsh", "text", "similarity", "vector", "pipeline", "split",
-    "privacy",
+    "privacy", "clustering",
     # per-family singletons
     "stats", "graph", "sketch", "curation", "dq", "drift", "linkage",
     "layout", "sampling",
