@@ -1,17 +1,19 @@
 """Headline benchmark: runs every bench-tagged registry query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is the compact
-warm-only object the driver parses:
+local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is a COMPACT object
+the driver parses:
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
-     "queries": {name: warm_sec, ...}, "sf": 0.1}
+     "sf": 0.1, "lanes": 36}
 
-The cold column (first-execution timings) is emitted SEPARATELY — a
-preceding stdout JSON line plus a ``bench_cold.json`` sidecar — and
-must NEVER be folded into the final line: the driver captures only
-the tail of output (~2 KB), and round 5's combined line grew past
-that and recorded ``parsed: null`` (VERDICT r5 #1). New columns go on
-their own line/file; the driver-facing line stays fixed-format.
+Per-lane timings live on their own preceding stdout lines (warm map
+immediately before the final line, cold map before that) plus the
+``bench_cold.json`` sidecar, so they stay recoverable from the
+driver's ~2 KB tail capture without ever growing the parsed line
+(VERDICT r7 #5). Round 5 learned this the hard way: a combined final
+line outgrew the tail capture and recorded ``parsed: null``
+(VERDICT r5 #1). New columns go on their own line/file; the
+driver-facing final line stays fixed-size.
 
 Each query is forced through the noop sink so the full plan executes
 (count() would let Catalyst prune the projected columns).
@@ -84,42 +86,59 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s{cold_note}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sidecar = {
+        "metric": "bench_cold_total_sec",
+        "value": round(sum(cold.values()), 3) if cold else None,
+        "unit": "sec",
+        "queries_cold": cold,
+        # warm per-lane map rides the same sidecar so
+        # tools/cold_report.py can diff BOTH columns round-over-round
+        # (VERDICT r7 #3; r7's clearCache-per-lane change made warm
+        # comparisons meaningful for the first time)
+        "queries_warm": timings,
+        "warm_total_sec": total,
+        "sf": sf,
+    }
     if cold:
-        cold_out = {
-            "metric": "bench_cold_total_sec",
-            "value": round(sum(cold.values()), 3),
-            "unit": "sec",
-            "queries_cold": cold,
-            "sf": sf,
-        }
-        # Preceding line + sidecar file, never the final line (the
-        # driver's tail capture is ~2 KB and parses only the last line).
-        print(json.dumps(cold_out))
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "bench_cold.json"), "w") as f:
-                json.dump(cold_out, f)
-        except OSError:
-            pass
+        # Preceding line, never the final line (the driver's tail
+        # capture is ~2 KB and parses only the last line).
+        print(json.dumps({k: v for k, v in sidecar.items()
+                          if k not in ("queries_warm", "warm_total_sec")}))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_cold.json"), "w") as f:
+            json.dump(sidecar, f)
+    except OSError:
+        pass
+    # Warm per-lane map on its OWN line, immediately before the final
+    # line, so it sits inside the driver's tail capture (per-lane
+    # numbers recoverable from BENCH_r{N}.json's "tail" field) without
+    # ever growing the parsed line (VERDICT r7 #5).
+    warm_line = json.dumps(
+        {"metric": "bench_queries_warm_sec", "queries": timings, "sf": sf}
+    )
     out = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "lanes": len(timings),
     }
     line = json.dumps(out)
-    # The driver captures only the TAIL of stdout (~2 KB) and parses
-    # the last line; round 5's combined line outgrew that and recorded
-    # parsed:null. The final line grows with every bench=True query,
-    # so warn well before the cliff (ADVICE r6 #3).
-    if len(line) > 1536:
+    # The driver captures only the TAIL of stdout (~2 KB). The final
+    # line is now fixed-size, but the warm map line still grows with
+    # every bench=True query: once warm_line + final line outgrow the
+    # capture, per-lane numbers stop being tail-recoverable. Warn well
+    # before that cliff (ADVICE r6 #3 semantics, rebased onto the new
+    # layout).
+    if len(warm_line) + len(line) + 2 > 1800:
         print(
-            f"WARNING: bench line is {len(line)}B (driver tail capture ~2KB); "
-            "move per-query timings off the final line before adding more "
-            "bench queries",
+            f"WARNING: warm-map + final lines total {len(warm_line) + len(line)}B "
+            "(driver tail capture ~2KB); per-lane timings will fall out of the "
+            "tail if more bench lanes are added — split the warm map",
             file=sys.stderr,
         )
+    print(warm_line)
     print(line)
     return 0
 

@@ -125,3 +125,15 @@ def test_readme_inventory_counts_in_lockstep():
     assert int(m.group(2)) == len(oracle_map()), (
         f"README says {m.group(2)} value-hash-checked; registry has {len(oracle_map())}"
     )
+    # VERDICT r7 #6: also pin the graded-window length and the bench-
+    # lane count, so a rotation or a new bench lane can't leave a stale
+    # sentence.
+    m = re.search(r"grades the first (\d+) in registry order; (\d+) lanes are benched", text)
+    assert m, "README.md window/bench sentence missing"
+    assert int(m.group(1)) == len(PRIORITY), (
+        f"README says the driver grades {m.group(1)}; PRIORITY has {len(PRIORITY)}"
+    )
+    benched = [n for n, s in QUERIES.items() if s.bench]
+    assert int(m.group(2)) == len(benched), (
+        f"README says {m.group(2)} bench lanes; registry has {len(benched)}"
+    )

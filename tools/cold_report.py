@@ -1,22 +1,30 @@
-"""Round-over-round COLD-column regression report (VERDICT r6 #6).
+"""Round-over-round bench regression report (VERDICT r6 #6, r7 #3).
 
-The driver-parsed bench line carries only WARM timings; the cold
-column (first-execution cost: plan compile + codegen JIT + stage-cache
-fill) lives in the ``bench_cold.json`` sidecar — and nothing diffed it
-round over round, which is how round 5's llm_prep cold regression
-carried silently. This script compares the current sidecar against a
+The driver-parsed bench line carries only the warm TOTAL; the per-lane
+columns live in the ``bench_cold.json`` sidecar — ``queries_cold``
+(first-execution cost: plan compile + codegen JIT + stage-cache fill)
+and, since round 8, ``queries_warm`` (best-of-N steady state). Nothing
+diffed cold round-over-round before round 7 (which is how round 5's
+llm_prep cold regression carried silently), and nothing diffed warm
+before round 8 (round 7's clearCache-per-lane change made warm
+comparisons meaningful for the first time — earlier warm numbers rode
+cross-lane caches). This script compares the current sidecar against a
 baseline (default: the last committed version, ``git show
-HEAD:bench_cold.json``) and fails loudly on >1.5x per-lane cold
-regressions.
+HEAD:bench_cold.json``) and fails loudly on >1.5x per-lane regressions
+in EITHER column.
 
 Usage:
     python tools/cold_report.py                    # vs HEAD's sidecar
     python tools/cold_report.py old.json           # vs a file
     python tools/cold_report.py old.json new.json  # explicit pair
 
-Exit code 1 iff any common lane regressed past the threshold.
-Wired into the round checklist (.claude/skills/verify/SKILL.md): run
-after ``python bench.py`` refreshes the sidecar.
+Exit code 1 iff any common lane regressed past the threshold in either
+column. Wired into the round checklist
+(.claude/skills/verify/SKILL.md): run after ``python bench.py``
+refreshes the sidecar. Warm numbers on this box carry ±25-30% noise
+between runs (SCALE.md) — re-run on a quiet box before believing a
+flagged warm regression, and decide optimizations by clearCache A/B
+probes, not single bench deltas.
 """
 
 from __future__ import annotations
@@ -34,32 +42,28 @@ NOISE_FLOOR_SEC = 0.3
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load(src: str) -> dict[str, float]:
+def _load(src: str) -> dict:
     with open(src) as f:
-        doc = json.load(f)
-    return doc.get("queries_cold", {})
+        return json.load(f)
 
 
-def _load_git_head() -> dict[str, float]:
+def _load_git_head() -> dict:
     out = subprocess.run(
         ["git", "-C", REPO, "show", "HEAD:bench_cold.json"],
         capture_output=True, text=True, check=True,
     )
-    return json.loads(out.stdout).get("queries_cold", {})
+    return json.loads(out.stdout)
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    if len(args) >= 2:
-        old, new = _load(args[0]), _load(args[1])
-        old_src = args[0]
-    elif len(args) == 1:
-        old, new = _load(args[0]), _load(os.path.join(REPO, "bench_cold.json"))
-        old_src = args[0]
-    else:
-        old, new = _load_git_head(), _load(os.path.join(REPO, "bench_cold.json"))
-        old_src = "HEAD:bench_cold.json"
-
+def _diff_column(
+    label: str, old: dict[str, float], new: dict[str, float]
+) -> int:
+    """Print the regression report for one timing column; return the
+    number of >THRESHOLD regressions above the noise floor."""
+    if not old or not new:
+        print(f"{label}: column absent on one side "
+              f"(old {len(old)} lanes, new {len(new)}) — skipped")
+        return 0
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -73,20 +77,45 @@ def main() -> int:
         elif ratio < 1 / THRESHOLD:
             improved += 1
 
-    print(f"cold report vs {old_src}: {len(common)} common lanes, "
+    print(f"{label}: {len(common)} common lanes, "
           f"{improved} improved >{THRESHOLD}x, {len(regressed)} regressed >{THRESHOLD}x")
     for name, o, n, ratio in sorted(regressed, key=lambda r: -r[3]):
         print(f"  REGRESSED {name}: {o:.3f}s -> {n:.3f}s ({ratio:.2f}x)")
     if added:
-        print(f"  new lanes (no baseline): {', '.join(f'{a} {new[a]:.3f}s' for a in added)}")
+        print(f"  new lanes (no baseline): "
+              f"{', '.join(f'{a} {new[a]:.3f}s' for a in added)}")
     if removed:
         print(f"  removed lanes: {', '.join(removed)}")
     tot_o = sum(old[n] for n in common)
     tot_n = sum(new[n] for n in common)
     if common and tot_o > 0:
-        print(f"  common-lane cold total: {tot_o:.2f}s -> {tot_n:.2f}s "
+        print(f"  common-lane total: {tot_o:.2f}s -> {tot_n:.2f}s "
               f"({tot_n / tot_o:.2f}x)")
-    return 1 if regressed else 0
+    return len(regressed)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if len(args) >= 2:
+        old_doc, new_doc = _load(args[0]), _load(args[1])
+        old_src = args[0]
+    elif len(args) == 1:
+        old_doc = _load(args[0])
+        new_doc = _load(os.path.join(REPO, "bench_cold.json"))
+        old_src = args[0]
+    else:
+        old_doc = _load_git_head()
+        new_doc = _load(os.path.join(REPO, "bench_cold.json"))
+        old_src = "HEAD:bench_cold.json"
+
+    print(f"bench regression report vs {old_src}")
+    n_bad = _diff_column(
+        "cold", old_doc.get("queries_cold", {}), new_doc.get("queries_cold", {})
+    )
+    n_bad += _diff_column(
+        "warm", old_doc.get("queries_warm", {}), new_doc.get("queries_warm", {})
+    )
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
