@@ -301,24 +301,31 @@ def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFram
     where q = v for whole-byte shapes and a QUANTIZED v at sub-byte
     depths (below), encoded with the row filter CYCLING through all
     five scanline filter types and the SHAPE cycling through the FULL
-    legal decode matrix by ``media_id % 8``:
+    legal decode matrix by ``media_id % 9``:
 
         0 = 8-bit truecolor plain        1 = 16-bit truecolor plain
         2 = 8-bit truecolor Adam7        3 = 16-bit truecolor Adam7
         4 = 4-bit palette plain          5 = 2-bit palette plain
         6 = 1-bit palette plain          7 = 4-bit palette Adam7
+        8 = 2-bit GRAYSCALE plain (VERDICT r7 #4)
 
     16-bit samples encode as v*257 so the high-byte strip returns v.
-    Sub-byte shapes store index s = v % 2^depth with palette entry
-    s -> (s*k, (s*k+85)%256, (s*k+170)%256), k = 255/(2^depth - 1)
+    Sub-byte PALETTE shapes store index s = v % 2^depth with palette
+    entry s -> (s*k, (s*k+85)%256, (s*k+170)%256), k = 255/(2^depth-1)
     (17/85/255) — i.e. q = (v % 2^depth) * k, a closed form the DuckDB
-    oracle mirrors with one CASE. Channels stay deliberately DISTINCT
-    in every shape so an index/channel mixup cannot hide. A value-hash
+    oracle mirrors with one CASE. The sub-byte GRAY shape stores the
+    same s with NO palette (color type 0): the decoder's
+    bit-replication scale yields r = g = b = s*85, certifying the
+    ``color == 0`` expansion branch against the law rather than only
+    unit vectors. Channels stay deliberately DISTINCT in every palette
+    shape so an index/channel mixup cannot hide (the gray shape is the
+    one place equal channels are themselves the law). A value-hash
     match therefore certifies DEFLATE round-tripping, chunk CRC
     handling, every unfilter branch, the 7-pass unweave (including
     per-pass sub-byte bit-packing), 16-bit byte-distance filter
-    semantics, AND the MSB-first bit-unpack + PLTE lookup against the
-    closed form, with no shared code path between the derivations.
+    semantics, AND the MSB-first bit-unpack + PLTE lookup / gray
+    bit-replication against the closed form, with no shared code path
+    between the derivations.
     Same dims law as gen_pixel_media (w 16..31, h 12..19); ``start``
     offsets the id range so a consumer can pool this family with
     others without key collisions."""
@@ -337,12 +344,14 @@ def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFram
             y = np.arange(h, dtype=np.int64)[:, None]
             x = np.arange(w, dtype=np.int64)[None, :]
             v = (7 * mid + 3 * x + 5 * y) % 256
-            shape = mid % 8
+            shape = mid % 9
             if shape >= 4:
-                depth = {4: 4, 5: 2, 6: 1, 7: 4}[shape]
+                depth = {4: 4, 5: 2, 6: 1, 7: 4, 8: 2}[shape]
                 nc = 1 << depth
                 k = 255 // (nc - 1)
                 s = (v % nc).astype(np.uint8)
+                if shape == 8:  # sub-byte grayscale: no PLTE, color 0
+                    return encode_png_subbyte(s, depth), w, h
                 i = np.arange(nc, dtype=np.int64) * k
                 pal = np.stack([i, (i + 85) % 256, (i + 170) % 256], axis=1)
                 png = encode_png_subbyte(
