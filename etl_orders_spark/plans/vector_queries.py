@@ -743,7 +743,9 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SD_K = 4  # SemDeDup clusters (fixture-scale; production ~sqrt(n) or larger)
+_SD_K = 4  # SemDeDup clusters, fixture-pinned for oracle determinism;
+# the production path derives K (~sqrt(n)) via similarity.semdedup_k —
+# pass k=None to semantic_dedup_frame (VERDICT r7 #2)
 _SD_TAU = 0.9
 _SD_DIM = 64  # embedding dimension, shared with the unrolled SQL oracle
 
@@ -804,6 +806,157 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
+def _semdedup_rollup(assigned: DataFrame, tau: float) -> DataFrame:
+    """Within-cluster pair prune + per-cluster rollup, shared by the
+    fixture (SQL-assignment) and production (GEMM-assignment) SemDeDup
+    paths: the one shuffle on cid feeds the shared row-strip pair
+    kernel, drop-higher-id, and the kept_id_sum checksum that pins the
+    exact surviving set."""
+    from etl_orders_spark.operators.similarity import (
+        GROUP_PAIR_SCHEMA,
+        make_pair_emitter,
+    )
+
+    pairs = assigned.groupBy("cid").applyInPandas(
+        make_pair_emitter("vec_id", "v", tau), GROUP_PAIR_SCHEMA
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    flagged = assigned.join(
+        dropped.withColumn("_drop", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("_drop").isNull(), F.col("vec_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
+    )
+
+
+def semantic_dedup_assign_auto(x: DataFrame, k: int | None = None) -> DataFrame:
+    """The PRODUCTION SemDeDup assignment (VERDICT r7 #2): K derived
+    from the corpus count (operators/similarity.semdedup_k, ~sqrt(n))
+    unless pinned, and both assignment passes vectorized — one GEMM
+    per Arrow batch against the closure-shipped centroid matrix
+    instead of the K-way crossJoin row explosion the fixture-scale SQL
+    form pays (fine at K=4, unusable at K=sqrt(n): the explosion
+    materializes n*K rows each folding a 64-element lambda).
+
+    Same construction laws as the fixture path so the two are
+    comparable (the probe pins k=4 and checks the rollups match the
+    oracle-certified SQL path row-for-row): init = the K lowest
+    vec_ids, one Lloyd refinement with ROUND(avg, 6) centroid
+    components, assignment ties to the lowest cid. Driver-side state
+    is bounded by design: both collects here are K rows of dim
+    doubles, and semdedup_k caps K at 65536 (~32 MB at dim 64) — past
+    that, shard centroids relationally (_assign_nearest's
+    block-replicate pattern) rather than raising the cap.
+    tools/probe_semdedup_autok.py measures this path on the 1x/10x/
+    100x replicas (SCALE.md). Returns (vec_id, v, cid), stage-cached
+    (it feeds the pair kernel and the rollup)."""
+    import numpy as np
+
+    from etl_orders_spark.operators.materialize import cache_stage
+    from etl_orders_spark.operators.similarity import (
+        kmeans_assign_euclidean,
+        semdedup_k,
+    )
+
+    # x is stage-cached by the caller; the count is the same one-pass
+    # pre-pass near_dup_pairs_bucketed pays for its auto-params
+    if k is None:
+        k = semdedup_k(x.count())
+    c0 = np.array(
+        [r["v"] for r in x.orderBy("vec_id").limit(k).collect()], dtype=np.float64
+    )
+    a0 = kmeans_assign_euclidean(x, "vec_id", "v", c0)
+    # one Lloyd refinement at the (cid, dim) grain — a map-side-combined
+    # aggregate, never a corpus collect; only the K refined centroids
+    # come back to the driver (a pass can empty a cluster, so labels
+    # ride along and stay sorted for the lowest-cid tie contract)
+    cent1 = (
+        a0.select("cid", F.posexplode("v").alias("i", "comp"))
+        .groupBy("cid", "i")
+        .agg(F.round(F.avg("comp"), 6).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+        .orderBy("cid")
+        .collect()
+    )
+    labels = np.array([r["cid"] for r in cent1], dtype=np.int64)
+    c1 = np.array([r["c"] for r in cent1], dtype=np.float64)
+    return cache_stage(
+        kmeans_assign_euclidean(x, "vec_id", "v", c1, labels),
+        "semantic_dedup.assigned_auto",
+    )
+
+
+def semantic_dedup_frame(
+    spark: SparkSession, sf_dir: str, k: int | None = _SD_K, tau: float = _SD_TAU
+) -> DataFrame:
+    """SemDeDup over the planted corpus with a selectable cluster
+    count: an explicit ``k`` takes the fixture path (SQL-expressed
+    assignment, byte-stable against the unrolled-Lloyd DuckDB oracle);
+    ``k=None`` derives K from the corpus count and takes the
+    vectorized production path (semantic_dedup_assign_auto)."""
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    # iterative assignment re-reads the corpus per pass (the scan
+    # audit counted 8 embeddings scans uncached) — pin it behind the
+    # keyed stage cache, the same posture MLlib-style k-means takes
+    # by persisting its training set before iterating
+    x = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")
+    if k is None:
+        return _semdedup_rollup(semantic_dedup_assign_auto(x), tau)
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+    cent = (
+        x.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(
+                    Window.partitionBy(one_bucket("vec_id")).orderBy("vec_id")
+                )
+                - 1
+            ).cast("long").alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+
+    def assign(cent_df):
+        j = x.crossJoin(F.broadcast(cent_df))
+        d2 = dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("c")) + dot(
+            F.col("c"), F.col("c")
+        )
+        rn = F.row_number().over(Window.partitionBy("vec_id").orderBy(F.round(d2, 6), "cid"))
+        return j.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+
+    cent1 = (
+        assign(cent)
+        .select("cid", F.posexplode("v").alias("i", "comp"))
+        .groupBy("cid", "i")
+        .agg(F.round(F.avg("comp"), 6).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+        .cache()  # K rows; truncates re-running assign0 per reference
+    )
+    # assigned feeds two subtrees (the pair kernel and the final
+    # rollup); uncached, the n-by-K assignment window replays per
+    # consumer — the multi-consumer recompute trap cache_stage exists
+    # for (operators/materialize.py)
+    assigned = cache_stage(assign(cent1), f"semantic_dedup.assigned.k{k}")
+    return _semdedup_rollup(assigned, tau)
+
+
 @register(
     "semantic_dedup_embeddings",
     _semantic_dedup_oracle(),
@@ -836,79 +989,14 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: centroid table is K rows (broadcast); assignment
     is a pure map; the only corpus-wide exchange is the one hash
     shuffle on cid; per-cluster GEMM cost is bounded by cluster size —
-    the documented skew knob is K (SemDeDup production runs ~50k
-    clusters; here K=4 keeps the fixture oracle exact). Dropping
+    the skew knob is K. This registered lane PINS K=4 so the
+    unrolled-Lloyd fixture oracle stays byte-deterministic; the
+    production path derives K from the corpus count
+    (semantic_dedup_frame(k=None) → operators/similarity.semdedup_k,
+    ~sqrt(n)) and swaps the crossJoin assignment for a vectorized
+    per-batch GEMM — probed at 1x/10x/100x by
+    tools/probe_semdedup_autok.py (SCALE.md, VERDICT r7 #2). Dropping
     id_b-of-pair matches the paper's keep-one-per-duplicate-group
     semantics up to group ordering, the same convention as
     llm_prep_corpus's near-dup stage."""
-    from pyspark.sql import Window as W
-
-    from etl_orders_spark.operators.materialize import cache_stage
-
-    # iterative assignment re-reads the corpus per pass (the scan
-    # audit counted 8 embeddings scans uncached) — pin it behind the
-    # keyed stage cache, the same posture MLlib-style k-means takes
-    # by persisting its training set before iterating
-    x = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
-
-    cent = (
-        x.orderBy("vec_id")
-        .limit(_SD_K)
-        .select(
-            (
-                F.row_number().over(
-                    W.partitionBy(one_bucket("vec_id")).orderBy("vec_id")
-                )
-                - 1
-            ).cast("long").alias("cid"),
-            F.col("v").alias("c"),
-        )
-    )
-
-    def assign(cent_df):
-        j = x.crossJoin(F.broadcast(cent_df))
-        d2 = dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("c")) + dot(
-            F.col("c"), F.col("c")
-        )
-        rn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.round(d2, 6), "cid"))
-        return j.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "v", "cid")
-
-    cent1 = (
-        assign(cent)
-        .select("cid", F.posexplode("v").alias("i", "comp"))
-        .groupBy("cid", "i")
-        .agg(F.round(F.avg("comp"), 6).alias("m"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-            ).alias("c")
-        )
-        .cache()  # K rows; truncates re-running assign0 per reference
-    )
-    # assigned feeds two subtrees (the pair kernel and the final
-    # rollup); uncached, the n-by-K assignment window replays per
-    # consumer — the multi-consumer recompute trap cache_stage exists
-    # for (operators/materialize.py)
-    assigned = cache_stage(assign(cent1), "semantic_dedup.assigned")
-
-    from etl_orders_spark.operators.similarity import (
-        GROUP_PAIR_SCHEMA,
-        make_pair_emitter,
-    )
-
-    pairs = assigned.groupBy("cid").applyInPandas(
-        make_pair_emitter("vec_id", "v", _SD_TAU), GROUP_PAIR_SCHEMA
-    )
-    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    flagged = assigned.join(
-        dropped.withColumn("_drop", F.lit(1)), "vec_id", "left"
-    )
-    return flagged.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_points"),
-        F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dropped"),
-        F.sum(F.when(F.col("_drop").isNull(), F.col("vec_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
-    )
+    return semantic_dedup_frame(spark, sf_dir, k=_SD_K)

@@ -491,3 +491,96 @@ def test_pair_emitter_blocked_equals_full_gemm():
             assert got.shape == ref.shape and (got.values == ref.values).all(), m
     finally:
         S._PAIR_BLOCK_ROWS = orig
+
+
+def test_semdedup_k_derivation():
+    """K auto-derivation (VERDICT r7 #2): floor at the fixture's 4,
+    ~sqrt(n) growth, capped where the closure-shipped centroid matrix
+    would outgrow a sane task size."""
+    from etl_orders_spark.operators.similarity import semdedup_k
+
+    assert semdedup_k(0) == 4
+    assert semdedup_k(1) == 4
+    assert semdedup_k(16) == 4
+    assert semdedup_k(17) == 5       # ceil(sqrt(17)) = 5
+    assert semdedup_k(10_000) == 100
+    assert semdedup_k(10_001) == 101
+    assert semdedup_k(208_000) == 457
+    assert semdedup_k(10**12) == 65536  # cap
+    # exact squares stay exact
+    assert semdedup_k(65536) == 256
+
+
+def test_kmeans_assign_euclidean_contract():
+    """The vectorized assignment honors the SQL twin's contract:
+    argmin over ROUND(d2, 6), ties to the LOWEST cid, and sparse
+    centroid labels (a Lloyd pass emptied a cluster) map through."""
+    import numpy as np
+    import pytest
+
+    from etl_orders_spark.operators.similarity import kmeans_assign_euclidean
+    from tests.conftest import SF_DIR  # noqa: F401  (fixture-free helper test)
+    from etl_orders_spark.session import get_spark
+
+    spark = get_spark("tests", cpus=8)
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [10.0, 10.0])],
+        "vec_id long, v array<double>",
+    )
+    # two IDENTICAL centroids: the tie must resolve to the lower label
+    cents = np.array([[0.0, 0.0], [0.0, 0.0], [10.0, 10.0]])
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_assign_euclidean(df, "vec_id", "v", cents).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2}
+    # sparse labels (cluster 1 emptied): row index 1 now means cid 5
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_assign_euclidean(
+            df, "vec_id", "v", cents[[0, 2]], np.array([0, 5])
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 5}
+    with pytest.raises(ValueError):
+        kmeans_assign_euclidean(df, "vec_id", "v", cents, np.array([2, 1, 0]))
+
+
+def test_semantic_dedup_auto_path(spark, sf_dir):
+    """The production (GEMM-assignment, derived-K) path: pinned at the
+    fixture K it must reproduce the oracle-certified SQL path's rollup
+    row-for-row (same init, same ROUND(avg,6) Lloyd step, same
+    ROUND(d2,6)+lowest-cid ties); with k=None the derived-K run must
+    still drop (almost all of) the planted clones."""
+    from etl_orders_spark.operators.materialize import cache_stage
+    from etl_orders_spark.operators.similarity import semdedup_k
+    from etl_orders_spark.plans.vector_queries import (
+        _SD_K,
+        _SD_TAU,
+        _planted_corpus,
+        _semdedup_rollup,
+        semantic_dedup_assign_auto,
+        semantic_dedup_frame,
+    )
+
+    fix = sorted(map(tuple, semantic_dedup_frame(spark, sf_dir, k=_SD_K).collect()))
+    x = cache_stage(_planted_corpus(spark, sf_dir), "test_semdedup.corpus")
+    gemm = sorted(
+        map(
+            tuple,
+            _semdedup_rollup(semantic_dedup_assign_auto(x, k=_SD_K), _SD_TAU).collect(),
+        )
+    )
+    assert fix == gemm
+
+    rows = semantic_dedup_frame(spark, sf_dir, k=None).collect()
+    n = x.count()
+    k = semdedup_k(n)
+    # nonempty clusters bounded by derived K; corpus fully covered
+    assert 0 < len(rows) <= k
+    assert sum(r["n_points"] for r in rows) == n
+    n_clones = x.filter("vec_id >= 1000000").count()
+    dropped = sum(r["n_dropped"] for r in rows)
+    # smaller clusters can split a clone from its base (the paper's
+    # approximation) but most planted clones must still drop
+    assert n_clones * 0.8 <= dropped <= n_clones
