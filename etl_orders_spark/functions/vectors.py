@@ -65,3 +65,29 @@ def cosine_batch(a: Column | str, b: Column | str) -> Column:
         return pd.Series(out)
 
     return _cos(_c(a), _c(b))
+
+
+def sign_bits_long(a: Column | str) -> Column:
+    """Pack the sign bits of a 64-dim vector into ONE BIGINT: bit i is
+    set iff a[i] > 0 — the 1-bit (binary) embedding quantization that
+    turns cosine screening into XOR + popcount (64 dims -> 8 bytes,
+    a 256x compression of float64). Hamming distance between sign
+    signatures tracks angular distance (the same random-hyperplane
+    geometry LSH uses, with the identity basis), so a hamming top-k
+    over signatures is the candidate generator and exact cosine
+    reranks the survivors.
+
+    Pure JVM expression (shiftleft + aggregate fold; the 2-param
+    transform lambda is the (element, index) form): bit 63 makes the
+    long negative (two's complement), which XOR/bit_count handle
+    exactly — the DuckDB twin adds -2^63 explicitly for dim 64 because
+    its BIGINT << raises on overflow instead of wrapping. Dims beyond
+    64 need an array-of-longs layout; callers assert dim == 64."""
+    zero = F.lit(0).cast("long")
+    bits = F.transform(
+        _c(a),
+        lambda x, i: F.when(
+            x > F.lit(0.0), F.call_function("shiftleft", F.lit(1).cast("long"), i)
+        ).otherwise(zero),
+    )
+    return F.aggregate(bits, zero, lambda acc, b: acc + b)

@@ -327,3 +327,109 @@ def resilient_scan_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+_BKT_BUCKETS = 8
+
+
+def ensure_bucketed_pair(
+    spark: SparkSession, sf_dir: str, buckets: int = _BKT_BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """Stage orders + lineitem as BUCKETED catalog tables (bucketBy the
+    join key, sortBy it, same bucket count both sides) and return them
+    as table reads. Bucketing is THE co-located-join layout at 100 TB:
+    a fact-to-fact join on the bucket key needs NO shuffle and NO sort
+    on either side — each task zips bucket i of both tables — so the
+    cluster's biggest recurring join cost is paid ONCE at write time
+    and amortized over every downstream query. File-level parquet
+    can't express this (bucket metadata lives in the catalog, which is
+    why this helper registers tables instead of reading paths).
+
+    Staging: content-addressed under /tmp like the other layout
+    fixtures, but keyed by the session's applicationId too — the
+    bucket spec only exists in the session catalog, concurrent
+    sessions (bench + pytest) must not overwrite each other's files,
+    and a saveAsTable per session (~1 s at sf0.1) is the honest cost
+    of a catalog-scoped layout. Within a session, repeated calls
+    (bench reps) hit the tableExists fast path."""
+    # Spark 3+ ignores a bucketed table's sortBy order at read time by
+    # default (SPARK-28595: a bucket split across files has no global
+    # order); this helper guarantees one file per bucket via the
+    # repartition below, which is exactly the case the legacy conf
+    # exists for — with it set, the scan declares its sort order and
+    # the merge join elides the per-bucket Sort too. Session-global
+    # but only observable on sorted-bucketed catalog tables, which
+    # only this helper creates.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    key = hashlib.md5(
+        f"{sf_dir}|{buckets}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    out = []
+    for name, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"bkt_{name}_{key}"
+        if not spark.catalog.tableExists(tbl):
+            path = os.path.join(
+                tempfile.gettempdir(), "spark_graft_stage", f"{tbl}"
+            )
+            (
+                # one file per bucket (repartition on the bucket key with
+                # the bucket count, same murmur3 hash both layers): a
+                # bucket split across files loses the sortBy guarantee at
+                # read time and the join re-sorts — with one sorted file
+                # per bucket the scan's output ordering feeds the merge
+                # join directly
+                T(spark, sf_dir, name)
+                .repartition(buckets, F.col(bucket_col))
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(buckets, bucket_col)
+                .sortBy(bucket_col)
+                .saveAsTable(tbl)
+            )
+        out.append(spark.table(tbl))
+    return out[0], out[1]
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("layout", "join", "bucketing"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed tables: orders and
+    lineitem both bucketed (and sorted) on the order key into the same
+    bucket count, joined with a merge hint — the physical plan has NO
+    exchange and NO sort under the SortMergeJoin (asserted by
+    tests/test_layout_queries.py against the plan text; the hint
+    matters because at fixture scale Catalyst would otherwise
+    broadcast, which also demonstrates nothing about the layout).
+    Values are layout-invariant, so the DuckDB twin is the plain join
+    aggregate over the unbucketed views — a hash match certifies the
+    bucketed write+read round trip end-to-end.
+
+    100 TB posture: this is how the repeated orders-lineitem star
+    joins in this repo's TPC-H family would actually be laid out on a
+    real cluster — both facts CLUSTERED BY (orderkey) INTO thousands
+    of buckets at ingest, every downstream equi-join on the key
+    zipping co-numbered buckets with zero exchange. Per-row floored
+    cents keep the aggregate order-free across engines."""
+    o, l = ensure_bucketed_pair(spark, sf_dir)
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        o.hint("merge")
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(rev).cast("long").alias("revenue_cents"),
+        )
+    )

@@ -86,3 +86,24 @@ def test_fs_score_threshold_semantics(spark, sf_dir):
         assert r.id_a < r.id_b
         assert (r.id_a, r.id_b) not in seen
         seen.add((r.id_a, r.id_b))
+
+
+def test_bucketed_join_elides_exchange_and_sort(spark, sf_dir):
+    """The point of the bucketed layout: the merge join over the two
+    bucketed tables must show NO Exchange and NO Sort beneath the
+    SortMergeJoin in the physical plan (bucket count matches, sortBy
+    matches the join key), while the same join over plain parquet
+    scans shuffles both sides. Values are checked by the lane's DuckDB
+    oracle; this pins the plan shape the layout exists to buy."""
+    from etl_orders_spark.plans.registry import query_map
+
+    df = query_map()["bucketed_colocated_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    # beneath the join: bucketed scans only — no exchange, no sort
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Sort [o_orderkey" not in join_part, join_part
+    assert "Sort [l_orderkey" not in join_part, join_part
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan

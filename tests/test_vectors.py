@@ -584,3 +584,47 @@ def test_semantic_dedup_auto_path(spark, sf_dir):
     # smaller clusters can split a clone from its base (the paper's
     # approximation) but most planted clones must still drop
     assert n_clones * 0.8 <= dropped <= n_clones
+
+
+def test_binary_quant_ann_recall_vs_exact(spark, sf_dir):
+    """Non-vacuity for the 1-bit quantized ANN: the hamming screen +
+    exact rerank must recover most of the exact brute-force top-k
+    (sign bits preserve angular order only approximately — full
+    recall is not expected, uselessness is excluded). Also pins the
+    packing law: one BIGINT signature per vector, bit i == (v[i] > 0),
+    checked against numpy on a sample."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.vectors import sign_bits_long
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    q = query_map()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_topk_cosine"](spark, sf_dir).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["binary_quant_ann_rerank"](spark, sf_dir).collect()
+    }
+    assert len(quant) == len(exact)
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.5, f"binary-quant recall collapsed: {recall}"
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(8)
+    rows = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sign_bits_long(F.col("embedding").cast("array<double>")).alias("sig"),
+    ).collect()
+    for r in rows:
+        v = np.asarray(r["v"])
+        expect = 0
+        for i, xv in enumerate(v):
+            if xv > 0:
+                expect |= 1 << i
+        if expect >= 1 << 63:
+            expect -= 1 << 64  # two's complement wrap, JVM long semantics
+        assert r["sig"] == expect, (r["vec_id"], r["sig"], expect)
