@@ -61,6 +61,11 @@ def main() -> int:
     # convergence tail that best-of-2 kept landing on
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+    # A/B knob (SCALE.md round-8 warm A/B): "1" restores the pre-r7
+    # semantics where a lane's cold rep rides caches earlier lanes
+    # built. NEVER set for recorded benches — cold stops meaning cold.
+    keepcache = os.environ.get("SPARK_GRAFT_BENCH_KEEPCACHE", "0") == "1"
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, builder in bench_queries().items():
@@ -71,7 +76,8 @@ def main() -> int:
             # earlier lane pre-fills a later lane's input cache and the
             # recorded cold silently measures warm-cache reads. Clearing
             # here keeps cold honest; the warm reps below repopulate.
-            spark.catalog.clearCache()
+            if not keepcache:
+                spark.catalog.clearCache()
             t0 = time.time()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.time() - t0, 3)

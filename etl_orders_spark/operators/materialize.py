@@ -137,6 +137,13 @@ def fan_out_narrow(df: DataFrame, key: str, max_bytes: int = 1 << 30) -> DataFra
     known and bounded (``max_bytes``, default 1 GiB). When either
     gate fails the input is returned untouched, making this a no-op
     exactly where the cluster's natural parallelism already exists."""
+    import os as _os
+
+    # measurement/ops kill switch (SCALE.md round-8 warm A/B): lets a
+    # bench cell or an operator compare fan-out-on vs -off under
+    # otherwise identical conditions without a code edit
+    if _os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
