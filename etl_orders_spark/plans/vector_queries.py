@@ -143,8 +143,8 @@ def binary_quant_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign_bits_long — a 256x compression of float64), screen candidates
     by hamming distance (XOR + popcount, the same angular-distance
     geometry random-hyperplane LSH exploits with the identity basis),
-    then rerank the {_BQ_CAND} survivors per query with EXACT cosine
-    and keep the top {_ANN_K}. The two-stage shape every production
+    then rerank the _BQ_CAND survivors per query with EXACT cosine
+    and keep the top _ANN_K. The two-stage shape every production
     vector store runs at scale: the screen touches 8 bytes/vector in
     pure JVM bitwise codegen (no float math, no Python), and the
     expensive float GEMM runs on a fixed candidate set.
@@ -157,7 +157,7 @@ def binary_quant_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: signatures are a map-side fold (no shuffle); the
     probe batch broadcasts (the exact-ANN baseline's convention) so
     the corpus streams through one hamming scan + per-query
-    TakeOrderedAndProject; the rerank joins {_BQ_CAND} x queries rows
+    TakeOrderedAndProject; the rerank joins _BQ_CAND x queries rows
     against broadcast query vectors. An ALL-PAIRS binary screen would
     band the signature (16-bit chunks, the simhash pigeonhole trick
     this repo's near-dup family already certifies) instead of

@@ -519,7 +519,6 @@ def test_kmeans_assign_euclidean_contract():
     import pytest
 
     from etl_orders_spark.operators.similarity import kmeans_assign_euclidean
-    from tests.conftest import SF_DIR  # noqa: F401  (fixture-free helper test)
     from etl_orders_spark.session import get_spark
 
     spark = get_spark("tests", cpus=8)
@@ -564,7 +563,9 @@ def test_semantic_dedup_auto_path(spark, sf_dir):
     )
 
     fix = sorted(map(tuple, semantic_dedup_frame(spark, sf_dir, k=_SD_K).collect()))
-    x = cache_stage(_planted_corpus(spark, sf_dir), "test_semdedup.corpus")
+    # SAME cache key as the lane: two keys over one CacheManager-deduped
+    # plan is the documented cross-key unpersist hazard
+    x = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")
     gemm = sorted(
         map(
             tuple,

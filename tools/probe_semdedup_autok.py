@@ -69,7 +69,7 @@ def main() -> int:
     # the fixture K (row-for-row rollup equality)
     base = dirs[0]
     fix = sorted(map(tuple, semantic_dedup_frame(spark, base, k=_SD_K).collect()))
-    x0 = cache_stage(_planted_corpus(spark, base), "probe_semdedup.corpus")
+    x0 = cache_stage(_planted_corpus(spark, base), "semantic_dedup.corpus")
     gemm = sorted(
         map(tuple, _semdedup_rollup(semantic_dedup_assign_auto(x0, k=_SD_K), _SD_TAU).collect())
     )
@@ -84,7 +84,7 @@ def main() -> int:
     is_clone = (F.col("vec_id") % 10_000_000) >= 1_000_000
 
     for sf_dir in dirs:
-        corpus = cache_stage(_planted_corpus(spark, sf_dir), "probe_semdedup.corpus")
+        corpus = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")
         n = corpus.count()
         n_clones = corpus.filter(is_clone).count()
         k = semdedup_k(n)
