@@ -298,10 +298,17 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     if len(fmt) < 16:
         raise ValueError("wav: truncated fmt chunk")
     tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 7:  # G.711 mu-law: 8-bit codewords, closed-form expansion
+        if bits != 8:
+            raise ValueError(f"wav: mu-law must be 8-bit, got {bits}")
+        if channels < 1:
+            raise ValueError(f"wav: bad channel count {channels}")
+        codes = np.frombuffer(data[: len(data) - (len(data) % channels)], dtype=np.uint8)
+        return mulaw_decode(codes).reshape(-1, channels), rate
     if tag != 1:
         raise NotImplementedError(
             f"wav: format tag {tag} (float/ADPCM/compressed) needs a real codec; "
-            "only integer PCM is decoded here"
+            "only integer PCM and mu-law are decoded here"
         )
     if channels < 1:
         raise ValueError(f"wav: bad channel count {channels}")
@@ -314,6 +321,43 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(f"wav: {bits}-bit PCM not decoded here (8/16 only)")
     return out.reshape(-1, channels), rate
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion (ITU-T G.711 / the CCITT reference
+    implementation): codeword b decodes as
+
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 132) << ((u & 0x70) >> 4)
+        sample = 132 - t  if u & 0x80 else  t - 132
+
+    — a pure per-codeword closed form (range +-32124, the canonical
+    table's endpoints; 0xFF -> +0 and 0x7F -> -0 both decode to 0),
+    which is what lets the DuckDB fixture oracle mirror the expansion
+    arithmetically with no second decoder. Vectorized int32 out."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 132) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 132 - t, t - 132).astype(np.int32)
+
+
+def encode_wav_mulaw(codes: np.ndarray, rate: int) -> bytes:
+    """(n,) or (n, channels) uint8 mu-law codewords -> RIFF/WAVE with
+    format tag 7 (8-bit mu-law). Fixture-side container writer: the
+    fixtures generate CODEWORDS from a law directly (every byte value
+    is a valid mu-law code), so decode correctness is certified
+    against the closed-form expansion of the law, never against a
+    companion compressor."""
+    a = np.asarray(codes, dtype=np.uint8)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"encode_wav_mulaw: expected (n, channels), got {a.shape}")
+    raw = a.tobytes()
+    channels = a.shape[1]
+    fmt = struct.pack("<HHIIHH", 7, channels, rate, rate * channels, channels, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

@@ -380,6 +380,52 @@ def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFram
 
     return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
 
+def gen_mulaw_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic REAL mu-law (G.711, WAVE format tag 7) rows: the
+    fixture generates the 8-bit CODEWORDS from a closed-form law —
+
+        n_samples(id) = 800 + (id % 8) * 100   (mono, 16 kHz)
+        b(id, t) = ((id*1009 + t*2399) * 2654435761 mod 2^32) >> 24
+
+    (every byte value is a valid mu-law code, so no companion
+    compressor is involved) — and the decoded sample is the G.711
+    expansion of b, a second closed form the DuckDB oracle computes
+    arithmetically (codecs.mulaw_decode docstring). A value-hash match
+    on the audio features therefore certifies the RIFF tag-7 chunk
+    walk AND the mu-law expansion branch bit for bit."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_wav_mulaw
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int]:
+            ns = 800 + (mid % 8) * 100
+            t = np.arange(ns, dtype=np.int64)
+            b = (((mid * 1009 + t * 2399) * 2654435761) % (2**32)) >> 24
+            return encode_wav_mulaw(b.astype(np.uint8), WAV_RATE), ns
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, ns = content_for(int(mid))
+                meta = {
+                    "format": "wav",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": WAV_RATE,
+                    "duration_ms": ns * 1000 // WAV_RATE,
+                }
+                rows.append((int(mid), "audio", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 VNOISE_FRAMES = 6  # frames per clip, shared with the SQL oracle
 
 

@@ -404,6 +404,65 @@ def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(gen_wav_media(spark, _N_WAV))
 
 
+@register(
+    "media_mulaw_wav_features",
+    f"""
+    WITH ids AS (SELECT UNNEST(generate_series(0, {_N_WAV - 1})) AS media_id),
+    dims AS (SELECT media_id, 800 + (media_id % 8) * 100 AS ns FROM ids),
+    codes AS (
+      SELECT d.media_id, t.i AS t,
+             ((d.media_id*1009 + t.i*2399) * 2654435761 % 4294967296) // 16777216 AS b
+      FROM dims d, UNNEST(generate_series(0, d.ns - 1)) AS t(i)
+    ),
+    -- G.711 expansion of codeword b (codecs.mulaw_decode closed form):
+    -- u = ~b & 0xFF; t2 = ((u & 15)*8 + 132) << ((u & 0x70) >> 4);
+    -- sample = 132 - t2 if sign bit else t2 - 132
+    s AS (
+      SELECT media_id, t,
+             CASE WHEN (255 - b) >= 128
+                  THEN 132 - (((255 - b) % 16) * 8 + 132)
+                         * (CAST(1 AS BIGINT) << ((((255 - b) % 128) // 16)))
+                  ELSE (((255 - b) % 16) * 8 + 132)
+                         * (CAST(1 AS BIGINT) << ((((255 - b) % 128) // 16))) - 132
+             END AS v
+      FROM codes
+    ),
+    lagged AS (
+      SELECT media_id, v,
+             LAG(v) OVER (PARTITION BY media_id ORDER BY t) AS pv
+      FROM s
+    )
+    SELECT media_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY media_id
+    """,
+    tags=("media", "audio", "pandas-udf"),
+)
+def media_mulaw_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, oracle-checked: mu-law (G.711,
+    WAVE format tag 7) clips whose 8-bit CODEWORDS follow a closed-form
+    law, decoded by the pure-Python codec's mu-law expansion inside an
+    Arrow-batched mapInPandas, features hashed against a DuckDB twin
+    that re-derives every decoded sample arithmetically — the codeword
+    law composed with the G.711 expansion formula, no second decoder
+    anywhere (FIXTURES.md convention). Converts the WAV codec's
+    format-tag gate from NotImplementedError into real code for the
+    one compressed telephony format whose expansion IS a per-sample
+    closed form; ADPCM/MP3 (stateful/transform codecs) stay honestly
+    gated. Same feature contract as media_wav_features, so the two
+    lanes share the audio_features operator unchanged."""
+    from etl_orders_spark.multimodal.ops import audio_features
+    from etl_orders_spark.multimodal.schemas import gen_mulaw_wav_media
+
+    return audio_features(gen_mulaw_wav_media(spark, _N_WAV))
+
+
 _N_Y4M = 60
 # sampling law shared by the Spark call and the oracle predicate: keep
 # frame i iff i % every_n == 0 AND i < every_n * max_frames — the same

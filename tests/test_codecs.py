@@ -770,3 +770,60 @@ def test_png_subbyte_round_trip(w, h, seed, depth, interlace, paletted):
         expect = np.repeat((s * k).astype(np.uint8)[:, :, None], 3, axis=2)
     out = decode_png(blob)
     assert out.shape == (h, w, 3) and np.array_equal(out, expect)
+
+
+def test_mulaw_decode_canonical_vectors_and_container():
+    """G.711 mu-law expansion pinned by canonical codeword vectors
+    (independent of the fixture law): table endpoints +-32124, the two
+    zero codes (0xFF -> +0, 0x7F -> -0), a mid-segment value derived
+    by hand from the CCITT reference formula, and monotonicity of the
+    positive half. Then the RIFF tag-7 dispatch round-trips codewords
+    through the container."""
+    import numpy as np
+
+    from etl_orders_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_mulaw,
+        mulaw_decode,
+    )
+
+    got = mulaw_decode(np.array([0x00, 0x80, 0xFF, 0x7F, 0xE7], dtype=np.uint8))
+    # 0xE7 by hand: u = ~0xE7 & 0xFF = 0x18 -> sign 0, exp 1, mant 8
+    #   t = ((8 << 3) + 132) << 1 = 392 -> sample 392 - 132 = 260
+    assert got.tolist() == [-32124, 32124, 0, 0, 260], got.tolist()
+    # positive half (codes 0xFF down to 0x80) decodes monotonically up
+    pos = mulaw_decode(np.arange(0xFF, 0x7F, -1, dtype=np.uint8))
+    assert (np.diff(pos) > 0).all()
+    # negative half mirrors the positive half exactly
+    neg = mulaw_decode(np.arange(0x7F, -1, -1, dtype=np.uint8))
+    assert (neg == -pos).all()
+
+    codes = np.array([0x00, 0xE7, 0xFF, 0x42], dtype=np.uint8)
+    samples, rate = decode_wav(encode_wav_mulaw(codes, 8000))
+    assert rate == 8000 and samples.shape == (4, 1)
+    assert (samples[:, 0] == mulaw_decode(codes)).all()
+
+
+def test_wav_non_pcm_formats_still_gated():
+    """mu-law became real code; ADPCM (tag 2) and IEEE float (tag 3)
+    stay honest NotImplementedError gates, and a mu-law fmt chunk
+    claiming 16-bit is rejected as malformed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_orders_spark.multimodal.codecs import decode_wav, encode_wav_mulaw
+
+    def with_fmt(tag: int, bits: int) -> bytes:
+        blob = bytearray(encode_wav_mulaw(np.zeros(4, dtype=np.uint8), 8000))
+        # fmt chunk body starts at offset 20 (RIFF hdr 12 + 'fmt '+size 8)
+        struct.pack_into("<H", blob, 20, tag)
+        struct.pack_into("<H", blob, 34, bits)
+        return bytes(blob)
+
+    for tag in (2, 3, 85):
+        with pytest.raises(NotImplementedError):
+            decode_wav(with_fmt(tag, 16))
+    with pytest.raises(ValueError):
+        decode_wav(with_fmt(7, 16))
