@@ -110,12 +110,18 @@ def main() -> int:
         # capture is ~2 KB and parses only the last line).
         print(json.dumps({k: v for k, v in sidecar.items()
                           if k not in ("queries_warm", "warm_total_sec")}))
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_cold.json"), "w") as f:
-            json.dump(sidecar, f)
-    except OSError:
-        pass
+    # the sidecar is the round-over-round regression BASELINE
+    # (tools/cold_report.py): only a recorded-semantics run may refresh
+    # it — a no-warmup run has no cold column and a keepcache A/B cell
+    # has cache-riding (dishonest) cold values; either would clobber
+    # the baseline and turn the >1.5x gate vacuous
+    if cold and not keepcache:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_cold.json"), "w") as f:
+                json.dump(sidecar, f)
+        except OSError:
+            pass
     # Warm per-lane map on its OWN line, immediately before the final
     # line, so it sits inside the driver's tail capture (per-lane
     # numbers recoverable from BENCH_r{N}.json's "tail" field) without

@@ -82,12 +82,25 @@ def sign_bits_long(a: Column | str) -> Column:
     long negative (two's complement), which XOR/bit_count handle
     exactly — the DuckDB twin adds -2^63 explicitly for dim 64 because
     its BIGINT << raises on overflow instead of wrapping. Dims beyond
-    64 need an array-of-longs layout; callers assert dim == 64."""
+    64 need an array-of-longs layout, and the JVM's shift-count
+    masking (i & 63) would otherwise alias element 64 onto bit 0
+    SILENTLY — so the expression itself fails rows that overflow one
+    long (raise_error, not a wrong-but-plausible signature)."""
     zero = F.lit(0).cast("long")
+    col = _c(a)
     bits = F.transform(
-        _c(a),
+        col,
         lambda x, i: F.when(
             x > F.lit(0.0), F.call_function("shiftleft", F.lit(1).cast("long"), i)
         ).otherwise(zero),
     )
-    return F.aggregate(bits, zero, lambda acc, b: acc + b)
+    packed = F.aggregate(bits, zero, lambda acc, b: acc + b)
+    return F.when(F.size(col) <= 64, packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("sign_bits_long: dim "),
+                F.size(col).cast("string"),
+                F.lit(" > 64 needs an array-of-longs signature"),
+            )
+        )
+    )

@@ -49,6 +49,7 @@ from etl_orders_spark.multimodal.schemas import (
     gen_noise_y4m_media,
     gen_pixel_media,
     gen_png_media,
+    gen_mulaw_wav_media,
     gen_tone_wav_media,
     gen_wav_media,
     gen_y4m_media,
@@ -70,6 +71,7 @@ __all__ = [
     "gen_noise_y4m_media",
     "gen_pixel_media",
     "gen_png_media",
+    "gen_mulaw_wav_media",
     "gen_tone_wav_media",
     "gen_wav_media",
     "gen_y4m_media",

@@ -340,6 +340,21 @@ def mulaw_decode(codes: np.ndarray) -> np.ndarray:
     return np.where(u & 0x80, 132 - t, t - 132).astype(np.int32)
 
 
+def _wav_container(tag: int, channels: int, rate: int, bits: int, payload: bytes) -> bytes:
+    """Assemble one RIFF/WAVE container (fmt + data chunks) — the ONE
+    copy of the chunk layout both encoders share. The data chunk pads
+    to an even offset per the RIFF spec (csize excludes the pad byte);
+    16-bit PCM payloads are always even, but 8-bit mu-law with an odd
+    sample*channel count genuinely needs it."""
+    block = (bits // 8) * channels
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_mulaw(codes: np.ndarray, rate: int) -> bytes:
     """(n,) or (n, channels) uint8 mu-law codewords -> RIFF/WAVE with
     format tag 7 (8-bit mu-law). Fixture-side container writer: the
@@ -352,12 +367,7 @@ def encode_wav_mulaw(codes: np.ndarray, rate: int) -> bytes:
         a = a[:, None]
     if a.ndim != 2:
         raise ValueError(f"encode_wav_mulaw: expected (n, channels), got {a.shape}")
-    raw = a.tobytes()
-    channels = a.shape[1]
-    fmt = struct.pack("<HHIIHH", 7, channels, rate, rate * channels, channels, 8)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(raw)) + raw
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_container(7, a.shape[1], rate, 8, a.tobytes())
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -367,13 +377,7 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         a = a[:, None]
     if a.ndim != 2:
         raise ValueError(f"encode_wav: expected (n, channels), got {a.shape}")
-    pcm = a.astype("<i2").tobytes()
-    channels = a.shape[1]
-    block = 2 * channels
-    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(pcm)) + pcm
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_container(1, a.shape[1], rate, 16, a.astype("<i2").tobytes())
 
 
 def decode_y4m(content: bytes) -> tuple[np.ndarray, tuple[int, int]]:

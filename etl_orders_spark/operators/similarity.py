@@ -353,10 +353,14 @@ def kmeans_assign_euclidean(
     (plans/vector_queries) expresses with ROW_NUMBER ORDER BY
     ROUND(d2, 6), cid; numpy's argmin returns the first minimum, which
     IS the lowest cid. d² expands to x·x − 2x·c + c·c, the same
-    algebraic form both engines use (same dot products, same rounding
-    contract; BLAS k-reduction order can differ from a sequential fold
-    in the last ulp — the pre-existing risk class every vector oracle
-    here carries).
+    algebraic form both engines use (same dot products; BLAS
+    k-reduction order can differ from a sequential fold in the last
+    ulp — the pre-existing risk class every vector oracle here
+    carries). The 6-digit rounding runs as floor(d2·1e6 + 0.5) integer
+    micro-units, which IS Spark's HALF_UP ROUND for the nonnegative d²
+    (np.round would be half-EVEN: a boundary value would tie here
+    where the SQL twin separates — the ordering is all argmin uses, so
+    the integer form needs no division back).
 
     The centroid matrix rides the task closure (bounded by
     :func:`semdedup_k`'s cap at ~32 MB); the corpus never shuffles —
@@ -387,7 +391,7 @@ def kmeans_assign_euclidean(
 
             x = np.vstack(v.to_numpy()).astype(np.float64)
             d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + cnorm[None, :]
-            return pd.Series(labels[np.round(d2, 6).argmin(axis=1)])
+            return pd.Series(labels[np.floor(d2 * 1e6 + 0.5).argmin(axis=1)])
 
         cid_for.__annotations__ = {"v": pd.Series, "return": pd.Series}
         return pandas_udf(cid_for, "long")

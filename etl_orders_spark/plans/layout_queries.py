@@ -345,13 +345,18 @@ def ensure_bucketed_pair(
     can't express this (bucket metadata lives in the catalog, which is
     why this helper registers tables instead of reading paths).
 
-    Staging: content-addressed under /tmp like the other layout
-    fixtures, but keyed by the session's applicationId too — the
-    bucket spec only exists in the session catalog, concurrent
-    sessions (bench + pytest) must not overwrite each other's files,
-    and a saveAsTable per session (~1 s at sf0.1) is the honest cost
-    of a catalog-scoped layout. Within a session, repeated calls
-    (bench reps) hit the tableExists fast path."""
+    Staging: content-addressed under /tmp (same `_staged_path` +
+    mtime-freshness contract as the other layout fixtures — ONE copy
+    per (sf_dir, buckets), reused across sessions, never one per
+    applicationId). The bucket SPEC lives only in the session catalog,
+    so a fresh session re-attaches it over the existing files with a
+    CREATE TABLE ... CLUSTERED BY DDL (bucket ids are encoded in the
+    saveAsTable file names, which is what makes re-registration
+    sound); only a missing or stale copy pays the saveAsTable rewrite.
+    Within a session, repeated calls (bench reps) hit the tableExists
+    fast path. Concurrent FIRST writes share the staged-fixture race
+    posture of the other /tmp layouts (last writer wins a consistent
+    copy; readers of a mid-overwrite copy retry on the next call)."""
     # Spark 3+ ignores a bucketed table's sortBy order at read time by
     # default (SPARK-28595: a bucket split across files has no global
     # order); this helper guarantees one file per bucket via the
@@ -361,16 +366,26 @@ def ensure_bucketed_pair(
     # but only observable on sorted-bucketed catalog tables, which
     # only this helper creates.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    key = hashlib.md5(
-        f"{sf_dir}|{buckets}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
     out = []
     for name, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        tbl = f"bkt_{name}_{key}"
-        if not spark.catalog.tableExists(tbl):
-            path = os.path.join(
-                tempfile.gettempdir(), "spark_graft_stage", f"{tbl}"
+        path = _staged_path(sf_dir, f"bkt_{name}", params=f"buckets={buckets}|v2")
+        tbl = f"bkt_{name}_{os.path.basename(path).rsplit('_', 1)[1]}"
+        if spark.catalog.tableExists(tbl):
+            out.append(spark.table(tbl))
+            continue
+        if _staging_is_fresh(path, sf_dir, name):
+            # files exist from an earlier session: re-attach the bucket
+            # spec in THIS session's catalog without rewriting data
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(path).schema.fields
             )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+                f"INTO {buckets} BUCKETS LOCATION '{path}'"
+            )
+        else:
             (
                 # one file per bucket (repartition on the bucket key with
                 # the bucket count, same murmur3 hash both layers): a

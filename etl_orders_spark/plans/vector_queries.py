@@ -158,10 +158,14 @@ def binary_quant_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe batch broadcasts (the exact-ANN baseline's convention) so
     the corpus streams through one hamming scan + per-query
     TakeOrderedAndProject; the rerank joins _BQ_CAND x queries rows
-    against broadcast query vectors. An ALL-PAIRS binary screen would
-    band the signature (16-bit chunks, the simhash pigeonhole trick
-    this repo's near-dup family already certifies) instead of
-    crossing."""
+    against broadcast query vectors. The scan audit counts embeddings
+    twice here BY DESIGN: the probe side re-reads the table through a
+    vec_id < _N_QUERIES pushdown (a few rows) rather than caching the
+    whole corpus to extract five probes — at real scale the second
+    "scan" is a row-group-pruned point read. An ALL-PAIRS binary
+    screen would band the signature (16-bit chunks, the simhash
+    pigeonhole trick this repo's near-dup family already certifies)
+    instead of crossing."""
     from etl_orders_spark.functions.vectors import cosine_similarity, sign_bits_long
     from etl_orders_spark.operators.topk import topk_per_group
 
@@ -1006,7 +1010,11 @@ def semantic_dedup_frame(
     # iterative assignment re-reads the corpus per pass (the scan
     # audit counted 8 embeddings scans uncached) — pin it behind the
     # keyed stage cache, the same posture MLlib-style k-means takes
-    # by persisting its training set before iterating
+    # by persisting its training set before iterating. The cache FILL
+    # itself still scans embeddings twice (the planted-corpus UNION's
+    # base + clones branches; the clones side reads through a
+    # vec_id % 25 pushdown) — the audit's remaining 2-scan count is
+    # that union, not an uncached replay.
     x = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")
     if k is None:
         return _semdedup_rollup(semantic_dedup_assign_auto(x), tau)

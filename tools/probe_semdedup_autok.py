@@ -73,8 +73,9 @@ def main() -> int:
     gemm = sorted(
         map(tuple, _semdedup_rollup(semantic_dedup_assign_auto(x0, k=_SD_K), _SD_TAU).collect())
     )
+    ok = fix == gemm
     print(f"GEMM-vs-SQL rollup at K={_SD_K} on {base}: "
-          f"{'MATCH' if fix == gemm else 'MISMATCH'} ({len(fix)} rows)", flush=True)
+          f"{'MATCH' if ok else 'MISMATCH'} ({len(fix)} rows)", flush=True)
 
     # make_replica offsets vec_id by 10,000,000 per copy and the
     # planted-corpus law adds +1,000,000 within a copy's stratum, so a
@@ -119,7 +120,10 @@ def main() -> int:
             f"total dropped={n_dropped} wall={wall:.1f}s",
             flush=True,
         )
-    return 0
+    # a scripted run must FAIL if the vectorized path diverged from
+    # the oracle-certified SQL path — the derived-K numbers above are
+    # only meaningful when the sanity gate matched
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
