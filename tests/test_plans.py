@@ -140,6 +140,7 @@ _BNLJ_ALLOWED = {
     "abc_part_classification": 1,  # 1-row revenue-total broadcast
     "benford_price_digits": 1,
     "bigram_perplexity_docs_bcast": 1,  # 1-row vocab-size broadcast (same as _fast)
+    "binary_quant_ann_rerank": 1,  # broadcast probe batch x corpus hamming screen
     "bm25_search_docs": 1,
     "chi2_status_priority": 1,
     "contrastive_negatives": 1,  # one broadcast query batch, single scoring pass
