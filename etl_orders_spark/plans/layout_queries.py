@@ -370,10 +370,17 @@ def ensure_bucketed_pair(
     for name, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         path = _staged_path(sf_dir, f"bkt_{name}", params=f"buckets={buckets}|v2")
         tbl = f"bkt_{name}_{os.path.basename(path).rsplit('_', 1)[1]}"
+        fresh = _staging_is_fresh(path, sf_dir, name)
         if spark.catalog.tableExists(tbl):
-            out.append(spark.table(tbl))
-            continue
-        if _staging_is_fresh(path, sf_dir, name):
+            if fresh:
+                out.append(spark.table(tbl))
+                continue
+            # the source parquet was regenerated under a live session:
+            # the catalog entry points at a stale staged copy — drop it
+            # and fall through to the rewrite (same freshness contract
+            # as the sibling staged-layout fixtures)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if fresh:
             # files exist from an earlier session: re-attach the bucket
             # spec in THIS session's catalog without rewriting data
             cols = ", ".join(

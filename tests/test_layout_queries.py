@@ -107,3 +107,49 @@ def test_bucketed_join_elides_exchange_and_sort(spark, sf_dir):
     assert "Sort [o_orderkey" not in join_part, join_part
     assert "Sort [l_orderkey" not in join_part, join_part
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_bucketed_staging_drops_stale_catalog_entry(spark, tmp_path):
+    """Regression (round-8 review): within a live session the
+    tableExists fast path must NOT outlive the staged copy's
+    freshness — when the source parquet is regenerated, the next
+    ensure_bucketed_pair call has to drop the catalog entry and
+    restage instead of serving the stale /tmp copy."""
+    import os
+    import shutil
+    import time
+
+    from etl_orders_spark.plans.layout_queries import (
+        _BKT_BUCKETS,
+        _staged_path,
+        ensure_bucketed_pair,
+    )
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    for t in ("orders", "lineitem"):
+        shutil.copy(os.path.join(src, f"{t}.parquet"), sf_dir)
+
+    o, l = ensure_bucketed_pair(spark, sf_dir)
+    n_orders = o.count()
+    assert n_orders > 0
+
+    # regenerate the source: keep the first half of the orders rows,
+    # schema-preserving (pyarrow slice — a pandas round trip would
+    # retype dates/decimals and fail the restage for the wrong reason)
+    import pyarrow.parquet as pq
+
+    src_path = os.path.join(sf_dir, "orders.parquet")
+    tbl = pq.read_table(src_path)
+    kept = tbl.slice(0, tbl.num_rows // 2)
+    time.sleep(1.1)  # mtime granularity
+    pq.write_table(kept, src_path)
+
+    o2, _ = ensure_bucketed_pair(spark, sf_dir)
+    assert o2.count() == kept.num_rows  # restaged, not the stale copy
+    path = _staged_path(sf_dir, "bkt_orders", params=f"buckets={_BKT_BUCKETS}|v2")
+    success = os.path.join(path, "_SUCCESS")
+    assert os.path.getmtime(success) >= os.path.getmtime(
+        os.path.join(sf_dir, "orders.parquet")
+    )

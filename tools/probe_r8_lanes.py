@@ -28,6 +28,7 @@ def main() -> int:
 
     from etl_orders_spark.functions.vectors import cosine_similarity, sign_bits_long
     from etl_orders_spark.operators.topk import topk_per_group
+    from etl_orders_spark.plans.vector_queries import _ANN_K, _BQ_CAND
     from etl_orders_spark.session import get_spark
     from etl_orders_spark.sources.readers import load_table as T
 
@@ -53,12 +54,16 @@ def main() -> int:
                 F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).cast("long"),
             )
         )
-        cand = topk_per_group(scored, ["query_id"], [F.asc("hamming"), F.asc("vec_id")], 40)
+        # the lane's OWN knobs (plans/vector_queries.py) so a later
+        # retune can't leave this probe measuring a stale plan shape
+        cand = topk_per_group(
+            scored, ["query_id"], [F.asc("hamming"), F.asc("vec_id")], _BQ_CAND
+        )
         out = topk_per_group(
             cand.withColumn("cos", F.round(cosine_similarity("qv", "v"), 6)),
             ["query_id"],
             [F.desc("cos"), F.asc("vec_id")],
-            5,
+            _ANN_K,
         )
         rows = out.count()
         wall = time.time() - t0
@@ -72,9 +77,23 @@ def main() -> int:
         )
 
     # --- bucketed join amortization at the 1x dir ---
-    from etl_orders_spark.plans.layout_queries import ensure_bucketed_pair
+    import shutil
+
+    from etl_orders_spark.plans.layout_queries import (
+        _BKT_BUCKETS,
+        _staged_path,
+        ensure_bucketed_pair,
+    )
 
     sf_dir = dirs[0]
+    # force a CLEAN staging so "stage(once)" times the saveAsTable
+    # write, not the tableExists/re-attach fast path a prior bench or
+    # test run in this environment would otherwise leave behind
+    for name in ("orders", "lineitem"):
+        path = _staged_path(sf_dir, f"bkt_{name}", params=f"buckets={_BKT_BUCKETS}|v2")
+        tbl = f"bkt_{name}_{os.path.basename(path).rsplit('_', 1)[1]}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
     t0 = time.time()
     o, l = ensure_bucketed_pair(spark, sf_dir)
     stage = time.time() - t0
