@@ -746,3 +746,145 @@ def shuffle_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(rk - 1) div {_SHARD_SIZE}").cast("long").alias("shard"),
         F.pmod(F.col("rk") - 1, F.lit(_SHARD_SIZE)).cast("long").alias("pos"),
     )
+
+
+# --- DSIR: hashed n-gram importance resampling ------------------------------
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling" (DSIR): select raw-corpus documents whose hashed n-gram
+# feature distribution looks like a small TARGET domain, by importance
+# weight w(x) = p_target(x) / p_raw(x) under bag-of-hashed-features
+# unigram models. Here the target domain is the corpus's English
+# slice and the raw pool is everything — the shape a curation pass
+# uses to upsample domain-matched text out of a crawl.
+_DSIR_B = 512  # hashed feature buckets
+_DSIR_K = 100  # documents resampled (top-k by importance weight)
+
+_DSIR_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('dsir|' || term), 1, 8)) AS BIGINT) % 512"
+)
+
+
+def _micro_ln_sql(expr: str) -> str:
+    return f"CAST(FLOOR(LN({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "dsir_importance_resample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST({_LOWER_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, {_DSIR_BUCKET_SQL} AS b,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, {_DSIR_BUCKET_SQL}
+    ), raw AS (
+      SELECT b, CAST(SUM(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY b
+    ), tgt AS (
+      SELECT b, CAST(SUM(tf) AS BIGINT) AS cnt_t FROM tf
+      WHERE lang = 'en' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM raw) AS t_r,
+             (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) FROM tgt) AS t_t
+    ), lm AS (
+      SELECT r.b,
+             {_micro_ln_sql("COALESCE(g.cnt_t, 0) + 1")}
+           - {_micro_ln_sql("t.t_t + " + str(_DSIR_B))}
+           - {_micro_ln_sql("r.cnt_r + 1")}
+           + {_micro_ln_sql("t.t_r + " + str(_DSIR_B))} AS micro
+      FROM raw r LEFT JOIN tgt g USING (b) CROSS JOIN tot t
+    )
+    SELECT doc_id, ANY_VALUE(lang) AS lang,
+           CAST(SUM(tf) AS BIGINT) AS n_toks,
+           CAST(SUM(tf * micro) AS BIGINT) AS logw_micro
+    FROM tf JOIN lm USING (b)
+    GROUP BY doc_id
+    ORDER BY logw_micro DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+    tags=("text", "curation", "llm", "sampling"),
+    bench=True,
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): score every raw
+    document by log w = sum over token occurrences of
+    ln p_target(bucket) - ln p_raw(bucket), under Laplace-smoothed
+    hashed-unigram models ((cnt + 1) / (total + B), B = {B} buckets,
+    portable md5 bucket hash), and keep the top-{K} by weight — the
+    deterministic-selection form of the paper's Gumbel resample (the
+    ranking, which is the engine's job, is identical; swapping in
+    Gumbel noise is one extra hashed-uniform column, the pattern
+    weighted_sample_per_source already certifies). Each of the four
+    ln() terms floors to integer micro-nats SEPARATELY before any
+    arithmetic, so the per-bucket score and the per-document sum are
+    integer-exact across engines — no ulp can flip the hash.
+
+    Plan shape at 100 TB: token->bucket is a pure map; the two LM
+    aggregates are bucket-keyed with map-side partials over a FIXED
+    B={B}-row key space (the whole point of hashed features: the
+    model table is bounded regardless of corpus vocabulary, unlike
+    the surprisal lane's open vocab); the {B}-row model broadcasts,
+    so scoring adds ZERO shuffles beyond the one doc-grain aggregate;
+    selection is TakeOrderedAndProject (per-partition heaps + merge),
+    never a global sort. One (doc, bucket) exchange, one broadcast,
+    one top-k."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("term"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _DSIR_B
+    )
+    tf = (
+        d.select("doc_id", "lang", F.explode("toks").alias("term"))
+        .select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").cast("long").alias("tf"),
+        )
+        .localCheckpoint(eager=True)  # read by both LM branches + scoring
+    )
+    raw = tf.groupBy("b").agg(F.sum("tf").cast("long").alias("cnt_r"))
+    tgt = (
+        tf.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("tf").cast("long").alias("cnt_t"))
+    )
+    tot = raw.agg(F.sum("cnt_r").cast("long").alias("t_r")).crossJoin(
+        tgt.agg(
+            F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("long").alias("t_t")
+        )
+    )
+
+    def _micro_ln(col: F.Column) -> F.Column:
+        return F.floor(F.log(col.cast("double")) * 1000000.0 + 0.5).cast("long")
+
+    lm = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                _micro_ln(F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
+                - _micro_ln(F.col("t_t") + _DSIR_B)
+                - _micro_ln(F.col("cnt_r") + 1)
+                + _micro_ln(F.col("t_r") + _DSIR_B)
+            ).alias("micro"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum("tf").cast("long").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("micro")).cast("long").alias("logw_micro"),
+        )
+        .orderBy(F.desc("logw_micro"), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", "lang", "n_toks", "logw_micro")
+    )

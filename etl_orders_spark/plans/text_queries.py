@@ -2082,3 +2082,163 @@ def unicode_nfc_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("nfc_fp").cast("long").alias("n_nfc_fps"),
         F.any_value("nfc_fp").alias("nfc_fp"),
     )
+
+
+# --- duplicate-span (substring-level) dedup ---------------------------------
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better": exact dedup misses documents that share long verbatim
+# PASSAGES without being duplicates; the fix is substring-grain — find
+# maximal token spans that appear verbatim in >= 2 distinct documents
+# and report them for excision. The suffix-array machinery of the
+# paper collapses, in a distributed engine, to: corpus-wide n-gram
+# document frequency -> per-document islands of consecutive duplicated
+# gram positions -> span extents. The fixture corpus is word salad
+# (cross-doc 5-gram collisions are rare), so the lane plants verbatim
+# copied segments the way the embedding near-dup lanes plant clones:
+# every 25th document donates a 16-token window to a synthetic
+# companion doc; both sides of each copy must surface as a span.
+_SPAN_N = 5  # gram width (tokens)
+_SPAN_MIN = 8  # minimum duplicated-span length (tokens) to report
+_SPAN_PLANT_MOD = 25  # every k-th doc donates a copied segment
+_SPAN_COPY_LEN = 16  # tokens copied into the planted companion
+
+
+@register(
+    "dup_span_detection_docs",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             'copied segment begins ' ||
+             array_to_string(list_slice(string_split(text, ' '), 3,
+                                        {2 + _SPAN_COPY_LEN}), ' ') ||
+             ' copied segment ends' AS text
+      FROM documents
+      WHERE doc_id % {_SPAN_PLANT_MOD} = 0
+        AND len(string_split(text, ' ')) >= {2 + _SPAN_COPY_LEN}
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS g(i)
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), isl AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+               AS grp
+      FROM grams g JOIN dup USING (gram)
+    ), spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + {_SPAN_N - 1} AS BIGINT) AS span_end
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id, s.span_start, s.span_end,
+           CAST(s.span_end - s.span_start + 1 AS BIGINT) AS span_tokens,
+           md5(array_to_string(list_slice(t.t, s.span_start, s.span_end), ' '))
+             AS span_fp
+    FROM spans s JOIN toks t USING (doc_id)
+    WHERE s.span_end - s.span_start + 1 >= {_SPAN_MIN}
+    """,
+    tags=("text", "dedup", "llm"),
+    bench=True,
+)
+def dup_span_detection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span detection (Lee et al. 2022): the
+    spans a passage-grain dedup would excise. Every {N}-token gram gets
+    a corpus-wide distinct-document frequency; positions whose gram
+    recurs in >= 2 documents are grouped into maximal consecutive
+    islands per document (pos - row_number, the classic gaps-and-
+    islands trick — pure window algebra, no iterative pass), and each
+    island's extent [min_pos, max_pos + N - 1] is a duplicated span.
+    Spans shorter than {MIN} tokens are noise and dropped. The value
+    hash certifies the span TEXT byte-for-byte (md5 of the re-sliced
+    tokens), not just extents.
+
+    Plan shape at 100 TB: gram emission is a pure map (the transform
+    builds gram strings inside the row; posexplode ships only
+    (doc_id, pos, gram)); the document-frequency screen is one
+    gram-keyed aggregate with map-side partials; the probe back is
+    gram-keyed; islands + extents are one doc-keyed window + aggregate.
+    Three hash exchanges — the same shape the boilerplate chunk lane
+    documents — and the heavy (doc, pos, gram) stream never survives
+    past the df screen: only duplicated positions (a tiny fraction of
+    any real corpus) reach the window. On a real corpus the gram key
+    would ride xxhash64 longs (the hashed-twin pattern); the string
+    form keeps the bit-exact SQL oracle. The planted companions reuse
+    the clone-planting law of the embedding near-dup family so the
+    lane is non-vacuous at every sf."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    src_toks = F.split("text", " ")
+    planted = (
+        docs.where(
+            (F.col("doc_id") % _SPAN_PLANT_MOD == 0)
+            & (F.size(src_toks) >= 2 + _SPAN_COPY_LEN)
+        )
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.lit("copied segment begins "),
+                F.array_join(F.slice(src_toks, 3, _SPAN_COPY_LEN), " "),
+                F.lit(" copied segment ends"),
+            ).alias("text"),
+        )
+    )
+    toks = docs.unionByName(planted).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_grams = F.size("t") - (_SPAN_N - 1)
+    gram_arr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(F.col("t"), i, _SPAN_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", F.posexplode(gram_arr).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = grams.join(dup, "gram").select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (_SPAN_N - 1)).cast("long").alias("span_end"),
+    )
+    return (
+        spans.where(F.col("span_end") - F.col("span_start") + 1 >= _SPAN_MIN)
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.slice(
+                            F.col("t"),
+                            F.col("span_start"),
+                            F.col("span_end") - F.col("span_start") + 1,
+                        ),
+                        " ",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("span_fp"),
+        )
+    )

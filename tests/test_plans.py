@@ -149,6 +149,7 @@ _BNLJ_ALLOWED = {
     "customer_revenue_deciles": 1,  # 1-row count broadcast for ntile_from_rank
     "customers_to_half_revenue": 1,  # 1-row total/count broadcast
     "doc_keywords_tfidf": 1,
+    "dsir_importance_resample": 2,  # 1-row totals broadcast + 512-row LM assembly
     "ewma_daily_revenue": 1,
     "funnel_view_click_purchase": 2,
     "gdpr_forget_report": 3,

@@ -10,3 +10,42 @@ def test_chunk_udtf_agrees_with_relational_twin(spark, sf_dir):
     a = sorted(map(tuple, q["chunk_docs_windows"](spark, sf_dir).collect()))
     b = sorted(map(tuple, q["chunk_docs_udtf"](spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_dup_span_finds_planted_copies_with_matching_text(spark, sf_dir):
+    """Every planted companion doc (doc_id >= 1000000) copies a
+    16-token window verbatim from its source doc, so BOTH sides of the
+    copy must report a duplicated span (the source's island may be
+    wider than the copied window when the fixture's own planted
+    near-dup passages overlap it, so extents — not fps — are the law
+    here; the value-hash oracle certifies the fps)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["dup_span_detection_docs"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_doc: dict[int, set[str]] = {}
+    for r in rows:
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= 8
+        by_doc.setdefault(r.doc_id, set()).add(r.span_fp)
+    clones = {d for d in by_doc if d >= 1000000}
+    assert clones, "planted companions produced no spans"
+    for c in clones:
+        src = c - 1000000
+        assert src in by_doc, f"source {src} of planted clone {c} has no span"
+
+
+def test_dup_span_covers_planted_window(spark, sf_dir):
+    """The clone's duplicated span must cover its copied window
+    (tokens 4..19 of the 22-token companion: prefix 3 + copy 16 +
+    suffix 3, 5-gram grain trims 3 tokens off each edge of the island
+    extent at worst)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["dup_span_detection_docs"](spark, sf_dir).collect()
+    for r in rows:
+        if r.doc_id >= 1000000:
+            assert r.span_start <= 4 and r.span_end >= 19, (
+                r.doc_id,
+                r.span_start,
+                r.span_end,
+            )
