@@ -2103,9 +2103,7 @@ _SPAN_PLANT_MOD = 25  # every k-th doc donates a copied segment
 _SPAN_COPY_LEN = 16  # tokens copied into the planted companion
 
 
-@register(
-    "dup_span_detection_docs",
-    f"""
+_SPAN_ORACLE = f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -2144,11 +2142,10 @@ _SPAN_COPY_LEN = 16  # tokens copied into the planted companion
              AS span_fp
     FROM spans s JOIN toks t USING (doc_id)
     WHERE s.span_end - s.span_start + 1 >= {_SPAN_MIN}
-    """,
-    tags=("text", "dedup", "llm"),
-    bench=True,
-)
-def dup_span_detection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _dup_span_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     """Substring-level duplicate-span detection (Lee et al. 2022): the
     spans a passage-grain dedup would excise. Every {N}-token gram gets
     a corpus-wide distinct-document frequency; positions whose gram
@@ -2202,7 +2199,11 @@ def dup_span_detection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     grams = toks.select(
         "doc_id", F.posexplode(gram_arr).alias("p0", "gram")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.xxhash64("gram").alias("gram") if hashed else F.col("gram"),
+    )
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -2242,3 +2243,36 @@ def dup_span_detection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_fp"),
         )
     )
+
+
+@register(
+    "dup_span_detection_docs",
+    _SPAN_ORACLE,
+    tags=("text", "dedup", "llm"),
+)
+def dup_span_detection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-gram form of the duplicate-span detector — carries the
+    bit-exact SQL oracle (see _dup_span_frame for the algorithm and
+    the 100 TB plan shape)."""
+    return _dup_span_frame(spark, sf_dir, hashed=False)
+
+
+@register(
+    "dup_span_detection_docs_fast",
+    _SPAN_ORACLE,
+    tags=("text", "dedup", "llm", "hashed-twin"),
+    bench=True,
+)
+def dup_span_detection_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-twin form: the gram key rides map-side xxhash64 longs
+    through the df screen and the probe join, cutting shuffle bytes to
+    ~8 B/key where 5-token gram strings dominate the exchanges (the
+    n-gram-family bench convention, registry.py header). Space-joined
+    grams over space-free tokens are injective, so the twin KEEPS the
+    string form's SQL oracle — equality holds exactly unless xxhash64
+    collides, which the static fixture makes a deterministic check.
+    100x replica probe (tools/probe_r8_late_lanes.py): the replica
+    corpus is the df-screen worst case (every interior gram recurs
+    across replicas), and the hashed key is what keeps the full-volume
+    exchange affordable there."""
+    return _dup_span_frame(spark, sf_dir, hashed=True)

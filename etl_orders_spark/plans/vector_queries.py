@@ -1108,3 +1108,149 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics up to group ordering, the same convention as
     llm_prep_corpus's near-dup stage."""
     return semantic_dedup_frame(spark, sf_dir, k=_SD_K)
+
+
+# --- greedy k-center coreset selection --------------------------------------
+# Gonzalez 1985 farthest-point traversal; Sener & Savarese 2018 use it
+# as the core-set selection rule for training-data subset selection:
+# repeatedly add the point FARTHEST from everything already selected,
+# so k points cover the corpus with the smallest max-distance radius
+# (2-approximation of optimal k-center). The distributed form is the
+# incremental one: keep one running min-distance per point and fold in
+# ONLY the newly selected center each round — k pure-map passes plus
+# k top-1 reductions, never a pass over the whole selected set.
+_KC_K = 8  # coreset size (selection steps)
+
+
+def _kc_oracle() -> str:
+    """Unrolled greedy k-center SQL twin: seed = lowest vec_id, each
+    step takes the argmax of the running round-6 min-distance (ties to
+    the lowest vec_id) then folds the new center into the state with
+    LEAST — the same incremental recurrence the Spark side runs."""
+    dot = "list_inner_product({a}, {b})"
+    d2 = (
+        f"{dot.format(a='st.v', b='st.v')} - 2 * {dot.format(a='st.v', b='f.v')}"
+        f" + {dot.format(a='f.v', b='f.v')}"
+    )
+    seed_d2 = (
+        f"{dot.format(a='x.v', b='x.v')} - 2 * {dot.format(a='x.v', b='s.v')}"
+        f" + {dot.format(a='s.v', b='s.v')}"
+    )
+    sql = f"""
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), seed AS (
+      SELECT vec_id, v FROM x ORDER BY vec_id LIMIT 1
+    ), state0 AS (
+      SELECT x.vec_id, x.v, ROUND({seed_d2}, 6) AS mind
+      FROM x CROSS JOIN seed s
+    )"""
+    for i in range(1, _KC_K):
+        sql += f""", far{i} AS (
+      SELECT vec_id, v, mind FROM state{i - 1}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    ), state{i} AS (
+      SELECT st.vec_id, st.v, LEAST(st.mind, ROUND({d2}, 6)) AS mind
+      FROM state{i - 1} st CROSS JOIN far{i} f
+    )"""
+    picks = ["SELECT CAST(0 AS BIGINT) AS sel_order, vec_id, 0.0 AS radius_r6 FROM seed"]
+    picks += [
+        f"SELECT CAST({i} AS BIGINT), vec_id, mind FROM far{i}"
+        for i in range(1, _KC_K)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(picks)
+
+
+@register(
+    "kcenter_coreset_embeddings",
+    _kc_oracle(),
+    tags=("vector", "iterative", "selection", "llm"),
+)
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection, {K} points: seed at the
+    lowest vec_id, then {K_1} rounds of "select the point with the
+    largest running min-distance, fold it into the state". Returns
+    (sel_order, vec_id, radius_r6) — radius_r6 is each pick's
+    min-distance at selection time, a non-increasing sequence whose
+    last value is the coverage radius the coreset guarantees (within
+    2x of the optimal k-center radius).
+
+    Determinism contract (the kmeans/SemDeDup one): distances round to
+    6 before every comparison, argmax ties break to the lowest vec_id,
+    and the state recurrence keeps values IN the round-6 lattice
+    (LEAST of two round-6 numbers), so both engines walk the same
+    selection path bit-for-bit.
+
+    Plan shape at 100 TB: the selected set NEVER joins as a set — each
+    round folds exactly ONE broadcast row into a running per-point
+    min (a pure map), and the argmax is TakeOrderedAndProject
+    (per-partition top-1 + driver merge of one row per partition).
+    k rounds = k scans of the checkpointed state + k one-row
+    reductions; per-round state is eagerly checkpointed so round j
+    reads round j-1's materialized rows, not the whole lineage (which
+    would double per round — the recurrence reads its input twice). Contrast with the naive form (k joins against
+    a growing selected set = quadratic in k) and with coreset-by-
+    sampling (no coverage guarantee)."""
+    x = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+    def d2_to(center_v):
+        return (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), center_v)
+            + dot(center_v, center_v)
+        )
+
+    seed = x.orderBy("vec_id").limit(1)
+    # state is eagerly checkpointed each round, NOT cached: the recurrence
+    # references the prior state twice (argmax + fold), so plain cache
+    # keeps a plan tree that doubles per round (2^k nodes by round k)
+    # even though execution reuses the cache; checkpointing truncates
+    # the lineage so both the plan and the execution stay linear in k.
+    state = (
+        x.crossJoin(F.broadcast(seed.select(F.col("v").alias("sv"))))
+        .select("vec_id", "v", F.round(d2_to(F.col("sv")), 6).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        seed.select(
+            F.lit(0).cast("long").alias("sel_order"),
+            "vec_id",
+            F.lit(0.0).alias("radius_r6"),
+        )
+    ]
+    for i in range(1, _KC_K):
+        far = state.orderBy(F.desc("mind"), "vec_id").limit(1)
+        picks.append(
+            far.select(
+                F.lit(i).cast("long").alias("sel_order"),
+                "vec_id",
+                F.col("mind").alias("radius_r6"),
+            )
+        )
+        state = (
+            state.crossJoin(
+                F.broadcast(far.select(F.col("v").alias("fv")))
+            )
+            .select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("mind"), F.round(d2_to(F.col("fv")), 6)
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+kcenter_coreset_embeddings.__doc__ = kcenter_coreset_embeddings.__doc__.format(
+    K=_KC_K, K_1=_KC_K - 1
+)

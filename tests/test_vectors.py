@@ -629,3 +629,21 @@ def test_binary_quant_ann_recall_vs_exact(spark, sf_dir):
         if expect >= 1 << 63:
             expect -= 1 << 64  # two's complement wrap, JVM long semantics
         assert r["sig"] == expect, (r["vec_id"], r["sig"], expect)
+
+
+def test_kcenter_radius_sequence_and_coverage(spark, sf_dir):
+    """Greedy k-center's pick radii are non-increasing (each pick is
+    the farthest remaining point, and folding a center can only shrink
+    min-distances), the 8 picks are distinct, and the seed is the
+    lowest vec_id."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = sorted(
+        query_map()["kcenter_coreset_embeddings"](spark, sf_dir).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert [r.sel_order for r in rows] == list(range(8))
+    assert len({r.vec_id for r in rows}) == 8
+    radii = [r.radius_r6 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert radii[-1] > 0.0  # non-degenerate corpus: real coverage radius
