@@ -164,12 +164,20 @@ PRIORITY: tuple[str, ...] = (
     "dq_orders_lineitem",
     "fuzzy_match_customers",
     "partition_pruned_revenue",
-    # multimodal pixel lane (r4): real decode + perceptual near-dup,
-    # both carrying full pixel-law value-hash oracles
+    # multimodal pixel lane (r4): real decode with a full pixel-law
+    # value-hash oracle
     # (revenue_by_order_decile ceded its slot: the two-pass-rank stats
-    # machinery stays driver-covered by shuffle_corpus_shards)
+    # machinery stays driver-covered by shuffle_corpus_shards;
+    # media_dhash_near_dup ceded its slot to the round-8 duplicate-
+    # span lane — its dHash + pigeonhole band-join machinery stays
+    # driver-covered by media_video_near_dup, which composes the same
+    # pieces at frame grain, and the image lane stays benched +
+    # local-sweep-green)
     "media_decode_pixel_stats",
-    "media_dhash_near_dup",
+    # substring-grain duplicate-span detection (round 8): Lee et al.
+    # 2022 passage dedup — full value-hash oracle over span extents
+    # AND span text, planted copied segments keep it non-vacuous
+    "dup_span_detection_docs",
 )
 
 
