@@ -2276,3 +2276,217 @@ def dup_span_detection_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     across replicas), and the hashed key is what keeps the full-volume
     exchange affordable there."""
     return _dup_span_frame(spark, sf_dir, hashed=True)
+
+
+# --- BPE tokenizer training: k actual merge iterations ----------------------
+# bpe_merge_pairs above reports ONE iteration's pair statistics; this
+# lane runs the real training loop (Sennrich et al. ACL 2016): k
+# rounds of "count adjacent symbol pairs corpus-wide, take the top
+# pair, merge its greedy leftmost-nonoverlapping occurrences in every
+# word". The classic sequential hazard — overlapping occurrences in
+# runs like 'aaa' must merge left-to-right — is pure window algebra:
+# matching positions form gaps-and-islands per word, and within an
+# island exactly the even offsets merge. No fold, no UDF, no driver
+# loop over data.
+_BPE_TRAIN_ITERS = 3
+_BPE_EOW = "</w>"  # end-of-word terminal, per the paper
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled k-iteration BPE training twin. Every quantity is an
+    integer (frequencies, positions, 32-bit word-form hashes summed to
+    a BIGINT checksum), so the value hash has no FP surface at all."""
+    h = _sql_hash(77, "word || '#' || s")
+    sql = f"""
+    WITH tok AS (
+      SELECT UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      WHERE length(w) >= 2 GROUP BY w
+    ), rows0 AS (
+      SELECT w AS word, c AS freq, i AS pos, substr(w, i, 1) AS sym
+      FROM vocab, UNNEST(generate_series(1, length(w))) t(i)
+      UNION ALL
+      SELECT w, c, length(w) + 1, '{_BPE_EOW}' FROM vocab
+    )"""
+    for i in range(1, _BPE_TRAIN_ITERS + 1):
+        sql += f""", nx{i} AS (
+      SELECT word, freq, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM rows{i - 1}
+    ), top{i} AS (
+      SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS w
+      FROM nx{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+      ORDER BY w DESC, a, b LIMIT 1
+    ), isl{i} AS (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM nx{i} n CROSS JOIN top{i} t
+      WHERE n.sym = t.a AND n.nxt = t.b
+    ), keep{i} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               MIN(pos) OVER (PARTITION BY word, grp) AS stp
+        FROM isl{i}
+      ) WHERE (pos - stp) % 2 = 0
+    ), rows{i} AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM (
+        SELECT m.word, m.freq, m.pos,
+               CASE WHEN k1.pos IS NOT NULL THEN m.sym || m.nxt
+                    ELSE m.sym END AS sym
+        FROM nx{i} m
+        LEFT JOIN keep{i} k1 ON m.word = k1.word AND m.pos = k1.pos
+        LEFT JOIN keep{i} k2 ON m.word = k2.word AND m.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      )
+    ), out{i} AS (
+      SELECT CAST({i} AS BIGINT) AS it, t.a || '+' || t.b AS pair,
+             t.w AS weight,
+             (SELECT CAST(SUM({h}) AS BIGINT) FROM (
+                SELECT word, string_agg(sym, ' ' ORDER BY pos) AS s
+                FROM rows{i} GROUP BY word
+             )) AS vocab_checksum
+      FROM top{i} t
+    )"""
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM out{i}" for i in range(1, _BPE_TRAIN_ITERS + 1)
+    )
+    return sql + "\n    " + picks
+
+
+@register(
+    "bpe_train_merges_docs",
+    _bpe_train_oracle(),
+    tags=("text", "tokenize", "llm", "iterative"),
+)
+def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, {K} merge rounds executed for real
+    (Sennrich et al. ACL 2016), relationally: each round counts
+    adjacent symbol pairs over the frequency-collapsed vocabulary,
+    takes the (weight DESC, pair ASC) top pair, and merges its greedy
+    leftmost-nonoverlapping occurrences in every word — matching
+    positions form consecutive islands per word and exactly the even
+    offsets within an island merge, which handles the 'aaa' overlap
+    hazard without any sequential fold. Output per round: the learned
+    merge rule, its corpus weight, and an order-insensitive BIGINT
+    checksum of every post-merge word SEGMENTATION (space-joined symbol
+    sequence — NOT the bare concatenation, which is merge-invariant
+    and would certify nothing — summed as portable 32-bit hashes), so
+    the oracle certifies the merged vocabulary state after every
+    round, not just the rule sequence. All-integer law — no FP anywhere.
+
+    Plan shape at 100 TB: the corpus collapses to its vocabulary ONCE
+    (one word-count shuffle, Heaps'-law sublinear); every round then
+    touches |vocab| x avg_len rows regardless of corpus size — pair
+    counts aggregate with map-side partials into an alphabet-bounded
+    table, the 1-row top pair broadcasts, islands + rebuild are
+    word-keyed windows, and each round's symbol table is eagerly
+    checkpointed so round j's plan reads round j-1's materialized
+    rows (the kcenter lineage-truncation pattern). The driver never
+    sees data — only the k 1-row merge rules."""
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    chars = vocab.select(
+        F.col("w").alias("word"),
+        F.col("c").alias("freq"),
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+    ).select("word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym"))
+    term = vocab.select(
+        F.col("w").alias("word"),
+        F.col("c").alias("freq"),
+        (F.length("w") + 1).cast("int").alias("pos"),
+        F.lit(_BPE_EOW).alias("sym"),
+    )
+    rows = chars.unionByName(term).localCheckpoint(eager=True)
+
+    wv = Window.partitionBy("word").orderBy("pos")
+    outs = []
+    for i in range(1, _BPE_TRAIN_ITERS + 1):
+        nx = rows.select(
+            "word", "freq", "pos", "sym", F.lead("sym").over(wv).alias("nxt")
+        )
+        top = (
+            nx.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").cast("long").alias("w"))
+            .orderBy(F.desc("w"), "sym", "nxt")
+            .limit(1)
+            .select(F.col("sym").alias("a"), F.col("nxt").alias("b"), "w")
+        )
+        mk = nx.crossJoin(F.broadcast(top))
+        isl = mk.where((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))).select(
+            "word", "pos", (F.col("pos") - F.row_number().over(wv)).alias("grp")
+        )
+        keep = (
+            isl.withColumn(
+                "stp", F.min("pos").over(Window.partitionBy("word", "grp"))
+            )
+            .where((F.col("pos") - F.col("stp")) % 2 == 0)
+            .select("word", "pos")
+        )
+        k1 = keep.select(F.col("word").alias("w1"), F.col("pos").alias("p1"))
+        k2 = keep.select(F.col("word").alias("w2"), F.col("pos").alias("p2"))
+        rebuilt = (
+            mk.join(
+                k1, (F.col("word") == F.col("w1")) & (F.col("pos") == F.col("p1")), "left"
+            )
+            .join(
+                k2,
+                (F.col("word") == F.col("w2")) & (F.col("pos") == F.col("p2") + 1),
+                "left",
+            )
+            .where(F.col("p2").isNull())
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("p1").isNotNull(), F.concat("sym", "nxt")
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+        )
+        rows = rebuilt.select(
+            "word", "freq", F.row_number().over(wv).alias("pos"), "sym"
+        ).localCheckpoint(eager=True)
+        wordform = rows.groupBy("word").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                " ",
+            ).alias("s")
+        )
+        chk = wordform.select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("77|"), F.col("word"), F.lit("#"), F.col("s"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        ).agg(F.sum("h").cast("long").alias("vocab_checksum"))
+        outs.append(
+            top.crossJoin(chk).select(
+                F.lit(i).cast("long").alias("it"),
+                F.concat("a", F.lit("+"), "b").alias("pair"),
+                F.col("w").cast("long").alias("weight"),
+                "vocab_checksum",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+bpe_train_merges_docs.__doc__ = bpe_train_merges_docs.__doc__.format(K=_BPE_TRAIN_ITERS)

@@ -142,6 +142,7 @@ _BNLJ_ALLOWED = {
     "bigram_perplexity_docs_bcast": 1,  # 1-row vocab-size broadcast (same as _fast)
     "binary_quant_ann_rerank": 1,  # broadcast probe batch x corpus hamming screen
     "bm25_search_docs": 1,
+    "bpe_train_merges_docs": 3,  # 1-row top-pair x 1-row checksum per round
     "chi2_status_priority": 1,
     "contrastive_negatives": 1,  # one broadcast query batch, single scoring pass
     "cramers_v_status_priority": 1,

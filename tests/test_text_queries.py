@@ -49,3 +49,24 @@ def test_dup_span_covers_planted_window(spark, sf_dir):
                 r.span_start,
                 r.span_end,
             )
+
+
+def test_bpe_train_checksums_track_segmentation(spark, sf_dir):
+    """Each training round must CHANGE the vocabulary checksum: the
+    checksum hashes the space-joined symbol segmentation, and a merge
+    always re-segments at least the words containing the top pair.
+    (A bare-concatenation checksum is merge-invariant and would pass
+    vacuously — this pins the space-separator contract.) Rules must be
+    well-formed 'a+b' pairs with positive integer weights."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = sorted(
+        query_map()["bpe_train_merges_docs"](spark, sf_dir).collect(),
+        key=lambda r: r.it,
+    )
+    assert [r.it for r in rows] == [1, 2, 3]
+    assert len({r.vocab_checksum for r in rows}) == 3
+    for r in rows:
+        assert r.weight > 0 and "+" in r.pair
+    # learned rules are distinct (a pair, once merged, cannot recur)
+    assert len({r.pair for r in rows}) == 3
