@@ -70,3 +70,34 @@ def test_bpe_train_checksums_track_segmentation(spark, sf_dir):
         assert r.weight > 0 and "+" in r.pair
     # learned rules are distinct (a pair, once merged, cannot recur)
     assert len({r.pair for r in rows}) == 3
+
+
+def test_bpe_train_overlap_hazard_merges_left_to_right(spark, tmp_path):
+    """The fixture vocabulary has no doubled top pair, so the island
+    even-offset branch never fires there — this planted corpus makes
+    it the WHOLE computation. 'aaaa' and 'aaaaa' force overlapping
+    (a,a) runs in both parities; the hand-computed law is:
+      round 1: a+a weight 7 (3 overlapping pairs in aaaa + 4 in aaaaa),
+               aaaa -> [aa,aa,</w>], aaaaa -> [aa,aa,a,</w>]
+               (leftmost-nonoverlapping: even island offsets only)
+      round 2: aa+aa weight 2, -> [aaaa,</w>] / [aaaa,a,</w>]
+      round 3: tie at weight 1 broken by pair asc -> a+</w>
+    A wrong island rule (merge every matching position, or
+    rightmost-first) changes the weights or the rules."""
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [Row(doc_id=0, text="aaaa aaaaa", lang="en", source="s0", n_chars=10)]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        query_map()["bpe_train_merges_docs"](spark, sf_dir).collect(),
+        key=lambda r: r.it,
+    )
+    assert [(r.pair, r.weight) for r in rows] == [
+        ("a+a", 7),
+        ("aa+aa", 2),
+        ("a+</w>", 1),
+    ]
