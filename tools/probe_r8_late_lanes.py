@@ -28,6 +28,7 @@ LANES = (
     "dup_span_detection_docs_fast",
     "dsir_importance_resample",
     "kcenter_coreset_embeddings",
+    "bpe_train_merges_docs",
 )
 
 
