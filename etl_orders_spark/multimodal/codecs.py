@@ -21,10 +21,12 @@ own independently-filtered, independently-bit-packed sub-image).
 **GIF** decodes too (``decode_gif``): LZW is
 exact integer/bit arithmetic (variable-width LSB-first codes, the
 spec dictionary algorithm, 4-pass interlace unweaving) — with PNG this
-covers both lossless web formats. Lossy codecs stay honestly gated: a
-from-scratch entropy-decode+IDCT (JPEG) or VP8 (WebP) would be slow
-and easy to get subtly wrong, so those raise ``NotImplementedError``
-naming the missing library (PIL/libvips) exactly as before.
+covers both lossless web formats. **Baseline JPEG** decodes natively
+too (``jpeg.decode_jpeg``: stream-read Huffman + DQT tables, matrix
+IDCT, 4:2:0/4:2:2/4:4:4, restart markers); only the genuinely
+library-shaped variants stay gated — progressive/arithmetic/12-bit
+JPEG and VP8 (WebP) raise ``NotImplementedError`` naming the missing
+library (PIL/libvips) exactly as before.
 
 Everything returns/accepts ``numpy.uint8`` arrays shaped ``(H, W, 3)``
 (grayscale expands to three equal channels), so downstream resize /
@@ -48,7 +50,7 @@ import sys as _sys
 
 import numpy as np
 
-_GATED = {"jpeg": "JPEG (DCT)", "webp": "WebP"}
+_GATED = {"webp": "WebP"}
 
 
 def sniff_format(content: bytes) -> str | None:
@@ -206,15 +208,17 @@ def _decode_via_pil(content: bytes, gate_name: str) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode any supported container -> (H, W, 3) uint8.
 
-    PPM/PGM/BMP, PNG and GIF decode here in pure Python (PNG covers
-    its FULL legal depth/color/interlace matrix, sub-byte through
-    16-bit). Should a native decoder ever decline a legal shape with
-    ``NotImplementedError``, it FALLS THROUGH to PIL when installed —
-    the native path never reduces capability vs the pre-native
-    behavior — and re-raises the native gate when it is not.
-    JPEG/WebP route through PIL when it exists and otherwise raise the
-    honest ImportError-gated ``NotImplementedError``; unrecognized or
-    torn bytes raise ``ValueError`` (the quarantine-lane class)."""
+    PPM/PGM/BMP, PNG, GIF and baseline JPEG decode here in pure
+    Python (PNG covers its FULL legal depth/color/interlace matrix,
+    sub-byte through 16-bit; JPEG covers baseline/extended sequential
+    Huffman with 4:2:0/4:2:2/4:4:4 and restart markers). Should a
+    native decoder decline a legal shape with ``NotImplementedError``
+    (e.g. progressive or 12-bit JPEG), it FALLS THROUGH to PIL when
+    installed — the native path never reduces capability vs the
+    pre-native behavior — and re-raises the native gate when it is
+    not. WebP routes through PIL when it exists and otherwise raises
+    the honest ImportError-gated ``NotImplementedError``; unrecognized
+    or torn bytes raise ``ValueError`` (the quarantine-lane class)."""
     fmt = sniff_format(content)
     if fmt == "ppm":
         return decode_ppm(content)
@@ -222,13 +226,16 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_pgm(content)
     if fmt == "bmp":
         return decode_bmp(content)
-    if fmt in ("png", "gif"):
-        native = decode_png if fmt == "png" else decode_gif
+    if fmt in ("png", "gif", "jpeg"):
+        if fmt == "jpeg":
+            from etl_orders_spark.multimodal.jpeg import decode_jpeg as native
+        else:
+            native = decode_png if fmt == "png" else decode_gif
         try:
             return native(content)
         except NotImplementedError:
-            # a legal shape the pure-Python codec declines (e.g. 16-bit
-            # or Adam7 PNG): give PIL a chance before gating
+            # a legal shape the pure-Python codec declines (e.g.
+            # progressive JPEG): give PIL a chance before gating
             try:
                 return _decode_via_pil(content, fmt.upper())
             except NotImplementedError:

@@ -1,0 +1,691 @@
+"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+Closes the last honestly-gated lossy-image gap the same way the PNG
+work did (codecs.py): this container ships no image library, but
+baseline sequential JPEG is a fully public, exactly-specified format —
+Huffman entropy coding + 8x8 DCT — so a from-scratch decoder can be
+small, deterministic, and *oracle-checkable*. The key insight that
+makes a LOSSY codec value-hash testable: with all-ones quantization
+tables and block-constant pixels, the whole pipeline is bit-exact
+(a flat 8x8 block has DC = 8*(v-128), AC = 0; quantization by 1 is
+the identity; the DC-only IDCT is the constant DC/8) — so fixtures
+built from per-block closed-form laws decode to EXACTLY the law, and
+a DuckDB twin re-derives the same integers arithmetically. Real-world
+quantized JPEGs decode too — exactness is a property of the fixtures,
+not a restriction of the decoder.
+
+Decoded surface (native):
+- baseline sequential DCT (SOF0) and extended sequential (SOF1),
+  8-bit precision, Huffman entropy coding;
+- 1-component grayscale and 3-component YCbCr (JFIF), sampling
+  factors in {1, 2} per axis (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0);
+- quantization + Huffman tables read from the stream (DQT 8/16-bit
+  precision, multi-table segments, DHT), restart markers (DRI/RSTn),
+  0xFF00 byte unstuffing, APPn/COM skip.
+
+Honest gates (``NotImplementedError`` — decode_image falls through to
+PIL when installed, exactly like the PNG/GIF sub-cases used to):
+progressive (SOF2), arithmetic coding (SOF9+), lossless/hierarchical,
+12-bit precision, sampling factors > 2, and 4-component (CMYK/Adobe)
+images. Torn or corrupt streams raise ``ValueError`` (the
+quarantine-lane class), and decoded size is capped like the PNG
+decompression-bomb guard.
+
+Upsampling is pixel replication and YCbCr->RGB is the JFIF float
+matrix rounded to nearest then clamped — both deterministic and
+mirrorable in closed form, which is what lets the fixture lanes in
+plans/media_queries.py carry full DuckDB value-hash oracles (the
+fixtures pin chroma constants whose scaled offsets never land on a
+.5, so round-half mode cannot diverge between engines).
+
+The encoder exists for fixtures and tests (hand-built byte vectors in
+tests/test_jpeg.py pin the decoder independently of it): identity or
+caller-supplied quant tables, standard Annex-K-shaped Huffman tables
+written to DHT, 4:4:4/4:2:2/4:2:0 subsampling, optional restart
+intervals, RGB or direct-YCbCr input.
+
+Reference parity note: the reference pipeline (manliot/ETL-orders,
+dags/etl.py) has no media path at all — this module belongs to the
+training-data build-out inventory (SURVEY.md §2.8), where image decode
+is a first-class 100 TB pipeline stage.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys as _sys
+
+import numpy as np
+
+# guard against forged-header decompression bombs, same posture as PNG
+_MAX_SAMPLES = 1 << 26  # 64M samples ~ 64 MB per plane
+
+# zigzag: index i in scan order -> raster position ZIGZAG[i] (row*8+col)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A: FDCT = A @ s @ A.T, IDCT = A.T @ S @ A."""
+    x = np.arange(8, dtype=np.float64)
+    u = x[:, None]
+    a = 0.5 * np.cos((2.0 * x[None, :] + 1.0) * u * np.pi / 16.0)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_A = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables (Annex-K-shaped defaults the encoder writes to DHT; the
+# decoder always reads tables from the stream, so these are an encoding
+# convention, not a decode dependency)
+# ---------------------------------------------------------------------------
+
+_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUMA_VALS = tuple(range(12))
+_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHROMA_VALS = tuple(range(12))
+
+_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+_AC_LUMA_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+_AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _canonical_codes(bits: tuple[int, ...]) -> list[tuple[int, int]]:
+    """(length, code) pairs in symbol order for a BITS count table."""
+    out: list[tuple[int, int]] = []
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((length, code))
+            code += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table built from a DHT (BITS, VALS)."""
+
+    def __init__(self, bits: tuple[int, ...], vals: tuple[int, ...]):
+        if sum(bits) != len(vals):
+            raise ValueError("jpeg: DHT symbol count mismatch")
+        self.lookup: dict[tuple[int, int], int] = {}
+        for (length, code), sym in zip(_canonical_codes(bits), vals):
+            self.lookup[(length, code)] = sym
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code in entropy stream")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops (fail-closed) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.hit_marker = False
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.hit_marker or self.pos >= len(self.data):
+                raise ValueError("jpeg: truncated entropy-coded data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: truncated after 0xFF in entropy data")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # byte-stuffed literal 0xFF
+                else:
+                    # a real marker: no more entropy bits exist
+                    self.pos -= 1
+                    self.hit_marker = True
+                    raise ValueError("jpeg: entropy data ended at marker mid-symbol")
+            self.bitbuf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (n & 7):
+            raise ValueError("jpeg: missing/unexpected restart marker")
+        self.pos = p + 2
+        self.hit_marker = False
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t magnitude bits to the signed coefficient."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _u16(d: bytes, p: int) -> int:
+    if p + 2 > len(d):
+        raise ValueError("jpeg: truncated segment")
+    return (d[p] << 8) | d[p + 1]
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, 3) uint8 (grayscale replicates).
+
+    Fail-closed: ``ValueError`` for torn/corrupt/bomb streams,
+    ``NotImplementedError`` for legal-but-ungated variants
+    (progressive, arithmetic, 12-bit, sampling > 2, CMYK)."""
+    d = content
+    if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
+        raise ValueError("jpeg: missing SOI")
+    p = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (H, W, comps) with comps = [(cid, h, v, tq)]
+    while True:
+        if p + 1 >= len(d):
+            raise ValueError("jpeg: truncated before EOI")
+        if d[p] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        m = d[p + 1]
+        p += 2
+        if m == 0xD8:  # stray SOI
+            raise ValueError("jpeg: unexpected SOI")
+        if m == 0xD9:  # EOI before any scan
+            raise ValueError("jpeg: EOI before SOS")
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST: no payload
+            continue
+        if m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            seglen = _u16(d, p)
+            prec = d[p + 2]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"jpeg: {prec}-bit precision not decoded here (needs PIL/libjpeg)"
+                )
+            h_img = _u16(d, p + 3)
+            w_img = _u16(d, p + 5)
+            ncomp = d[p + 7]
+            if h_img == 0 or w_img == 0:
+                raise ValueError("jpeg: zero frame dimension")
+            if ncomp == 4:
+                raise NotImplementedError(
+                    "jpeg: 4-component (CMYK/Adobe) not decoded here (needs PIL/libjpeg)"
+                )
+            if ncomp not in (1, 3):
+                raise ValueError(f"jpeg: unsupported component count {ncomp}")
+            comps = []
+            q = p + 8
+            for _ in range(ncomp):
+                cid, hv, tq = d[q], d[q + 1], d[q + 2]
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise NotImplementedError(
+                        f"jpeg: sampling factor {ch}x{cv} not decoded here (needs PIL/libjpeg)"
+                    )
+                comps.append((cid, ch, cv, tq))
+                q += 3
+            if h_img * w_img > _MAX_SAMPLES:
+                raise ValueError("jpeg: decoded size exceeds safety cap")
+            frame = (h_img, w_img, comps)
+            p += seglen
+        elif m == 0xC2:
+            raise NotImplementedError(
+                "jpeg: progressive (SOF2) not decoded here (needs PIL/libjpeg)"
+            )
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: non-baseline SOF (lossless/arithmetic/hierarchical) "
+                "not decoded here (needs PIL/libjpeg)"
+            )
+        elif m == 0xDB:  # DQT (possibly several tables per segment)
+            seglen = _u16(d, p)
+            q, end = p + 2, p + seglen
+            while q < end:
+                pq, tq = d[q] >> 4, d[q] & 15
+                q += 1
+                if pq == 0:
+                    tbl = np.frombuffer(d[q : q + 64], dtype=np.uint8).astype(np.int64)
+                    q += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(d[q : q + 128], dtype=">u2").astype(np.int64)
+                    q += 128
+                else:
+                    raise ValueError(f"jpeg: bad DQT precision {pq}")
+                if len(tbl) != 64 or (tbl == 0).any():
+                    raise ValueError("jpeg: bad quantization table")
+                qtables[tq] = tbl
+            p += seglen
+        elif m == 0xC4:  # DHT (possibly several tables per segment)
+            seglen = _u16(d, p)
+            q, end = p + 2, p + seglen
+            while q < end:
+                tc, th = d[q] >> 4, d[q] & 15
+                if tc > 1:
+                    raise ValueError("jpeg: bad DHT class")
+                bits = tuple(d[q + 1 : q + 17])
+                n = sum(bits)
+                vals = tuple(d[q + 17 : q + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("jpeg: truncated DHT")
+                htables[(tc, th)] = _HuffDecoder(bits, vals)
+                q += 17 + n
+            p += seglen
+        elif m == 0xDD:  # DRI
+            seglen = _u16(d, p)
+            restart_interval = _u16(d, p + 2)
+            p += seglen
+        elif m == 0xDA:  # SOS — baseline: single scan, decode to EOI
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            seglen = _u16(d, p)
+            ns = d[p + 2]
+            h_img, w_img, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "jpeg: multi-scan (non-interleaved) not decoded here (needs PIL/libjpeg)"
+                )
+            scan_tables = {}
+            q = p + 3
+            for _ in range(ns):
+                cs, tdta = d[q], d[q + 1]
+                scan_tables[cs] = (tdta >> 4, tdta & 15)
+                q += 2
+            return _decode_scan(
+                d, p + seglen, frame, scan_tables, qtables, htables, restart_interval
+            )
+        elif 0xE0 <= m <= 0xEF or m == 0xFE:  # APPn / COM
+            p += _u16(d, p)
+        else:
+            raise ValueError(f"jpeg: unexpected marker 0xFF{m:02X}")
+
+
+def _decode_scan(
+    d: bytes,
+    p: int,
+    frame: tuple,
+    scan_tables: dict,
+    qtables: dict,
+    htables: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = -(-w_img // (8 * hmax))
+    mcy = -(-h_img // (8 * vmax))
+    # per-component coefficient grids, MCU-block granular
+    grids = []
+    for cid, ch, cv, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"jpeg: missing quantization table {tq}")
+        if cid not in scan_tables:
+            raise ValueError(f"jpeg: scan references unknown component {cid}")
+        td, ta = scan_tables[cid]
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("jpeg: missing Huffman table for scan")
+        grids.append(np.zeros((mcy * cv, mcx * ch, 64), dtype=np.int64))
+    reader = _BitReader(d, p)
+    preds = [0] * len(comps)
+    block = np.zeros(64, dtype=np.int64)
+    n_restart = 0
+    for mcu in range(mcx * mcy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.sync_restart(n_restart)
+            n_restart = (n_restart + 1) & 7
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcx)
+        for ci, (cid, ch, cv, tq) in enumerate(comps):
+            td, ta = scan_tables[cid]
+            dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
+            for by in range(cv):
+                for bx in range(ch):
+                    block[:] = 0
+                    t = dc_t.decode(reader)
+                    if t > 11:
+                        raise ValueError("jpeg: DC category out of range")
+                    diff = _extend(reader.receive(t), t) if t else 0
+                    preds[ci] += diff
+                    block[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ac_t.decode(reader)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overruns block")
+                        block[k] = _extend(reader.receive(s), s)
+                        k += 1
+                    grids[ci][my * cv + by, mx * ch + bx, :] = block
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        deq = grids[ci] * qtables[tq][None, None, :]
+        raster = np.zeros_like(deq)
+        raster[:, :, ZIGZAG] = deq
+        blocks = raster.reshape(raster.shape[0], raster.shape[1], 8, 8)
+        spatial = np.einsum("ij,byjk,kl->byil", _A.T, blocks.astype(np.float64), _A)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(blocks.shape[0] * 8, blocks.shape[1] * 8)
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # crop to this component's true sample dims, then replicate up
+        csh = -(-h_img * cv // vmax)
+        csw = -(-w_img * ch // hmax)
+        plane = plane[:csh, :csw]
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(plane[:h_img, :w_img])
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = np.round(y + 1.402 * (cr - 128.0))
+    g = np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+    b = np.round(y + 1.772 * (cb - 128.0))
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixtures + tests)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def pad_to_byte(self) -> None:
+        while self.nbits:
+            self.put(1, 1)
+
+
+def _encode_map(bits: tuple[int, ...], vals: tuple[int, ...]) -> dict[int, tuple[int, int]]:
+    return {sym: lc for lc, sym in zip(_canonical_codes(bits), vals)}
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _magnitude_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_block(
+    w: _BitWriter,
+    coeffs: np.ndarray,
+    pred: int,
+    dc_map: dict,
+    ac_map: dict,
+) -> int:
+    diff = int(coeffs[0]) - pred
+    t = _category(diff)
+    ln, code = dc_map[t]
+    w.put(code, ln)
+    if t:
+        w.put(_magnitude_bits(diff, t), t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coeffs[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coeffs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_map[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _category(v)
+        ln, code = ac_map[(run << 4) | s]
+        w.put(code, ln)
+        w.put(_magnitude_bits(v, s), s)
+        run = 0
+    if last_nz != 63:
+        ln, code = ac_map[0x00]  # EOB
+        w.put(code, ln)
+    return int(coeffs[0])
+
+
+def _plane_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Pad a sample plane to 8-multiples (edge replicate), FDCT +
+    quantize every block, return (by, bx, 64) zigzag coefficients."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) != (h, w):
+        plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    shifted = plane.astype(np.float64) - 128.0
+    blocks = shifted.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,byjk,kl->byil", _A, blocks, _A.T)
+    coeff = coeff.reshape(ph // 8, pw // 8, 64)
+    zz = coeff[:, :, ZIGZAG]
+    return np.round(zz / quant[None, None, :]).astype(np.int64)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dht_body(tc: int, th: int, bits: tuple[int, ...], vals: tuple[int, ...]) -> bytes:
+    return bytes([(tc << 4) | th, *bits, *vals])
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: tuple[np.ndarray, np.ndarray] | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    color_input: str = "rgb",
+) -> bytes:
+    """(H, W) gray or (H, W, 3) color uint8 -> baseline JFIF bytes.
+
+    ``quant=None`` writes ALL-ONES quantization tables — the exactness
+    default the fixture oracles rely on (block-constant inputs then
+    round-trip bit-exactly; see module docstring). ``color_input=
+    "ycbcr"`` treats the input's channels as Y/Cb/Cr directly, which
+    is how fixtures pin the decoder's color-convert law without the
+    lossy RGB->YCbCr forward step. ``subsampling``: 444 | 422 | 420
+    (chroma box-averaged then rounded)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise ValueError(f"encode_jpeg: expected uint8 (H,W[,3]), got {a.dtype} {a.shape}")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if quant is None:
+        ql = np.ones(64, dtype=np.int64)
+        qc = np.ones(64, dtype=np.int64)
+    else:
+        ql = np.asarray(quant[0], dtype=np.int64).reshape(64)
+        qc = np.asarray(quant[1], dtype=np.int64).reshape(64)
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        if color_input == "ycbcr":
+            y = a[:, :, 0].astype(np.float64)
+            cb = a[:, :, 1].astype(np.float64)
+            cr = a[:, :, 2].astype(np.float64)
+        elif color_input == "rgb":
+            r = a[:, :, 0].astype(np.float64)
+            g = a[:, :, 1].astype(np.float64)
+            b = a[:, :, 2].astype(np.float64)
+            y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+            cb = np.round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+            cr = np.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+            y, cb, cr = (np.clip(x, 0, 255) for x in (y, cb, cr))
+        else:
+            raise ValueError(f"encode_jpeg: bad color_input {color_input!r}")
+        fx, fy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+        if fx > 1 or fy > 1:
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            def down(p: np.ndarray) -> np.ndarray:
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return np.round(
+                    p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+                )
+            cb, cr = down(cb), down(cr)
+        planes = [y, cb, cr]
+        samp = [(fx, fy), (1, 1), (1, 1)]
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+    ncomp = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for i in range(ncomp):
+        fx, fy = samp[i]
+        sof += bytes([i + 1, (fx << 4) | fy, 0 if i == 0 else 1])
+    out += _seg(0xC0, bytes(sof))
+    out += _seg(0xC4, _dht_body(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_body(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
+    if not gray:
+        out += _seg(0xC4, _dht_body(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        out += _seg(0xC4, _dht_body(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, bytes(sos))
+    # entropy-coded data
+    comp_blocks = [
+        _plane_blocks(planes[i], ql if i == 0 else qc) for i in range(ncomp)
+    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    # a component's block grid may be smaller than MCU coverage when its
+    # padded plane rounds down; pad the grid with flat blocks matching
+    # the edge DC so every MCU is complete
+    for i in range(ncomp):
+        fx, fy = samp[i]
+        need_y, need_x = mcy * fy, mcx * fx
+        cb_ = comp_blocks[i]
+        if cb_.shape[0] < need_y or cb_.shape[1] < need_x:
+            pad = np.zeros((need_y, need_x, 64), dtype=np.int64)
+            pad[: cb_.shape[0], : cb_.shape[1]] = cb_
+            for yy in range(need_y):
+                for xx in range(need_x):
+                    if yy >= cb_.shape[0] or xx >= cb_.shape[1]:
+                        pad[yy, xx, 0] = pad[
+                            min(yy, cb_.shape[0] - 1), min(xx, cb_.shape[1] - 1), 0
+                        ]
+            comp_blocks[i] = pad
+    dc_maps = [_encode_map(_DC_LUMA_BITS, _DC_LUMA_VALS)] + [
+        _encode_map(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    ac_maps = [_encode_map(_AC_LUMA_BITS, _AC_LUMA_VALS)] + [
+        _encode_map(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_restart = 0
+    for mcu in range(mcx * mcy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.pad_to_byte()
+            writer.out += bytes([0xFF, 0xD0 + n_restart])
+            n_restart = (n_restart + 1) & 7
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcx)
+        for ci in range(ncomp):
+            fx, fy = samp[ci]
+            for by in range(fy):
+                for bx in range(fx):
+                    preds[ci] = _encode_block(
+                        writer,
+                        comp_blocks[ci][my * fy + by, mx * fx + bx],
+                        preds[ci],
+                        dc_maps[ci],
+                        ac_maps[ci],
+                    )
+    writer.pad_to_byte()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+try:  # pragma: no cover — exercised implicitly by every worker-side decode
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 — pickling registration is best-effort off-Spark
+    pass

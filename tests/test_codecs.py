@@ -133,21 +133,22 @@ def test_bmp_honest_gates():
 
 
 def test_compressed_formats_gate_or_decode():
-    """JPEG magic: NotImplementedError naming the codec when PIL is
-    absent (this container); PNG now decodes in pure Python, so torn
-    PNG bytes are a ValueError quarantine row, not a gate; unrecognized
-    bytes are ValueError."""
-    jpeg = b"\xff\xd8\xff" + bytes(32)
+    """PNG and baseline JPEG decode in pure Python, so torn bytes of
+    either are a ValueError quarantine row, not a gate; WebP stays
+    codec-gated; unrecognized bytes are ValueError."""
+    with pytest.raises(ValueError):  # torn JPEG: controlled failure
+        decode_image(b"\xff\xd8\xff" + bytes(32))
+    with pytest.raises(ValueError):  # torn PNG: controlled failure
+        decode_image(b"\x89PNG\r\n\x1a\n" + bytes(32))
+    webp = b"RIFF\x00\x00\x00\x00WEBP" + bytes(16)
     try:
         import PIL  # noqa: F401
 
         with pytest.raises(ValueError):  # magic sniffs, bytes don't decode
-            decode_image(jpeg)
+            decode_image(webp)
     except ImportError:
         with pytest.raises(NotImplementedError, match="codec"):
-            decode_image(jpeg)
-    with pytest.raises(ValueError):  # torn PNG: controlled failure
-        decode_image(b"\x89PNG\r\n\x1a\n" + bytes(32))
+            decode_image(webp)
     with pytest.raises(ValueError, match="not a decodable image"):
         decode_image(b"\x00\x01plain garbage")
     assert sniff_format(b"GIF89a...") == "gif"

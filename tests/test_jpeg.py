@@ -1,0 +1,302 @@
+"""Baseline JPEG codec tests (multimodal/jpeg.py).
+
+Strategy mirrors the PNG/GIF suites: hand-built byte vectors pin the
+DECODER against the public spec independent of our encoder (marker
+layout, custom DHTs, EXTEND sign semantics, IDCT law), property tests
+pin the exactness contract the fixture oracles rely on (all-ones
+quant + block-constant pixels round-trip bit-exactly through every
+subsampling/restart shape), and structured fuzz pins fail-closed
+behavior on torn/corrupt streams. An independent double-loop IDCT
+(straight from the T.81 formula, no shared code with the codec's
+matrix form) checks the transform itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_orders_spark.multimodal.codecs import decode_image, sniff_format
+from etl_orders_spark.multimodal.jpeg import ZIGZAG, decode_jpeg, encode_jpeg
+
+
+def _idct_reference(coeff: np.ndarray) -> np.ndarray:
+    """T.81 A.3.3 IDCT, straight double loop — independent of _A."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeff[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# hand-built byte vectors (decoder independent of encoder)
+# ---------------------------------------------------------------------------
+
+
+def _hand_jpeg(entropy: bytes, ac_two_symbols: bool = False) -> bytes:
+    """Minimal 8x8 grayscale baseline JPEG with identity quant and a
+    hand-sized DHT: DC symbols 0..11 all at code length 4 (code ==
+    symbol), AC table either {EOB: '0'} or {EOB: '0', 0x01: '10'}."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb\x00\x43\x00" + b"\x01" * 64
+    out += b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    out += b"\xff\xc4" + (2 + 1 + 16 + 12).to_bytes(2, "big") + b"\x00" + dc_bits
+    out += bytes(range(12))
+    if ac_two_symbols:
+        ac_bits = bytes([1, 1] + [0] * 14)
+        out += b"\xff\xc4" + (2 + 1 + 16 + 2).to_bytes(2, "big") + b"\x10" + ac_bits
+        out += b"\x00\x01"
+    else:
+        ac_bits = bytes([1] + [0] * 15)
+        out += b"\xff\xc4" + (2 + 1 + 16 + 1).to_bytes(2, "big") + b"\x10" + ac_bits
+        out += b"\x00"
+    out += b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hand_built_flat_block():
+    """DC diff 576 (category 10, bits 1001000000) -> flat 200.
+
+    Entropy bits: DC sym 10 = '1010', magnitude '1001000000',
+    EOB '0', pad '1' => bytes A9 01."""
+    img = decode_jpeg(_hand_jpeg(bytes([0xA9, 0x01])))
+    assert img.shape == (8, 8, 3)
+    assert (img == 200).all()
+
+
+def test_hand_built_negative_dc():
+    """DC diff -576: category 10, magnitude bits -576+1023=447=
+    0110111111 -> flat round(-576/8)+128 = 56.
+
+    Bits: '1010' + '0110111111' + EOB '0' + pad '1' => A6 FD (FF
+    would need stuffing; A6 FD has none)."""
+    # 1010 0110 1111 11 0 1 -> bytes: 10100110 = 0xA6, 11111101 = 0xFD
+    img = decode_jpeg(_hand_jpeg(bytes([0xA6, 0xFD])))
+    assert (img == 56).all()
+
+
+def test_hand_built_ac_coefficient_matches_reference_idct():
+    """DC 576 + AC +1 at zigzag k=1 (raster (0,1)): decoder must match
+    the independent double-loop IDCT exactly.
+
+    Bits: DC '1010'+'1001000000', AC sym 0x01 '10' + magnitude '1',
+    EOB '0', pad -> 1010 1001 0000 0010 1 0 +1-pad
+    => bytes A9 02 A0 | wait, computed below bit by bit."""
+    bits = "1010" + "1001000000" + "10" + "1" + "0"
+    bits += "1" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    img = decode_jpeg(_hand_jpeg(data, ac_two_symbols=True))
+    coeff = np.zeros((8, 8))
+    coeff[0, 0] = 576.0
+    pos = int(ZIGZAG[1])
+    coeff[pos // 8, pos % 8] = 1.0
+    expect = np.clip(np.round(_idct_reference(coeff) + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(img[:, :, 0], expect)
+    assert np.array_equal(img[:, :, 1], expect)
+
+
+def test_hand_built_16bit_dqt_precision():
+    """Pq=1 (16-bit) quant entries parse and scale: DC quant 257
+    with stored DC 2 -> flat round(514/8)+128 = 192."""
+    out = bytearray(b"\xff\xd8")
+    body = bytearray(b"\x10")  # Pq=1, Tq=0
+    body += (257).to_bytes(2, "big") + b"\x00\x01" * 63
+    out += b"\xff\xdb" + (2 + len(body)).to_bytes(2, "big") + body
+    out += b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    out += b"\xff\xc4" + (31).to_bytes(2, "big") + b"\x00" + dc_bits + bytes(range(12))
+    out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10" + bytes([1] + [0] * 15) + b"\x00"
+    out += b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    # DC diff 2: category 2 code '0010', magnitude '10', EOB '0', pad
+    bits = "0010" + "10" + "0"
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(1, "big")
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert (img == round(514 / 8) + 128).all()
+
+
+def test_byte_stuffing_in_entropy_stream():
+    """A DC value whose code bits produce a 0xFF byte must be stuffed
+    by the encoder and unstuffed by the decoder: round-trip a flat
+    block at every value 0..255 (some hit stuffing)."""
+    hit = 0
+    for v in range(0, 256, 7):
+        img = np.full((8, 8), v, np.uint8)
+        data = encode_jpeg(img)
+        if b"\xff\x00" in data[data.find(b"\xff\xda") :]:
+            hit += 1
+        out = decode_jpeg(data)
+        assert (out[:, :, 0] == v).all(), v
+    assert hit > 0  # the sweep actually exercised unstuffing
+
+
+# ---------------------------------------------------------------------------
+# exactness contract (what the fixture oracles rely on)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.sampled_from(["444", "422", "420"]),
+    ri=st.sampled_from([0, 1, 3]),
+)
+def test_flat_blocks_roundtrip_exact(bw, bh, seed, sub, ri):
+    """All-ones quant + block-constant pixels: bit-exact through every
+    subsampling and restart shape (the oracle exactness law)."""
+    rng = np.random.default_rng(seed)
+    h, w = bh * 8, bw * 8
+    y = np.repeat(np.repeat(rng.integers(0, 256, (bh, bw)), 8, 0), 8, 1).astype(np.uint8)
+    gray = decode_jpeg(encode_jpeg(y, restart_interval=ri))
+    assert (gray[:, :, 0] == y).all() and (gray[:, :, 2] == y).all()
+    img = np.stack([y, np.full((h, w), 144, np.uint8), np.full((h, w), 112, np.uint8)], 2)
+    out = decode_jpeg(encode_jpeg(img, subsampling=sub, restart_interval=ri, color_input="ycbcr"))
+    yy = y.astype(np.int64)
+    assert (out[:, :, 0] == np.clip(yy - 22, 0, 255)).all()
+    assert (out[:, :, 1] == np.clip(yy + 6, 0, 255)).all()
+    assert (out[:, :, 2] == np.clip(yy + 28, 0, 255)).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_random_gray_identity_quant_near_exact(w, h, seed):
+    """Arbitrary content, identity quant: FDCT rounding is the only
+    loss, so every sample is within 1 count."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_quantized_roundtrip_bounded():
+    """Real (non-identity) quant tables stay sane: flat 16s tables
+    bound the per-sample error by the dequant step's reach."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    q = (np.full(64, 16, np.int64), np.full(64, 16, np.int64))
+    out = decode_jpeg(encode_jpeg(img, quant=q))
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert err.mean() < 16 and err.max() < 128
+
+
+def test_odd_dims_and_subsampling_crop():
+    """Non-MCU-aligned dims crop correctly for every subsampling."""
+    rng = np.random.default_rng(4)
+    for h, w in [(9, 17), (23, 31), (8, 9), (17, 8)]:
+        for sub in ["444", "422", "420"]:
+            y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            img = np.stack(
+                [y, np.full((h, w), 140, np.uint8), np.full((h, w), 120, np.uint8)], 2
+            )
+            out = decode_jpeg(encode_jpeg(img, subsampling=sub, color_input="ycbcr"))
+            assert out.shape == (h, w, 3)
+
+
+def test_rgb_forward_convert_roundtrip_close():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+# ---------------------------------------------------------------------------
+# gates + fail-closed
+# ---------------------------------------------------------------------------
+
+
+def _valid_small() -> bytes:
+    y = np.repeat(np.repeat(np.arange(6).reshape(2, 3) * 40, 8, 0), 8, 1).astype(np.uint8)
+    return encode_jpeg(y)
+
+
+def test_honest_gates():
+    base = bytearray(_valid_small())
+    i = bytes(base).find(b"\xff\xc0")
+    prog = bytearray(base)
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    arith = bytearray(base)
+    arith[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(arith))
+    deep = bytearray(base)
+    deep[i + 4] = 12  # precision byte
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
+    samp = bytearray(base)
+    samp[i + 11] = 0x31  # 3x1 sampling
+    with pytest.raises(NotImplementedError, match="sampling factor"):
+        decode_jpeg(bytes(samp))
+
+
+def test_fail_closed():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI before SOS
+    good = _valid_small()
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-12])  # truncated entropy data
+    bomb = bytearray(good)
+    i = bytes(bomb).find(b"\xff\xc0")
+    bomb[i + 5 : i + 9] = b"\xff\xff\xff\xff"  # 65535 x 65535
+    with pytest.raises(ValueError, match="cap"):
+        decode_jpeg(bytes(bomb))
+    zeroq = bytearray(good)
+    j = bytes(zeroq).find(b"\xff\xdb")
+    zeroq[j + 5] = 0  # first quant entry 0
+    with pytest.raises(ValueError, match="quantization"):
+        decode_jpeg(bytes(zeroq))
+
+
+@settings(max_examples=120, deadline=None)
+@given(idx=st.integers(0, 4095), val=st.integers(0, 255))
+def test_single_byte_mutations_fail_controlled(idx, val):
+    """Bit-rot fuzz: JPEG carries no CRC, so a mutation may still
+    decode (to different pixels) — but it must NEVER escape the
+    controlled exception set or hang."""
+    data = bytearray(_valid_small())
+    if idx >= len(data):
+        idx %= len(data)
+    if data[idx] == val:
+        val = (val + 1) & 0xFF
+    data[idx] = val
+    try:
+        out = decode_jpeg(bytes(data))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_router_integration():
+    """decode_image routes JPEG natively and sniffs the format."""
+    data = _valid_small()
+    assert sniff_format(data) == "jpeg"
+    img = decode_image(data)
+    assert img.shape == (16, 24, 3)
+    assert (img[0:8, 0:8, 0] == 0).all() and (img[8:16, 0:8, 0] == 120).all()
