@@ -14,10 +14,11 @@ Design for 100 TB of media:
   the strict decode -> resize -> feature path executes here and
   carries DuckDB value-hash oracles on generated fixtures. GIF decodes
   natively too (from-scratch variable-width LZW + 4-pass interlace
-  unweave), closing both lossless web formats; PNG/GIF shapes the
-  native codecs gate (16-bit, Adam7) fall through to PIL when present.
-  Lossy codecs (JPEG/WebP) route through PIL when present and
-  otherwise raise the honest ImportError-gated NotImplementedError,
+  unweave), and baseline JPEG decodes natively as well (stream-read
+  Huffman + matrix IDCT, jpeg.py) — covering both lossless web
+  formats AND the dominant lossy one. Shapes the native codecs gate
+  (progressive/arithmetic/12-bit JPEG, WebP) fall through to PIL when
+  present and otherwise raise the honest NotImplementedError,
   while byte-level features (size, entropy-ish stats, content
   fingerprint) stay codec-free and deterministic.
 """

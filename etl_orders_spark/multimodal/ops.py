@@ -7,12 +7,13 @@ Arrow boundary once per partition batch, Python handles whole columns
 no per-row UDF calls, no driver collection.
 
 Pixel decode dispatches through multimodal/codecs.py: PPM/PGM/BMP,
-PNG (stdlib-zlib DEFLATE + the five scanline unfilters) and GIF
-(variable-width LZW + interlace unweave) decode in pure Python — the
-strict path is fully executable and oracle-tested on generated
-fixtures; lossy formats (JPEG/WebP), and the rare PNG/GIF shapes the
-native codecs gate, route through PIL when present and otherwise
-raise the honest NotImplementedError this container has always raised.
+PNG (stdlib-zlib DEFLATE + the five scanline unfilters), GIF
+(variable-width LZW + interlace unweave) and baseline JPEG (Huffman +
+matrix IDCT) decode in pure Python — the strict path is fully
+executable and oracle-tested on generated fixtures; the variants the
+native codecs gate (progressive/arithmetic/12-bit JPEG, WebP) route
+through PIL when present and otherwise raise the honest
+NotImplementedError this container has always raised.
 The codecs module registers itself for cloudpickle BY-VALUE shipping,
 so the closures below may call it on bare-session workers.
 """

@@ -380,6 +380,78 @@ def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFram
 
     return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
 
+
+def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
+    """Deterministic REAL baseline-JPEG rows with a closed-form pixel
+    law a LOSSY codec can still satisfy exactly: all-ones quantization
+    tables + BLOCK-CONSTANT pixels make the whole entropy/DCT pipeline
+    bit-exact (multimodal/jpeg.py module docstring), so the law lives
+    at 8x8-block grain:
+
+        w = 16 + 8*(id % 3), h = 8 + 8*(id % 2)     (block grid bw x bh)
+        v(id, bx, by) = (7*id + 3*bx + 5*by) % 256  (every pixel of the block)
+
+    with the SHAPE cycling the decoder's surface by ``id % 4``:
+
+        0 = grayscale (1 component)          -> r = g = b = v
+        1 = YCbCr 4:4:4, Cb=144, Cr=112      -> r = max(0, v-22),
+        2 = YCbCr 4:2:0 (same chroma)           g = min(255, v+6),
+        3 = grayscale + restart interval 2      b = min(255, v+28)
+
+    The color law is the JFIF float matrix evaluated at the pinned
+    chroma constants: 1.402*(112-128) = -22.432, +5.92, +28.352 —
+    fractions chosen so round-to-nearest can never straddle a .5 and
+    the DuckDB twin can mirror the convert as integer offsets + clamp.
+    Constant chroma also makes 4:2:0 box-downsampling exact, so shape
+    2 certifies the subsample/replicate path against the same law. A
+    value-hash match certifies marker parsing, stream-read DQT/DHT,
+    Huffman + EXTEND, the IDCT, restart-marker predictor resets, and
+    the color convert bit for bit (hand-built vectors in
+    tests/test_jpeg.py additionally pin the decoder independent of
+    the encoder)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.jpeg import encode_jpeg
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int, int]:
+            w, h = 16 + 8 * (mid % 3), 8 + 8 * (mid % 2)
+            bx = np.arange(w // 8, dtype=np.int64)[None, :]
+            by = np.arange(h // 8, dtype=np.int64)[:, None]
+            v = (7 * mid + 3 * bx + 5 * by) % 256
+            y = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+            shape = mid % 4
+            if shape in (0, 3):
+                return encode_jpeg(y, restart_interval=2 if shape == 3 else 0), w, h
+            ycc = np.stack(
+                [y, np.full((h, w), 144, np.uint8), np.full((h, w), 112, np.uint8)],
+                axis=2,
+            )
+            sub = "444" if shape == 1 else "420"
+            return encode_jpeg(ycc, subsampling=sub, color_input="ycbcr"), w, h
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, w, h = content_for(int(mid))
+                meta = {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def gen_mulaw_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic REAL mu-law (G.711, WAVE format tag 7) rows: the
     fixture generates the 8-bit CODEWORDS from a closed-form law —
