@@ -2292,11 +2292,13 @@ _BPE_TRAIN_ITERS = 3
 _BPE_EOW = "</w>"  # end-of-word terminal, per the paper
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled k-iteration BPE training twin. Every quantity is an
-    integer (frequencies, positions, 32-bit word-form hashes summed to
-    a BIGINT checksum), so the value hash has no FP surface at all."""
-    h = _sql_hash(77, "word || '#' || s")
+def _bpe_rounds_sql() -> str:
+    """Shared WITH-body running {_BPE_TRAIN_ITERS} unrolled training
+    rounds: vocabulary collapse -> symbol rows -> per-round (top pair,
+    island merge, rebuild). Both the train oracle (which reads the
+    per-round tops + vocab checksums) and the encode oracle (which
+    reads the FINAL symbol table rows{{K}}) append onto this prefix,
+    so the two lanes cannot drift."""
     sql = f"""
     WITH tok AS (
       SELECT UNNEST({_LOWER_TOKENS}) AS w FROM documents
@@ -2341,7 +2343,18 @@ def _bpe_train_oracle() -> str:
         LEFT JOIN keep{i} k2 ON m.word = k2.word AND m.pos = k2.pos + 1
         WHERE k2.pos IS NULL
       )
-    ), out{i} AS (
+    )"""
+    return sql
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled k-iteration BPE training twin. Every quantity is an
+    integer (frequencies, positions, 32-bit word-form hashes summed to
+    a BIGINT checksum), so the value hash has no FP surface at all."""
+    h = _sql_hash(77, "word || '#' || s")
+    sql = _bpe_rounds_sql()
+    for i in range(1, _BPE_TRAIN_ITERS + 1):
+        sql += f""", out{i} AS (
       SELECT CAST({i} AS BIGINT) AS it, t.a || '+' || t.b AS pair,
              t.w AS weight,
              (SELECT CAST(SUM({h}) AS BIGINT) FROM (
@@ -2356,36 +2369,12 @@ def _bpe_train_oracle() -> str:
     return sql + "\n    " + picks
 
 
-@register(
-    "bpe_train_merges_docs",
-    _bpe_train_oracle(),
-    tags=("text", "tokenize", "llm", "iterative"),
-)
-def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, {K} merge rounds executed for real
-    (Sennrich et al. ACL 2016), relationally: each round counts
-    adjacent symbol pairs over the frequency-collapsed vocabulary,
-    takes the (weight DESC, pair ASC) top pair, and merges its greedy
-    leftmost-nonoverlapping occurrences in every word — matching
-    positions form consecutive islands per word and exactly the even
-    offsets within an island merge, which handles the 'aaa' overlap
-    hazard without any sequential fold. Output per round: the learned
-    merge rule, its corpus weight, and an order-insensitive BIGINT
-    checksum of every post-merge word SEGMENTATION (space-joined symbol
-    sequence — NOT the bare concatenation, which is merge-invariant
-    and would certify nothing — summed as portable 32-bit hashes), so
-    the oracle certifies the merged vocabulary state after every
-    round, not just the rule sequence. All-integer law — no FP anywhere.
-
-    Plan shape at 100 TB: the corpus collapses to its vocabulary ONCE
-    (one word-count shuffle, Heaps'-law sublinear); every round then
-    touches |vocab| x avg_len rows regardless of corpus size — pair
-    counts aggregate with map-side partials into an alphabet-bounded
-    table, the 1-row top pair broadcasts, islands + rebuild are
-    word-keyed windows, and each round's symbol table is eagerly
-    checkpointed so round j's plan reads round j-1's materialized
-    rows (the kcenter lineage-truncation pattern). The driver never
-    sees data — only the k 1-row merge rules."""
+def _bpe_run_rounds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Execute the {K}-round BPE training loop; returns the FINAL
+    word-form symbol table (word, freq, pos, sym) and the per-round
+    train outputs (it, pair, weight, vocab_checksum). Shared by the
+    train lane and the encode lane so the merge semantics cannot
+    drift between learning and applying the tokenizer."""
     docs = T(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("w")
@@ -2483,6 +2472,43 @@ def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vocab_checksum",
             )
         )
+    return rows, outs
+
+
+_bpe_run_rounds.__doc__ = _bpe_run_rounds.__doc__.format(K=_BPE_TRAIN_ITERS)
+
+
+@register(
+    "bpe_train_merges_docs",
+    _bpe_train_oracle(),
+    tags=("text", "tokenize", "llm", "iterative"),
+)
+def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, {K} merge rounds executed for real
+    (Sennrich et al. ACL 2016), relationally: each round counts
+    adjacent symbol pairs over the frequency-collapsed vocabulary,
+    takes the (weight DESC, pair ASC) top pair, and merges its greedy
+    leftmost-nonoverlapping occurrences in every word — matching
+    positions form consecutive islands per word and exactly the even
+    offsets within an island merge, which handles the 'aaa' overlap
+    hazard without any sequential fold. Output per round: the learned
+    merge rule, its corpus weight, and an order-insensitive BIGINT
+    checksum of every post-merge word SEGMENTATION (space-joined symbol
+    sequence — NOT the bare concatenation, which is merge-invariant
+    and would certify nothing — summed as portable 32-bit hashes), so
+    the oracle certifies the merged vocabulary state after every
+    round, not just the rule sequence. All-integer law — no FP anywhere.
+
+    Plan shape at 100 TB: the corpus collapses to its vocabulary ONCE
+    (one word-count shuffle, Heaps'-law sublinear); every round then
+    touches |vocab| x avg_len rows regardless of corpus size — pair
+    counts aggregate with map-side partials into an alphabet-bounded
+    table, the 1-row top pair broadcasts, islands + rebuild are
+    word-keyed windows, and each round's symbol table is eagerly
+    checkpointed so round j's plan reads round j-1's materialized
+    rows (the kcenter lineage-truncation pattern). The driver never
+    sees data — only the k 1-row merge rules."""
+    _, outs = _bpe_run_rounds(spark, sf_dir)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -2490,3 +2516,96 @@ def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_train_merges_docs.__doc__ = bpe_train_merges_docs.__doc__.format(K=_BPE_TRAIN_ITERS)
+
+
+def _bpe_encode_oracle() -> str:
+    """Encode twin: the shared round prefix (so the learned merges are
+    byte-identical to the train lane's), then the final symbol table
+    joins back to per-document word occurrences. All-integer."""
+    h = _sql_hash(78, "word || '#' || s")
+    k = _BPE_TRAIN_ITERS
+    return _bpe_rounds_sql() + f""", wordform AS (
+      SELECT word, string_agg(sym, ' ' ORDER BY pos) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_sym
+      FROM rows{k} GROUP BY word
+    ), wordseg AS (
+      SELECT word, n_sym, {h} AS h FROM wordform
+    ), docw AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ws.n_sym) AS BIGINT) AS n_tokens,
+           CAST(SUM(ws.h) AS BIGINT) AS seg_checksum
+    FROM docw d JOIN wordseg ws ON d.w = ws.word
+    WHERE length(d.w) >= 2
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "bpe_encode_docs",
+    _bpe_encode_oracle(),
+    tags=("text", "tokenize", "llm", "iterative"),
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer to the corpus — the second half
+    of the tokenizer story (train: bpe_train_merges_docs): run the
+    same {K} merge rounds via the SHARED round machinery, then encode
+    every document with the final segmentation. Output per doc: word
+    count, post-merge TOKEN count (including the </w> terminal), and
+    an order-insensitive checksum of every word occurrence's exact
+    segmentation — so the oracle certifies not just token totals but
+    the precise symbol sequence each document tokenizes to.
+
+    Plan shape at 100 TB — the reason this is the scalable form of
+    tokenizer inference: encoding is computed once per DISTINCT word
+    form (the Heaps'-law-sublinear vocabulary), never per occurrence;
+    the corpus then pays one equi-join of (doc_id, word) against the
+    encoded vocabulary — AQE broadcasts it while it fits, and the
+    join key is the word itself so skewed stopwords land on the
+    map side of a broadcast rather than hot shuffle partitions. The
+    per-occurrence work is a hash probe, not a merge loop; no UDF,
+    no per-row Python."""
+    rows, _ = _bpe_run_rounds(spark, sf_dir)
+    wordform = rows.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+            " ",
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_sym"),
+    )
+    wordseg = wordform.select(
+        "word",
+        "n_sym",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("78|"), F.col("word"), F.lit("#"), F.col("s"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    docs = T(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    return (
+        docw.join(wordseg, docw["w"] == wordseg["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.sum("h").cast("long").alias("seg_checksum"),
+        )
+    )
+
+
+bpe_encode_docs.__doc__ = bpe_encode_docs.__doc__.format(K=_BPE_TRAIN_ITERS)

@@ -101,3 +101,31 @@ def test_bpe_train_overlap_hazard_merges_left_to_right(spark, tmp_path):
         ("aa+aa", 2),
         ("a+</w>", 1),
     ]
+
+
+def test_bpe_encode_planted_corpus_law(spark, tmp_path):
+    """Encode applies the learned merges to every word OCCURRENCE.
+    This corpus has vocab {aaaa: 4, aaaaa: 1}; hand-running the 3
+    rounds: a+a (16) -> aa+aa (5) -> aaaa+</w> (4), so the final
+    segmentations are aaaa -> [aaaa</w>] (1 token) and aaaaa ->
+    [aaaa, a, </w>] (3 tokens). A doc repeating one word twice must
+    produce exactly double the single-occurrence checksum
+    (occurrence-weighted hashing, not distinct-word hashing)."""
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="aaaa aaaaa", lang="en", source="s0", n_chars=10),
+            Row(doc_id=1, text="aaaa", lang="en", source="s0", n_chars=4),
+            Row(doc_id=2, text="aaaa aaaa", lang="en", source="s0", n_chars=9),
+        ]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {r.doc_id: r for r in query_map()["bpe_encode_docs"](spark, sf_dir).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_words, out[0].n_tokens) == (2, 4)
+    assert (out[1].n_words, out[1].n_tokens) == (1, 1)
+    assert (out[2].n_words, out[2].n_tokens) == (2, 2)
+    assert out[2].seg_checksum == 2 * out[1].seg_checksum
