@@ -888,3 +888,145 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_DSIR_K)
         .select("doc_id", "lang", "n_toks", "logw_micro")
     )
+
+
+# --- quality-classifier training (logistic regression, unrolled GD) ---------
+# The standard LLM-curation quality filter is a small linear classifier
+# (CCNet / DCLM use fastText-class models) scored over cheap text
+# features. This lane TRAINS one in-engine: k rounds of full-batch
+# gradient descent on three SQL-expressible features, the high-resource
+# -language proxy label (lang == 'en'), and a weight vector that is
+# rounded to 6 decimals at every round boundary so the unrolled DuckDB
+# twin tracks the exact same trajectory (the kmeans/BPE determinism
+# pattern: FP noise is clipped before it can compound).
+_LR_ITERS = 3
+
+
+def _lr_quality_oracle() -> str:
+    from etl_orders_spark.plans.text_queries import (
+        _N_TOKENS,
+        _PUNCT_RATIO,
+        _STOP_RATIO,
+    )
+
+    sql = f"""
+    WITH feat AS (
+      SELECT doc_id,
+             ln(1.0 + {_N_TOKENS}) AS x1,
+             {_PUNCT_RATIO} AS x2,
+             {_STOP_RATIO} AS x3,
+             CASE WHEN COALESCE(lang, '') = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM (SELECT doc_id, COALESCE(text, '') AS text, lang FROM documents)
+    ), w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    for i in range(1, _LR_ITERS + 1):
+        p = "1.0 / (1.0 + exp(-(b + w1*x1 + w2*x2 + w3*x3)))"
+        sql += f""", g{i} AS (
+      SELECT AVG(p - y) AS gb, AVG((p - y) * x1) AS g1,
+             AVG((p - y) * x2) AS g2, AVG((p - y) * x3) AS g3
+      FROM (SELECT y, x1, x2, x3, {p} AS p FROM feat, w{i - 1})
+    ), w{i} AS (
+      SELECT ROUND(b - gb, 6) AS b, ROUND(w1 - g1, 6) AS w1,
+             ROUND(w2 - g2, 6) AS w2, ROUND(w3 - g3, 6) AS w3
+      FROM w{i - 1}, g{i}
+    ), o{i} AS (
+      SELECT CAST({i} AS BIGINT) AS it,
+             b AS w_bias, w1 AS w_logtok, w2 AS w_punct, w3 AS w_stop,
+             (SELECT CAST(COUNT(*) FILTER (
+                WHERE ((b + w1*x1 + w2*x2 + w3*x3) > 0) = (y = 1.0)
+              ) AS BIGINT) FROM feat, w{i}) AS n_correct
+      FROM w{i}
+    )"""
+    picks = " UNION ALL ".join(f"SELECT * FROM o{i}" for i in range(1, _LR_ITERS + 1))
+    return sql + "\n    " + picks
+
+
+@register(
+    "logreg_quality_train_docs",
+    _lr_quality_oracle(),
+    tags=("curation", "quality", "llm", "iterative", "ml"),
+)
+def logreg_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression quality classifier IN-ENGINE: {K}
+    rounds of full-batch gradient descent (lr = 1) on three cheap
+    prose features — ln(1 + token count), punctuation ratio, stopword
+    ratio — against the high-resource-language proxy label
+    (lang == 'en'), the label CCNet-class pipelines bootstrap quality
+    filters from when no human labels exist. Output per round: the
+    weight vector (rounded to 6 decimals — the round boundary is the
+    determinism clip that keeps the unrolled DuckDB twin on the exact
+    same trajectory) and the INTEGER count of correctly-classified
+    docs, so the oracle certifies both the learned model and its
+    training-set fit with no FP surface beyond the clipped weights.
+
+    Plan shape at 100 TB: features are one narrow map over the corpus,
+    computed ONCE and checkpointed; each GD round is a single
+    map-side-combined AVG aggregation (4 doubles of state per
+    partition) plus a broadcast of the 1-row weight vector — the
+    classic data-parallel distributed-LR layout where the shuffle
+    carries only per-partition partial sums, never rows. The driver
+    sees k 1-row weight vectors; scoring the trained model over the
+    corpus is the same broadcast + map with no aggregation at all."""
+    from etl_orders_spark.functions.text import punct_ratio, stopword_ratio, token_count
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+    )
+    feat = docs.select(
+        "doc_id",
+        F.log(F.lit(1.0) + token_count("text").cast("double")).alias("x1"),
+        punct_ratio("text").alias("x2"),
+        stopword_ratio("text").alias("x3"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    ).localCheckpoint(eager=True)
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    z = F.col("b") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2") + F.col(
+        "w3"
+    ) * F.col("x3")
+    outs = []
+    for i in range(1, _LR_ITERS + 1):
+        joined = feat.crossJoin(F.broadcast(w))
+        e = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+        g = joined.agg(
+            F.avg(e).alias("gb"),
+            F.avg(e * F.col("x1")).alias("g1"),
+            F.avg(e * F.col("x2")).alias("g2"),
+            F.avg(e * F.col("x3")).alias("g3"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                F.round(F.col("b") - F.col("gb"), 6).alias("b"),
+                F.round(F.col("w1") - F.col("g1"), 6).alias("w1"),
+                F.round(F.col("w2") - F.col("g2"), 6).alias("w2"),
+                F.round(F.col("w3") - F.col("g3"), 6).alias("w3"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = feat.crossJoin(F.broadcast(w)).agg(
+            F.count(F.when((z > 0) == (F.col("y") == 1.0), 1)).cast("long").alias("n_correct")
+        )
+        outs.append(
+            w.crossJoin(F.broadcast(acc)).select(
+                F.lit(i).cast("long").alias("it"),
+                F.col("b").alias("w_bias"),
+                F.col("w1").alias("w_logtok"),
+                F.col("w2").alias("w_punct"),
+                F.col("w3").alias("w_stop"),
+                "n_correct",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+logreg_quality_train_docs.__doc__ = logreg_quality_train_docs.__doc__.format(K=_LR_ITERS)

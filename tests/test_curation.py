@@ -280,3 +280,34 @@ def test_dsir_selects_topk_by_weight_deterministically(spark, sf_dir):
     assert sorted(map(tuple, sel)) == sorted(map(tuple, again))
     # weights are integers (micro-nats), never floats
     assert all(isinstance(r.logw_micro, int) for r in sel)
+
+
+def test_logreg_quality_train_learns_separable_corpus(spark, tmp_path):
+    """On a linearly-separable planted corpus (English prose rich in
+    stopwords vs punctuation soup) the trained classifier must reach
+    perfect training accuracy and push the stopword weight positive —
+    i.e. the GD rounds actually learn, they don't just not crash."""
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    sf_dir = str(tmp_path)
+    prose = "the and is of to in that it was for on with as his"
+    soup = "%$# @!! ^&* ()_ +=~ ;;; ??? !!! ###"
+    rows = []
+    for i in range(12):
+        rows.append(Row(doc_id=i, text=prose, lang="en", source="s0", n_chars=len(prose)))
+        rows.append(
+            Row(doc_id=100 + i, text=soup, lang="xx", source="s0", n_chars=len(soup))
+        )
+    spark.createDataFrame(rows).write.parquet(f"{sf_dir}/documents.parquet")
+    out = sorted(
+        query_map()["logreg_quality_train_docs"](spark, sf_dir).collect(),
+        key=lambda r: r.it,
+    )
+    assert [r.it for r in out] == [1, 2, 3]
+    assert out[-1].n_correct == 24  # separable => perfect fit by round 3
+    assert out[-1].w_stop > 0  # stopword-rich == English prose
+    assert out[-1].w_punct < 0  # punctuation soup == not
+    # training moved: round-3 weights differ from round-1's
+    assert (out[0].w_bias, out[0].w_stop) != (out[-1].w_bias, out[-1].w_stop)
