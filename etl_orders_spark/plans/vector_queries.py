@@ -1254,3 +1254,152 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 kcenter_coreset_embeddings.__doc__ = kcenter_coreset_embeddings.__doc__.format(
     K=_KC_K, K_1=_KC_K - 1
 )
+
+
+# --- distributed PCA (top principal component via power iteration) ----------
+# The embedding-curation toolkit's missing linear-algebra piece:
+# drift monitors, whitening, and spectral-quality checks all start
+# from "the covariance spectrum at corpus scale". The determinism
+# pattern is the LR/kmeans one: every stage boundary rounds to 6
+# decimals (mean, covariance, loadings, Rayleigh quotient) so the
+# unrolled DuckDB twin follows the exact same trajectory and FP
+# accumulation-order noise (BLAS partials vs sequential SQL sums)
+# is clipped before it can compound across rounds.
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    d = _PCA_DIM
+    sql = f"""
+    WITH x AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, {d})) t(i)
+    ), mu AS (
+      SELECT dim, ROUND(AVG(val), 6) AS m FROM x GROUP BY dim
+    ), xc AS (
+      SELECT vec_id, x.dim AS dim, val - m AS cv FROM x JOIN mu ON x.dim = mu.dim
+    ), cov AS (
+      SELECT a.dim AS i, b.dim AS j, ROUND(AVG(a.cv * b.cv), 6) AS c
+      FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim
+    ), v0 AS (
+      SELECT UNNEST(generate_series(1, {d})) AS dim, CAST(0.125 AS DOUBLE) AS v
+    )"""
+    for t in range(1, _PCA_ITERS + 1):
+        sql += f""", u{t} AS (
+      SELECT cov.i AS dim, SUM(cov.c * p.v) AS u
+      FROM cov JOIN v{t - 1} p ON cov.j = p.dim GROUP BY cov.i
+    ), l{t} AS (
+      SELECT ROUND(SUM(u{t}.u * p.v), 6) AS ev
+      FROM u{t} JOIN v{t - 1} p ON u{t}.dim = p.dim
+    ), s{t} AS (
+      SELECT sqrt(SUM(u * u)) AS nrm FROM u{t}
+    ), v{t} AS (
+      SELECT dim, ROUND(u / nrm, 6) AS v FROM u{t}, s{t}
+    ), o{t} AS (
+      SELECT CAST({t} AS BIGINT) AS it, CAST(v{t}.dim AS INTEGER) AS dim,
+             v{t}.v AS loading, l{t}.ev AS eigval
+      FROM v{t}, l{t}
+    )"""
+    picks = " UNION ALL ".join(f"SELECT * FROM o{t}" for t in range(1, _PCA_ITERS + 1))
+    return sql + "\n    " + picks
+
+
+@register(
+    "pca_power_iteration_embeddings",
+    _pca_oracle(),
+    tags=("vector", "ml", "iterative"),
+)
+def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (centered) embedding corpus via
+    {K} unrolled power-iteration rounds, computed the way a 1000-
+    executor cluster should: the d x d Gram matrix accumulates as
+    PARTITION-LOCAL partials (one BLAS X^T X per Arrow batch inside
+    mapInPandas, emitting d^2 narrow rows), so the shuffle carries
+    d^2 partial sums per partition — never a row of data — and the
+    driver touches only the d-vector of per-dimension means (a
+    bounded collect of {D} doubles, the centroid-broadcast pattern).
+    Power iteration then runs relationally on the d^2-row covariance
+    table: each round is one broadcast join + d-row aggregate.
+    Output per round: the loading vector and the Rayleigh quotient,
+    every value clipped to 6 decimals at its stage boundary so the
+    unrolled SQL twin (sequential sums) follows the identical
+    trajectory. v0 = 1/sqrt(d) exactly (0.125), eigval_1 is
+    therefore the mean covariance row-sum scaled — rounds 2..{K}
+    converge toward the dominant eigenvalue."""
+    import numpy as np
+
+    d = _PCA_DIM
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "valf")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("valf").cast("double").alias("val")
+    )
+    mu_rows = x.groupBy("dim").agg(F.round(F.avg("val"), 6).alias("m")).collect()
+    mu_vec = np.zeros(d)
+    for r in mu_rows:
+        mu_vec[r["dim"] - 1] = r["m"]
+
+    def gram_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) - mu_vec
+            g = mat.T @ mat
+            ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel().astype(np.int32), "j": jj.ravel().astype(np.int32),
+                 "s": g.ravel()}
+            )
+
+    cov = (
+        emb.mapInPandas(gram_batches, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("s") / F.lit(float(n)), 6).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(1, d + 1).select(
+        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
+    )
+    outs = []
+    for t in range(1, _PCA_ITERS + 1):
+        u = (
+            cov.join(
+                F.broadcast(v.select(F.col("dim").alias("jdim"), F.col("v"))),
+                cov["j"] == F.col("jdim"),
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+            .select(F.col("i").alias("dim"), "u")
+        )
+        lam = u.join(v, "dim").agg(
+            F.round(F.sum(F.col("u") * F.col("v")), 6).alias("ev")
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("dim", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            v.crossJoin(F.broadcast(lam)).select(
+                F.lit(t).cast("long").alias("it"),
+                F.col("dim").cast("int").alias("dim"),
+                F.col("v").alias("loading"),
+                F.col("ev").alias("eigval"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+pca_power_iteration_embeddings.__doc__ = pca_power_iteration_embeddings.__doc__.format(
+    K=_PCA_ITERS, D=_PCA_DIM
+)

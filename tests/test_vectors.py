@@ -647,3 +647,44 @@ def test_kcenter_radius_sequence_and_coverage(spark, sf_dir):
     radii = [r.radius_r6 for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:])), radii
     assert radii[-1] > 0.0  # non-degenerate corpus: real coverage radius
+
+
+def test_pca_power_iteration_finds_planted_dominant_axis(spark, tmp_path):
+    """Planted anisotropy: dimension 7 carries variance ~100x every
+    other dimension, so after 3 power-iteration rounds the loading
+    vector must concentrate there (|v_7| ~ 1) and the Rayleigh
+    quotient must approximate the dominant eigenvalue of the same
+    clipped covariance (checked against numpy on the identical
+    matrix)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    rng = np.random.default_rng(11)
+    d, n = 64, 200
+    mat = rng.normal(0.0, 0.05, size=(n, d))
+    mat[:, 7] += rng.normal(0.0, 1.0, size=n)  # dominant axis
+    mat = mat.astype(np.float32)  # storage dtype of the real table
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in mat[i]], label=int(i % 3))
+        for i in range(n)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    out = query_map()["pca_power_iteration_embeddings"](spark, sf_dir).collect()
+    last = {r.dim: r for r in out if r.it == 3}
+    assert len(last) == d
+    v = np.array([last[i + 1].loading for i in range(d)])
+    assert abs(v[7]) > 0.99
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # numpy eig on the same clipped covariance (float32 storage read
+    # back as double, exactly as the engine casts)
+    matd = mat.astype(np.float64)
+    mu = np.round(matd.mean(axis=0), 6)
+    c = np.round((matd - mu).T @ (matd - mu) / n, 6)
+    top = np.linalg.eigvalsh(c)[-1]
+    ev = last[8].eigval
+    assert abs(ev - top) / top < 0.05, (ev, top)
