@@ -381,6 +381,31 @@ def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFram
     return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def jpeg_media_bytes(mid: int) -> tuple[bytes, int, int]:
+    """The gen_jpeg_media fixture law for ONE id: (jpeg bytes, w, h).
+    Module-level so the in-memory generator and the file-staging
+    binaryFile ingest lane (plans/media_queries.py) serve IDENTICAL
+    bytes from one definition."""
+    import numpy as np
+
+    from etl_orders_spark.multimodal.jpeg import encode_jpeg
+
+    w, h = 16 + 8 * (mid % 3), 8 + 8 * (mid % 2)
+    bx = np.arange(w // 8, dtype=np.int64)[None, :]
+    by = np.arange(h // 8, dtype=np.int64)[:, None]
+    v = (7 * mid + 3 * bx + 5 * by) % 256
+    y = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+    shape = mid % 4
+    if shape in (0, 3):
+        return encode_jpeg(y, restart_interval=2 if shape == 3 else 0), w, h
+    ycc = np.stack(
+        [y, np.full((h, w), 144, np.uint8), np.full((h, w), 112, np.uint8)],
+        axis=2,
+    )
+    sub = "444" if shape == 1 else "420"
+    return encode_jpeg(ycc, subsampling=sub, color_input="ycbcr"), w, h
+
+
 def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
     """Deterministic REAL baseline-JPEG rows with a closed-form pixel
     law a LOSSY codec can still satisfy exactly: all-ones quantization
@@ -413,27 +438,10 @@ def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFra
 
     import pandas as pd
 
-    from etl_orders_spark.multimodal.jpeg import encode_jpeg
-
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
-        def content_for(mid: int) -> tuple[bytes, int, int]:
-            w, h = 16 + 8 * (mid % 3), 8 + 8 * (mid % 2)
-            bx = np.arange(w // 8, dtype=np.int64)[None, :]
-            by = np.arange(h // 8, dtype=np.int64)[:, None]
-            v = (7 * mid + 3 * bx + 5 * by) % 256
-            y = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
-            shape = mid % 4
-            if shape in (0, 3):
-                return encode_jpeg(y, restart_interval=2 if shape == 3 else 0), w, h
-            ycc = np.stack(
-                [y, np.full((h, w), 144, np.uint8), np.full((h, w), 112, np.uint8)],
-                axis=2,
-            )
-            sub = "444" if shape == 1 else "420"
-            return encode_jpeg(ycc, subsampling=sub, color_input="ycbcr"), w, h
+        content_for = jpeg_media_bytes
 
         for pdf in it:
             rows = []

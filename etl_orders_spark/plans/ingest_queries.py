@@ -260,6 +260,45 @@ def jsonl_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _star_join(spark, read_jsonl(spark, _ensure_orders_jsonl(spark), ORDERS_SCHEMA))
 
 
+_XML_DIR = os.path.join(os.path.dirname(ORDERS_CSV), "orders_xml")
+
+
+def _ensure_orders_xml(spark: SparkSession) -> str:
+    return _stage_orders(
+        spark,
+        _XML_DIR,
+        lambda w, d: w.format("xml").option("rowTag", "order").save(d),
+    )
+
+
+@register(
+    "xml_star_ingest",
+    _STAR_SQL,
+    tags=("source", "xml", "join", "projection"),
+)
+def xml_star_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (XML) — the star join with the fact side round-tripped
+    through Spark 4's BUILT-IN XML sink (the spark-xml package donated
+    upstream) and scanned back with format("xml") + an explicit
+    schema: the enterprise-feed landing format (SOAP exports, sitemap
+    dumps, legacy B2B interchange). DuckDB has no XML reader, so the
+    oracle reads the SAME LOGICAL ROWS from the source CSV — a hash
+    match certifies XML write -> read fidelity end-to-end (element
+    parsing, type coercion against the declared schema, row-tag
+    framing), not just the join. Explicit schema as always: XML
+    carries no types and schema inference is an extra full pass at
+    100 TB; rowTag framing keeps files splittable at element
+    boundaries. Both dims broadcast."""
+    ensure_ingest_fixtures()
+    orders = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(ORDERS_SCHEMA)
+        .load(_ensure_orders_xml(spark))
+    )
+    return _star_join(spark, orders)
+
+
 @register(
     "pysource_firehose_profile",
     None,  # the source is pure Python (splitmix64 rows) — DuckDB can't run it; determinism pinned in tests/test_pysource.py

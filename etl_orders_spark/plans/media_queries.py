@@ -317,6 +317,75 @@ def media_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_features(gen_png_media(spark, _N_PNG))
 
 
+# --- file-based media ingestion (binaryFile) --------------------------------
+# Real image corpora arrive as FILES; every lane above generates bytes
+# in-memory. This lane certifies the on-disk arrival path: the same
+# JPEG fixture law staged to actual .jpg files once (idempotent,
+# version-marked), scanned back with Spark's binaryFile source, ids
+# recovered from filenames, then the identical decode + law oracle.
+_JPEG_FILE_VERSION = "1"
+
+
+def _ensure_jpeg_files() -> str:
+    import os
+
+    from etl_orders_spark.sources.fixtures import FIXTURE_DIR
+    from etl_orders_spark.multimodal.schemas import jpeg_media_bytes
+
+    out = os.path.join(FIXTURE_DIR, "media_jpeg")
+    marker = os.path.join(out, "_VERSION")
+    if os.path.exists(marker) and open(marker).read().strip() == _JPEG_FILE_VERSION:
+        return out
+    os.makedirs(out, exist_ok=True)
+    for mid in range(_JPEG_ID_START, _JPEG_ID_START + _N_JPEG):
+        data, _, _ = jpeg_media_bytes(mid)
+        with open(os.path.join(out, f"img_{mid}.jpg"), "wb") as f:
+            f.write(data)
+    with open(marker, "w") as f:
+        f.write(_JPEG_FILE_VERSION)
+    return out
+
+
+@register(
+    "media_binaryfile_ingest",
+    f"""
+    WITH {_jpeg_law_sql(_JPEG_ID_START, _N_JPEG)}
+    SELECT media_id, 'jpeg' AS fmt,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+           CAST(sb AS BIGINT) AS sum_b,
+           CAST((sr + sg + sb) * 1000 // (3 * n) AS BIGINT) AS mean_rgb_milli
+    FROM jpeg_agg
+    """,
+    tags=("source", "media", "pixel", "jpeg", "pandas-udf"),
+)
+def media_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family (binaryFile) — media ingestion from REAL FILES: the
+    JPEG fixture corpus staged to .jpg files on disk (same bytes as
+    gen_jpeg_media, one shared law function), scanned back through
+    Spark's built-in ``binaryFile`` source, ids recovered from the
+    path, decoded natively, and value-hashed against the same
+    closed-form pixel-law oracle. This certifies the arrival path a
+    100 TB image corpus actually uses — directory scan, per-file
+    content column, filename-derived keys — end to end, not just the
+    in-memory decode. At scale binaryFile parallelizes per file (and
+    the production step immediately stages small files into parquet
+    with a binary column — the small-files problem is solved by this
+    very decode-to-features pass, whose output IS the compacted
+    form)."""
+    path = _ensure_jpeg_files()
+    raw = spark.read.format("binaryFile").load(path + "/img_*.jpg")
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+    )
+    return pixel_features(media)
+
+
 _N_GIF = 100
 
 
