@@ -1403,3 +1403,91 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
 pca_power_iteration_embeddings.__doc__ = pca_power_iteration_embeddings.__doc__.format(
     K=_PCA_ITERS, D=_PCA_DIM
 )
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+_JL_K = 16  # target dimensionality
+
+
+@register(
+    "jl_project_embeddings",
+    f"""
+    WITH proj AS (
+      SELECT k.k AS k, j.j AS j,
+             CASE WHEN CAST(('0x' || substr(md5('jl|' || k.k || '|' || j.j), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS r
+      FROM UNNEST(generate_series(0, {_JL_K - 1})) k(k),
+           UNNEST(generate_series(1, 64)) j(j)
+    ), x AS (
+      SELECT vec_id, j.j AS j, CAST(embedding[j.j] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, 64)) j(j)
+    )
+    SELECT x.vec_id, CAST(p.k AS INTEGER) AS k,
+           ROUND(SUM(x.val * p.r) / sqrt({_JL_K}.0), 6) AS proj
+    FROM x JOIN proj p ON x.j = p.j
+    GROUP BY x.vec_id, p.k
+    """,
+    tags=("vector", "ml"),
+)
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction, 64 -> {K} dims:
+    a Rademacher (+-1) projection matrix derived from a PORTABLE hash
+    law (md5 of 'jl|k|j' — no stored model, no RNG state: any engine
+    can regenerate the identical matrix, which is also what makes the
+    DuckDB twin exact), scaled by 1/sqrt(k) so expected squared
+    distances are preserved (the JL lemma's estimator). Distance
+    preservation within the lemma's distortion bound is property-
+    tested in tests/test_vectors.py.
+
+    Plan shape at 100 TB: the k x d matrix is {K}x64 rows built from
+    pure expressions and broadcast; each vector explodes to its d
+    components once, joins the broadcast matrix map-side, and reduces
+    by (vec_id, k) with map-side partial sums — shuffle bytes are the
+    OUTPUT size (n x k), not n x k x d. The same shape serves any
+    fixed linear featurizer (hashing trick, random Fourier features)."""
+    d = 64
+    kk = spark.range(_JL_K).select(F.col("id").cast("int").alias("k"))
+    jj = spark.range(1, d + 1).select(F.col("id").cast("int").alias("j"))
+    proj = kk.crossJoin(jj).select(
+        "k",
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("jl|"), F.col("k"), F.lit("|"), F.col("j"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % 2
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("r"),
+    )
+    x = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("j0", "valf"))
+        .select(
+            "vec_id",
+            (F.col("j0") + 1).cast("int").alias("j"),
+            F.col("valf").cast("double").alias("val"),
+        )
+    )
+    return (
+        x.join(F.broadcast(proj), "j")
+        .groupBy("vec_id", "k")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("r")) / F.lit(float(_JL_K) ** 0.5), 6
+            ).alias("proj")
+        )
+        .select("vec_id", F.col("k").cast("int").alias("k"), "proj")
+    )
+
+
+jl_project_embeddings.__doc__ = jl_project_embeddings.__doc__.format(K=_JL_K)

@@ -688,3 +688,32 @@ def test_pca_power_iteration_finds_planted_dominant_axis(spark, tmp_path):
     top = np.linalg.eigvalsh(c)[-1]
     ev = last[8].eigval
     assert abs(ev - top) / top < 0.05, (ev, top)
+
+
+def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
+    """JL lemma sanity on the real corpus: for sampled pairs, the
+    projected squared distance (scaled estimator) stays within the
+    lemma's distortion band of the original — loose bound (k=16 is
+    small), but a sign/scale bug lands far outside it. (The matrix
+    law itself is hash-certified by the lane's DuckDB oracle.)"""
+    import numpy as np
+
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.sources.readers import load_table
+
+    out = query_map()["jl_project_embeddings"](spark, sf_dir).collect()
+    proj = {}
+    for r in out:
+        proj.setdefault(r.vec_id, np.zeros(16))[r.k] = r.proj
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(proj)[:30]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d0 = float(np.sum((emb[a] - emb[b]) ** 2))
+        d1 = float(np.sum((proj[a] - proj[b]) ** 2))
+        if d0 > 1e-9:
+            ratios.append(d1 / d0)
+    assert ratios and 0.2 < float(np.median(ratios)) < 5.0, ratios[:5]
