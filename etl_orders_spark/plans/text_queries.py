@@ -2293,11 +2293,11 @@ _BPE_EOW = "</w>"  # end-of-word terminal, per the paper
 
 
 def _bpe_rounds_sql() -> str:
-    """Shared WITH-body running {_BPE_TRAIN_ITERS} unrolled training
-    rounds: vocabulary collapse -> symbol rows -> per-round (top pair,
+    """Shared WITH-body running the k unrolled training rounds:
+    vocabulary collapse -> symbol rows -> per-round (top pair,
     island merge, rebuild). Both the train oracle (which reads the
     per-round tops + vocab checksums) and the encode oracle (which
-    reads the FINAL symbol table rows{{K}}) append onto this prefix,
+    reads the FINAL symbol table rows_k) append onto this prefix,
     so the two lanes cannot drift."""
     sql = f"""
     WITH tok AS (

@@ -1305,28 +1305,14 @@ def _pca_oracle() -> str:
     return sql + "\n    " + picks
 
 
-@register(
-    "pca_power_iteration_embeddings",
-    _pca_oracle(),
-    tags=("vector", "ml", "iterative"),
-)
-def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the (centered) embedding corpus via
-    {K} unrolled power-iteration rounds, computed the way a 1000-
-    executor cluster should: the d x d Gram matrix accumulates as
-    PARTITION-LOCAL partials (one BLAS X^T X per Arrow batch inside
-    mapInPandas, emitting d^2 narrow rows), so the shuffle carries
-    d^2 partial sums per partition — never a row of data — and the
-    driver touches only the d-vector of per-dimension means (a
-    bounded collect of {D} doubles, the centroid-broadcast pattern).
-    Power iteration then runs relationally on the d^2-row covariance
-    table: each round is one broadcast join + d-row aggregate.
-    Output per round: the loading vector and the Rayleigh quotient,
-    every value clipped to 6 decimals at its stage boundary so the
-    unrolled SQL twin (sequential sums) follows the identical
-    trajectory. v0 = 1/sqrt(d) exactly (0.125), eigval_1 is
-    therefore the mean covariance row-sum scaled — rounds 2..{K}
-    converge toward the dominant eigenvalue."""
+def _centered_gram(spark: SparkSession, sf_dir: str):
+    """The centered covariance as a d^2-row relation (i, j, c), built
+    the cluster-scale way: per-dimension means via one narrow
+    aggregate (a bounded driver collect of d doubles — the
+    centroid-broadcast pattern), then PARTITION-LOCAL BLAS X^T X
+    partials inside mapInPandas, reduced by (i, j) and clipped to 6
+    decimals (the determinism boundary the unrolled SQL twins share).
+    Checkpointed: both power-iteration consumers re-read it."""
     import numpy as np
 
     d = _PCA_DIM
@@ -1357,12 +1343,38 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
                  "s": g.ravel()}
             )
 
-    cov = (
+    return (
         emb.mapInPandas(gram_batches, "i int, j int, s double")
         .groupBy("i", "j")
         .agg(F.round(F.sum("s") / F.lit(float(n)), 6).alias("c"))
         .localCheckpoint(eager=True)
     )
+
+
+@register(
+    "pca_power_iteration_embeddings",
+    _pca_oracle(),
+    tags=("vector", "ml", "iterative"),
+)
+def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (centered) embedding corpus via
+    {K} unrolled power-iteration rounds, computed the way a 1000-
+    executor cluster should: the d x d Gram matrix accumulates as
+    PARTITION-LOCAL partials (one BLAS X^T X per Arrow batch inside
+    mapInPandas, emitting d^2 narrow rows), so the shuffle carries
+    d^2 partial sums per partition — never a row of data — and the
+    driver touches only the d-vector of per-dimension means (a
+    bounded collect of {D} doubles, the centroid-broadcast pattern).
+    Power iteration then runs relationally on the d^2-row covariance
+    table: each round is one broadcast join + d-row aggregate.
+    Output per round: the loading vector and the Rayleigh quotient,
+    every value clipped to 6 decimals at its stage boundary so the
+    unrolled SQL twin (sequential sums) follows the identical
+    trajectory. v0 = 1/sqrt(d) exactly (0.125), eigval_1 is
+    therefore the mean covariance row-sum scaled — rounds 2..{K}
+    converge toward the dominant eigenvalue."""
+    cov = _centered_gram(spark, sf_dir)
+    d = _PCA_DIM
     v = spark.range(1, d + 1).select(
         F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
     )
@@ -1491,3 +1503,156 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 jl_project_embeddings.__doc__ = jl_project_embeddings.__doc__.format(K=_JL_K)
+
+
+# --- rank-2 PCA via Hotelling deflation -------------------------------------
+
+
+def _pca2_oracle() -> str:
+    """Two components: the component-1 prefix is _pca_oracle's chain
+    verbatim (same CTE names), then deflation C2 = C - l1 v1 v1^T
+    (clipped to 6) and a second unrolled power iteration on C2."""
+    d = _PCA_DIM
+    sql = f"""
+    WITH x AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, {d})) t(i)
+    ), mu AS (
+      SELECT dim, ROUND(AVG(val), 6) AS m FROM x GROUP BY dim
+    ), xc AS (
+      SELECT vec_id, x.dim AS dim, val - m AS cv FROM x JOIN mu ON x.dim = mu.dim
+    ), cov AS (
+      SELECT a.dim AS i, b.dim AS j, ROUND(AVG(a.cv * b.cv), 6) AS c
+      FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim
+    ), v0 AS (
+      SELECT UNNEST(generate_series(1, {d})) AS dim, CAST(0.125 AS DOUBLE) AS v
+    )"""
+    for t in range(1, _PCA_ITERS + 1):
+        sql += f""", u{t} AS (
+      SELECT cov.i AS dim, SUM(cov.c * p.v) AS u
+      FROM cov JOIN v{t - 1} p ON cov.j = p.dim GROUP BY cov.i
+    ), s{t} AS (
+      SELECT sqrt(SUM(u * u)) AS nrm FROM u{t}
+    ), v{t} AS (
+      SELECT dim, ROUND(u / nrm, 6) AS v FROM u{t}, s{t}
+    )"""
+    k = _PCA_ITERS
+    sql += f""", lam1 AS (
+      SELECT ROUND(SUM(a.v * c.c * b.v), 6) AS ev
+      FROM cov c JOIN v{k} a ON c.i = a.dim JOIN v{k} b ON c.j = b.dim
+    ), cov2 AS (
+      SELECT c.i AS i, c.j AS j, ROUND(c.c - lam1.ev * a.v * b.v, 6) AS c
+      FROM cov c JOIN v{k} a ON c.i = a.dim JOIN v{k} b ON c.j = b.dim, lam1
+    ), w0 AS (
+      SELECT UNNEST(generate_series(1, {d})) AS dim, CAST(0.125 AS DOUBLE) AS v
+    )"""
+    for t in range(1, _PCA_ITERS + 1):
+        sql += f""", uw{t} AS (
+      SELECT cov2.i AS dim, SUM(cov2.c * p.v) AS u
+      FROM cov2 JOIN w{t - 1} p ON cov2.j = p.dim GROUP BY cov2.i
+    ), sw{t} AS (
+      SELECT sqrt(SUM(u * u)) AS nrm FROM uw{t}
+    ), w{t} AS (
+      SELECT dim, ROUND(u / nrm, 6) AS v FROM uw{t}, sw{t}
+    )"""
+    sql += f""", lam2 AS (
+      SELECT ROUND(SUM(a.v * c.c * b.v), 6) AS ev
+      FROM cov2 c JOIN w{k} a ON c.i = a.dim JOIN w{k} b ON c.j = b.dim
+    )
+    SELECT CAST(1 AS BIGINT) AS component, CAST(v{k}.dim AS INTEGER) AS dim,
+           v{k}.v AS loading, lam1.ev AS eigval
+    FROM v{k}, lam1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(w{k}.dim AS INTEGER), w{k}.v, lam2.ev
+    FROM w{k}, lam2
+    """
+    return sql
+
+
+def _power_iterate(spark: SparkSession, cov: DataFrame) -> DataFrame:
+    """_PCA_ITERS rounds of v <- round(Cv / |Cv|, 6) from v0 = 1/8."""
+    v = spark.range(1, _PCA_DIM + 1).select(
+        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            cov.join(
+                F.broadcast(v.select(F.col("dim").alias("jdim"), F.col("v"))),
+                cov["j"] == F.col("jdim"),
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+            .select(F.col("i").alias("dim"), "u")
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("dim", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return v
+
+
+def _rayleigh(cov: DataFrame, v: DataFrame) -> DataFrame:
+    """round(v^T C v, 6) as a 1-row relation (ev)."""
+    a = v.select(F.col("dim").alias("ai"), F.col("v").alias("va"))
+    b = v.select(F.col("dim").alias("bj"), F.col("v").alias("vb"))
+    return (
+        cov.join(F.broadcast(a), cov["i"] == F.col("ai"))
+        .join(F.broadcast(b), cov["j"] == F.col("bj"))
+        .agg(F.round(F.sum(F.col("va") * F.col("c") * F.col("vb")), 6).alias("ev"))
+    )
+
+
+@register(
+    "pca_deflation_top2_embeddings",
+    _pca2_oracle(),
+    tags=("vector", "ml", "iterative"),
+)
+def pca_deflation_top2_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-2 principal components via Hotelling deflation — the rank-k
+    extension of pca_power_iteration_embeddings: converge v1 on the
+    shared centered Gram (same partition-partial accumulation), take
+    its Rayleigh quotient l1, deflate C2 = round(C - l1 v1 v1^T, 6)
+    (a d^2-row map against the broadcast 64-row loading vector — no
+    corpus touch at all), and converge v2 on C2. Output: (component,
+    dim, loading, eigval) with eigval the Rayleigh quotient of each
+    FINAL vector on its own matrix. The deflation clip keeps the SQL
+    twin on the identical trajectory; orthogonality of the two
+    components (up to power-iteration convergence) is asserted in
+    tests/test_vectors.py. Everything after the one corpus-sized Gram
+    pass costs O(d^2) per round regardless of corpus size — the 100x
+    probe shape of the rank-1 lane carries over unchanged."""
+    cov = _centered_gram(spark, sf_dir)
+    v1 = _power_iterate(spark, cov)
+    l1 = _rayleigh(cov, v1)
+    a = v1.select(F.col("dim").alias("ai"), F.col("v").alias("va"))
+    b = v1.select(F.col("dim").alias("bj"), F.col("v").alias("vb"))
+    cov2 = (
+        cov.join(F.broadcast(a), cov["i"] == F.col("ai"))
+        .join(F.broadcast(b), cov["j"] == F.col("bj"))
+        .crossJoin(F.broadcast(l1))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("c") - F.col("ev") * F.col("va") * F.col("vb"), 6
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v2 = _power_iterate(spark, cov2)
+    l2 = _rayleigh(cov2, v2)
+    c1 = v1.crossJoin(F.broadcast(l1)).select(
+        F.lit(1).cast("long").alias("component"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v").alias("loading"),
+        F.col("ev").alias("eigval"),
+    )
+    c2 = v2.crossJoin(F.broadcast(l2)).select(
+        F.lit(2).cast("long").alias("component"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v").alias("loading"),
+        F.col("ev").alias("eigval"),
+    )
+    return c1.unionByName(c2)

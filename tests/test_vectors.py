@@ -717,3 +717,23 @@ def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
         if d0 > 1e-9:
             ratios.append(d1 / d0)
     assert ratios and 0.2 < float(np.median(ratios)) < 5.0, ratios[:5]
+
+
+def test_pca_deflation_components_orthogonal_and_ordered(spark, sf_dir):
+    """Rank-2 PCA: the two loading vectors are unit-norm and (up to
+    power-iteration convergence) orthogonal, and deflation can only
+    shrink the dominant eigenvalue."""
+    import numpy as np
+
+    from etl_orders_spark.plans.registry import query_map
+
+    out = query_map()["pca_deflation_top2_embeddings"](spark, sf_dir).collect()
+    v = {1: np.zeros(64), 2: np.zeros(64)}
+    ev = {}
+    for r in out:
+        v[r.component][r.dim - 1] = r.loading
+        ev[r.component] = r.eigval
+    assert abs(np.linalg.norm(v[1]) - 1.0) < 1e-3
+    assert abs(np.linalg.norm(v[2]) - 1.0) < 1e-3
+    assert abs(float(v[1] @ v[2])) < 0.15  # near-orthogonal after 3 rounds
+    assert 0 < ev[2] <= ev[1] * 1.001
