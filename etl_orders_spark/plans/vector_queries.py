@@ -1279,7 +1279,7 @@ def _pca_oracle() -> str:
       SELECT dim, ROUND(AVG(val), 6) AS m FROM x GROUP BY dim
     ), xc AS (
       SELECT vec_id, x.dim AS dim, val - m AS cv FROM x JOIN mu ON x.dim = mu.dim
-    ), cov AS (
+    ), cov AS MATERIALIZED (
       SELECT a.dim AS i, b.dim AS j, ROUND(AVG(a.cv * b.cv), 6) AS c
       FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim
     ), v0 AS (
@@ -1294,7 +1294,7 @@ def _pca_oracle() -> str:
       FROM u{t} JOIN v{t - 1} p ON u{t}.dim = p.dim
     ), s{t} AS (
       SELECT sqrt(SUM(u * u)) AS nrm FROM u{t}
-    ), v{t} AS (
+    ), v{t} AS MATERIALIZED (
       SELECT dim, ROUND(u / nrm, 6) AS v FROM u{t}, s{t}
     ), o{t} AS (
       SELECT CAST({t} AS BIGINT) AS it, CAST(v{t}.dim AS INTEGER) AS dim,
@@ -1521,7 +1521,7 @@ def _pca2_oracle() -> str:
       SELECT dim, ROUND(AVG(val), 6) AS m FROM x GROUP BY dim
     ), xc AS (
       SELECT vec_id, x.dim AS dim, val - m AS cv FROM x JOIN mu ON x.dim = mu.dim
-    ), cov AS (
+    ), cov AS MATERIALIZED (
       SELECT a.dim AS i, b.dim AS j, ROUND(AVG(a.cv * b.cv), 6) AS c
       FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim
     ), v0 AS (
@@ -1533,14 +1533,14 @@ def _pca2_oracle() -> str:
       FROM cov JOIN v{t - 1} p ON cov.j = p.dim GROUP BY cov.i
     ), s{t} AS (
       SELECT sqrt(SUM(u * u)) AS nrm FROM u{t}
-    ), v{t} AS (
+    ), v{t} AS MATERIALIZED (
       SELECT dim, ROUND(u / nrm, 6) AS v FROM u{t}, s{t}
     )"""
     k = _PCA_ITERS
-    sql += f""", lam1 AS (
+    sql += f""", lam1 AS MATERIALIZED (
       SELECT ROUND(SUM(a.v * c.c * b.v), 6) AS ev
       FROM cov c JOIN v{k} a ON c.i = a.dim JOIN v{k} b ON c.j = b.dim
-    ), cov2 AS (
+    ), cov2 AS MATERIALIZED (
       SELECT c.i AS i, c.j AS j, ROUND(c.c - lam1.ev * a.v * b.v, 6) AS c
       FROM cov c JOIN v{k} a ON c.i = a.dim JOIN v{k} b ON c.j = b.dim, lam1
     ), w0 AS (
@@ -1552,7 +1552,7 @@ def _pca2_oracle() -> str:
       FROM cov2 JOIN w{t - 1} p ON cov2.j = p.dim GROUP BY cov2.i
     ), sw{t} AS (
       SELECT sqrt(SUM(u * u)) AS nrm FROM uw{t}
-    ), w{t} AS (
+    ), w{t} AS MATERIALIZED (
       SELECT dim, ROUND(u / nrm, 6) AS v FROM uw{t}, sw{t}
     )"""
     sql += f""", lam2 AS (
