@@ -128,12 +128,21 @@ PRIORITY: tuple[str, ...] = (
     "asof_latest_order",
     "range_join_followups",
     "ri_filter_join",
-    # percentiles + UDF/UDTF surface + embedded JSON / VARIANT (§2.6, S2)
+    # percentiles + UDF/UDTF surface + embedded JSON / VARIANT (§2.6,
+    # S2; json_extract_props ceded its slot to the round-8 BPE encode
+    # lane — embedded-JSON extraction stays graded via
+    # variant_extract_props, which runs the SAME props extraction
+    # through the VARIANT type, and json_envelope_ingest keeps the S2
+    # scan row; json_extract_props stays local-sweep-green)
     "percentile_prices",
     "zscore_docs_by_lang",
     "chunk_docs_udtf",
-    "json_extract_props",
     "variant_extract_props",
+    # the encode half of the tokenizer story (round 8): trained merges
+    # applied per word occurrence, all-integer law, occurrence-weighted
+    # segmentation checksums — pairs with bpe_train_merges_docs's
+    # machinery (itself post-window but sharing the round builder)
+    "bpe_encode_docs",
     # time / events / streaming twins (§2.5)
     "tumbling_hourly_events",
     "session_stats_events",
