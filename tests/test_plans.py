@@ -156,8 +156,12 @@ _BNLJ_ALLOWED = {
     "gdpr_forget_report": 3,
     "growth_accounting_monthly": 1,
     "hll_rollup_total_users": 1,
+    "jl_project_embeddings": 1,  # 16x64 constant Rademacher matrix assembly
     "join_cross_region_status": 1,  # the deliberate CROSS JOIN operator
     "kmeans_embeddings": 5,  # K-row centroid table per unrolled iteration
+    "logreg_quality_train_docs": 6,  # 1-row weight/gradient/accuracy broadcasts per GD round
+    "pca_power_iteration_embeddings": 3,  # 1-row norm + 1-row Rayleigh per power round
+    "pca_deflation_top2_embeddings": 2,  # 1-row norm/Rayleigh tails (checkpoints absorb the rest)
     "semantic_dedup_embeddings": 4,  # same K-row centroid broadcasts (2 assigns)
     "ks_price_urgent_vs_low": 1,
     "mmr_diverse_topk": 1,  # broadcast query batch (candidate generator)
