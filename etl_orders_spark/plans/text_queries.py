@@ -2609,3 +2609,178 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_encode_docs.__doc__ = bpe_encode_docs.__doc__.format(K=_BPE_TRAIN_ITERS)
+
+
+# --- text clustering via feature hashing (no embeddings needed) -------------
+# Topic-bucketing for mixture balancing when no embedding model is in
+# the loop: hash tokens into B signed buckets (the hashing trick), run
+# Lloyd k-means on the resulting dense integer vectors. Features are
+# EXACT integers (signed tf sums), so the only FP surface is the
+# centroid table — clipped to 6 decimals per round, the kmeans /
+# logreg / PCA determinism pattern.
+_FH_B = 16  # feature-hash buckets
+_FH_K = 4  # clusters
+_FH_ITERS = 2
+
+
+def _fh_kmeans_oracle() -> str:
+    hb = _sql_hash(31, "w")
+    hs = _sql_hash(32, "w")
+    sql = f"""
+    WITH dtok AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM dtok GROUP BY doc_id, w
+    ), fx AS (
+      SELECT doc_id, {hb} % {_FH_B} AS b,
+             SUM(tf * (CASE WHEN {hs} % 2 = 0 THEN 1 ELSE -1 END)) AS x
+      FROM tf GROUP BY doc_id, {hb} % {_FH_B}
+    ), docs_all AS (
+      SELECT DISTINCT doc_id FROM documents
+    ), xd AS MATERIALIZED (
+      SELECT g.doc_id, g.b, CAST(COALESCE(fx.x, 0) AS DOUBLE) AS x
+      FROM (SELECT d.doc_id, b.b
+            FROM docs_all d, UNNEST(generate_series(0, {_FH_B - 1})) b(b)) g
+      LEFT JOIN fx ON g.doc_id = fx.doc_id AND g.b = fx.b
+    ), seed AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS cid
+      FROM (SELECT doc_id FROM docs_all ORDER BY doc_id LIMIT {_FH_K})
+    ), c0 AS MATERIALIZED (
+      SELECT s.cid, xd.b, xd.x AS c FROM seed s JOIN xd ON s.doc_id = xd.doc_id
+    )"""
+    for t in range(1, _FH_ITERS + 1):
+        sql += f""", d{t} AS (
+      SELECT xd.doc_id, c.cid, SUM((xd.x - c.c) * (xd.x - c.c)) AS d2
+      FROM xd JOIN c{t - 1} c ON xd.b = c.b GROUP BY xd.doc_id, c.cid
+    ), a{t} AS MATERIALIZED (
+      SELECT doc_id, cid FROM (
+        SELECT doc_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ROUND(d2, 6), cid) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ), c{t} AS MATERIALIZED (
+      SELECT a.cid, xd.b, ROUND(AVG(xd.x), 6) AS c
+      FROM a{t} a JOIN xd ON a.doc_id = xd.doc_id GROUP BY a.cid, xd.b
+    ), o{t} AS (
+      SELECT CAST({t} AS BIGINT) AS it, a.cid AS cid,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(a.doc_id) AS BIGINT) AS id_checksum
+      FROM a{t} a GROUP BY a.cid
+    )"""
+    picks = " UNION ALL ".join(f"SELECT * FROM o{t}" for t in range(1, _FH_ITERS + 1))
+    return sql + "\n    " + picks
+
+
+@register(
+    "text_kmeans_hashed_docs",
+    _fh_kmeans_oracle(),
+    tags=("text", "clustering", "llm", "iterative"),
+)
+def text_kmeans_hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clustering WITHOUT an embedding model: the hashing
+    trick (tokens -> {B} signed buckets via portable md5 laws, signed
+    tf sums = exact integer vectors) followed by {I} unrolled Lloyd
+    rounds at (doc, bucket) grain — the topic-bucketing pass a mixture
+    balancer runs when no encoder is in the loop (cf. the fastText-
+    hashing lineage the quality classifier draws on). Assignments
+    argmin over ROUND(d2, 6) with cid tie-break; centroids clip to 6
+    decimals per round; per-round output is each cluster's size and
+    doc-id checksum, so the oracle certifies the full assignment
+    EVERY round, not just the final shape.
+
+    Plan shape at 100 TB: feature build is one token-grain aggregate
+    (the same shuffle class as TF-IDF); the dense (doc, B) relation is
+    B rows per doc, checkpointed once; each round joins it to the
+    broadcast K x B centroid table and reduces per doc — the
+    kmeans_embeddings posture with the corpus-sized side always
+    map-side. Empty clusters drop out deterministically on both
+    engines (same algebra), so K can only shrink, never misalign."""
+    from etl_orders_spark.operators.rank import one_bucket
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    def h(seed: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col("w"))), 1, 8), 16, 10
+        ).cast("long")
+
+    fx = (
+        tf.select(
+            "doc_id",
+            (h(31) % _FH_B).alias("b"),
+            (
+                F.col("tf")
+                * F.when(h(32) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("sx"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("sx").alias("x"))
+    )
+    docs_all = docs.select("doc_id").distinct()
+    grid = docs_all.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_FH_B - 1))).alias("b")
+    )
+    xd = (
+        grid.join(fx, ["doc_id", "b"], "left")
+        .select(
+            "doc_id", "b", F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x")
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed = (
+        docs_all.orderBy("doc_id")
+        .limit(_FH_K)
+        .select(
+            "doc_id",
+            (
+                F.row_number().over(W.partitionBy(one_bucket("doc_id")).orderBy("doc_id"))
+                - 1
+            ).cast("long").alias("cid"),
+        )
+    )
+    cent = seed.join(xd, "doc_id").select("cid", "b", F.col("x").alias("c"))
+    outs = []
+    for t in range(1, _FH_ITERS + 1):
+        d = (
+            xd.join(F.broadcast(cent), "b")
+            .groupBy("doc_id", "cid")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+        )
+        a = (
+            d.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy(F.round(F.col("d2"), 6), "cid")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "cid")
+            .localCheckpoint(eager=True)
+        )
+        cent = (
+            a.join(xd, "doc_id")
+            .groupBy("cid", "b")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            a.groupBy("cid").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            ).select(F.lit(t).cast("long").alias("it"), "cid", "n_docs", "id_checksum")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+text_kmeans_hashed_docs.__doc__ = text_kmeans_hashed_docs.__doc__.format(
+    B=_FH_B, I=_FH_ITERS
+)

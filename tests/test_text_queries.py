@@ -129,3 +129,38 @@ def test_bpe_encode_planted_corpus_law(spark, tmp_path):
     assert (out[1].n_words, out[1].n_tokens) == (1, 1)
     assert (out[2].n_words, out[2].n_tokens) == (2, 2)
     assert out[2].seg_checksum == 2 * out[1].seg_checksum
+
+
+def test_text_kmeans_hashed_separates_planted_topics(spark, tmp_path):
+    """Four disjoint-vocabulary topic groups, each containing exactly
+    one of the four seed ids (0..3 — init is the K lowest doc_ids), so
+    every group starts with its own exact centroid; after the Lloyd
+    rounds every cluster must hold precisely its group (group g =
+    {g} ∪ {100g+10+j, j<5}, so the expected (n_docs, id_checksum)
+    pairs are closed-form). A mixed cluster means the hashed-vector
+    distance/argmin math is wrong."""
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    vocab = [
+        "apple banana fruit orchard ripe sweet",
+        "car engine wheel piston torque gear",
+        "river lake stream delta marsh tide",
+        "violin cello sonata tempo chord octave",
+    ]
+    rows = []
+    for g in range(4):
+        rows.append(Row(doc_id=g, text=vocab[g], lang="en", source="s0", n_chars=30))
+        for j in range(5):
+            rows.append(
+                Row(doc_id=100 * g + 10 + j, text=vocab[g], lang="en",
+                    source="s0", n_chars=30)
+            )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf_dir}/documents.parquet")
+    out = query_map()["text_kmeans_hashed_docs"](spark, sf_dir).collect()
+    expected = {(6, g + 5 * (100 * g + 10) + 10) for g in range(4)}
+    for it in (1, 2):
+        got = {(r.n_docs, r.id_checksum) for r in out if r.it == it}
+        assert got == expected, (it, got)
