@@ -96,8 +96,7 @@ def test_hand_built_ac_coefficient_matches_reference_idct():
     the independent double-loop IDCT exactly.
 
     Bits: DC '1010'+'1001000000', AC sym 0x01 '10' + magnitude '1',
-    EOB '0', pad -> 1010 1001 0000 0010 1 0 +1-pad
-    => bytes A9 02 A0 | wait, computed below bit by bit."""
+    EOB '0', then 1-padding to the byte boundary (assembled below)."""
     bits = "1010" + "1001000000" + "10" + "1" + "0"
     bits += "1" * (-len(bits) % 8)
     data = int(bits, 2).to_bytes(len(bits) // 8, "big")
@@ -300,3 +299,61 @@ def test_router_integration():
     img = decode_image(data)
     assert img.shape == (16, 24, 3)
     assert (img[0:8, 0:8, 0] == 0).all() and (img[8:16, 0:8, 0] == 120).all()
+
+
+def test_hand_built_420_mcu_vector():
+    """Hand-assembled 16x16 YCbCr 4:2:0 image — ONE interleaved MCU:
+    four flat luma blocks (values 64/128/192/32 by quadrant) + flat
+    Cb=144 / Cr=112, identity quant, hand-sized DHTs (DC symbol ==
+    its 4-bit code for both table ids, AC = EOB-only). Pins the MCU
+    block order (Y row-major 2x2, then Cb, then Cr), PER-COMPONENT
+    DC predictors, and the 2x2 chroma replication upsample straight
+    from the spec, independent of our encoder."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb\x00\x43\x00" + b"\x01" * 64  # luma quant, all ones
+    out += b"\xff\xdb\x00\x43\x01" + b"\x01" * 64  # chroma quant
+    # SOF0: 8-bit, 16x16, 3 comps: Y 2x2 tq0, Cb 1x1 tq1, Cr 1x1 tq1
+    out += b"\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03"
+    out += b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    for tid in (0x00, 0x01):  # DC tables id 0 and 1, same shape
+        out += b"\xff\xc4" + (31).to_bytes(2, "big") + bytes([tid]) + dc_bits
+        out += bytes(range(12))
+    for tid in (0x10, 0x11):  # AC tables: EOB at code '0'
+        out += b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([tid])
+        out += bytes([1] + [0] * 15) + b"\x00"
+    out += b"\xff\xda\x00\x0c\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+
+    def dc_bits_for(diff: int) -> str:
+        t = abs(diff).bit_length()
+        mag = diff if diff >= 0 else diff + (1 << t) - 1
+        return format(t, "04b") + (format(mag, f"0{t}b") if t else "")
+
+    # quadrant Y values 64/128/192/32 -> DC 8*(v-128); diffs vs pred
+    bits = ""
+    pred = 0
+    for v in (64, 128, 192, 32):
+        dc = 8 * (v - 128)
+        bits += dc_bits_for(dc - pred) + "0"  # DC then EOB
+        pred = dc
+    for dc in (8 * (144 - 128), 8 * (112 - 128)):  # Cb then Cr, fresh preds
+        bits += dc_bits_for(dc - 0) + "0"
+    bits += "1" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    # stuff any 0xFF bytes (none expected for these values, but keep
+    # the vector honest if constants change)
+    stuffed = bytearray()
+    for byte in data:
+        stuffed.append(byte)
+        if byte == 0xFF:
+            stuffed.append(0x00)
+    out += stuffed + b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    quad = {(0, 0): 64, (0, 1): 128, (1, 0): 192, (1, 1): 32}
+    for (qy, qx), y in quad.items():
+        block = img[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        assert (block[:, :, 0] == max(0, y - 22)).all(), (qy, qx, "r")
+        assert (block[:, :, 1] == min(255, y + 6)).all(), (qy, qx, "g")
+        assert (block[:, :, 2] == min(255, y + 28)).all(), (qy, qx, "b")
