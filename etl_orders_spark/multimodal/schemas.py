@@ -647,3 +647,17 @@ def gen_tone_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+try:  # pragma: no cover — exercised implicitly by worker-side generators
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    # jpeg_media_bytes is referenced by generator closures AND the
+    # binaryFile staging helper; by-value registration keeps every
+    # fixture closure runnable on bare-session workers that cannot
+    # import the package (same contract as codecs.py / jpeg.py).
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 — pickling registration is best-effort off-Spark
+    pass
