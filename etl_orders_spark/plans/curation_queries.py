@@ -910,7 +910,7 @@ def _lr_quality_oracle() -> str:
     )
 
     sql = f"""
-    WITH feat AS (
+    WITH feat AS MATERIALIZED (
       SELECT doc_id,
              ln(1.0 + {_N_TOKENS}) AS x1,
              {_PUNCT_RATIO} AS x2,
@@ -924,7 +924,7 @@ def _lr_quality_oracle() -> str:
       SELECT AVG(p - y) AS gb, AVG((p - y) * x1) AS g1,
              AVG((p - y) * x2) AS g2, AVG((p - y) * x3) AS g3
       FROM (SELECT y, x1, x2, x3, {p} AS p FROM feat, w{i - 1})
-    ), w{i} AS (
+    ), w{i} AS MATERIALIZED (
       SELECT ROUND(b - gb, 6) AS b, ROUND(w1 - g1, 6) AS w1,
              ROUND(w2 - g2, 6) AS w2, ROUND(w3 - g3, 6) AS w3
       FROM w{i - 1}, g{i}

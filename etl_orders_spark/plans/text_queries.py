@@ -2312,11 +2312,11 @@ def _bpe_rounds_sql() -> str:
       SELECT w, c, length(w) + 1, '{_BPE_EOW}' FROM vocab
     )"""
     for i in range(1, _BPE_TRAIN_ITERS + 1):
-        sql += f""", nx{i} AS (
+        sql += f""", nx{i} AS MATERIALIZED (
       SELECT word, freq, pos, sym,
              LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
       FROM rows{i - 1}
-    ), top{i} AS (
+    ), top{i} AS MATERIALIZED (
       SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS w
       FROM nx{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
       ORDER BY w DESC, a, b LIMIT 1
@@ -2325,13 +2325,13 @@ def _bpe_rounds_sql() -> str:
              pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
       FROM nx{i} n CROSS JOIN top{i} t
       WHERE n.sym = t.a AND n.nxt = t.b
-    ), keep{i} AS (
+    ), keep{i} AS MATERIALIZED (
       SELECT word, pos FROM (
         SELECT word, pos,
                MIN(pos) OVER (PARTITION BY word, grp) AS stp
         FROM isl{i}
       ) WHERE (pos - stp) % 2 = 0
-    ), rows{i} AS (
+    ), rows{i} AS MATERIALIZED (
       SELECT word, freq,
              ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
       FROM (
