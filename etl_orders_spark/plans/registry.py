@@ -98,7 +98,11 @@ PRIORITY: tuple[str, ...] = (
     # flagship + q3, and q5 itself stays benched)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "rollup_revenue",
+    # rollup_revenue ceded its slot to the round-8 distributed-PCA
+    # lane: grouping analytics stays graded via pivot_revenue_by_status
+    # (and q1/flagship for plain aggregation); rollup/cube/grouping-
+    # sets remain local-sweep-green
+    "pca_power_iteration_embeddings",
     "pivot_revenue_by_status",
     # lake-table lifecycle: schema evolution (agg_global_stats /
     # ship_months moved out earlier; scd2_point_in_time ceded its slot
@@ -152,7 +156,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash_near_pairs_docs",
-    "winnow_fingerprints_docs",
+    # winnow_fingerprints_docs ceded its slot to the round-8 in-engine
+    # classifier training lane: the fingerprint-dedup family keeps
+    # FOUR graded rows (exact, minhash, simhash, dup_span) plus the
+    # boilerplate scrub, and winnowing stays benched (fast twin) +
+    # local-sweep-green
+    "logreg_quality_train_docs",
     "text_quality_by_lang",
     "train_val_test_split",
     # vectors / similarity search (the planted-clone variant carries
