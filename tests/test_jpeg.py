@@ -357,3 +357,104 @@ def test_hand_built_420_mcu_vector():
         assert (block[:, :, 0] == max(0, y - 22)).all(), (qy, qx, "r")
         assert (block[:, :, 1] == min(255, y + 6)).all(), (qy, qx, "g")
         assert (block[:, :, 2] == min(255, y + 28)).all(), (qy, qx, "b")
+
+
+def _hand_jpeg_coeffs(coeffs_zz: "np.ndarray") -> bytes:
+    """Assemble a single-block grayscale JPEG for an ARBITRARY zigzag
+    coefficient vector, with a test-local entropy encoder that shares
+    NOTHING with encode_jpeg: DC symbols 0..11 at code length 4
+    (code == symbol), every AC (run, size) symbol used by this block
+    (plus ZRL) at code length 8 (code == index into the sorted symbol
+    list). Exercises general run-lengths, ZRL and EOB paths."""
+    ac_syms = set()
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coeffs_zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coeffs_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ac_syms.add(0xF0)
+            run -= 16
+        ac_syms.add((run << 4) | int(abs(v)).bit_length())
+        run = 0
+    if last_nz != 63:
+        ac_syms.add(0x00)
+    ac_list = sorted(ac_syms)
+    assert len(ac_list) < 255
+    ac_code = {s: i for i, s in enumerate(ac_list)}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb\x00\x43\x00" + b"\x01" * 64
+    out += b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    out += b"\xff\xc4" + (31).to_bytes(2, "big") + b"\x00"
+    out += bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_list)  # all AC codes at length 8
+    out += b"\xff\xc4" + (2 + 1 + 16 + len(ac_list)).to_bytes(2, "big") + b"\x10"
+    out += bytes(ac_bits) + bytes(ac_list)
+    out += b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+
+    bits = ""
+
+    def put(v: int, n: int) -> None:
+        nonlocal bits
+        bits += format(v, f"0{n}b") if n else ""
+
+    dc = int(coeffs_zz[0])
+    t = abs(dc).bit_length()
+    put(t, 4)
+    put(dc if dc >= 0 else dc + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(coeffs_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            put(ac_code[0xF0], 8)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        put(ac_code[(run << 4) | s], 8)
+        put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz != 63:
+        put(ac_code[0x00], 8)
+    bits += "1" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    stuffed = bytearray()
+    for byte in data:
+        stuffed.append(byte)
+        if byte == 0xFF:
+            stuffed.append(0x00)
+    out += stuffed + b"\xff\xd9"
+    return bytes(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), density=st.integers(1, 12))
+def test_arbitrary_coefficient_blocks_match_reference_idct(seed, density):
+    """Differential fuzz, decoder vs the independent double-loop IDCT:
+    random sparse zigzag coefficient vectors (random runs — including
+    >15-zero gaps that force ZRL — random signs/magnitudes) are
+    hand-assembled into JPEG bytes by the test-local encoder and must
+    decode to EXACTLY round(IDCT)+128 clipped. Generalizes the fixed
+    vectors to the whole baseline entropy surface."""
+    rng = np.random.default_rng(seed)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0] = int(rng.integers(-900, 900))
+    for _ in range(density):
+        k = int(rng.integers(1, 64))
+        zz[k] = int(rng.integers(-255, 256)) or 1
+    img = decode_jpeg(_hand_jpeg_coeffs(zz))
+    coeff = np.zeros((8, 8))
+    for k in range(64):
+        pos = int(ZIGZAG[k])
+        coeff[pos // 8, pos % 8] = float(zz[k])
+    expect = np.clip(np.round(_idct_reference(coeff) + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(img[:, :, 0], expect)
