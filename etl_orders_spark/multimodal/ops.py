@@ -289,6 +289,49 @@ def dhash_images(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(batches, DHASH_SCHEMA)
 
 
+DHASH_STATS_SCHEMA = (
+    "media_id long, dhash_hi long, dhash_lo long, "
+    "n_pixels long, sum_gray long, sumsq_gray long"
+)
+
+
+def dhash_pixel_stats(media: DataFrame) -> DataFrame:
+    """ONE decode pass emitting BOTH the perceptual dHash and the
+    exact integer gray-pixel stats (sum, sum of squares) — the fused
+    form the media-prep pipeline wants at 100 TB: decode is the
+    dominant cost, so every per-image signal (dedup hash, quality
+    stats, features) should ride a single Arrow pass. Gray and the
+    dHash bits follow dhash_images' exact laws; the variance test
+    downstream is all-integer (n*sumsq - sum^2 > 0), so the quality
+    gate mirrors into SQL with no FP."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = _decode_image(bytes(content))
+                gray = arr.astype("int64").sum(axis=2) // 3
+                g = _resize_nearest(gray, 9, 8)
+                bits = (g[:, 1:] > g[:, :-1]).flatten()  # i = y*8 + x
+                hi = sum(int(b) << i for i, b in enumerate(bits[:32]))
+                lo = sum(int(b) << i for i, b in enumerate(bits[32:]))
+                rows.append(
+                    (mid, hi, lo, int(gray.size), int(gray.sum()),
+                     int((gray * gray).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "dhash_hi", "dhash_lo",
+                         "n_pixels", "sum_gray", "sumsq_gray"],
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(batches, DHASH_STATS_SCHEMA)
+
+
 FRAME_DHASH_SCHEMA = "media_id long, frame_idx long, dhash_hi long, dhash_lo long"
 
 

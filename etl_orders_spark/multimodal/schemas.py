@@ -406,6 +406,42 @@ def jpeg_media_bytes(mid: int) -> tuple[bytes, int, int]:
     return encode_jpeg(ycc, subsampling=sub, color_input="ycbcr"), w, h
 
 
+def gen_flat_media(spark: SparkSession, n: int = 10, start: int = 5000) -> DataFrame:
+    """Deterministic BLANK images for quality-gate fixtures: flat gray
+    PPMs (every pixel c = (id * 37) % 256, 32x24) whose pixel variance
+    is exactly zero — the degenerate scrape artifacts a media-prep
+    pipeline must drop before perceptual dedup (flat images all dHash
+    to 0 and would otherwise flood the band join with phantom
+    near-dup pairs)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                c = (int(mid) * 37) % 256
+                g = np.full((NOISE_H, NOISE_W), c, np.uint8)
+                content = encode_ppm(np.repeat(g[:, :, None], 3, axis=2))
+                meta = {
+                    "format": "ppm",
+                    "width": NOISE_W,
+                    "height": NOISE_H,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
     """Deterministic REAL baseline-JPEG rows with a closed-form pixel
     law a LOSSY codec can still satisfy exactly: all-ones quantization

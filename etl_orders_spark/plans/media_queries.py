@@ -677,10 +677,13 @@ _N_NOISE = 100
 _DHASH_HAMMING = 3  # 4 bands x 16 bits: pigeonhole-complete at <= 3
 
 
-@register(
-    "media_dhash_near_dup",
-    f"""
-    WITH ids AS (SELECT UNNEST(generate_series(0, {_N_NOISE - 1})) AS media_id),
+# shared noise-fixture dHash derivation: ids -> clone bases -> the
+# resized 9x8 gray grid straight from the generator law -> neighbor
+# bits -> the two packed 32-bit halves. media_dhash_near_dup's oracle
+# and the media_prep_corpus pipeline twin both build on this body, so
+# the dHash law cannot drift between the detector and the pipeline.
+_NOISE_DHASH_CTES = f"""
+    ids AS (SELECT UNNEST(generate_series(0, {_N_NOISE - 1})) AS media_id),
     base AS (
       SELECT media_id,
              CASE WHEN media_id % 5 = 4 THEN media_id - 1 ELSE media_id END AS b,
@@ -715,6 +718,13 @@ _DHASH_HAMMING = 3  # 4 bands x 16 bits: pigeonhole-complete at <= 3
              SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS lo
       FROM bits GROUP BY media_id
     )
+    """
+
+
+@register(
+    "media_dhash_near_dup",
+    f"""
+    WITH {_NOISE_DHASH_CTES}
     SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
     FROM h a JOIN h b ON a.media_id < b.media_id
@@ -783,6 +793,132 @@ from etl_orders_spark.multimodal.schemas import VNOISE_FRAMES as _VNOISE_FRAMES
 
 _N_VNOISE = 60
 _VND_MAJORITY = 2  # of the 3 sampled frames (0, 2, 4)
+
+
+@register(
+    "media_prep_corpus",
+    f"""
+    WITH {_NOISE_DHASH_CTES},
+    pxf AS (
+      SELECT base.media_id,
+             CASE WHEN gx.i = 0 AND gy.i = 0 AND pert = 1
+                  THEN ((((b*73 + gx.i*37 + gy.i*101) * 2654435761) % 4294967296)
+                        // 16777216 + 128) % 256
+                  ELSE (((b*73 + gx.i*37 + gy.i*101) * 2654435761) % 4294967296)
+                       // 16777216
+             END AS v
+      FROM base,
+           UNNEST(generate_series(0, 31)) gx(i),
+           UNNEST(generate_series(0, 23)) gy(i)
+    ),
+    nstat AS (
+      SELECT media_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+      FROM pxf GROUP BY media_id
+    ),
+    fstat AS (
+      SELECT media_id, 768 AS n,
+             768 * ((media_id * 37) % 256) AS s,
+             768 * ((media_id * 37) % 256) * ((media_id * 37) % 256) AS ss
+      FROM (SELECT UNNEST(generate_series(5000, 5009)) AS media_id)
+    ),
+    allstat AS (SELECT * FROM nstat UNION ALL SELECT * FROM fstat),
+    q AS (SELECT * FROM allstat WHERE n * ss - s * s > 0),
+    pairs AS (
+      SELECT a.media_id AS ia, b.media_id AS ib
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_DHASH_HAMMING}
+        AND a.media_id IN (SELECT media_id FROM q)
+        AND b.media_id IN (SELECT media_id FROM q)
+    ),
+    dropped AS (SELECT DISTINCT ib FROM pairs)
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(s AS BIGINT) AS sum_gray,
+           CAST(n * ss - s * s AS BIGINT) AS var_num
+    FROM q WHERE media_id NOT IN (SELECT ib FROM dropped)
+    """,
+    tags=("media", "pipeline", "quality", "dedup", "lsh", "pandas-udf"),
+    bench=True,
+)
+def media_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MEDIA curation pipeline — the image twin of
+    llm_prep_corpus, every stage riding ONE decode: pool the noise
+    corpus (with its planted near-clones) with planted BLANK images,
+    extract dHash + exact integer pixel stats in a single fused Arrow
+    pass (ops.dhash_pixel_stats), drop zero-variance frames (the
+    quality gate — all-integer law n*ss - s^2 > 0, so it mirrors into
+    SQL exactly; it also keeps the degenerate all-equal dHashes out of
+    the band join), prune perceptual near-dups via the pigeonhole band
+    join + exact hamming verify (canonical = lowest id), and emit the
+    kept corpus with its features. The DuckDB twin derives the same
+    pixels, variances, dHash bits and drop set from the closed-form
+    laws, so one value hash certifies the WHOLE pipeline: decode,
+    fused stats, quality semantics, banding completeness, dedup
+    canonicalization.
+
+    Plan shape at 100 TB: decode dominates and runs ONCE (the fused
+    extractor is the point); the pipeline state per image is 2 hash
+    longs + 3 stat longs; the only exchanges are the 4-band self-join
+    (candidates track true-pair density) and the final anti-join on
+    dropped ids. Benched."""
+    from etl_orders_spark.multimodal.ops import dhash_pixel_stats
+    from etl_orders_spark.multimodal.schemas import gen_flat_media, gen_noise_media
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    pool = gen_noise_media(spark, _N_NOISE).unionByName(
+        gen_flat_media(spark, 10, start=5000)
+    )
+    st = cache_stage(dhash_pixel_stats(pool), "media_prep.st")
+    var_num = (
+        F.col("n_pixels") * F.col("sumsq_gray")
+        - F.col("sum_gray") * F.col("sum_gray")
+    )
+    q = st.filter(var_num > 0)
+    slices = F.array(
+        F.struct(F.lit(0).alias("bidx"), F.expr("dhash_hi & 65535").alias("s")),
+        F.struct(F.lit(1).alias("bidx"), F.expr("shiftright(dhash_hi, 16) & 65535").alias("s")),
+        F.struct(F.lit(2).alias("bidx"), F.expr("dhash_lo & 65535").alias("s")),
+        F.struct(F.lit(3).alias("bidx"), F.expr("shiftright(dhash_lo, 16) & 65535").alias("s")),
+    )
+    bands = q.select("media_id", F.explode(slices).alias("band")).select(
+        "media_id", F.col("band.bidx").alias("bidx"), F.col("band.s").alias("s")
+    )
+    cand = (
+        bands.select(F.col("media_id").alias("id_a"), "bidx", "s")
+        .join(
+            bands.select(F.col("media_id").alias("id_b"), "bidx", "s"),
+            ["bidx", "s"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = q.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+    )
+    hb = q.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+    )
+    pairs = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(
+            F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+            <= _DHASH_HAMMING
+        )
+    )
+    dropped = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    kept = q.join(dropped, "media_id", "left_anti")
+    return kept.select(
+        "media_id",
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.col("sum_gray").cast("long").alias("sum_gray"),
+        var_num.cast("long").alias("var_num"),
+    )
 
 
 @register(

@@ -362,3 +362,23 @@ def test_audio_spectral_dominant_bin_matches_tone_law(spark):
     )
     r = audio_spectral_features(short, n_fft=TONE_N_FFT).collect()[0]
     assert (r["n_frames"], r["dominant_bin"]) == (0, -1)
+
+
+def test_media_prep_corpus_drops_blanks_and_planted_clones(spark, sf_dir):
+    """Pipeline-semantics pins: every planted BLANK (ids 5000..5009,
+    zero variance) is gone, every planted near-clone (id % 5 == 4 —
+    hamming <= 1 from its source id-1, which is a lower id, so the
+    clone is always the dropped side) is gone, survivors all carry
+    positive integer variance, and the canonical (lowest-id) side of
+    each clone pair is never dropped BY ITS CLONE (it may still fall
+    to an unrelated near-dup of an even lower id — fixture dHash
+    density is high by design)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["media_prep_corpus"](spark, sf_dir).collect()
+    kept = {r.media_id for r in rows}
+    assert kept, "pipeline dropped everything"
+    assert not (kept & set(range(5000, 5010))), "a blank survived the quality gate"
+    assert not {k for k in kept if k % 5 == 4}, "a planted clone survived dedup"
+    for r in rows:
+        assert r.var_num > 0 and r.n_pixels == 32 * 24
