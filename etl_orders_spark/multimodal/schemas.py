@@ -685,6 +685,38 @@ def gen_tone_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def gen_silent_wav_media(spark: SparkSession, n: int = 10, start: int = 6000) -> DataFrame:
+    """Deterministic SILENT clips for the audio quality gate: all-zero
+    16-bit PCM (800 samples, mono 16 kHz) — the dead-air artifacts an
+    audio-prep pipeline drops before spectral fingerprinting (a silent
+    clip has no dominant bin; its spectrum argmax is meaningless)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content = encode_wav(np.zeros(800, np.int16), WAV_RATE)
+                meta = {
+                    "format": "wav",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": WAV_RATE,
+                    "duration_ms": 800 * 1000 // WAV_RATE,
+                }
+                rows.append((int(mid), "audio", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 try:  # pragma: no cover — exercised implicitly by worker-side generators
     import sys as _sys
 

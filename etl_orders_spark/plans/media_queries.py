@@ -1099,3 +1099,78 @@ def media_audio_dominant_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_orders_spark.multimodal.schemas import gen_tone_wav_media
 
     return audio_spectral_features(gen_tone_wav_media(spark, _N_TONE), n_fft=_TONE_N_FFT)
+
+
+@register(
+    "audio_prep_corpus",
+    f"""
+    WITH tone_ids AS (SELECT UNNEST(generate_series(0, {_N_TONE - 1})) AS media_id),
+    ts AS (
+      SELECT media_id,
+             CAST(ROUND(18000.0 * sin(2.0 * pi() * (3 + media_id % 40) * t.i
+                                      / {_TONE_N_FFT}.0)) AS BIGINT) AS s
+      FROM tone_ids, UNNEST(generate_series(0, {_TONE_N_SAMPLES - 1})) t(i)
+    ),
+    tstat AS (
+      SELECT media_id, COUNT(*) AS n_samples, SUM(ABS(s)) AS sum_abs
+      FROM ts GROUP BY media_id
+    ),
+    sstat AS (
+      SELECT media_id, 800 AS n_samples, 0 AS sum_abs
+      FROM (SELECT UNNEST(generate_series(6000, 6009)) AS media_id)
+    ),
+    allstat AS (SELECT * FROM tstat UNION ALL SELECT * FROM sstat),
+    q AS (SELECT * FROM allstat WHERE sum_abs > 0),
+    fp AS (SELECT media_id, 3 + media_id % 40 AS bin FROM q)
+    SELECT k.media_id,
+           CAST(k.bin AS BIGINT) AS dominant_bin,
+           CAST(a.n_samples AS BIGINT) AS n_samples,
+           CAST(a.sum_abs AS BIGINT) AS sum_abs
+    FROM (SELECT bin, MIN(media_id) AS media_id FROM fp GROUP BY bin) k
+    JOIN allstat a ON a.media_id = k.media_id
+    """,
+    tags=("media", "audio", "pipeline", "quality", "dedup", "fft", "pandas-udf"),
+)
+def audio_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end AUDIO curation pipeline — the third modality's twin
+    of llm_prep_corpus / media_prep_corpus: pool the pure-tone corpus
+    with planted SILENT clips, decode once per stage (amplitude
+    features, then rFFT spectral fingerprint), drop dead air on the
+    all-integer silence law (sum_abs > 0), dedup by spectral
+    fingerprint (dominant bin; canonical = lowest media_id — tones
+    sharing a bin ARE the same signal re-recorded), and emit the kept
+    clips with their features. The oracle derives amplitude sums from
+    the closed-form tone law (ROUND(18000 sin ...) — no sample values
+    near a rounding boundary, so engine trig ulps cannot flip an
+    integer) and states each clip's dominant bin as GROUND TRUTH
+    (never computing an FFT), so one value hash certifies PCM decode,
+    integer amplitude math, silence semantics, the whole
+    frame-transform-argmax chain, and the canonical pick.
+
+    Plan shape at 100 TB: both extractors are pure Arrow map passes
+    (fuse them into one decode exactly as ops.dhash_pixel_stats does
+    for images when decode dominates); the dedup is a (bin) group
+    aggregate — fingerprint cardinality, not corpus size — and the
+    join back is keyed on media_id."""
+    from etl_orders_spark.multimodal.ops import audio_features, audio_spectral_features
+    from etl_orders_spark.multimodal.schemas import gen_silent_wav_media, gen_tone_wav_media
+    from pyspark.sql import Window as W
+
+    pool = gen_tone_wav_media(spark, _N_TONE).unionByName(
+        gen_silent_wav_media(spark, 10, start=6000)
+    )
+    feats = audio_features(pool).select("media_id", "n_samples", "sum_abs")
+    q = feats.filter(F.col("sum_abs") > 0)
+    spec = audio_spectral_features(pool, n_fft=_TONE_N_FFT).select(
+        "media_id", F.col("dominant_bin").alias("bin")
+    )
+    sq = q.join(spec, "media_id")
+    keep = sq.withColumn(
+        "rn", F.row_number().over(W.partitionBy("bin").orderBy("media_id"))
+    ).filter(F.col("rn") == 1)
+    return keep.select(
+        "media_id",
+        F.col("bin").cast("long").alias("dominant_bin"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("sum_abs").cast("long").alias("sum_abs"),
+    )

@@ -382,3 +382,19 @@ def test_media_prep_corpus_drops_blanks_and_planted_clones(spark, sf_dir):
     assert not {k for k in kept if k % 5 == 4}, "a planted clone survived dedup"
     for r in rows:
         assert r.var_num > 0 and r.n_pixels == 32 * 24
+
+
+def test_audio_prep_corpus_drops_silence_and_dedups_by_bin(spark, sf_dir):
+    """Audio pipeline pins: the planted silent clips (6000..6009)
+    never survive, exactly one clip per dominant bin remains and it is
+    the LOWEST id carrying that bin (ids 0..39 each own bin 3+id%40
+    first), and every survivor has real signal energy."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["audio_prep_corpus"](spark, sf_dir).collect()
+    kept = {r.media_id for r in rows}
+    assert kept == set(range(40)), kept  # first owner of each of 40 bins
+    bins = [r.dominant_bin for r in rows]
+    assert sorted(bins) == list(range(3, 43))
+    for r in rows:
+        assert r.sum_abs > 0 and r.dominant_bin == 3 + r.media_id % 40
