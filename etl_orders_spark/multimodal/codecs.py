@@ -50,7 +50,16 @@ import sys as _sys
 
 import numpy as np
 
-_GATED = {"webp": "WebP"}
+# top-level (not lazy in decode_image): that body runs on WORKERS,
+# where the package is not importable — a module-level binding lets
+# cloudpickle's by-value registration carry the jpeg/vp8l modules along
+from etl_orders_spark.multimodal.jpeg import decode_jpeg as _decode_jpeg_native
+from etl_orders_spark.multimodal.vp8l import decode_webp as _decode_webp_native
+
+# formats recognized but with NO native decoder at all (decode_image
+# routes them straight to PIL-or-gate); lossless WebP decodes natively
+# as of round 9 — only lossy VP8 / animation fall through now
+_GATED: dict[str, str] = {}
 
 
 def sniff_format(content: bytes) -> str | None:
@@ -226,11 +235,17 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_pgm(content)
     if fmt == "bmp":
         return decode_bmp(content)
-    if fmt in ("png", "gif", "jpeg"):
-        if fmt == "jpeg":
-            from etl_orders_spark.multimodal.jpeg import decode_jpeg as native
-        else:
-            native = decode_png if fmt == "png" else decode_gif
+    if fmt in ("png", "gif", "jpeg", "webp"):
+        # bound at module import (not lazily here): this body runs on
+        # WORKERS, where the package is not importable — the top-level
+        # bindings let cloudpickle's by-value registration carry the
+        # jpeg/vp8l modules along with this one
+        native = {
+            "png": decode_png,
+            "gif": decode_gif,
+            "jpeg": _decode_jpeg_native,
+            "webp": _decode_webp_native,
+        }[fmt]
         try:
             return native(content)
         except NotImplementedError:

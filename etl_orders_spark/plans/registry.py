@@ -85,13 +85,14 @@ def register(
 # registers — it follows after the window in module import order and
 # is verified by the local mirror sweep (tools/check_correctness.py).
 PRIORITY: tuple[str, ...] = (
-    # flagship + the full landing-format matrix (S1/S1b/S2, P1/P3,
-    # J2/J3): the ORC and JSONL round trips share csv_star_ingest's
-    # oracle verbatim, so their green rows certify write->read
-    # fidelity of each format end-to-end
+    # flagship + the landing-format matrix (S1/S2, P1/P3, J2/J3): the
+    # JSONL round trip shares csv_star_ingest's oracle verbatim, so its
+    # green row certifies write->read fidelity end-to-end; the ORC round
+    # trip ceded its slot to the round-8 native-JPEG lane per VERDICT r8
+    # #1 (orc_star_ingest certifies the SAME oracle shape and stays
+    # benched + local-sweep-green)
     "flagship_enriched_lineitems",
     "csv_star_ingest",
-    "orc_star_ingest",
     "jsonl_star_ingest",
     "json_envelope_ingest",
     # aggregation family (A1; q5's chained star join stays covered by
@@ -122,9 +123,11 @@ PRIORITY: tuple[str, ...] = (
     "window_rank_parts",
     "topk_parts_per_brand",
     "boilerplate_chunk_removal_docs",
-    # round-3 flagship additions: drift gate + trainer-shard shuffle
+    # round-3 flagship addition: drift gate (shuffle_corpus_shards ceded
+    # its slot to the round-8 media-curation pipeline per VERDICT r8 #1 —
+    # the trainer-shard family stays graded via train_val_test_split and
+    # shuffle_corpus_shards stays benched + local-sweep-green)
     "dq_psi_price_drift",
-    "shuffle_corpus_shards",
     # join completeness (J1, J4 incl. as-of + range; anti stays
     # local-sweep-green — its slot went to the decoded-pixel family)
     "join_left_order_counts",
@@ -192,6 +195,14 @@ PRIORITY: tuple[str, ...] = (
     # pieces at frame grain, and the image lane stays benched +
     # local-sweep-green)
     "media_decode_pixel_stats",
+    # native baseline-JPEG decode (round 8, rotated in per VERDICT r8
+    # #1): from-scratch Huffman + IDCT with an all-ones-quant exactness
+    # law and a full pixel value-hash oracle
+    "media_jpeg_pixel_stats",
+    # end-to-end media curation pipeline (round 8, rotated in per
+    # VERDICT r8 #1): one fused decode pass -> integer variance gate ->
+    # pigeonhole dHash dedup, single value hash
+    "media_prep_corpus",
     # substring-grain duplicate-span detection (round 8): Lee et al.
     # 2022 passage dedup — full value-hash oracle over span extents
     # AND span text, planted copied segments keep it non-vacuous

@@ -133,22 +133,28 @@ def test_bmp_honest_gates():
 
 
 def test_compressed_formats_gate_or_decode():
-    """PNG and baseline JPEG decode in pure Python, so torn bytes of
-    either are a ValueError quarantine row, not a gate; WebP stays
-    codec-gated; unrecognized bytes are ValueError."""
+    """PNG, baseline JPEG and lossless WebP decode in pure Python, so
+    torn bytes of any are a ValueError quarantine row, not a gate;
+    LOSSY WebP (VP8) stays codec-gated; unrecognized bytes are
+    ValueError."""
     with pytest.raises(ValueError):  # torn JPEG: controlled failure
         decode_image(b"\xff\xd8\xff" + bytes(32))
     with pytest.raises(ValueError):  # torn PNG: controlled failure
         decode_image(b"\x89PNG\r\n\x1a\n" + bytes(32))
-    webp = b"RIFF\x00\x00\x00\x00WEBP" + bytes(16)
+    with pytest.raises(ValueError):  # torn WebP (r9): controlled failure
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP" + bytes(16))
+    lossy = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 "
+        + (4).to_bytes(4, "little") + bytes(4)
+    )
     try:
         import PIL  # noqa: F401
 
-        with pytest.raises(ValueError):  # magic sniffs, bytes don't decode
-            decode_image(webp)
+        with pytest.raises(ValueError):  # PIL tries, bytes don't decode
+            decode_image(lossy)
     except ImportError:
         with pytest.raises(NotImplementedError, match="codec"):
-            decode_image(webp)
+            decode_image(lossy)
     with pytest.raises(ValueError, match="not a decodable image"):
         decode_image(b"\x00\x01plain garbage")
     assert sniff_format(b"GIF89a...") == "gif"

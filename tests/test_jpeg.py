@@ -292,6 +292,57 @@ def test_single_byte_mutations_fail_controlled(idx, val):
         pass
 
 
+def _sweep_prefixes(good: bytes, full_shape: tuple) -> None:
+    """EVERY prefix must either raise the quarantine-lane exception
+    set (never IndexError/struct.error) or — only when the cut falls
+    inside/after the trailing EOI, i.e. all entropy data is present —
+    decode to the full image (libjpeg's missing-EOI leniency)."""
+    for n in range(len(good)):
+        try:
+            out = decode_jpeg(good[:n])
+        except (ValueError, NotImplementedError):
+            continue
+        assert n >= len(good) - 2, f"prefix {n} decoded with entropy data missing"
+        assert out.shape == full_shape
+
+
+def test_truncation_sweep_fail_closed():
+    """ADVICE r8: the single-byte fuzz only mutates well-formed
+    streams, so truncated segment bodies were untested before this
+    sweep."""
+    good = _valid_small()
+    _sweep_prefixes(good, decode_jpeg(good).shape)
+
+
+def test_truncation_sweep_color_subsampled():
+    """Same sweep over a color 4:2:0 + restart-interval stream, which
+    exercises the multi-table DQT/DHT and SOS component-spec parsers
+    the grayscale fixture doesn't reach."""
+    rgb = np.full((16, 24, 3), 90, dtype=np.uint8)
+    good = encode_jpeg(rgb, subsampling="420", restart_interval=1)
+    assert decode_jpeg(good).shape == (16, 24, 3)
+    _sweep_prefixes(good, (16, 24, 3))
+
+
+def test_legal_but_unsupported_routes_not_implemented():
+    """ADVICE r8: legal-per-T.81 shapes the native path doesn't cover
+    must raise NotImplementedError (so decode_image can fall through
+    to PIL when installed), not the corrupt-stream ValueError."""
+    base = bytearray(_valid_small())
+    i = bytes(base).find(b"\xff\xc0")
+    two = bytearray(base)
+    two[i + 9] = 2  # component count
+    with pytest.raises(NotImplementedError, match="2-component"):
+        decode_jpeg(bytes(two))
+    # splice a DNL / DAC segment before SOF: both are legal markers
+    for marker, word in ((0xDC, "DNL"), (0xCC, "arithmetic")):
+        spliced = bytes(base[:i]) + bytes([0xFF, marker, 0x00, 0x04, 0x00, 0x10]) + bytes(
+            base[i:]
+        )
+        with pytest.raises(NotImplementedError, match=word):
+            decode_jpeg(spliced)
+
+
 def test_router_integration():
     """decode_image routes JPEG natively and sniffs the format."""
     data = _valid_small()

@@ -162,7 +162,8 @@ _BNLJ_ALLOWED = {
     "logreg_quality_train_docs": 6,  # 1-row weight/gradient/accuracy broadcasts per GD round
     "pca_power_iteration_embeddings": 3,  # 1-row norm + 1-row Rayleigh per power round
     "pca_deflation_top2_embeddings": 2,  # 1-row norm/Rayleigh tails (checkpoints absorb the rest)
-    "semantic_dedup_embeddings": 4,  # same K-row centroid broadcasts (2 assigns)
+    "semantic_dedup_embeddings": 4,  # K-row centroid broadcasts (fixture-form budget; the r9 production GEMM builder plans fewer)
+    "semantic_dedup_embeddings_autok": 1,  # 1-row rollup x 1-row corpus-total invariant join
     "ks_price_urgent_vs_low": 1,
     "mmr_diverse_topk": 1,  # broadcast query batch (candidate generator)
     "ols_daily_revenue_trend": 1,

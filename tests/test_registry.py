@@ -32,9 +32,11 @@ def duck(sf_dir):
 _WINDOW_FAMILIES = (
     # landing formats / sources (S1/S1b/S2/S3 + Spark-4 surfaces).
     # "scd2" rotated out per VERDICT r7 #1 (slot ceded to the SemDeDup
-    # lane); the family stays benched (scd2_enrich_orders_asof) and
-    # local-sweep-green.
-    "source", "csv", "orc", "json", "variant", "evolution",
+    # lane); "orc" rotated out per VERDICT r8 #1 (slot ceded to the
+    # native-JPEG lane — the write->read round-trip shape stays graded
+    # via csv + jsonl, which share the identical oracle, and
+    # orc_star_ingest stays local-sweep-green).
+    "source", "csv", "json", "variant", "evolution",
     # relational core: A1-A5, P6-P7, J1-J4 (setop + the P5 recode ceded
     # their slots to round-5 lanes per VERDICT r5 #4; both stay
     # local-sweep-green)

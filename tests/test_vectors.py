@@ -560,9 +560,14 @@ def test_semantic_dedup_auto_path(spark, sf_dir):
         _semdedup_rollup,
         semantic_dedup_assign_auto,
         semantic_dedup_frame,
+        semantic_dedup_frame_fixture,
     )
 
-    fix = sorted(map(tuple, semantic_dedup_frame(spark, sf_dir, k=_SD_K).collect()))
+    fix = sorted(map(tuple, semantic_dedup_frame_fixture(spark, sf_dir, k=_SD_K).collect()))
+    # the GRADED lane now runs the production GEMM assignment (VERDICT
+    # r8 #3) — this cross-check is what licenses that swap
+    lane = sorted(map(tuple, semantic_dedup_frame(spark, sf_dir, k=_SD_K).collect()))
+    assert fix == lane
     # SAME cache key as the lane: two keys over one CacheManager-deduped
     # plan is the documented cross-key unpersist hazard
     x = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")

@@ -56,10 +56,14 @@ def _load_git_head() -> dict:
 
 
 def _diff_column(
-    label: str, old: dict[str, float], new: dict[str, float]
+    label: str, old: dict[str, float], new: dict[str, float], cal: float = 1.0
 ) -> int:
     """Print the regression report for one timing column; return the
-    number of >THRESHOLD regressions above the noise floor."""
+    number of >THRESHOLD regressions above the noise floor. ``cal`` is
+    the box-speed ratio (new calibration / old calibration) from the
+    sidecars' fixed data-independent probe (VERDICT r8 #2): lane
+    ratios are divided by it, so a uniformly slow measurement window
+    no longer reads as a fleet of regressions."""
     if not old or not new:
         print(f"{label}: column absent on one side "
               f"(old {len(old)} lanes, new {len(new)}) — skipped")
@@ -71,16 +75,18 @@ def _diff_column(
     improved = 0
     for name in common:
         o, n = old[name], new[name]
-        ratio = n / o if o > 0 else float("inf")
+        ratio = (n / o if o > 0 else float("inf")) / cal
         if ratio > THRESHOLD and max(o, n) > NOISE_FLOOR_SEC:
             regressed.append((name, o, n, ratio))
         elif ratio < 1 / THRESHOLD:
             improved += 1
 
+    cal_note = f", calibrated /{cal:.2f}" if cal != 1.0 else ""
     print(f"{label}: {len(common)} common lanes, "
-          f"{improved} improved >{THRESHOLD}x, {len(regressed)} regressed >{THRESHOLD}x")
+          f"{improved} improved >{THRESHOLD}x, "
+          f"{len(regressed)} regressed >{THRESHOLD}x{cal_note}")
     for name, o, n, ratio in sorted(regressed, key=lambda r: -r[3]):
-        print(f"  REGRESSED {name}: {o:.3f}s -> {n:.3f}s ({ratio:.2f}x)")
+        print(f"  REGRESSED {name}: {o:.3f}s -> {n:.3f}s ({ratio:.2f}x calibrated)")
     if added:
         print(f"  new lanes (no baseline): "
               f"{', '.join(f'{a} {new[a]:.3f}s' for a in added)}")
@@ -109,11 +115,24 @@ def main() -> int:
         old_src = "HEAD:bench_cold.json"
 
     print(f"bench regression report vs {old_src}")
+    cal = 1.0
+    oc, nc = old_doc.get("calibration_sec"), new_doc.get("calibration_sec")
+    if oc and nc:
+        cal = nc / oc
+        print(f"box-speed calibration: {oc:.3f}s -> {nc:.3f}s "
+              f"(window ratio {cal:.2f}x; lane ratios normalized by it)")
+    elif nc:
+        print(f"box-speed calibration: {nc:.3f}s (baseline sidecar has none "
+              "— raw ratios reported)")
+    iso = new_doc.get("isolation_warm") or {}
+    if iso:
+        print("isolation re-measures (clean JIT neighborhood): "
+              + ", ".join(f"{k} {v:.3f}s" for k, v in sorted(iso.items())))
     n_bad = _diff_column(
-        "cold", old_doc.get("queries_cold", {}), new_doc.get("queries_cold", {})
+        "cold", old_doc.get("queries_cold", {}), new_doc.get("queries_cold", {}), cal
     )
     n_bad += _diff_column(
-        "warm", old_doc.get("queries_warm", {}), new_doc.get("queries_warm", {})
+        "warm", old_doc.get("queries_warm", {}), new_doc.get("queries_warm", {}), cal
     )
     return 1 if n_bad else 0
 
