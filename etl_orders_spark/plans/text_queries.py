@@ -38,7 +38,7 @@ from etl_orders_spark.operators.dedup import (
     verify_jaccard,
     winnow_fingerprints,
 )
-from etl_orders_spark.plans.registry import register
+from etl_orders_spark.plans.registry import QUERIES, register
 from etl_orders_spark.sources.readers import load_table as T
 
 # TW = the fan-out-narrow documents loader (readers.load_table_wide):
@@ -1459,6 +1459,57 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccnet_perplexity_buckets_docs",
+    # the bucket twin WRAPS the registered perplexity oracle verbatim,
+    # so the score this lane buckets can never drift from the scored lane
+    f"""
+    WITH ppl AS ({{PPL_ORACLE}})
+    SELECT doc_id, avg_nll_micro,
+           CAST(NTILE(3) OVER (ORDER BY avg_nll_micro, doc_id) AS BIGINT) AS bucket_id,
+           CASE NTILE(3) OVER (ORDER BY avg_nll_micro, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ppl
+    """.replace("{PPL_ORACLE}", QUERIES["bigram_perplexity_docs"].oracle),
+    tags=("text", "quality", "llm", "curation", "sampling"),
+)
+def ccnet_perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet corpus partition (Wenzek et al. 2020 §4.3): rank every
+    document by its LM perplexity (here the corpus-trained bigram
+    model's integer micro-nat NLL — bigram_perplexity_docs, reused
+    verbatim) and split the corpus into equal-size HEAD / MIDDLE /
+    TAIL thirds — head = lowest perplexity (most fluent), the slice
+    CCNet keeps for pretraining; tail = the drop candidate. Bucket
+    boundaries are exact NTILE(3) over (score, doc_id), so ties and
+    edge rows land identically in both engines.
+
+    100 TB posture: the score is the already-certified perplexity
+    plan; the global tercile uses the TWO-PASS rank + ntile_from_rank
+    (operators/rank.py) — a P-row offsets table, never a
+    single-partition window — and the row count rides a 1-row
+    broadcast. The bucketing adds one range exchange on top of the
+    score plan."""
+    from etl_orders_spark.operators.rank import ntile_from_rank, two_pass_rank
+
+    ppl = bigram_perplexity_docs(spark, sf_dir).select("doc_id", "avg_nll_micro")
+    ranked = two_pass_rank(ppl, [F.col("avg_nll_micro"), F.col("doc_id")])
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    out = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "avg_nll_micro",
+        ntile_from_rank(F.col("rk"), F.col("_n"), 3).cast("long").alias("bucket_id"),
+    )
+    return out.select(
+        "doc_id",
+        "avg_nll_micro",
+        "bucket_id",
+        F.when(F.col("bucket_id") == 1, "head")
+        .when(F.col("bucket_id") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@register(
     "dup_ngram_rate_docs_fast",
     f"""
     WITH g AS (
@@ -2631,6 +2682,978 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_encode_docs.__doc__ = bpe_encode_docs.__doc__.format(K=_BPE_TRAIN_ITERS)
+
+
+# --- Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1) ----------
+# The standard published document-quality filter battery a pretraining
+# pipeline applies before dedup: word-count bounds, mean word length,
+# symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+# fraction, stop-word presence. The sf corpus is single-line prose with
+# no symbols, so the line/symbol rules would be vacuously green on it
+# alone — the lane therefore pools PLANTED rule-violating documents
+# (the planted-corpus convention, VERDICT r5 #3), one per rule, each
+# derived from one module-level literal both engines share.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_PLANTED: tuple[tuple[int, str], ...] = (
+    # fails word-count floor only (10 words, everything else clean)
+    (9000001, "the cat and the dogs have run to the mill"),
+    # fails mean-word-length floor (58 single-char words + 2 stops)
+    (9000002, " ".join(["a"] * 58 + ["to", "of"])),
+    # fails mean-word-length ceiling (48 12-char words + 2 stops)
+    (9000003, " ".join(["abcdefghijkl"] * 48 + ["the", "with"])),
+    # fails symbol ratio (48 of 50 words carry '#')
+    (9000004, " ".join(["word#"] * 48 + ["the", "with"])),
+    # fails bullet-line fraction only (every line bullet-led; the
+    # bare '-' tokens leave the alpha-word fraction at exactly 0.8)
+    (9000005, "\n".join(["- items once upon them"] * 20 + ["- that have those month"])),
+    # fails ellipsis-line fraction only (12-word lines keep the
+    # '...'-as-symbol ratio at 1/12 = 0.083, inside the 0.1 bound)
+    (
+        9000006,
+        "\n".join(
+            ["the words keep going along with more and more again still more..."] * 5
+        ),
+    ),
+    # fails alphabetic-word fraction (15 of 50 words are digits)
+    (9000007, " ".join(["the", "with"] + ["words"] * 33 + ["12345"] * 15)),
+    # fails stop-word rule only (>= 50 clean words, zero stop types)
+    (9000008, " ".join(["alpha", "bravo", "crane", "delta", "eagle"] * 10)),
+    # control: passes every rule
+    (9000009, " ".join(["the", "and"] + ["solid"] * 53)),
+)
+
+
+def _gopher_planted_sql() -> str:
+    rows = ",\n        ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _GOPHER_PLANTED
+    )
+    return f"(VALUES\n        {rows}) AS planted(doc_id, text)"
+
+
+def _gopher_oracle() -> str:
+    toks = _RAW_TOKENS
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(list_transform({toks}, w -> lower(w)), '{s}') "
+        "THEN 1 ELSE 0 END"
+        for s in _GOPHER_STOPS
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM {_gopher_planted_sql()}
+    ), m AS (
+      SELECT doc_id,
+        CAST(len({toks}) AS BIGINT) AS n_words,
+        ROUND(COALESCE(
+          list_sum(list_transform({toks}, w -> length(w)))
+            * 1.0 / NULLIF(len({toks}), 0), 0.0), 6) AS mean_word_len,
+        ROUND(COALESCE(
+          ((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3
+            + (length(text) - length(replace(text, '…', ''))))
+            * 1.0 / NULLIF(len({toks}), 0), 0.0), 6) AS symbol_ratio,
+        ROUND(len(list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(trim(l), '^[-*•]')))
+            * 1.0 / len(string_split(text, chr(10))), 6) AS bullet_line_frac,
+        ROUND(len(list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+            * 1.0 / len(string_split(text, chr(10))), 6) AS ellipsis_line_frac,
+        ROUND(COALESCE(
+          len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]')))
+            * 1.0 / NULLIF(len({toks}), 0), 0.0), 6) AS alpha_word_frac,
+        CAST({stop_hits} AS BIGINT) AS n_stop_types
+      FROM corpus
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, n_stop_types,
+           n_words BETWEEN 50 AND 100000 AS pass_word_count,
+           mean_word_len BETWEEN 3 AND 10 AS pass_mean_word_len,
+           symbol_ratio <= 0.1 AS pass_symbol_ratio,
+           bullet_line_frac <= 0.9 AS pass_bullet_lines,
+           ellipsis_line_frac <= 0.3 AS pass_ellipsis_lines,
+           alpha_word_frac >= 0.8 AS pass_alpha_words,
+           n_stop_types >= 2 AS pass_stop_words,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+             AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+             AND n_stop_types >= 2 AS keep
+    FROM m
+    """
+
+
+@register(
+    "gopher_quality_rules_docs",
+    _gopher_oracle(),
+    tags=("text", "quality", "llm", "curation"),
+)
+def gopher_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    Appendix A1.1) — the published heuristic filter set pretraining
+    pipelines run before dedup: word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio ('#' and ellipsis) <= 0.1,
+    bullet-led lines <= 90%, ellipsis-ended lines <= 30%, >= 80% of
+    words containing an alphabetic character, and >= 2 distinct stop
+    words present. Emits the raw metric AND the per-rule pass flag AND
+    the combined keep verdict per document, so downstream curation can
+    keep, drop, or route by individual rule.
+
+    Non-vacuity: the sf corpus is single-line symbol-free prose, so
+    the line/symbol rules never fire on it — the lane pools nine
+    PLANTED documents (ids 9000001+, one engineered violation per
+    rule plus an all-pass control) from one module-level literal both
+    engines share, making every rule's fail branch a hashed surface
+    (tests assert each planted doc fails exactly its targeted rule).
+
+    Determinism: ratios ROUND to 6 and the flags compare the ROUNDED
+    values, so both engines branch on identical doubles. 100 TB
+    posture: one pure-map pass over documents — every metric is a JVM
+    expression (split / aggregate / filter / rlike), no UDF, no
+    exchange until the driver's own aggregation of the result."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(list(_GOPHER_PLANTED), "doc_id long, text string")
+    corpus = docs.unionByName(planted)
+
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    nz = F.nullif(n_words.cast("double"), F.lit(0.0))
+    mean_len = F.round(
+        F.coalesce(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            / nz,
+            F.lit(0.0),
+        ),
+        6,
+    )
+    symbols = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("…"))))
+    )
+    symbol_ratio = F.round(F.coalesce(symbols / nz, F.lit(0.0)), 6)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.coalesce(
+            F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / nz, F.lit(0.0)
+        ),
+        6,
+    )
+    lowered = F.transform(toks, lambda w: F.lower(w))
+    n_stop = sum(
+        F.when(F.array_contains(lowered, s), 1).otherwise(0) for s in _GOPHER_STOPS
+    ).cast("long")
+
+    m = corpus.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_types"),
+    )
+    p_wc = F.col("n_words").between(50, 100000)
+    p_ml = F.col("mean_word_len").between(3, 10)
+    p_sy = F.col("symbol_ratio") <= 0.1
+    p_bu = F.col("bullet_line_frac") <= 0.9
+    p_el = F.col("ellipsis_line_frac") <= 0.3
+    p_al = F.col("alpha_word_frac") >= 0.8
+    p_st = F.col("n_stop_types") >= 2
+    return m.select(
+        "*",
+        p_wc.alias("pass_word_count"),
+        p_ml.alias("pass_mean_word_len"),
+        p_sy.alias("pass_symbol_ratio"),
+        p_bu.alias("pass_bullet_lines"),
+        p_el.alias("pass_ellipsis_lines"),
+        p_al.alias("pass_alpha_words"),
+        p_st.alias("pass_stop_words"),
+        (p_wc & p_ml & p_sy & p_bu & p_el & p_al & p_st).alias("keep"),
+    )
+
+
+# --- WordPiece tokenizer: likelihood-ratio training + greedy encode ---------
+# The tokenizer family's third member (after BPE train + encode): the
+# WordPiece algorithm (Schuster & Nakajima 2012; Wu et al. 2016 — the
+# BERT tokenizer). TRAINING is the BPE loop with one change: the merge
+# choice maximizes the likelihood ratio count(ab) / (count(a)*count(b))
+# instead of the raw pair count — the pair whose merge most increases
+# corpus likelihood under a unigram model. ENCODING is greedy
+# longest-match-first against a frequency-built vocabulary with
+# word-initial vs '##'-continuation piece classes.
+_WP_TRAIN_ITERS = 3
+_WP_MAX_WORD = 16  # encode-lane law: word forms longer than this are excluded
+_WP_MAX_PIECE = 6  # multi-char vocabulary pieces span 2..6 chars
+_WP_VOCAB_TOP = 200  # multi-char pieces kept, by (weight DESC, cls, piece)
+
+
+def _wp_rounds_sql() -> str:
+    """The unrolled WordPiece training rounds: same vocabulary collapse
+    / symbol rows / island merge as _bpe_rounds_sql (deliberately NOT
+    shared code — the BPE oracles' bytes are frozen driver-facing
+    contracts), with top{i} selecting by the likelihood ratio
+    w / (u(a)*u(b)) over the CURRENT symbol unigram counts. The ratio
+    compares as IEEE doubles built from identical integers in both
+    engines (division and multiplication are correctly rounded, so
+    equal inputs give bit-equal doubles); ties break (a, b) ASC."""
+    sql = f"""
+    WITH tok AS (
+      SELECT UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      WHERE length(w) >= 2 GROUP BY w
+    ), rows0 AS (
+      SELECT w AS word, c AS freq, i AS pos, substr(w, i, 1) AS sym
+      FROM vocab, UNNEST(generate_series(1, length(w))) t(i)
+      UNION ALL
+      SELECT w, c, length(w) + 1, '{_BPE_EOW}' FROM vocab
+    )"""
+    for i in range(1, _WP_TRAIN_ITERS + 1):
+        sql += f""", nx{i} AS MATERIALIZED (
+      SELECT word, freq, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM rows{i - 1}
+    ), ucnt{i} AS MATERIALIZED (
+      SELECT sym, CAST(SUM(freq) AS BIGINT) AS u FROM rows{i - 1} GROUP BY sym
+    ), top{i} AS MATERIALIZED (
+      SELECT pc.a, pc.b, pc.w, ca.u AS ua, cb.u AS ub
+      FROM (
+        SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS w
+        FROM nx{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+      ) pc
+      JOIN ucnt{i} ca ON pc.a = ca.sym
+      JOIN ucnt{i} cb ON pc.b = cb.sym
+      ORDER BY CAST(pc.w AS DOUBLE) / (CAST(ca.u AS DOUBLE) * CAST(cb.u AS DOUBLE)) DESC,
+               pc.a, pc.b
+      LIMIT 1
+    ), isl{i} AS (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM nx{i} n CROSS JOIN top{i} t
+      WHERE n.sym = t.a AND n.nxt = t.b
+    ), keep{i} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               MIN(pos) OVER (PARTITION BY word, grp) AS stp
+        FROM isl{i}
+      ) WHERE (pos - stp) % 2 = 0
+    ), rows{i} AS MATERIALIZED (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM (
+        SELECT m.word, m.freq, m.pos,
+               CASE WHEN k1.pos IS NOT NULL THEN m.sym || m.nxt
+                    ELSE m.sym END AS sym
+        FROM nx{i} m
+        LEFT JOIN keep{i} k1 ON m.word = k1.word AND m.pos = k1.pos
+        LEFT JOIN keep{i} k2 ON m.word = k2.word AND m.pos = k2.pos + 1
+        WHERE k2.pos IS NULL
+      )
+    )"""
+    return sql
+
+
+def _wp_train_oracle() -> str:
+    """Unrolled k-iteration WordPiece training twin: per round the
+    chosen pair, its pair count, BOTH unigram counts (the score's
+    integer numerator/denominator — emitted instead of the double
+    ratio so the value hash has no FP surface), and the same
+    vocabulary-segmentation checksum convention as the BPE twin."""
+    h = _sql_hash(79, "word || '#' || s")
+    sql = _wp_rounds_sql()
+    for i in range(1, _WP_TRAIN_ITERS + 1):
+        sql += f""", wout{i} AS (
+      SELECT CAST({i} AS BIGINT) AS it, t.a || '+' || t.b AS pair,
+             t.w AS pair_weight, t.ua AS left_weight, t.ub AS right_weight,
+             (SELECT CAST(SUM({h}) AS BIGINT) FROM (
+                SELECT word, string_agg(sym, ' ' ORDER BY pos) AS s
+                FROM rows{i} GROUP BY word
+             )) AS vocab_checksum
+      FROM top{i} t
+    )"""
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM wout{i}" for i in range(1, _WP_TRAIN_ITERS + 1)
+    )
+    return sql + "\n    " + picks
+
+
+def _wp_run_rounds(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Execute the k-round WordPiece training loop; returns the
+    per-round outputs (it, pair, pair_weight, left_weight,
+    right_weight, vocab_checksum). Same plan skeleton as
+    _bpe_run_rounds — vocabulary collapse once, per-round pair count +
+    unigram count aggregates, 1-row top broadcast, island merge,
+    eager checkpoint per round — plus one extra alphabet-bounded
+    aggregate per round (the unigram symbol counts the score divides
+    by)."""
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    chars = vocab.select(
+        F.col("w").alias("word"),
+        F.col("c").alias("freq"),
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+    ).select("word", "freq", "pos", F.expr("substring(word, pos, 1)").alias("sym"))
+    term = vocab.select(
+        F.col("w").alias("word"),
+        F.col("c").alias("freq"),
+        (F.length("w") + 1).cast("int").alias("pos"),
+        F.lit(_BPE_EOW).alias("sym"),
+    )
+    rows = chars.unionByName(term).localCheckpoint(eager=True)
+
+    wv = Window.partitionBy("word").orderBy("pos")
+    outs = []
+    for i in range(1, _WP_TRAIN_ITERS + 1):
+        nx = rows.select(
+            "word", "freq", "pos", "sym", F.lead("sym").over(wv).alias("nxt")
+        )
+        ucnt = rows.groupBy("sym").agg(F.sum("freq").cast("long").alias("u"))
+        pc = (
+            nx.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").cast("long").alias("w"))
+            .select(F.col("sym").alias("a"), F.col("nxt").alias("b"), "w")
+        )
+        top = (
+            pc.join(ucnt.select(F.col("sym").alias("a"), F.col("u").alias("ua")), "a")
+            .join(ucnt.select(F.col("sym").alias("b"), F.col("u").alias("ub")), "b")
+            .orderBy(
+                F.desc(
+                    F.col("w").cast("double")
+                    / (F.col("ua").cast("double") * F.col("ub").cast("double"))
+                ),
+                "a",
+                "b",
+            )
+            .limit(1)
+            .select("a", "b", "w", "ua", "ub")
+        )
+        mk = nx.crossJoin(F.broadcast(top))
+        isl = mk.where((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))).select(
+            "word", "pos", (F.col("pos") - F.row_number().over(wv)).alias("grp")
+        )
+        keep = (
+            isl.withColumn(
+                "stp", F.min("pos").over(Window.partitionBy("word", "grp"))
+            )
+            .where((F.col("pos") - F.col("stp")) % 2 == 0)
+            .select("word", "pos")
+        )
+        k1 = keep.select(F.col("word").alias("w1"), F.col("pos").alias("p1"))
+        k2 = keep.select(F.col("word").alias("w2"), F.col("pos").alias("p2"))
+        rebuilt = (
+            mk.join(
+                k1, (F.col("word") == F.col("w1")) & (F.col("pos") == F.col("p1")), "left"
+            )
+            .join(
+                k2,
+                (F.col("word") == F.col("w2")) & (F.col("pos") == F.col("p2") + 1),
+                "left",
+            )
+            .where(F.col("p2").isNull())
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("p1").isNotNull(), F.concat("sym", "nxt")
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+        )
+        rows = rebuilt.select(
+            "word", "freq", F.row_number().over(wv).alias("pos"), "sym"
+        ).localCheckpoint(eager=True)
+        wordform = rows.groupBy("word").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                " ",
+            ).alias("s")
+        )
+        chk = wordform.select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("79|"), F.col("word"), F.lit("#"), F.col("s"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        ).agg(F.sum("h").cast("long").alias("vocab_checksum"))
+        outs.append(
+            top.crossJoin(chk).select(
+                F.lit(i).cast("long").alias("it"),
+                F.concat("a", F.lit("+"), "b").alias("pair"),
+                F.col("w").cast("long").alias("pair_weight"),
+                F.col("ua").cast("long").alias("left_weight"),
+                F.col("ub").cast("long").alias("right_weight"),
+                "vocab_checksum",
+            )
+        )
+    return outs
+
+
+@register(
+    "wordpiece_train_merges_docs",
+    _wp_train_oracle(),
+    tags=("text", "tokenize", "llm", "iterative"),
+)
+def wordpiece_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training, {K} merge rounds executed for real
+    (Schuster & Nakajima ICASSP 2012; the BERT tokenizer, Wu et al.
+    2016): the BPE island-merge machinery with the selection criterion
+    the papers actually use — each round merges the pair maximizing
+    the unigram-likelihood ratio count(ab) / (count(a) * count(b)),
+    i.e. the merge that most increases corpus likelihood, not the
+    most frequent pair. Output per round: the chosen pair, its pair
+    count AND both unigram counts (the score's exact integer
+    numerator/denominator — the double ratio itself never enters the
+    hashed surface), plus the per-round vocabulary-segmentation
+    checksum shared with the BPE convention, so the oracle certifies
+    the merged vocabulary state after every round.
+
+    Score determinism: both engines build the ratio from identical
+    BIGINTs via correctly-rounded IEEE double multiply/divide, so the
+    ORDER BY sees bit-equal doubles; exact ties fall to (a, b) ASC.
+    The unigram counts are CAST to double before multiplying because
+    the integer product overflows BIGINT at web-corpus scale.
+
+    Plan shape at 100 TB: identical to bpe_train_merges_docs (one
+    Heaps'-law vocabulary collapse, alphabet-bounded per-round
+    aggregates, 1-row top broadcast, word-keyed island windows,
+    per-round eager checkpoint) plus one extra alphabet-bounded
+    unigram-count aggregate per round."""
+    outs = _wp_run_rounds(spark, sf_dir)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+wordpiece_train_merges_docs.__doc__ = wordpiece_train_merges_docs.__doc__.format(
+    K=_WP_TRAIN_ITERS
+)
+
+
+def _wp_encode_oracle() -> str:
+    """Greedy longest-match-first encode twin: the vocabulary is a
+    closed form of the corpus (all single chars in both position
+    classes + the top-{V} multi-char substrings of length 2..{L} by
+    occurrence-weighted frequency), and the greedy walk unrolls to
+    {W} steps — a word of length <= {W} segments into at most {W}
+    pieces, and every state either advances or is already final.
+    All-integer output (piece counts + md5-derived checksums)."""
+    h = _sql_hash(81, "word || '#' || seg")
+    sql = f"""
+    WITH wp_tok AS (
+      SELECT UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    ), wp_forms AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wp_tok
+      WHERE length(w) BETWEEN 2 AND {_WP_MAX_WORD} GROUP BY w
+    ), wp_sub AS MATERIALIZED (
+      SELECT CASE WHEN s.i = 1 THEN 'i' ELSE 'c' END AS cls,
+             substr(f.w, s.i, l.j) AS piece,
+             CAST(l.j AS INTEGER) AS len,
+             CAST(SUM(f.c) AS BIGINT) AS wgt
+      FROM wp_forms f,
+           UNNEST(generate_series(1, length(f.w))) s(i),
+           UNNEST(generate_series(1, {_WP_MAX_PIECE})) l(j)
+      WHERE s.i + l.j - 1 <= length(f.w)
+      GROUP BY 1, 2, 3
+    ), wp_vocab AS MATERIALIZED (
+      SELECT cls, piece, len FROM (
+        SELECT cls, piece, len,
+               ROW_NUMBER() OVER (ORDER BY wgt DESC, cls, piece) AS rk
+        FROM wp_sub WHERE len >= 2
+      ) WHERE rk <= {_WP_VOCAB_TOP}
+      UNION ALL
+      SELECT cls, piece, len FROM wp_sub WHERE len = 1
+    ), wst0 AS (
+      SELECT w AS word, 1 AS pos, CAST(0 AS BIGINT) AS ntok, '' AS seg
+      FROM wp_forms
+    )"""
+    for r in range(1, _WP_MAX_WORD + 1):
+        sql += f""", wm{r} AS (
+      SELECT s.word, s.pos, s.ntok, s.seg, v.piece, v.len, v.cls,
+             ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY v.len DESC) AS rn
+      FROM wst{r - 1} s
+      JOIN wp_vocab v
+        ON v.cls = (CASE WHEN s.pos = 1 THEN 'i' ELSE 'c' END)
+       AND v.piece = substr(s.word, s.pos, v.len)
+      WHERE s.pos <= length(s.word)
+    ), wst{r} AS MATERIALIZED (
+      SELECT word, pos + len AS pos, ntok + 1 AS ntok,
+             seg || (CASE WHEN pos = 1 THEN '' ELSE ' ' END) ||
+             (CASE WHEN cls = 'c' THEN '##' || piece ELSE piece END) AS seg
+      FROM wm{r} WHERE rn = 1
+      UNION ALL
+      SELECT word, pos, ntok, seg FROM wst{r - 1} WHERE pos > length(word)
+    )"""
+    return sql + f""", wp_seg AS (
+      SELECT word, ntok, {h} AS h
+      FROM wst{_WP_MAX_WORD} WHERE pos > length(word)
+    ), wp_docw AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ws.ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(ws.h) AS BIGINT) AS seg_checksum
+    FROM wp_docw d JOIN wp_seg ws ON d.w = ws.word
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "wordpiece_encode_docs",
+    _wp_encode_oracle(),
+    tags=("text", "tokenize", "llm", "pandas-udf"),
+)
+def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding — BERT's runtime
+    tokenizer — against a frequency-built vocabulary: all single
+    characters in both position classes (word-initial vs '##'
+    continuation) plus the top-{V} multi-char substrings (length
+    2..{L}) by occurrence-weighted corpus frequency, ties to (class,
+    piece) ASC. Each word form segments by repeatedly taking the
+    LONGEST vocab piece of the current position's class; single-char
+    class coverage over the same corpus guarantees progress, so the
+    [UNK] branch is structurally unreachable here (documented, not
+    silently assumed). Output per doc: word count, piece count, and an
+    order-insensitive checksum of every occurrence's exact piece
+    sequence — certifying the full greedy walk, not just totals. Word
+    forms longer than {W} chars are excluded by the law (none exist in
+    this corpus family).
+
+    Plan shape at 100 TB: the greedy walk runs once per DISTINCT word
+    form (Heaps'-law sublinear) inside an Arrow-batched pandas UDF
+    whose vocabulary is a broadcast Python dict — the vocab is the one
+    bounded driver-side collect here ({V} + 2*alphabet rows by
+    construction, the same class of bounded collect as the k-means
+    centroid pulls); the corpus then pays a single equi-join of
+    (doc_id, word) occurrences against the encoded forms, exactly the
+    bpe_encode_docs posture. No per-occurrence Python, no corpus-sized
+    driver state."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w").between(2, _WP_MAX_WORD))
+    forms = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    sub = forms.select(
+        F.col("w"),
+        F.col("c"),
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+    ).select(
+        "w",
+        "c",
+        "i",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.lit(_WP_MAX_PIECE), F.length("w") - F.col("i") + 1))
+        ).alias("j"),
+    ).select(
+        F.when(F.col("i") == 1, F.lit("i")).otherwise(F.lit("c")).alias("cls"),
+        F.expr("substring(w, i, j)").alias("piece"),
+        F.col("j").cast("int").alias("len"),
+        F.col("c").alias("wgt"),
+    ).groupBy("cls", "piece", "len").agg(F.sum("wgt").cast("long").alias("wgt"))
+
+    multi = (
+        sub.where(F.col("len") >= 2)
+        .orderBy(F.desc("wgt"), "cls", "piece")
+        .limit(_WP_VOCAB_TOP)
+        .select("cls", "piece")
+    )
+    singles = sub.where(F.col("len") == 1).select("cls", "piece")
+    # bounded collect: _WP_VOCAB_TOP + 2*alphabet rows by construction
+    vocab = {(r["cls"], r["piece"]) for r in multi.unionByName(singles).collect()}
+
+    def _make_segmenter():
+        vset = vocab
+        maxp = _WP_MAX_PIECE
+
+        def seg_word(s: pd.Series) -> pd.Series:
+            out = []
+            for w in s:
+                pos = 0
+                pieces = []
+                n = len(w)
+                while pos < n:
+                    cls = "i" if pos == 0 else "c"
+                    for L in range(min(maxp, n - pos), 0, -1):
+                        cand = w[pos : pos + L]
+                        if (cls, cand) in vset:
+                            pieces.append(cand if cls == "i" else "##" + cand)
+                            pos += L
+                            break
+                    else:
+                        # structurally unreachable (single-char class
+                        # coverage over the same corpus) — but never
+                        # allow a non-terminating walk
+                        pieces = ["[UNK]"]
+                        pos = n
+                out.append(" ".join(pieces))
+            return pd.Series(out)
+
+        seg_word.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(seg_word, "string")
+
+    encoded = forms.select(
+        F.col("w").alias("word"), _make_segmenter()(F.col("w")).alias("seg")
+    ).select(
+        "word",
+        "seg",
+        (F.size(F.split("seg", " "))).cast("long").alias("ntok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("81|"), F.col("word"), F.lit("#"), F.col("seg"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w").between(2, _WP_MAX_WORD))
+    return (
+        docw.join(encoded, docw["w"] == encoded["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("h").cast("long").alias("seg_checksum"),
+        )
+    )
+
+
+wordpiece_encode_docs.__doc__ = wordpiece_encode_docs.__doc__.format(
+    K=_WP_TRAIN_ITERS, V=_WP_VOCAB_TOP, L=_WP_MAX_PIECE, W=_WP_MAX_WORD
+)
+_wp_encode_oracle.__doc__ = _wp_encode_oracle.__doc__.format(
+    V=_WP_VOCAB_TOP, L=_WP_MAX_PIECE, W=_WP_MAX_WORD
+)
+_wp_train_oracle.__doc__ = _wp_train_oracle.__doc__
+
+
+# --- Unigram-LM (SentencePiece) tokenizer: Viterbi-EM over a fixed vocab ----
+# The third major subword algorithm (after BPE and WordPiece): the
+# unigram language model tokenizer (Kudo, ACL 2018 — the SentencePiece
+# default). This engine runs the hard-EM (Viterbi-EM) variant over a
+# FIXED seed vocabulary: E-step = per-word-form Viterbi segmentation
+# minimizing total piece cost, M-step = add-one-smoothed piece recount
+# from the Viterbi segmentations; two rounds unrolled. (Kudo's full
+# algorithm uses lattice forward-backward soft counts and prunes the
+# vocabulary between rounds — the hard-EM fixed-vocab form keeps the
+# same fixed-point structure with an exactly mirrorable integer DP.)
+_ULM_ITERS = 2
+_ULM_MAX_WORD = 16
+_ULM_MAX_PIECE = 4  # multi-char pieces span 2..4 chars
+_ULM_TOP = 48  # multi-char seed pieces kept, by (weight DESC, piece ASC)
+
+
+def _ulm_cost_sql(tag: str, vocab_cte: str) -> str:
+    """cost = floor(1e6 * ln(N / c)) per piece — the integer micro-nat
+    convention of bigram_perplexity_docs: ln evaluates once per
+    DISTINCT piece, and everything downstream (the Viterbi DP) is
+    exact integer arithmetic, so the only FP surface is the per-piece
+    floor (the repo's accepted ln risk class)."""
+    return f"""cost{tag} AS MATERIALIZED (
+      SELECT piece, len,
+             CAST(FLOOR(1000000 * ln(
+               CAST((SELECT SUM(c) FROM {vocab_cte}) AS DOUBLE) / c)) AS BIGINT)
+               AS cost
+      FROM {vocab_cte}
+    )"""
+
+
+def _ulm_dp_sql(r: int) -> str:
+    """One unrolled Viterbi round: position-j best states from the
+    <= {_ULM_MAX_PIECE} predecessor positions, ties broken by
+    (score, ntok, seg) ASC — binary string compare in both engines."""
+    sql = f""", d{r}_0 AS (
+      SELECT w AS word, CAST(0 AS BIGINT) AS score, 0 AS ntok, '' AS seg
+      FROM u_forms
+    )"""
+    for j in range(1, _ULM_MAX_WORD + 1):
+        branches = []
+        for L in range(1, min(_ULM_MAX_PIECE, j) + 1):
+            branches.append(f"""
+        SELECT p.word, p.score + c.cost AS score, p.ntok + 1 AS ntok,
+               p.seg || (CASE WHEN p.seg = '' THEN '' ELSE ' ' END) || c.piece AS seg
+        FROM d{r}_{j - L} p JOIN cost{r} c
+          ON c.len = {L} AND c.piece = substr(p.word, {j - L + 1}, {L})
+        WHERE length(p.word) >= {j}""")
+        union = "\n        UNION ALL".join(branches)
+        sql += f""", d{r}_{j} AS MATERIALIZED (
+      SELECT word, score, ntok, seg FROM (
+        SELECT word, score, ntok, seg,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY score, ntok, seg) AS rn
+        FROM ({union})
+      ) WHERE rn = 1
+    )"""
+    finals = " UNION ALL ".join(
+        f"SELECT word, ntok, seg FROM d{r}_{j} WHERE length(word) = {j}"
+        for j in range(2, _ULM_MAX_WORD + 1)
+    )
+    sql += f""", segf{r} AS MATERIALIZED ({finals})"""
+    return sql
+
+
+def _ulm_oracle() -> str:
+    h = _sql_hash(83, "word || '#' || seg")
+    sql = f"""
+    WITH u_tok AS (
+      SELECT UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    ), u_forms AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u_tok
+      WHERE length(w) BETWEEN 2 AND {_ULM_MAX_WORD} GROUP BY w
+    ), u_sub AS MATERIALIZED (
+      SELECT substr(f.w, s.i, l.j) AS piece, CAST(l.j AS INTEGER) AS len,
+             CAST(SUM(f.c) AS BIGINT) AS wgt
+      FROM u_forms f,
+           UNNEST(generate_series(1, length(f.w))) s(i),
+           UNNEST(generate_series(1, {_ULM_MAX_PIECE})) l(j)
+      WHERE s.i + l.j - 1 <= length(f.w)
+      GROUP BY 1, 2
+    ), u_vocab0 AS MATERIALIZED (
+      SELECT piece, len, wgt AS c FROM (
+        SELECT piece, len, wgt,
+               ROW_NUMBER() OVER (ORDER BY wgt DESC, piece) AS rk
+        FROM u_sub WHERE len >= 2
+      ) WHERE rk <= {_ULM_TOP}
+      UNION ALL
+      SELECT piece, len, wgt FROM u_sub WHERE len = 1
+    ), {_ulm_cost_sql("0", "u_vocab0")}"""
+    for r in range(_ULM_ITERS):
+        sql += _ulm_dp_sql(r)
+        if r + 1 < _ULM_ITERS:
+            sql += f""", m{r} AS (
+      SELECT s.piece, CAST(SUM(f.c) AS BIGINT) AS used
+      FROM (SELECT word, UNNEST(string_split(seg, ' ')) AS piece FROM segf{r}) s
+      JOIN u_forms f ON f.w = s.word GROUP BY s.piece
+    ), u_vocab{r + 1} AS MATERIALIZED (
+      SELECT v.piece, v.len, COALESCE(m.used, 0) + 1 AS c
+      FROM u_vocab0 v LEFT JOIN m{r} m ON v.piece = m.piece
+    ), {_ulm_cost_sql(str(r + 1), f"u_vocab{r + 1}")}"""
+    last = _ULM_ITERS - 1
+    return sql + f""", u_seg AS (
+      SELECT word, CAST(ntok AS BIGINT) AS ntok, {h} AS h FROM segf{last}
+    ), u_docw AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(us.ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(us.h) AS BIGINT) AS seg_checksum
+    FROM u_docw d JOIN u_seg us ON d.w = us.word
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "unigram_lm_encode_docs",
+    _ulm_oracle(),
+    tags=("text", "tokenize", "llm", "iterative", "pandas-udf"),
+)
+def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword tokenization (Kudo ACL 2018 — SentencePiece's
+    default model), hard-EM over a fixed seed vocabulary: seed piece
+    counts are occurrence-weighted substring frequencies (all single
+    chars + the top-{S} multi-char substrings of length 2..{L}); each
+    EM round converts counts to integer micro-nat costs
+    floor(1e6·ln(N/c)) and Viterbi-segments every word FORM to the
+    minimum-cost piece sequence (ties: fewer pieces, then the
+    segmentation string — binary compare in both engines), then
+    recounts pieces from the segmentations with add-one smoothing over
+    the fixed vocabulary ({K} rounds unrolled). Output per doc: word
+    count, Viterbi token count, and the occurrence-weighted
+    segmentation checksum — certifying the exact piece sequence every
+    EM round converged to, not just totals. The DuckDB twin unrolls
+    the same DP position-by-position ({W} steps x {K} rounds), so the
+    two engines walk identical lattices; the ONLY FP surface is the
+    once-per-distinct-piece ln floor (the bigram_perplexity micro-nat
+    convention), and every DP comparison is exact integer arithmetic
+    on top of it.
+
+    Together with bpe_train/bpe_encode (merge-count criterion) and
+    wordpiece_train/wordpiece_encode (likelihood-ratio criterion +
+    greedy longest-match), this completes all three major published
+    subword-tokenizer families.
+
+    100 TB posture: the Viterbi DP runs once per DISTINCT word form
+    (Heaps'-law sublinear) inside an Arrow-batched pandas UDF whose
+    cost table is a broadcast Python dict (two bounded driver-side
+    collects of <= {S} + alphabet rows each, one per EM round — the
+    k-means-centroid class of bounded collect); the M-step recount is
+    one relational aggregate at (form, piece) grain; the corpus pays a
+    single (doc_id, word) equi-join at the end, the bpe/wordpiece
+    encode posture."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w").between(2, _ULM_MAX_WORD))
+    forms = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    forms = forms.localCheckpoint(eager=True)  # reused by every round + the M-step
+
+    sub = forms.select(
+        "w",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+    ).select(
+        "w",
+        "c",
+        "i",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.lit(_ULM_MAX_PIECE), F.length("w") - F.col("i") + 1)
+            )
+        ).alias("j"),
+    ).select(
+        F.expr("substring(w, i, j)").alias("piece"),
+        F.col("j").cast("int").alias("len"),
+        F.col("c").alias("wgt"),
+    ).groupBy("piece", "len").agg(F.sum("wgt").cast("long").alias("wgt"))
+
+    multi = (
+        sub.where(F.col("len") >= 2)
+        .orderBy(F.desc("wgt"), "piece")
+        .limit(_ULM_TOP)
+        .select("piece", F.col("wgt").alias("c"))
+    )
+    singles = sub.where(F.col("len") == 1).select("piece", F.col("wgt").alias("c"))
+    vocab0 = multi.unionByName(singles)
+
+    def costs_of(vocab_df: DataFrame) -> dict[str, int]:
+        """Bounded collect (<= _ULM_TOP + alphabet rows): integer
+        micro-nat costs, ln floored once per distinct piece — in
+        SPARK expressions, mirroring the oracle's per-piece floor."""
+        n = vocab_df.agg(F.sum("c").cast("long").alias("n"))
+        rows = (
+            vocab_df.crossJoin(F.broadcast(n))
+            .select(
+                "piece",
+                F.floor(
+                    F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+                    * F.lit(1000000.0)
+                )
+                .cast("long")
+                .alias("cost"),
+            )
+            .collect()
+        )
+        return {r["piece"]: r["cost"] for r in rows}
+
+    def viterbi_udf(cost: dict[str, int]):
+        maxp = _ULM_MAX_PIECE
+
+        def seg_word(s: pd.Series) -> pd.Series:
+            out = []
+            for w in s:
+                n = len(w)
+                # best[j] = (score, ntok, seg) — identical tie order to
+                # the oracle's ROW_NUMBER (score, ntok, seg) ASC
+                best: list[tuple[int, int, str] | None] = [None] * (n + 1)
+                best[0] = (0, 0, "")
+                for j in range(1, n + 1):
+                    cands = []
+                    for L in range(1, min(maxp, j) + 1):
+                        p = best[j - L]
+                        if p is None:
+                            continue
+                        piece = w[j - L : j]
+                        c = cost.get(piece)
+                        if c is None:
+                            continue
+                        seg = piece if p[2] == "" else p[2] + " " + piece
+                        cands.append((p[0] + c, p[1] + 1, seg))
+                    best[j] = min(cands) if cands else None
+                out.append(best[n][2] if best[n] else "")
+            return pd.Series(out)
+
+        seg_word.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(seg_word, "string")
+
+    cost = costs_of(vocab0)
+    segs = None
+    for r in range(_ULM_ITERS):
+        segs = forms.select(
+            F.col("w").alias("word"),
+            F.col("c").alias("freq"),
+            viterbi_udf(cost)(F.col("w")).alias("seg"),
+        )
+        if r + 1 < _ULM_ITERS:
+            used = (
+                segs.select("freq", F.explode(F.split("seg", " ")).alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("long").alias("used"))
+            )
+            vocab_next = (
+                vocab0.select("piece")
+                .join(used, "piece", "left")
+                .select("piece", (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("c"))
+            )
+            cost = costs_of(vocab_next)
+
+    encoded = segs.select(
+        "word",
+        F.size(F.split("seg", " ")).cast("long").alias("ntok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("83|"), F.col("word"), F.lit("#"), F.col("seg"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w").between(2, _ULM_MAX_WORD))
+    return (
+        docw.join(encoded, docw["w"] == encoded["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("h").cast("long").alias("seg_checksum"),
+        )
+    )
+
+
+unigram_lm_encode_docs.__doc__ = unigram_lm_encode_docs.__doc__.format(
+    S=_ULM_TOP, L=_ULM_MAX_PIECE, K=_ULM_ITERS, W=_ULM_MAX_WORD
+)
 
 
 # --- text clustering via feature hashing (no embeddings needed) -------------

@@ -143,6 +143,8 @@ _BNLJ_ALLOWED = {
     "binary_quant_ann_rerank": 1,  # broadcast probe batch x corpus hamming screen
     "bm25_search_docs": 1,
     "bpe_train_merges_docs": 3,  # 1-row top-pair x 1-row checksum per round
+    "wordpiece_train_merges_docs": 3,  # same shape: 1-row top x 1-row checksum per round
+    "ccnet_perplexity_buckets_docs": 1,  # 1-row corpus-count broadcast for ntile_from_rank
     "chi2_status_priority": 1,
     "contrastive_negatives": 1,  # one broadcast query batch, single scoring pass
     "cramers_v_status_priority": 1,

@@ -131,6 +131,128 @@ def test_bpe_encode_planted_corpus_law(spark, tmp_path):
     assert out[2].seg_checksum == 2 * out[1].seg_checksum
 
 
+def test_gopher_rules_planted_docs_fail_exactly_their_rule(spark, sf_dir):
+    """Each planted document (ids 9000001..9000008) must fail EXACTLY
+    its engineered rule and the control (9000009) must pass all seven
+    — pinning both the fail branch of every rule and the absence of
+    collateral failures (a planted doc tripping a second rule would
+    silently weaken the battery's per-rule coverage)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    out = {
+        r.doc_id: r.asDict()
+        for r in query_map()["gopher_quality_rules_docs"](spark, sf_dir).collect()
+        if r.doc_id >= 9000000
+    }
+    expected_fail = {
+        9000001: "pass_word_count",
+        9000002: "pass_mean_word_len",
+        9000003: "pass_mean_word_len",
+        9000004: "pass_symbol_ratio",
+        9000005: "pass_bullet_lines",
+        9000006: "pass_ellipsis_lines",
+        9000007: "pass_alpha_words",
+        9000008: "pass_stop_words",
+    }
+    flags = [k for k in next(iter(out.values())) if k.startswith("pass_")]
+    for did, rule in expected_fail.items():
+        fails = [f for f in flags if not out[did][f]]
+        assert fails == [rule], f"{did}: {fails}"
+        assert out[did]["keep"] is False
+    assert all(out[9000009][f] for f in flags) and out[9000009]["keep"] is True
+
+
+def test_wordpiece_train_likelihood_not_frequency(spark, tmp_path):
+    """Hand-computed law separating WordPiece from BPE on the same
+    corpus: vocab {abab: 2, cd: 1}. Pair counts say a+b (weight 4)
+    every round, but the likelihood ratio w/(u(a)*u(b)) says:
+      round 1: (c,d) scores 1/(1*1)=1.0  -> c+d   (BPE would say a+b)
+      round 2: (cd,</w>) 1/(1*3)         -> cd+</w>
+      round 3: (a,b) 4/16 TIES (b,</w>) 2/8 at 0.25 exactly ->
+               (a,b) wins on the pair-ASC tie-break
+    A frequency-selection bug reproduces BPE; a tie-break bug flips
+    round 3; unigram-count bugs move rounds 1-2."""
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [Row(doc_id=0, text="abab abab cd", lang="en", source="s0", n_chars=12)]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        query_map()["wordpiece_train_merges_docs"](spark, sf_dir).collect(),
+        key=lambda r: r.it,
+    )
+    assert [
+        (r.pair, r.pair_weight, r.left_weight, r.right_weight) for r in rows
+    ] == [
+        ("c+d", 1, 1, 1),
+        ("cd+</w>", 1, 1, 3),
+        ("a+b", 4, 4, 4),
+    ]
+    # every round re-segments at least the merged word
+    assert len({r.vocab_checksum for r in rows}) == 3
+
+
+def test_wordpiece_encode_greedy_longest_match(spark, tmp_path):
+    """Tiny corpus where EVERY multi-char substring fits the top-200
+    vocab, so the greedy walk must take the longest legal piece each
+    step: 'abcdefgh' (len 8) -> [abcdef, ##gh] (6-char cap, then the
+    continuation class), 'ab' -> [ab]. Occurrence weighting: a doc
+    with one word twice carries exactly double the checksum."""
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="abcdefgh ab", lang="en", source="s0", n_chars=11),
+            Row(doc_id=1, text="ab ab", lang="en", source="s0", n_chars=5),
+            Row(doc_id=2, text="ab", lang="en", source="s0", n_chars=2),
+        ]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in query_map()["wordpiece_encode_docs"](spark, sf_dir).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_words, out[0].n_tokens) == (2, 3)  # [abcdef,##gh] + [ab]
+    assert (out[1].n_words, out[1].n_tokens) == (2, 2)
+    assert (out[2].n_words, out[2].n_tokens) == (1, 1)
+    assert out[1].seg_checksum == 2 * out[2].seg_checksum
+
+
+def test_unigram_lm_prefers_whole_word_piece(spark, tmp_path):
+    """Hand-computed Viterbi law: corpus 'xyxy xyxy' seeds pieces
+    {x:4, y:4, xy:4, yx:2, xyx:2, yxy:2, xyxy:2}, N=20; the whole-word
+    candidate [xyxy] costs ln(10) ~ 2.30 micro-nats while the best
+    split [xy, xy] costs 2*ln(5) ~ 3.22 — so the unigram objective
+    must segment every occurrence as ONE piece (a greedy-longest or
+    cost-free bug changes n_tokens). Occurrence weighting: the two-
+    occurrence doc carries exactly double the one-occurrence doc's
+    checksum."""
+    from pyspark.sql import Row
+
+    from etl_orders_spark.plans.registry import query_map
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="xyxy xyxy", lang="en", source="s0", n_chars=9),
+            Row(doc_id=1, text="xyxy", lang="en", source="s0", n_chars=4),
+        ]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in query_map()["unigram_lm_encode_docs"](spark, sf_dir).collect()
+    }
+    assert (out[0].n_words, out[0].n_tokens) == (2, 2)
+    assert (out[1].n_words, out[1].n_tokens) == (1, 1)
+    assert out[0].seg_checksum == 2 * out[1].seg_checksum
+
+
 def test_text_kmeans_hashed_separates_planted_topics(spark, tmp_path):
     """Four disjoint-vocabulary topic groups, each containing exactly
     one of the four seed ids (0..3 — init is the K lowest doc_ids), so

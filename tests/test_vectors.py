@@ -592,6 +592,25 @@ def test_semantic_dedup_auto_path(spark, sf_dir):
     assert n_clones * 0.8 <= dropped <= n_clones
 
 
+def test_semantic_dedup_autok_lane_invariants(spark, sf_dir):
+    """The REGISTERED auto-K lane (VERDICT r8 #6) is rows-only for the
+    driver but not law-free: its one output row carries boolean
+    invariant columns — assert they actually hold, plus the semdedup_k
+    ceiling the lane's docstring promises."""
+    from etl_orders_spark.operators.similarity import semdedup_k
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.vector_queries import _planted_corpus
+
+    row = query_map()["semantic_dedup_embeddings_autok"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["all_assigned_once"] and r["kept_sum_bounded"]
+    n = _planted_corpus(spark, sf_dir).count()
+    assert 0 < r["n_clusters"] <= semdedup_k(n)
+    assert r["n_points_total"] == n
+    assert 0 <= r["n_dropped_total"] < n
+
+
 def test_binary_quant_ann_recall_vs_exact(spark, sf_dir):
     """Non-vacuity for the 1-bit quantized ANN: the hamming screen +
     exact rerank must recover most of the exact brute-force top-k
