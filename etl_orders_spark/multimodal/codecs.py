@@ -327,10 +327,20 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"wav: bad channel count {channels}")
         codes = np.frombuffer(data[: len(data) - (len(data) % channels)], dtype=np.uint8)
         return mulaw_decode(codes).reshape(-1, channels), rate
+    if tag == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(f"wav: IMA ADPCM must be 4-bit, got {bits}")
+        if channels != 1:
+            raise NotImplementedError(
+                "wav: multi-channel IMA ADPCM (interleaved 4-byte groups) "
+                "not decoded here (needs a real codec)"
+            )
+        block_align = struct.unpack_from("<H", fmt, 12)[0]
+        return ima_adpcm_decode_mono(data, block_align).reshape(-1, 1), rate
     if tag != 1:
         raise NotImplementedError(
-            f"wav: format tag {tag} (float/ADPCM/compressed) needs a real codec; "
-            "only integer PCM and mu-law are decoded here"
+            f"wav: format tag {tag} (float/MS-ADPCM/compressed) needs a real codec; "
+            "only integer PCM, mu-law and mono IMA ADPCM are decoded here"
         )
     if channels < 1:
         raise ValueError(f"wav: bad channel count {channels}")
@@ -360,6 +370,95 @@ def mulaw_decode(codes: np.ndarray) -> np.ndarray:
     u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
     t = (((u & 0x0F) << 3) + 132) << ((u & 0x70) >> 4)
     return np.where(u & 0x80, 132 - t, t - 132).astype(np.int32)
+
+
+# IMA/DVI ADPCM tables (IMA Digital Audio Focus and Technical Working
+# Groups, "Recommended Practices for Enhancing Digital Audio
+# Compatibility in Multimedia Systems", rev 3.00 — the public spec)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_STEP = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_decode_mono(data: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM (WAV format tag 0x11), MONO blocks -> int32 samples.
+
+    Per block: a 4-byte header (int16 initial predictor — emitted as
+    the block's first sample, per the WAV framing — uint8 step index,
+    reserved byte), then 4-bit codes packed LOW nibble first. Each
+    nibble advances the canonical IMA recurrence:
+
+        step = steps[index]
+        diff = step>>3 (+ step if b2) (+ step>>1 if b1) (+ step>>2 if b0)
+        pred +-= diff (sign = b3), clamped to int16
+        index += index_table[nibble & 7], clamped to 0..88
+
+    The recurrence is exact integer arithmetic, which is what lets the
+    DuckDB oracle re-derive every sample with a recursive CTE instead
+    of a second decoder (plans/media_queries.py). Torn blocks raise
+    ValueError (the quarantine class)."""
+    if block_align < 5:
+        raise ValueError("adpcm: block_align too small")
+    out: list[int] = []
+    for off in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[off : off + block_align]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        index = block[2]
+        if index > 88:
+            raise ValueError(f"adpcm: step index {index} out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_STEP[nib & 7]))
+                out.append(pred)
+    if not out:
+        raise ValueError("adpcm: no complete block")
+    return np.array(out, dtype=np.int32)
+
+
+def encode_wav_adpcm_mono(nibbles: np.ndarray, rate: int, init_pred: int = 0,
+                          init_index: int = 0) -> bytes:
+    """Fixture encoder: pack a MONO nibble stream (values 0..15, even
+    count) into ONE IMA ADPCM block inside a RIFF/WAVE container —
+    fixtures choose the nibble stream directly by law, so 'encoding'
+    is pure framing (the recurrence lives only in the decoder and the
+    SQL oracle, never shared)."""
+    nib = np.asarray(nibbles, dtype=np.int64)
+    if nib.ndim != 1 or len(nib) % 2 or ((nib < 0) | (nib > 15)).any():
+        raise ValueError("encode_wav_adpcm_mono: need an even count of 0..15 nibbles")
+    if not (-32768 <= init_pred <= 32767 and 0 <= init_index <= 88):
+        raise ValueError("encode_wav_adpcm_mono: bad initial state")
+    payload = struct.pack("<hBB", init_pred, init_index, 0) + bytes(
+        int(nib[i]) | (int(nib[i + 1]) << 4) for i in range(0, len(nib), 2)
+    )
+    block_align = len(payload)
+    n_samples = 1 + len(nib)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // n_samples or 1,
+        block_align, 4, 2, n_samples
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _wav_container(tag: int, channels: int, rate: int, bits: int, payload: bytes) -> bytes:

@@ -569,6 +569,62 @@ def gen_webp_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFra
     return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def gen_adpcm_wav_media(spark: SparkSession, n: int = 40, start: int = 0) -> DataFrame:
+    """Deterministic REAL IMA-ADPCM WAV rows (format tag 0x11, mono):
+    the fixture law chooses the 4-bit CODE stream directly —
+
+        nn(id) = 400 + (id % 4) * 80          (nibbles per clip)
+        nib(id, t) = (7*id + 11*t) % 16       (t = 0..nn-1)
+        init_pred(id) = (97*id) % 1024 - 512
+        init_index(id) = (13*id) % 89
+
+    — so 'encoding' is pure block framing (codecs.encode_wav_adpcm_mono)
+    and the IMA RECURRENCE exists in exactly two independent places:
+    the decoder (codecs.ima_adpcm_decode_mono) and the DuckDB oracle's
+    recursive CTE. A value-hash match on the decoded-sample features
+    therefore certifies the step/index tables, the shift-sum diff
+    reconstruction, both clamps, the low-nibble-first unpacking, and
+    the header-sample emission against the public IMA spec with no
+    shared code path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_wav_adpcm_mono
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def content_for(mid: int) -> tuple[bytes, int]:
+            nn = 400 + (mid % 4) * 80
+            t = np.arange(nn, dtype=np.int64)
+            nib = (7 * mid + 11 * t) % 16
+            return (
+                encode_wav_adpcm_mono(
+                    nib, 8000, init_pred=(97 * mid) % 1024 - 512,
+                    init_index=(13 * mid) % 89,
+                ),
+                nn + 1,
+            )
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, ns = content_for(int(mid))
+                meta = {
+                    "format": "wav",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": 8000,
+                    "duration_ms": ns * 1000 // 8000,
+                }
+                rows.append((int(mid), "audio", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def gen_mulaw_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic REAL mu-law (G.711, WAVE format tag 7) rows: the
     fixture generates the 8-bit CODEWORDS from a closed-form law —

@@ -691,13 +691,116 @@ def media_mulaw_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (FIXTURES.md convention). Converts the WAV codec's
     format-tag gate from NotImplementedError into real code for the
     one compressed telephony format whose expansion IS a per-sample
-    closed form; ADPCM/MP3 (stateful/transform codecs) stay honestly
-    gated. Same feature contract as media_wav_features, so the two
-    lanes share the audio_features operator unchanged."""
+    closed form; the STATEFUL telephony codec (IMA ADPCM) decodes
+    natively too as of round 9 — media_adpcm_wav_features — and
+    MP3-class transform codecs stay honestly gated. Same feature
+    contract as media_wav_features, so the two lanes share the
+    audio_features operator unchanged."""
     from etl_orders_spark.multimodal.ops import audio_features
     from etl_orders_spark.multimodal.schemas import gen_mulaw_wav_media
 
     return audio_features(gen_mulaw_wav_media(spark, _N_WAV))
+
+
+_N_ADPCM = 40
+
+
+def _adpcm_oracle() -> str:
+    """The IMA recurrence AS SQL: a recursive CTE carries (pred, index)
+    per clip through every nibble of the fixture law — the oracle and
+    the Python decoder implement the spec independently; no second
+    decoder, no shared tables (the 89-step table is inlined as VALUES
+    from the spec text)."""
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate(
+        (7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+         37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+         157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+         544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+         1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+         4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+         12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+         29794, 32767)
+    ))
+    nib = "((7 * r.media_id + 11 * r.t) % 16)"
+    diff = (
+        f"((s.st >> 3) + (CASE WHEN {nib} & 4 = 4 THEN s.st ELSE 0 END)"
+        f" + (CASE WHEN {nib} & 2 = 2 THEN s.st >> 1 ELSE 0 END)"
+        f" + (CASE WHEN {nib} & 1 = 1 THEN s.st >> 2 ELSE 0 END))"
+    )
+    newpred = (
+        f"GREATEST(-32768, LEAST(32767, r.pred + "
+        f"(CASE WHEN {nib} & 8 = 8 THEN -{diff} ELSE {diff} END)))"
+    )
+    newidx = (
+        f"GREATEST(0, LEAST(88, r.idx + (CASE {nib} % 8 "
+        "WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8 "
+        "ELSE -1 END)))"
+    )
+    return f"""
+    WITH RECURSIVE ids AS (
+      SELECT UNNEST(generate_series(0, {_N_ADPCM - 1})) AS media_id
+    ), steps(i, st) AS (VALUES {steps}),
+    rec AS (
+      SELECT media_id, 0 AS t,
+             CAST((97 * media_id) % 1024 - 512 AS INTEGER) AS pred,
+             CAST((13 * media_id) % 89 AS INTEGER) AS idx,
+             400 + (media_id % 4) * 80 AS nn
+      FROM ids
+      UNION ALL
+      SELECT r.media_id, r.t + 1,
+             CAST({newpred} AS INTEGER), CAST({newidx} AS INTEGER), r.nn
+      FROM rec r JOIN steps s ON s.i = r.idx
+      WHERE r.t < r.nn
+    ), lagged AS (
+      SELECT media_id, pred AS v,
+             LAG(pred) OVER (PARTITION BY media_id ORDER BY t) AS pv
+      FROM rec
+    )
+    SELECT media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY media_id
+    """
+
+
+@register(
+    "media_adpcm_wav_features",
+    _adpcm_oracle(),
+    tags=("media", "audio", "pandas-udf"),
+    bench=False,
+)
+def media_adpcm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful-compressed-audio decode, oracle-checked: IMA/DVI
+    ADPCM (WAVE format tag 0x11) — unlike mu-law, NOT a per-sample
+    closed form: every 4-bit code updates a (predictor, step-index)
+    state machine, so the decode is a genuine sequential recurrence.
+    The fixtures choose the CODE stream by law
+    (schemas.gen_adpcm_wav_media), the pure-Python decoder
+    (codecs.ima_adpcm_decode_mono) runs the IMA recurrence inside an
+    Arrow-batched mapInPandas, and the DuckDB twin re-derives every
+    decoded sample by walking the SAME recurrence as a recursive CTE
+    built from the spec's tables — two independent implementations of
+    the public IMA algorithm, zero shared code. A value-hash match
+    certifies the step/index tables, the shift-sum diff
+    reconstruction, both clamps, low-nibble-first unpacking, and the
+    block-header sample emission. Converts the WAV codec's last
+    plausibly-native format gate into real code; multi-channel ADPCM
+    and MP3-class transform codecs stay honestly gated. Same feature
+    contract as media_wav_features (shared audio_features operator).
+
+    100 TB posture: decode is a pure map per clip (the recurrence is
+    sequential WITHIN a clip — the format's own design — and the unit
+    of parallelism is the clip/file, like every media lane); the only
+    exchange is the final per-id aggregate."""
+    from etl_orders_spark.multimodal.ops import audio_features
+    from etl_orders_spark.multimodal.schemas import gen_adpcm_wav_media
+
+    return audio_features(gen_adpcm_wav_media(spark, _N_ADPCM))
 
 
 _N_Y4M = 60

@@ -86,14 +86,13 @@ def register(
 # is verified by the local mirror sweep (tools/check_correctness.py).
 PRIORITY: tuple[str, ...] = (
     # flagship + the landing-format matrix (S1/S2, P1/P3, J2/J3): the
-    # JSONL round trip shares csv_star_ingest's oracle verbatim, so its
-    # green row certifies write->read fidelity end-to-end; the ORC round
-    # trip ceded its slot to the round-8 native-JPEG lane per VERDICT r8
-    # #1 (orc_star_ingest certifies the SAME oracle shape and stays
-    # benched + local-sweep-green)
+    # CSV round trip carries the staged write->read oracle; the ORC and
+    # JSONL round trips ceded their slots (r8 #1 / r9 — to the
+    # native-JPEG lane and the WordPiece encode lane respectively) and
+    # stay benched/local-sweep-green certifying the SAME oracle shape;
+    # the embedded-JSON scan stays graded via json_envelope_ingest
     "flagship_enriched_lineitems",
     "csv_star_ingest",
-    "jsonl_star_ingest",
     "json_envelope_ingest",
     # aggregation family (A1; q5's chained star join stays covered by
     # flagship + q3, and q5 itself stays benched)
@@ -150,6 +149,11 @@ PRIORITY: tuple[str, ...] = (
     # segmentation checksums — pairs with bpe_train_merges_docs's
     # machinery (itself post-window but sharing the round builder)
     "bpe_encode_docs",
+    # the WordPiece member of the tokenizer family (round 9): greedy
+    # longest-match-first encode against a frequency-built two-class
+    # vocabulary, 16-step unrolled-DP oracle (jsonl_star_ingest ceded
+    # this slot — see the landing-format note above)
+    "wordpiece_encode_docs",
     # time / events / streaming twins (§2.5)
     "tumbling_hourly_events",
     "session_stats_events",

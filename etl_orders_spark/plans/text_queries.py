@@ -680,6 +680,197 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard(cands, sigs, "doc_id", _MINHASH_TAU)
 
 
+# --- incremental-corpus dedup: new batch vs a historical index --------------
+# The production dedup shape at 100 TB is INCREMENTAL: a daily crawl
+# batch is screened against the accumulated corpus's fingerprint/LSH
+# index, not re-deduped corpus-wide. This lane certifies that shape:
+# historical = doc_id % 10 != 0, increment = doc_id % 10 == 0 PLUS
+# five planted byte-exact clones of historical docs (ids 9,100,000 +
+# source id — the %10 split alone leaves the exact branch vacuous on
+# this corpus), each increment doc gets a verdict.
+_INC_CLONE_BASE = 9_100_000
+_INC_CLONE_SRC = (1, 2, 3, 7, 11)
+
+
+def _incremental_dedup_oracle() -> str:
+    clone_src = ", ".join(str(i) for i in _INC_CLONE_SRC)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_hash(i, 's')}))"
+        for i in range(_MINHASH_N)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"i.signature[{b * _ROWS_PER_BAND + r + 1}] = h.signature[{b * _ROWS_PER_BAND + r + 1}]"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+    ), inc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT {_INC_CLONE_BASE} + doc_id, text FROM documents
+      WHERE doc_id IN ({clone_src})
+    ), hfp AS (
+      SELECT DISTINCT md5({_NORM}) AS f FROM hist
+    ), ifp AS (
+      SELECT doc_id, md5({_NORM}) AS f FROM inc
+    ), hsig AS (
+      SELECT doc_id, shingles, [{sig_exprs}] AS signature
+      FROM (SELECT doc_id, {_SHINGLES} AS shingles FROM hist)
+      WHERE len(shingles) > 0
+    ), isig AS (
+      SELECT doc_id, shingles, [{sig_exprs}] AS signature
+      FROM (SELECT doc_id, {_SHINGLES} AS shingles FROM inc)
+      WHERE len(shingles) > 0
+    ), near AS (
+      SELECT DISTINCT i.doc_id
+      FROM isig i JOIN hsig h ON ({band_conds})
+      WHERE ROUND(
+        CAST(len(list_intersect(i.shingles, h.shingles)) AS DOUBLE)
+        / CAST(len(i.shingles) + len(h.shingles)
+               - len(list_intersect(i.shingles, h.shingles)) AS DOUBLE), 6)
+        >= {_MINHASH_TAU}
+    )
+    SELECT ifp.doc_id,
+           EXISTS (SELECT 1 FROM hfp WHERE hfp.f = ifp.f) AS is_exact_dup,
+           ifp.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
+           CASE WHEN EXISTS (SELECT 1 FROM hfp WHERE hfp.f = ifp.f) THEN 'drop_exact'
+                WHEN ifp.doc_id IN (SELECT doc_id FROM near) THEN 'drop_near'
+                ELSE 'keep' END AS verdict
+    FROM ifp
+    """
+
+
+@register(
+    "incremental_dedup_verdicts_docs",
+    _incremental_dedup_oracle(),
+    tags=("text", "dedup", "lsh", "curation", "pipeline"),
+)
+def incremental_dedup_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape corpus maintenance actually runs
+    at 100 TB: screen a NEW batch (doc_id % 10 == 0, plus planted
+    byte-exact clones of historical docs so the exact branch is a
+    hashed surface, never vacuous) against the HISTORICAL corpus's
+    dedup index (doc_id % 10 != 0), instead of re-deduping the world
+    per batch. Two screens per increment doc, exact before near:
+
+      exact: normalized-text md5 fingerprint semi-probe into the
+        historical fingerprint set (the dedup_exact_docs convention);
+      near: MinHash({N}) signatures banded {B}x{R}, increment bands
+        probe the HISTORICAL band index (a cross-set keyed equi-join,
+        never increment x increment), survivors exact-Jaccard-verified
+        at tau={TAU} on shingle sets.
+
+    Output: one verdict row per increment doc (drop_exact | drop_near
+    | keep) with both screen flags.
+
+    100 TB posture: the historical side of both probes is exactly what
+    a production system PERSISTS as its index (fingerprint set + band
+    table — here derived in-plan from the split; at scale they are
+    bucketed tables maintained incrementally), the increment side is a
+    pure map over the new batch, and both probes are keyed equi-joins
+    whose build side is index-grain, so a daily batch costs
+    O(batch + matches), not O(corpus). Portable-md5 hash tier so the
+    oracle reproduces every signature bit-for-bit (the
+    minhash_lsh_pairs convention)."""
+    from etl_orders_spark.functions.text import fingerprint
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    docs = T(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    clones = (
+        docs.filter(F.col("doc_id").isin(*_INC_CLONE_SRC))
+        .select((F.lit(_INC_CLONE_BASE) + F.col("doc_id")).alias("doc_id"), "text")
+    )
+    inc = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(clones)
+    )
+
+    hist_fp = hist.select(fingerprint("text").alias("f")).distinct()
+    inc_fp = inc.select("doc_id", fingerprint("text").alias("f"))
+    exact = (
+        inc_fp.join(hist_fp.withColumn("_hit", F.lit(1)), "f", "left")
+        .select("doc_id", F.col("_hit").isNotNull().alias("is_exact_dup"))
+    )
+
+    hsig = cache_stage(
+        minhash_signatures(hist, "doc_id", "text", _MINHASH_N, 3, portable=True),
+        "incremental_dedup.hsig",
+    )
+    isig = cache_stage(
+        minhash_signatures(inc, "doc_id", "text", _MINHASH_N, 3, portable=True),
+        "incremental_dedup.isig",
+    )
+
+    def band_table(sig_df: DataFrame) -> DataFrame:
+        return (
+            sig_df.filter(F.col("signature").isNotNull())
+            .select(
+                "doc_id",
+                "shingles",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band_idx"),
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at(
+                                            "signature", b * _ROWS_PER_BAND + r + 1
+                                        ).cast("string")
+                                        for r in range(_ROWS_PER_BAND)
+                                    ],
+                                ).alias("band_key"),
+                            )
+                            for b in range(_BANDS)
+                        ]
+                    )
+                ).alias("band"),
+            )
+            .select("doc_id", "shingles", "band.band_idx", "band.band_key")
+        )
+
+    ib = band_table(isig).toDF("i_id", "i_sh", "band_idx", "band_key")
+    hb = band_table(hsig).toDF("h_id", "h_sh", "band_idx", "band_key")
+    inter = F.size(F.array_intersect("i_sh", "h_sh")).cast("double")
+    union = (F.size("i_sh") + F.size("h_sh")).cast("double") - inter
+    near = (
+        ib.join(hb, ["band_idx", "band_key"])
+        .select("i_id", "i_sh", "h_id", "h_sh")
+        .distinct()  # a pair can collide in several bands
+        .filter(F.round(inter / union, 6) >= _MINHASH_TAU)
+        .select(F.col("i_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.col("_near").isNotNull().alias("is_near_dup"),
+            F.when(F.col("is_exact_dup"), "drop_exact")
+            .when(F.col("_near").isNotNull(), "drop_near")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
+incremental_dedup_verdicts_docs.__doc__ = incremental_dedup_verdicts_docs.__doc__.format(
+    N=_MINHASH_N, B=_BANDS, R=_ROWS_PER_BAND, TAU=_MINHASH_TAU
+)
+
+
 def _simhash_inner(num_bits: int = 32) -> str:
     """CTE body computing (doc_id, simhash) — shared by the fingerprint
     query and the near-pairs query."""

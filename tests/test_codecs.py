@@ -834,3 +834,65 @@ def test_wav_non_pcm_formats_still_gated():
             decode_wav(with_fmt(tag, 16))
     with pytest.raises(ValueError):
         decode_wav(with_fmt(7, 16))
+
+
+def test_ima_adpcm_hand_vector_and_properties():
+    """IMA ADPCM pinned by a hand-walked vector (pred0=100, index 0 —
+    step 7; nibble 2 adds step>>1 = 3, nibble 9 subtracts step>>2 = 1),
+    then recurrence properties: samples clamp to int16, the step index
+    stays in range via extreme nibble streams, and the header sample
+    is emitted first."""
+    import numpy as np
+
+    from etl_orders_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_adpcm_mono,
+        ima_adpcm_decode_mono,
+    )
+
+    s, rate = decode_wav(encode_wav_adpcm_mono(np.array([2, 9]), 16000,
+                                               init_pred=100, init_index=0))
+    assert rate == 16000 and s.ravel().tolist() == [100, 103, 102]
+    # all-max-magnitude nibbles (7 = +max, 15 = -max): must saturate at
+    # the int16 clamps, never overflow or escape
+    up = decode_wav(encode_wav_adpcm_mono(np.full(200, 7), 8000))[0].ravel()
+    dn = decode_wav(encode_wav_adpcm_mono(np.full(200, 15), 8000))[0].ravel()
+    assert up.max() == 32767 and dn.min() == -32768
+    assert (np.diff(up) >= 0).all() and (np.diff(dn) <= 0).all()
+    # all-zero nibbles decay toward 0 from above (diff = step>>3 >= 0)
+    z = decode_wav(encode_wav_adpcm_mono(np.zeros(100, dtype=int), 8000,
+                                         init_pred=5000, init_index=88))[0].ravel()
+    assert z[0] == 5000 and (np.diff(z) >= 0).all()
+
+
+def test_ima_adpcm_fail_closed_and_gates():
+    """Torn/corrupt ADPCM routes to the quarantine ValueError; stereo
+    ADPCM is a legal shape that gates NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_orders_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_adpcm_mono,
+        ima_adpcm_decode_mono,
+    )
+
+    good = encode_wav_adpcm_mono(np.arange(16) % 16, 8000)
+    # step index out of range in the block header
+    blob = bytearray(good)
+    data_off = good.find(b"data") + 8
+    blob[data_off + 2] = 120
+    with pytest.raises(ValueError, match="index"):
+        decode_wav(bytes(blob))
+    # stereo gate
+    st = bytearray(good)
+    struct.pack_into("<H", st, 22, 2)  # channels field of fmt
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_wav(bytes(st))
+    # degenerate block size
+    with pytest.raises(ValueError, match="block_align"):
+        ima_adpcm_decode_mono(b"\x00" * 8, 2)
+    with pytest.raises(ValueError, match="block"):
+        ima_adpcm_decode_mono(b"\x00\x00\x00", 8)

@@ -224,6 +224,28 @@ def test_wordpiece_encode_greedy_longest_match(spark, tmp_path):
     assert out[1].seg_checksum == 2 * out[2].seg_checksum
 
 
+def test_incremental_dedup_planted_clones_drop_exact(spark, sf_dir):
+    """The five planted byte-exact clones of historical docs must all
+    verdict drop_exact (and also flag near — an exact dup is jaccard
+    1.0); the batch must contain keeps; exact precedence holds (no
+    drop_near row is also exact)."""
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.text_queries import _INC_CLONE_BASE, _INC_CLONE_SRC
+
+    rows = {
+        r.doc_id: r
+        for r in query_map()["incremental_dedup_verdicts_docs"](spark, sf_dir).collect()
+    }
+    for src in _INC_CLONE_SRC:
+        r = rows[_INC_CLONE_BASE + src]
+        assert r.verdict == "drop_exact" and r.is_exact_dup and r.is_near_dup
+    verdicts = {r.verdict for r in rows.values()}
+    assert "keep" in verdicts
+    for r in rows.values():
+        if r.verdict == "drop_near":
+            assert not r.is_exact_dup
+
+
 def test_unigram_lm_prefers_whole_word_piece(spark, tmp_path):
     """Hand-computed Viterbi law: corpus 'xyxy xyxy' seeds pieces
     {x:4, y:4, xy:4, yx:2, xyx:2, yxy:2, xyxy:2}, N=20; the whole-word
