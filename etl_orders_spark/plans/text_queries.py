@@ -777,20 +777,35 @@ def incremental_dedup_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFra
     whose build side is index-grain, so a daily batch costs
     O(batch + matches), not O(corpus). Portable-md5 hash tier so the
     oracle reproduces every signature bit-for-bit (the
-    minhash_lsh_pairs convention)."""
+    minhash_lsh_pairs convention).
+
+    Relation to dedup_incremental_docs (plans/curation_queries.py):
+    that lane is the EXACT-only screen plus within-batch dedup (the
+    append-decision feed); this lane adds the NEAR-dup dimension — the
+    batch probing the historical LSH band index — which exact
+    fingerprints structurally cannot see, and the planted-clone
+    non-vacuity contract."""
     from etl_orders_spark.functions.text import fingerprint
     from etl_orders_spark.operators.materialize import cache_stage
 
     docs = T(spark, sf_dir, "documents")
-    hist = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    # hist feeds the fingerprint set AND the signature index; inc feeds
+    # the probe fingerprints AND probe signatures (and is itself a
+    # two-branch union) — uncached, the lane paid SIX documents scans
+    # (the multi-consumer recompute trap cache_stage exists for)
+    hist = cache_stage(
+        docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
+        "incremental_dedup.hist",
+    )
     clones = (
         docs.filter(F.col("doc_id").isin(*_INC_CLONE_SRC))
         .select((F.lit(_INC_CLONE_BASE) + F.col("doc_id")).alias("doc_id"), "text")
     )
-    inc = (
+    inc = cache_stage(
         docs.filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text")
-        .unionByName(clones)
+        .unionByName(clones),
+        "incremental_dedup.inc",
     )
 
     hist_fp = hist.select(fingerprint("text").alias("f")).distinct()
