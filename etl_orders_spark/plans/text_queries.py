@@ -785,14 +785,28 @@ def incremental_dedup_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFra
     batch probing the historical LSH band index — which exact
     fingerprints structurally cannot see, and the planted-clone
     non-vacuity contract."""
+    hist, inc = _inc_split(spark, sf_dir)
     from etl_orders_spark.functions.text import fingerprint
     from etl_orders_spark.operators.materialize import cache_stage
 
+    hist_fp = hist.select(fingerprint("text").alias("f")).distinct()
+    hsig = cache_stage(
+        minhash_signatures(hist, "doc_id", "text", _MINHASH_N, 3, portable=True),
+        "incremental_dedup.hsig",
+    )
+    hb = _inc_band_table(hsig).toDF("h_id", "h_sh", "band_idx", "band_key")
+    return _inc_verdicts(inc, hist_fp, hb)
+
+
+def _inc_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(historical, increment) frames, stage-cached: hist feeds the
+    fingerprint set AND the signature index; inc feeds the probe
+    fingerprints AND probe signatures (and is itself a two-branch
+    union) — uncached, the verdict lane paid SIX documents scans (the
+    multi-consumer recompute trap cache_stage exists for)."""
+    from etl_orders_spark.operators.materialize import cache_stage
+
     docs = T(spark, sf_dir, "documents")
-    # hist feeds the fingerprint set AND the signature index; inc feeds
-    # the probe fingerprints AND probe signatures (and is itself a
-    # two-branch union) — uncached, the lane paid SIX documents scans
-    # (the multi-consumer recompute trap cache_stage exists for)
     hist = cache_stage(
         docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
         "incremental_dedup.hist",
@@ -807,54 +821,59 @@ def incremental_dedup_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFra
         .unionByName(clones),
         "incremental_dedup.inc",
     )
+    return hist, inc
 
-    hist_fp = hist.select(fingerprint("text").alias("f")).distinct()
+
+def _inc_band_table(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, shingles, band_idx, band_key) rows from signatures —
+    the LSH index grain a production system persists."""
+    return (
+        sig_df.filter(F.col("signature").isNotNull())
+        .select(
+            "doc_id",
+            "shingles",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "signature", b * _ROWS_PER_BAND + r + 1
+                                    ).cast("string")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "shingles", "band.band_idx", "band.band_key")
+    )
+
+
+def _inc_verdicts(inc: DataFrame, hist_fp: DataFrame, hb: DataFrame) -> DataFrame:
+    """Probe the increment against a historical index (fingerprint set
+    `hist_fp` with column f; band table `hb` with columns h_id, h_sh,
+    band_idx, band_key) — shared verbatim by the in-plan lane and the
+    staged-parquet-index lane, so the two can never drift."""
+    from etl_orders_spark.functions.text import fingerprint
+    from etl_orders_spark.operators.materialize import cache_stage
+
     inc_fp = inc.select("doc_id", fingerprint("text").alias("f"))
     exact = (
         inc_fp.join(hist_fp.withColumn("_hit", F.lit(1)), "f", "left")
         .select("doc_id", F.col("_hit").isNotNull().alias("is_exact_dup"))
     )
-
-    hsig = cache_stage(
-        minhash_signatures(hist, "doc_id", "text", _MINHASH_N, 3, portable=True),
-        "incremental_dedup.hsig",
-    )
     isig = cache_stage(
         minhash_signatures(inc, "doc_id", "text", _MINHASH_N, 3, portable=True),
         "incremental_dedup.isig",
     )
-
-    def band_table(sig_df: DataFrame) -> DataFrame:
-        return (
-            sig_df.filter(F.col("signature").isNotNull())
-            .select(
-                "doc_id",
-                "shingles",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("band_idx"),
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at(
-                                            "signature", b * _ROWS_PER_BAND + r + 1
-                                        ).cast("string")
-                                        for r in range(_ROWS_PER_BAND)
-                                    ],
-                                ).alias("band_key"),
-                            )
-                            for b in range(_BANDS)
-                        ]
-                    )
-                ).alias("band"),
-            )
-            .select("doc_id", "shingles", "band.band_idx", "band.band_key")
-        )
-
-    ib = band_table(isig).toDF("i_id", "i_sh", "band_idx", "band_key")
-    hb = band_table(hsig).toDF("h_id", "h_sh", "band_idx", "band_key")
+    ib = _inc_band_table(isig).toDF("i_id", "i_sh", "band_idx", "band_key")
     inter = F.size(F.array_intersect("i_sh", "h_sh")).cast("double")
     union = (F.size("i_sh") + F.size("h_sh")).cast("double") - inter
     near = (
@@ -866,7 +885,6 @@ def incremental_dedup_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
         .withColumn("_near", F.lit(1))
     )
-
     return (
         exact.join(near, "doc_id", "left")
         .select(
@@ -879,6 +897,70 @@ def incremental_dedup_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("verdict"),
         )
     )
+
+
+def stage_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the historical dedup index to parquet — what a
+    production system actually PERSISTS and maintains between batches:
+    `fingerprints/` (the distinct md5 set) and `bands/` (the LSH band
+    table with shingle sets for exact verify), partitioned by band_idx.
+    mtime-gated like the layout stagings (layout_queries._staging_is_fresh):
+    the standing index is reused until the source data is newer."""
+    import os
+
+    from etl_orders_spark.functions.text import fingerprint
+    from etl_orders_spark.plans.layout_queries import _staged_path, _staging_is_fresh
+
+    path = _staged_path(
+        sf_dir, "dedup_index",
+        params=f"mh{_MINHASH_N}b{_BANDS}r{_ROWS_PER_BAND}",
+    )
+    if _staging_is_fresh(path, sf_dir, "documents"):
+        return path
+    docs = T(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    hist_fp = hist.select(fingerprint("text").alias("f")).distinct()
+    hist_fp.write.mode("overwrite").parquet(os.path.join(path, "fingerprints"))
+    hsig = minhash_signatures(hist, "doc_id", "text", _MINHASH_N, 3, portable=True)
+    (
+        _inc_band_table(hsig)
+        .toDF("h_id", "h_sh", "band_idx", "band_key")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(os.path.join(path, "bands"))
+    )
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return path
+
+
+@register(
+    "incremental_dedup_staged_index_docs",
+    _incremental_dedup_oracle(),  # identical output contract: same oracle
+    tags=("text", "dedup", "lsh", "curation", "pipeline", "sink", "layout"),
+)
+def incremental_dedup_staged_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup probing a STAGED parquet index — the
+    end-to-end production path: the historical fingerprint set and LSH
+    band table are written to disk once (stage_dedup_index: bands
+    partitioned by band_idx, mtime-gated like every layout staging)
+    and the increment probes the STANDING tables, certifying that the
+    persisted-index round trip — parquet array columns for the shingle
+    sets included — loses nothing vs the in-plan derivation: this lane
+    shares incremental_dedup_verdicts_docs' oracle verbatim, so both
+    must produce identical verdict sets. At 100 TB the staged index is
+    the ONLY corpus-scale artifact a daily batch touches, and index
+    maintenance (appending the accepted batch) is a partitioned
+    parquet append, not a corpus rewrite."""
+    import os
+
+    path = stage_dedup_index(spark, sf_dir)
+    hist_fp = spark.read.parquet(os.path.join(path, "fingerprints"))
+    hb = spark.read.parquet(os.path.join(path, "bands")).select(
+        "h_id", "h_sh", "band_idx", "band_key"
+    )
+    _, inc = _inc_split(spark, sf_dir)
+    return _inc_verdicts(inc, hist_fp, hb)
 
 
 incremental_dedup_verdicts_docs.__doc__ = incremental_dedup_verdicts_docs.__doc__.format(
