@@ -785,17 +785,39 @@ def incremental_dedup_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFra
     batch probing the historical LSH band index — which exact
     fingerprints structurally cannot see, and the planted-clone
     non-vacuity contract."""
-    hist, inc = _inc_split(spark, sf_dir)
-    from etl_orders_spark.functions.text import fingerprint
+    return _inc_inplan(spark, sf_dir, portable=True)
+
+
+def _inc_inplan(spark: SparkSession, sf_dir: str, portable: bool) -> DataFrame:
     from etl_orders_spark.operators.materialize import cache_stage
 
-    hist_fp = hist.select(fingerprint("text").alias("f")).distinct()
+    hist, inc = _inc_split(spark, sf_dir)
+    hist_fp = hist.select(_inc_fingerprint("text", portable).alias("f")).distinct()
     hsig = cache_stage(
-        minhash_signatures(hist, "doc_id", "text", _MINHASH_N, 3, portable=True),
-        "incremental_dedup.hsig",
+        minhash_signatures(hist, "doc_id", "text", _MINHASH_N, 3, portable=portable),
+        "incremental_dedup.hsig" if portable else "incremental_dedup.hsig_fast",
     )
     hb = _inc_band_table(hsig).toDF("h_id", "h_sh", "band_idx", "band_key")
-    return _inc_verdicts(inc, hist_fp, hb)
+    return _inc_verdicts(inc, hist_fp, hb, portable=portable)
+
+
+@register(
+    "incremental_dedup_verdicts_docs_fast",
+    None,  # xxhash64 tier: no cross-engine twin; rows-only (the
+    # portable lane above carries the full oracle for the same logic)
+    tags=("text", "dedup", "lsh", "curation", "pipeline"),
+    bench=True,
+)
+def incremental_dedup_verdicts_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production tier of the incremental dedup (the minhash_lsh_pairs
+    _fast convention): identical plan to
+    incremental_dedup_verdicts_docs but every hash is JVM xxhash64 —
+    the exact screen exchanges an 8-byte key instead of a 32-char hex
+    string, and signatures skip the md5->substring->conv string
+    machinery. Benched so the day-batch cost tracks round over round;
+    the portable-md5 lane keeps the full value-hash oracle for the
+    same shared logic."""
+    return _inc_inplan(spark, sf_dir, portable=False)
 
 
 def _inc_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -856,22 +878,33 @@ def _inc_band_table(sig_df: DataFrame) -> DataFrame:
     )
 
 
-def _inc_verdicts(inc: DataFrame, hist_fp: DataFrame, hb: DataFrame) -> DataFrame:
+def _inc_fingerprint(col, portable: bool):
+    """Exact-screen key: md5 of normalized text (portable tier — the
+    oracle recomputes it) or xxhash64 of it (production tier: an
+    8-byte key instead of a 32-char hex string on the exchange)."""
+    from etl_orders_spark.functions.text import fingerprint, normalize_text
+
+    return fingerprint(col) if portable else F.xxhash64(normalize_text(col))
+
+
+def _inc_verdicts(
+    inc: DataFrame, hist_fp: DataFrame, hb: DataFrame, portable: bool = True
+) -> DataFrame:
     """Probe the increment against a historical index (fingerprint set
     `hist_fp` with column f; band table `hb` with columns h_id, h_sh,
-    band_idx, band_key) — shared verbatim by the in-plan lane and the
-    staged-parquet-index lane, so the two can never drift."""
-    from etl_orders_spark.functions.text import fingerprint
+    band_idx, band_key) — shared verbatim by the in-plan lane, the
+    staged-parquet-index lane and the xxhash64 fast twin, so they can
+    never drift."""
     from etl_orders_spark.operators.materialize import cache_stage
 
-    inc_fp = inc.select("doc_id", fingerprint("text").alias("f"))
+    inc_fp = inc.select("doc_id", _inc_fingerprint("text", portable).alias("f"))
     exact = (
         inc_fp.join(hist_fp.withColumn("_hit", F.lit(1)), "f", "left")
         .select("doc_id", F.col("_hit").isNotNull().alias("is_exact_dup"))
     )
     isig = cache_stage(
-        minhash_signatures(inc, "doc_id", "text", _MINHASH_N, 3, portable=True),
-        "incremental_dedup.isig",
+        minhash_signatures(inc, "doc_id", "text", _MINHASH_N, 3, portable=portable),
+        "incremental_dedup.isig" if portable else "incremental_dedup.isig_fast",
     )
     ib = _inc_band_table(isig).toDF("i_id", "i_sh", "band_idx", "band_key")
     inter = F.size(F.array_intersect("i_sh", "h_sh")).cast("double")

@@ -507,5 +507,19 @@ def test_arbitrary_coefficient_blocks_match_reference_idct(seed, density):
     for k in range(64):
         pos = int(ZIGZAG[k])
         coeff[pos // 8, pos % 8] = float(zz[k])
-    expect = np.clip(np.round(_idct_reference(coeff) + 128.0), 0, 255).astype(np.uint8)
-    assert np.array_equal(img[:, :, 0], expect)
+    raw = _idct_reference(coeff) + 128.0
+    expect = np.clip(np.round(raw), 0, 255).astype(np.uint8)
+    # the matrix IDCT and the double-loop reference sum in different
+    # orders; a sample landing within an ulp of an exact .5 boundary
+    # can legitimately round either way (hypothesis found dc=871,
+    # k10=-123 -> 221.5 vs 221.49999999999997). Exact equality is
+    # required everywhere EXCEPT those boundary samples, where a
+    # 1-unit difference is the correct rounding of the other engine's
+    # equally-valid double.
+    got = img[:, :, 0].astype(np.int64)
+    exp = expect.astype(np.int64)
+    frac_is_half = np.abs(np.abs(raw - np.floor(raw)) - 0.5) < 1e-9
+    diff = np.abs(got - exp)
+    assert ((diff == 0) | (frac_is_half & (diff <= 1))).all(), (
+        zz.tolist(), raw[diff > 0], got[diff > 0], exp[diff > 0]
+    )

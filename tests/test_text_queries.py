@@ -246,6 +246,21 @@ def test_incremental_dedup_planted_clones_drop_exact(spark, sf_dir):
             assert not r.is_exact_dup
 
 
+def test_incremental_dedup_fast_tier_matches_portable(spark, sf_dir):
+    """The xxhash64 production tier must produce the identical verdict
+    set as the portable-md5 oracle tier on the static fixture (hash
+    families only change key representation, never set membership,
+    modulo 64-bit collisions the fixture makes deterministic)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    q = query_map()
+    slow = sorted(map(tuple, q["incremental_dedup_verdicts_docs"](spark, sf_dir).collect()))
+    fast = sorted(
+        map(tuple, q["incremental_dedup_verdicts_docs_fast"](spark, sf_dir).collect())
+    )
+    assert slow == fast
+
+
 def test_unigram_lm_prefers_whole_word_piece(spark, tmp_path):
     """Hand-computed Viterbi law: corpus 'xyxy xyxy' seeds pieces
     {x:4, y:4, xy:4, yx:2, xyx:2, yxy:2, xyxy:2}, N=20; the whole-word
