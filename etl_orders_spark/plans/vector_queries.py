@@ -847,6 +847,130 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- margin-based nearest-neighbor mining (Artetxe & Schwenk 2019) ----------
+# The CCMatrix/LASER bitext-mining core: a raw cosine threshold cannot
+# separate true cross-corpus matches from hubness (vectors that are
+# near EVERYTHING), so candidates score by the RATIO margin —
+# cos(x, y) / ((avg top-k cos of x) + (avg top-k cos of y)) / 2 —
+# which normalizes each side by its own neighborhood density. Source
+# side = the planted-clone source ids (bounded probe, like the 1-NN
+# eval); target side = the rest of the planted corpus including the
+# clones, so real matches exist and the lane is never vacuous.
+_MGN_MOD, _MGN_CAP, _MGN_K = 25, 800, 4
+_MGN_THRESH_MICRO = 1_050_000  # keep pairs with margin > 1.05
+
+
+def _margin_oracle() -> str:
+    # exact integer micro-cos (floor(cos*1e6 + 0.5), the cents
+    # convention) so the top-k SUMS are exact integers — no
+    # accumulation-order surface anywhere; the single double division
+    # at the end consumes identical integers in both engines
+    cm = f"CAST(FLOOR({_cos_sql('x.v', 'y.v')} * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+    WITH corpus AS (
+      {_PLANTED_CORPUS_SQL}
+    ), x AS (
+      SELECT * FROM corpus WHERE vec_id % {_MGN_MOD} = 0 AND vec_id < {_MGN_CAP}
+    ), y AS (
+      SELECT * FROM corpus WHERE NOT (vec_id % {_MGN_MOD} = 0 AND vec_id < {_MGN_CAP})
+    ), sc AS MATERIALIZED (
+      SELECT x.vec_id AS src, y.vec_id AS tgt, {cm} AS cm
+      FROM x CROSS JOIN y
+    ), fwd AS MATERIALIZED (
+      SELECT src, tgt, cm FROM (
+        SELECT src, tgt, cm,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY cm DESC, tgt) AS rn
+        FROM sc
+      ) WHERE rn <= {_MGN_K}
+    ), ssum AS (
+      SELECT src, CAST(SUM(cm) AS BIGINT) AS ssum FROM fwd GROUP BY src
+    ), tsum AS (
+      SELECT tgt, CAST(SUM(cm) AS BIGINT) AS tsum FROM (
+        SELECT src, tgt, cm,
+               ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY cm DESC, src) AS rn
+        FROM sc
+      ) WHERE rn <= {_MGN_K} GROUP BY tgt
+    )
+    SELECT f.src, f.tgt, f.cm AS cos_micro,
+           CAST(FLOOR(f.cm * {2 * _MGN_K} * 1000000.0 / (s.ssum + t.tsum)) AS BIGINT)
+             AS margin_micro
+    FROM fwd f JOIN ssum s ON f.src = s.src JOIN tsum t ON f.tgt = t.tgt
+    WHERE CAST(FLOOR(f.cm * {2 * _MGN_K} * 1000000.0 / (s.ssum + t.tsum)) AS BIGINT)
+          >= {_MGN_THRESH_MICRO}
+    """
+
+
+@register(
+    "margin_knn_mining_embeddings",
+    _margin_oracle(),
+    tags=("vector", "similarity", "topk", "curation"),
+)
+def margin_knn_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based nearest-neighbor mining (Artetxe & Schwenk, ACL
+    2019 — the criterion behind CCMatrix/WikiMatrix bitext mining and
+    LASER alignment): mine (source, target) pairs whose cosine is
+    high RELATIVE to both endpoints' neighborhood density, the ratio
+    margin cos(x,y) / mean(avg-top-k(x), avg-top-k(y)). Raw-threshold
+    mining drowns in hubs; the margin cancels them. Runs on the
+    planted corpus with the clone SOURCES as the bounded probe side,
+    so every probe has a true planted match and the mined set is
+    non-vacuous by construction (background pairs sit at margin ~1
+    and are cut at 1.05).
+
+    Determinism: per-pair integer micro-cos (floor(cos*1e6 + 0.5) —
+    the cents convention), so both directions' top-k SUMS are exact
+    integers and the margin is one correctly-rounded double division
+    of identical integers; ties break (cm DESC, id ASC) both engines.
+
+    100 TB posture: the probe side is FIXED-size (strided + id-capped,
+    the knn_label_accuracy rule — an alignment query set, not the
+    corpus), so the scored table is |X| x n rows from ONE broadcast
+    pass over the target corpus; the forward top-k is a bounded-group
+    window (|X| groups) and the reverse top-k a corpus-keyed window
+    over <= |X| rows per key. No corpus x corpus anything; at real
+    bitext scale the X side shards into fixed-size probe batches and
+    the same plan loops."""
+    from etl_orders_spark.functions.vectors import cosine_batch
+    from etl_orders_spark.operators.materialize import cache_stage
+    from etl_orders_spark.operators.topk import topk_per_group
+
+    corpus = cache_stage(_planted_corpus(spark, sf_dir), "margin_mining.corpus")
+    is_probe = (F.col("vec_id") % _MGN_MOD == 0) & (F.col("vec_id") < _MGN_CAP)
+    x = corpus.filter(is_probe).select(F.col("vec_id").alias("src"), F.col("v").alias("xv"))
+    y = corpus.filter(~is_probe).select(F.col("vec_id").alias("tgt"), F.col("v").alias("yv"))
+    sc = cache_stage(
+        F.broadcast(x)
+        .crossJoin(y)
+        .select(
+            "src",
+            "tgt",
+            F.floor(cosine_batch("xv", "yv") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cm"),
+        ),
+        "margin_mining.scored",
+    )
+    fwd = topk_per_group(sc, ["src"], [F.desc("cm"), F.asc("tgt")], _MGN_K)
+    ssum = fwd.groupBy("src").agg(F.sum("cm").cast("long").alias("ssum"))
+    rev = topk_per_group(sc, ["tgt"], [F.desc("cm"), F.asc("src")], _MGN_K)
+    tsum = rev.groupBy("tgt").agg(F.sum("cm").cast("long").alias("tsum"))
+    margin = F.floor(
+        F.col("cm") * F.lit(2 * _MGN_K) * F.lit(1000000.0)
+        / (F.col("ssum") + F.col("tsum"))
+    ).cast("long")
+    return (
+        fwd.join(F.broadcast(ssum), "src")
+        .join(tsum, "tgt")
+        .select(
+            "src",
+            "tgt",
+            F.col("cm").alias("cos_micro"),
+            margin.alias("margin_micro"),
+        )
+        .filter(F.col("margin_micro") >= _MGN_THRESH_MICRO)
+    )
+
+
 _SD_K = 4  # SemDeDup clusters, fixture-pinned for oracle determinism;
 # the production path derives K (~sqrt(n)) via similarity.semdedup_k —
 # pass k=None to semantic_dedup_frame (VERDICT r7 #2)

@@ -167,6 +167,7 @@ _BNLJ_ALLOWED = {
     "semantic_dedup_embeddings": 4,  # K-row centroid broadcasts (fixture-form budget; the r9 production GEMM builder plans fewer)
     "semantic_dedup_embeddings_autok": 1,  # 1-row rollup x 1-row corpus-total invariant join
     "ks_price_urgent_vs_low": 1,
+    "margin_knn_mining_embeddings": 3,  # bounded probe batch broadcast: the scored pass + the two sum joins it feeds
     "mmr_diverse_topk": 1,  # broadcast query batch (candidate generator)
     "ols_daily_revenue_trend": 1,
     "pareto_customer_revenue": 1,
