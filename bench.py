@@ -138,14 +138,22 @@ def main() -> int:
         try:
             import subprocess
 
-            head = json.loads(subprocess.run(
+            head_sidecar = json.loads(subprocess.run(
                 ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
                  "show", "HEAD:bench_cold.json"],
                 capture_output=True, text=True, check=True,
-            ).stdout).get("queries_warm", {})
+            ).stdout)
+            head = head_sidecar.get("queries_warm", {})
+            # Calibrate the regression ratio by relative box speed
+            # (ADVICE r9 #4): divide t/head by calibration/head_cal so
+            # in-run flagging matches cold_report.py's normalized
+            # judgment — a uniformly slow box window no longer flags
+            # every lane into extra isolation reps.
+            head_cal = head_sidecar.get("calibration_sec") or 0.0
+            box = (calibration / head_cal) if (calibration and head_cal) else 1.0
             flagged |= {
                 n for n, t in timings.items()
-                if n in head and head[n] > 0 and t / head[n] > 1.5
+                if n in head and head[n] > 0 and (t / head[n]) / box > 1.5
                 and max(t, head[n]) > 0.3
             }
         except Exception:  # noqa: BLE001 — no git/HEAD sidecar: standing set only

@@ -655,7 +655,7 @@ def _write_prefix_code(bw: _LsbBitWriter, lengths: list[int]) -> dict[int, tuple
     return _canonical_map(lengths)
 
 
-def _prefix_lz77_encode(bw_or_none, value: int) -> tuple[int, int, int]:
+def _prefix_lz77_encode(value: int) -> tuple[int, int, int]:
     """value -> (prefix code, extra bit count, extra bits)."""
     if value < 1:
         raise ValueError("lz77 values start at 1")
@@ -885,9 +885,9 @@ def _encode_substream(
             run = 1
             while i + run < n and pix[i + run] == px and run < 4096:
                 run += 1
-            code, _, _ = _prefix_lz77_encode(None, run)
+            code, _, _ = _prefix_lz77_encode(run)
             greens.append(_NUM_LITERALS + code)
-            dcode, _, _ = _prefix_lz77_encode(None, 1 + 120)  # linear dist 1
+            dcode, _, _ = _prefix_lz77_encode(1 + 120)  # linear dist 1
             dists.append(dcode)
             tokens.append(("run", run))
             if cache_bits:
@@ -948,11 +948,11 @@ def _encode_substream(
             emit(b_map, px & 0xFF)
             emit(a_map, (px >> 24) & 0xFF)
         elif tok[0] == "run":
-            code, extra, ev = _prefix_lz77_encode(None, tok[1])
+            code, extra, ev = _prefix_lz77_encode(tok[1])
             emit(g_map, _NUM_LITERALS + code)
             if extra:
                 bw.write(ev, extra)
-            dcode, dex, dev = _prefix_lz77_encode(None, 121)  # dist 1 linear
+            dcode, dex, dev = _prefix_lz77_encode(121)  # dist 1 linear
             emit(d_map, dcode)
             if dex:
                 bw.write(dev, dex)

@@ -3678,7 +3678,6 @@ wordpiece_encode_docs.__doc__ = wordpiece_encode_docs.__doc__.format(
 _wp_encode_oracle.__doc__ = _wp_encode_oracle.__doc__.format(
     V=_WP_VOCAB_TOP, L=_WP_MAX_PIECE, W=_WP_MAX_WORD
 )
-_wp_train_oracle.__doc__ = _wp_train_oracle.__doc__
 
 
 # --- Unigram-LM (SentencePiece) tokenizer: Viterbi-EM over a fixed vocab ----

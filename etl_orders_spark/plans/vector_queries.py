@@ -1028,7 +1028,9 @@ def _semantic_dedup_oracle() -> str:
            CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dropped,
            CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END) AS BIGINT)
-             AS kept_id_sum
+             AS kept_id_sum,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN a.vec_id ELSE 0 END) AS BIGINT)
+             AS dropped_id_sum
     FROM assign a LEFT JOIN dropped d USING (vec_id)
     GROUP BY cid
     """
@@ -1056,6 +1058,7 @@ def _semdedup_rollup(assigned: DataFrame, tau: float) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dropped"),
         F.sum(F.when(F.col("_drop").isNull(), F.col("vec_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
+        F.sum(F.when(F.col("_drop").isNotNull(), F.col("vec_id")).otherwise(0)).cast("long").alias("dropped_id_sum"),
     )
 
 
@@ -1269,17 +1272,20 @@ def semantic_dedup_embeddings_autok(spark: SparkSession, sf_dir: str) -> DataFra
     100x, now exercised by every local sweep instead of only the
     probe. Rows-only for the driver (the derived-K partition is not
     SQL-expressible), but NOT law-free: the output is a one-row
-    invariant summary the builder itself asserts —
+    invariant summary carrying boolean flags —
 
-      n_clusters <= ceil(sqrt(n))        (semdedup_k bound)
-      n_points_total == n                (every vector assigned once)
-      0 <= n_dropped_total < n           (kept set non-empty)
-      kept_id_sum_total + dropped ids' sum == corpus id sum
-        (drop bookkeeping conserves the id mass: checked via the
-         independently-computed corpus id sum riding the same row)
+      all_assigned_once: n_points_total == n  (every vector assigned
+        exactly once, vs the independently-computed corpus count)
+      id_mass_conserved: kept_id_sum_total + dropped_id_sum_total ==
+        corpus id sum  (EXACT conservation equality — the per-cluster
+        kept/dropped id checksums must partition the corpus id mass,
+        so a double-drop or double-keep flips the flag even when the
+        kept sum alone stays bounded — ADVICE r9 #1)
 
-    so a sweep over this lane fails loudly if the auto-K path ever
-    drops or double-assigns a vector, not just if it crashes."""
+    tests/test_vectors.py::test_semantic_dedup_autok_lane_invariants
+    asserts both flags true plus 0 <= n_dropped_total < n on every
+    run, so the suite fails loudly if the auto-K path ever drops or
+    double-assigns a vector, not just if it crashes."""
     from etl_orders_spark.operators.materialize import cache_stage
 
     x = cache_stage(_planted_corpus(spark, sf_dir), "semantic_dedup.corpus")
@@ -1294,6 +1300,7 @@ def semantic_dedup_embeddings_autok(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("n_points").cast("long").alias("n_points_total"),
             F.sum("n_dropped").cast("long").alias("n_dropped_total"),
             F.sum("kept_id_sum").cast("long").alias("kept_id_sum_total"),
+            F.sum("dropped_id_sum").cast("long").alias("dropped_id_sum_total"),
         )
         .crossJoin(corpus_tot)  # 1-row x 1-row: invariant columns ride along
         .select(
@@ -1301,8 +1308,12 @@ def semantic_dedup_embeddings_autok(spark: SparkSession, sf_dir: str) -> DataFra
             "n_points_total",
             "n_dropped_total",
             "kept_id_sum_total",
+            "dropped_id_sum_total",
             (F.col("n_points_total") == F.col("_n")).alias("all_assigned_once"),
-            (F.col("kept_id_sum_total") <= F.col("_id_sum")).alias("kept_sum_bounded"),
+            (
+                F.col("kept_id_sum_total") + F.col("dropped_id_sum_total")
+                == F.col("_id_sum")
+            ).alias("id_mass_conserved"),
         )
     )
 

@@ -604,11 +604,17 @@ def test_semantic_dedup_autok_lane_invariants(spark, sf_dir):
     row = query_map()["semantic_dedup_embeddings_autok"](spark, sf_dir).collect()
     assert len(row) == 1
     r = row[0]
-    assert r["all_assigned_once"] and r["kept_sum_bounded"]
+    assert r["all_assigned_once"] and r["id_mass_conserved"]
     n = _planted_corpus(spark, sf_dir).count()
     assert 0 < r["n_clusters"] <= semdedup_k(n)
     assert r["n_points_total"] == n
     assert 0 <= r["n_dropped_total"] < n
+    # the exact conservation equality (ADVICE r9 #1), re-derived here
+    # from the raw columns so a wrong flag expression would also fail
+    from pyspark.sql import functions as F
+
+    ids = _planted_corpus(spark, sf_dir).agg(F.sum("vec_id")).collect()[0][0]
+    assert r["kept_id_sum_total"] + r["dropped_id_sum_total"] == ids
 
 
 def test_binary_quant_ann_recall_vs_exact(spark, sf_dir):
