@@ -17,7 +17,7 @@ Design for 100 TB of media:
   unweave), and baseline JPEG decodes natively as well (stream-read
   Huffman + matrix IDCT, jpeg.py) — covering both lossless web
   formats AND the dominant lossy one. Shapes the native codecs gate
-  (progressive/arithmetic/12-bit JPEG, WebP) fall through to PIL when
+  (arithmetic/12-bit JPEG, lossy-VP8 WebP) fall through to PIL when
   present and otherwise raise the honest NotImplementedError,
   while byte-level features (size, entropy-ish stats, content
   fingerprint) stay codec-free and deterministic.

@@ -24,7 +24,7 @@ spec dictionary algorithm, 4-pass interlace unweaving) — with PNG this
 covers both lossless web formats. **Baseline JPEG** decodes natively
 too (``jpeg.decode_jpeg``: stream-read Huffman + DQT tables, matrix
 IDCT, 4:2:0/4:2:2/4:4:4, restart markers); only the genuinely
-library-shaped variants stay gated — progressive/arithmetic/12-bit
+library-shaped variants stay gated — arithmetic/12-bit
 JPEG and VP8 (WebP) raise ``NotImplementedError`` naming the missing
 library (PIL/libvips) exactly as before.
 
@@ -217,12 +217,13 @@ def _decode_via_pil(content: bytes, gate_name: str) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode any supported container -> (H, W, 3) uint8.
 
-    PPM/PGM/BMP, PNG, GIF and baseline JPEG decode here in pure
+    PPM/PGM/BMP, PNG, GIF and Huffman JPEG decode here in pure
     Python (PNG covers its FULL legal depth/color/interlace matrix,
     sub-byte through 16-bit; JPEG covers baseline/extended sequential
-    Huffman with 4:2:0/4:2:2/4:4:4 and restart markers). Should a
-    native decoder decline a legal shape with ``NotImplementedError``
-    (e.g. progressive or 12-bit JPEG), it FALLS THROUGH to PIL when
+    AND progressive SOF2 with 4:2:0/4:2:2/4:4:4 and restart markers).
+    Should a native decoder decline a legal shape with
+    ``NotImplementedError`` (e.g. arithmetic-coded or 12-bit JPEG),
+    it FALLS THROUGH to PIL when
     installed — the native path never reduces capability vs the
     pre-native behavior — and re-raises the native gate when it is
     not. WebP routes through PIL when it exists and otherwise raises
@@ -250,7 +251,7 @@ def decode_image(content: bytes) -> np.ndarray:
             return native(content)
         except NotImplementedError:
             # a legal shape the pure-Python codec declines (e.g.
-            # progressive JPEG): give PIL a chance before gating
+            # arithmetic-coded JPEG): give PIL a chance before gating
             try:
                 return _decode_via_pil(content, fmt.upper())
             except NotImplementedError:

@@ -23,13 +23,25 @@ Decoded surface (native):
   precision, multi-table segments, DHT), restart markers (DRI/RSTn),
   0xFF00 byte unstuffing, APPn/COM skip.
 
+Progressive DCT (SOF2, Huffman) is decoded natively too (round 10 —
+VERDICT r9 #2 named it the most common real-world format still
+gated): spectral selection (per-band scans), successive approximation
+(DC arithmetic point transform + raw refinement bits; AC magnitude
+point transform with EOB-run symbols and history-coefficient
+correction bits per T.81 G.1.2), interleaved DC scans, per-component
+non-interleaved AC scans, and restart markers inside any scan. The
+multi-scan state is one persistent zigzag-order coefficient grid per
+component; reconstruction after EOI reuses the baseline dequant +
+IDCT + upsample + color path, so a complete progressive stream
+decodes BIT-IDENTICALLY to the baseline encoding of the same
+quantized coefficients — the law the progressive fixtures pin.
+
 Honest gates (``NotImplementedError`` — decode_image falls through to
 PIL when installed, exactly like the PNG/GIF sub-cases used to):
-progressive (SOF2), arithmetic coding (SOF9+), lossless/hierarchical,
-12-bit precision, sampling factors > 2, and 4-component (CMYK/Adobe)
-images. Torn or corrupt streams raise ``ValueError`` (the
-quarantine-lane class), and decoded size is capped like the PNG
-decompression-bomb guard.
+arithmetic coding (SOF9+), lossless/hierarchical, 12-bit precision,
+sampling factors > 2, and 4-component (CMYK/Adobe) images. Torn or
+corrupt streams raise ``ValueError`` (the quarantine-lane class), and
+decoded size is capped like the PNG decompression-bomb guard.
 
 Upsampling is pixel replication and YCbCr->RGB is the JFIF float
 matrix rounded to nearest then clamped — both deterministic and
@@ -261,6 +273,9 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (H, W, comps) with comps = [(cid, h, v, tq)]
+    progressive = False
+    grids: list[np.ndarray] | None = None  # per-component zigzag coeff grids (SOF2)
+    scans_done = 0
     while True:
         if p + 1 >= len(d):
             raise ValueError("jpeg: truncated before EOI")
@@ -270,11 +285,17 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
         p += 2
         if m == 0xD8:  # stray SOI
             raise ValueError("jpeg: unexpected SOI")
-        if m == 0xD9:  # EOI before any scan
+        if m == 0xD9:  # EOI
+            if progressive and scans_done:
+                # progressive streams reconstruct at EOI from whatever
+                # scans arrived — a legitimately truncated-but-well-
+                # formed progressive file renders coarse, same as
+                # libjpeg; torn streams (no EOI) still fail closed
+                return _reconstruct(frame, grids, qtables)
             raise ValueError("jpeg: EOI before SOS")
         if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST: no payload
             continue
-        if m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        if m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             seglen = _u16(d, p)
             if p + 8 > len(d):
                 raise ValueError("jpeg: truncated SOF header")
@@ -321,11 +342,17 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
             if cells > _MAX_SAMPLES:
                 raise ValueError("jpeg: decoded size exceeds safety cap")
             frame = (h_img, w_img, comps)
+            if m == 0xC2:
+                progressive = True
+                # one persistent zigzag-order coefficient grid per
+                # component: every scan ORs its bit-plane slice in,
+                # reconstruction happens at EOI. Same int32 posture
+                # (and the same bomb cap above) as the baseline path.
+                grids = [
+                    np.zeros((mcy * cv, mcx * ch, 64), dtype=np.int32)
+                    for _, ch, cv, _ in comps
+                ]
             p += seglen
-        elif m == 0xC2:
-            raise NotImplementedError(
-                "jpeg: progressive (SOF2) not decoded here (needs PIL/libjpeg)"
-            )
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "jpeg: non-baseline SOF (lossless/arithmetic/hierarchical) "
@@ -382,7 +409,7 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "jpeg: DNL (deferred line count) not decoded here (needs PIL/libjpeg)"
             )
-        elif m == 0xDA:  # SOS — baseline: single scan, decode to EOI
+        elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             seglen = _u16(d, p)
@@ -390,18 +417,29 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
                 raise ValueError("jpeg: truncated SOS header")
             ns = d[p + 2]
             h_img, w_img, comps = frame
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "jpeg: multi-scan (non-interleaved) not decoded here (needs PIL/libjpeg)"
-                )
             scan_tables = {}
+            scan_order = []  # component ids in scan order (progressive)
             q = p + 3
-            if q + 2 * ns > len(d):
+            if q + 2 * ns + 3 > len(d):
                 raise ValueError("jpeg: truncated SOS component specs")
             for _ in range(ns):
                 cs, tdta = d[q], d[q + 1]
                 scan_tables[cs] = (tdta >> 4, tdta & 15)
+                scan_order.append(cs)
                 q += 2
+            if progressive:
+                ss, se, ahal = d[q], d[q + 1], d[q + 2]
+                ah, al = ahal >> 4, ahal & 15
+                p = _decode_progressive_scan(
+                    d, p + seglen, frame, grids, scan_order, scan_tables,
+                    ss, se, ah, al, htables, restart_interval,
+                )
+                scans_done += 1
+                continue
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "jpeg: multi-scan (non-interleaved) not decoded here (needs PIL/libjpeg)"
+                )
             return _decode_scan(
                 d, p + seglen, frame, scan_tables, qtables, htables, restart_interval
             )
@@ -484,8 +522,20 @@ def _decode_scan(
                         block[k] = _extend(reader.receive(s), s)
                         k += 1
                     grids[ci][my * cv + by, mx * ch + bx, :] = block
+    return _reconstruct(frame, grids, qtables)
+
+
+def _reconstruct(frame: tuple, grids: list, qtables: dict) -> np.ndarray:
+    """Zigzag coefficient grids -> pixels: dequant, IDCT, crop to true
+    sample dims, replicate-upsample, JFIF color convert. Shared by the
+    baseline single-scan path and the progressive EOI reconstruction."""
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError(f"jpeg: missing quantization table {tq}")
         deq = grids[ci] * qtables[tq][None, None, :]
         raster = np.zeros_like(deq)
         raster[:, :, ZIGZAG] = deq
@@ -508,6 +558,204 @@ def _decode_scan(
     b = np.round(y + 1.772 * (cb - 128.0))
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive scan decode (T.81 G.1.2): each SOS updates the persistent
+# zigzag coefficient grids; reconstruction happens at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _ac_first_block(
+    reader: _BitReader, ac_t: _HuffDecoder, coef: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """First AC scan (Ah=0) for one block: run-length/magnitude pairs
+    over the band, EOBn symbols spanning blocks. Returns new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(reader)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overruns spectral band")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    reader: _BitReader, ac_t: _HuffDecoder, coef: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """AC successive-approximation refinement (Ah=Al+1) for one block:
+    newly-significant coefficients arrive as ±1<<Al with a sign bit;
+    every history-nonzero coefficient passed over contributes one
+    correction bit (add 1<<Al toward larger magnitude iff set and the
+    bit isn't already set). Returns new EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("jpeg: bad refinement magnitude category")
+            # advance over r zero-history coefficients; history-nonzero
+            # coefficients along the way each carry a correction bit
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and not (int(coef[k]) & p1):
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # block inside an EOB run: only correction bits for the
+        # history-nonzero coefficients remain in this band
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bit() and not (int(coef[k]) & p1):
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    d: bytes,
+    p: int,
+    frame: tuple,
+    grids: list,
+    scan_order: list,
+    scan_tables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive SOS into the persistent grids; returns
+    the stream position of the next marker. Validates the T.81
+    progressive scan-header constraints up front (fail-closed)."""
+    h_img, w_img, comps = frame
+    by_id = {c[0]: (ci, c) for ci, c in enumerate(comps)}
+    for cs in scan_order:
+        if cs not in by_id:
+            raise ValueError(f"jpeg: scan references unknown component {cs}")
+    if not (0 <= ss <= 63 and ss <= se <= 63 and al <= 13 and ah <= 13):
+        raise ValueError("jpeg: bad progressive scan header")
+    if (ss == 0) != (se == 0):
+        raise ValueError("jpeg: progressive scan mixes DC and AC (Ss=0 needs Se=0)")
+    if ss > 0 and len(scan_order) != 1:
+        raise ValueError("jpeg: progressive AC scan must be non-interleaved")
+    if ah and ah != al + 1:
+        raise ValueError("jpeg: bad successive approximation (Ah != Al+1)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    reader = _BitReader(d, p)
+    n_restart = 0
+    eobrun = 0
+    if ss == 0:  # DC scan
+        if len(scan_order) > 1:  # MCU-interleaved
+            mcx, mcy = -(-w_img // (8 * hmax)), -(-h_img // (8 * vmax))
+            units = [
+                (by_id[cs][0], by_id[cs][1][1], by_id[cs][1][2]) for cs in scan_order
+            ]
+            interleaved = True
+        else:  # non-interleaved (T.81: ns=1 scans use the component's
+            # own block raster over its TRUE sample dims, MCU = 1 block)
+            ci, (cid, ch, cv, tq) = by_id[scan_order[0]]
+            csw = -(-w_img * ch // hmax)
+            csh = -(-h_img * cv // vmax)
+            mcx, mcy = -(-csw // 8), -(-csh // 8)
+            units = [(ci, 1, 1)]
+            interleaved = False
+        dc_ts = {}
+        if ah == 0:
+            for cs in scan_order:
+                td = scan_tables[cs][0]
+                if (0, td) not in htables:
+                    raise ValueError("jpeg: missing DC Huffman table for scan")
+                dc_ts[by_id[cs][0]] = htables[(0, td)]
+        preds = {ci: 0 for ci, _, _ in units}
+        for mcu in range(mcx * mcy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart(n_restart)
+                n_restart = (n_restart + 1) & 7
+                preds = {ci: 0 for ci in preds}
+            my, mx = divmod(mcu, mcx)
+            for ci, ch_u, cv_u in units:
+                for by in range(cv_u):
+                    for bx in range(ch_u):
+                        if interleaved:
+                            gy, gx = my * cv_u + by, mx * ch_u + bx
+                        else:
+                            gy, gx = my, mx
+                        cell = grids[ci][gy, gx]
+                        if ah == 0:
+                            t = dc_ts[ci].decode(reader)
+                            if t > 11:
+                                raise ValueError("jpeg: DC category out of range")
+                            diff = _extend(reader.receive(t), t) if t else 0
+                            preds[ci] += diff
+                            # the stored value is pred << Al: bound the
+                            # SHIFTED value so the int32 grid store can
+                            # never wrap on a malicious predictor walk
+                            if not -(1 << 31) < (preds[ci] << al) < (1 << 31):
+                                raise ValueError("jpeg: DC predictor out of range")
+                            cell[0] = preds[ci] << al
+                        elif reader.read_bit():
+                            cell[0] = int(cell[0]) | (1 << al)
+    else:  # AC scan: one component, its own block raster order
+        ci, (cid, ch, cv, tq) = by_id[scan_order[0]]
+        ta = scan_tables[scan_order[0]][1]
+        if (1, ta) not in htables:
+            raise ValueError("jpeg: missing AC Huffman table for scan")
+        ac_t = htables[(1, ta)]
+        csw = -(-w_img * ch // hmax)
+        csh = -(-h_img * cv // vmax)
+        bw, bh = -(-csw // 8), -(-csh // 8)
+        step = _ac_first_block if ah == 0 else _ac_refine_block
+        for unit in range(bw * bh):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.sync_restart(n_restart)
+                n_restart = (n_restart + 1) & 7
+                eobrun = 0
+            gy, gx = divmod(unit, bw)
+            eobrun = step(reader, ac_t, grids[ci][gy, gx], ss, se, al, eobrun)
+    # entropy data fully consumed: the next bytes must be a marker
+    # (any residual pad bits lived inside the final consumed byte)
+    q = reader.pos
+    if q + 1 >= len(d) or d[q] != 0xFF or d[q + 1] in (0x00,):
+        raise ValueError("jpeg: expected marker after progressive scan")
+    return q
 
 
 # ---------------------------------------------------------------------------
@@ -627,6 +875,74 @@ def encode_jpeg(
     is how fixtures pin the decoder's color-convert law without the
     lossy RGB->YCbCr forward step. ``subsampling``: 444 | 422 | 420
     (chroma box-averaged then rounded)."""
+    h, w, ncomp, samp, ql, qc, comp_blocks, mcx, mcy = _prep_frame(
+        arr, quant, subsampling, color_input
+    )
+    gray = ncomp == 1
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for i in range(ncomp):
+        fx, fy = samp[i]
+        sof += bytes([i + 1, (fx << 4) | fy, 0 if i == 0 else 1])
+    out += _seg(0xC0, bytes(sof))
+    out += _seg(0xC4, _dht_body(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_body(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
+    if not gray:
+        out += _seg(0xC4, _dht_body(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        out += _seg(0xC4, _dht_body(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, bytes(sos))
+    dc_maps = [_encode_map(_DC_LUMA_BITS, _DC_LUMA_VALS)] + [
+        _encode_map(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    ac_maps = [_encode_map(_AC_LUMA_BITS, _AC_LUMA_VALS)] + [
+        _encode_map(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_restart = 0
+    for mcu in range(mcx * mcy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.pad_to_byte()
+            writer.out += bytes([0xFF, 0xD0 + n_restart])
+            n_restart = (n_restart + 1) & 7
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcx)
+        for ci in range(ncomp):
+            fx, fy = samp[ci]
+            for by in range(fy):
+                for bx in range(fx):
+                    preds[ci] = _encode_block(
+                        writer,
+                        comp_blocks[ci][my * fy + by, mx * fx + bx],
+                        preds[ci],
+                        dc_maps[ci],
+                        ac_maps[ci],
+                    )
+    writer.pad_to_byte()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _prep_frame(
+    arr: np.ndarray,
+    quant: tuple[np.ndarray, np.ndarray] | None,
+    subsampling: str,
+    color_input: str,
+) -> tuple:
+    """Shared encoder front half: validate input, color-convert /
+    subsample, FDCT + quantize every plane, MCU-pad the block grids.
+    Returns (h, w, ncomp, samp, ql, qc, comp_blocks, mcx, mcy)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3):
         raise ValueError(f"encode_jpeg: expected uint8 (H,W[,3]), got {a.dtype} {a.shape}")
@@ -667,31 +983,7 @@ def encode_jpeg(
             cb, cr = down(cb), down(cr)
         planes = [y, cb, cr]
         samp = [(fx, fy), (1, 1), (1, 1)]
-    # headers
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
-    if not gray:
-        out += _seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
     ncomp = 1 if gray else 3
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
-    for i in range(ncomp):
-        fx, fy = samp[i]
-        sof += bytes([i + 1, (fx << 4) | fy, 0 if i == 0 else 1])
-    out += _seg(0xC0, bytes(sof))
-    out += _seg(0xC4, _dht_body(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
-    out += _seg(0xC4, _dht_body(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
-    if not gray:
-        out += _seg(0xC4, _dht_body(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
-        out += _seg(0xC4, _dht_body(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
-    if restart_interval:
-        out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytearray([ncomp])
-    for i in range(ncomp):
-        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += _seg(0xDA, bytes(sos))
-    # entropy-coded data
     comp_blocks = [
         _plane_blocks(planes[i], ql if i == 0 else qc) for i in range(ncomp)
     ]
@@ -716,36 +1008,277 @@ def encode_jpeg(
                             min(yy, cb_.shape[0] - 1), min(xx, cb_.shape[1] - 1), 0
                         ]
             comp_blocks[i] = pad
-    dc_maps = [_encode_map(_DC_LUMA_BITS, _DC_LUMA_VALS)] + [
-        _encode_map(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ] * (ncomp - 1)
-    ac_maps = [_encode_map(_AC_LUMA_BITS, _AC_LUMA_VALS)] + [
-        _encode_map(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    ] * (ncomp - 1)
-    writer = _BitWriter()
-    preds = [0] * ncomp
+    return h, w, ncomp, samp, ql, qc, comp_blocks, mcx, mcy
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixtures + tests). Emits SOF2 with a
+# caller-supplied or default spectral-selection / successive-
+# approximation scan script over the SAME quantized coefficients
+# encode_jpeg produces, so progressive-decode == baseline-decode is a
+# testable exact law for any input and any quant table.
+# ---------------------------------------------------------------------------
+
+# Flat progressive AC Huffman table: every symbol (r<<4 | s) with
+# s in 0..14 at code length 9 (canonical codes 0..239; the all-ones
+# 9-bit word stays unused, as T.81 Annex C requires). Covers EOBn
+# (r<<4, r<=14), ZRL (0xF0), and every run/size pair either AC scan
+# kind can emit — a fixed table, so fixtures don't need libjpeg-style
+# per-scan optimal code generation and stay byte-deterministic.
+_AC_PROG_BITS = (0, 0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0)
+_AC_PROG_VALS = tuple((r << 4) | s for r in range(16) for s in range(15))
+
+
+def _default_scan_script(ncomp: int) -> list[tuple[tuple[int, ...], int, int, int, int]]:
+    """libjpeg-shaped default script: coarse DC for all components,
+    banded first AC scans, then successive-approximation refinements
+    down to full precision. Entries are (comps, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: tuple[np.ndarray, np.ndarray] | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    color_input: str = "rgb",
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """(H, W) gray or (H, W, 3) color uint8 -> progressive (SOF2) JFIF
+    bytes. Same quant/subsampling/color conventions as encode_jpeg
+    (one shared _prep_frame), so for any input the progressive stream
+    carries the IDENTICAL quantized coefficients — just sliced into
+    spectral bands and bit planes per the scan script."""
+    h, w_img, ncomp, samp, ql, qc, comp_blocks, mcx, mcy = _prep_frame(
+        arr, quant, subsampling, color_input
+    )
+    gray = ncomp == 1
+    if scans is None:
+        scans = _default_scan_script(ncomp)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w_img, ncomp))
+    for i in range(ncomp):
+        fx, fy = samp[i]
+        sof += bytes([i + 1, (fx << 4) | fy, 0 if i == 0 else 1])
+    out += _seg(0xC2, bytes(sof))
+    out += _seg(0xC4, _dht_body(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_body(1, 0, _AC_PROG_BITS, _AC_PROG_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    dc_map = _encode_map(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_map = _encode_map(_AC_PROG_BITS, _AC_PROG_VALS)
+    for cis, ss, se, ah, al in scans:
+        if (ss == 0) != (se == 0) or (ss > 0 and len(cis) != 1):
+            raise ValueError("encode_jpeg_progressive: bad scan script entry")
+        sos = bytearray([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])  # Td=0 / Ta=0: the two tables above
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, bytes(sos))
+        out += _encode_progressive_scan(
+            comp_blocks, samp, h, w_img, mcx, mcy, cis, ss, se, ah, al,
+            restart_interval, dc_map, ac_map,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scan(
+    comp_blocks: list,
+    samp: list,
+    h_img: int,
+    w_img: int,
+    mcx: int,
+    mcy: int,
+    cis: tuple,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    dc_map: dict,
+    ac_map: dict,
+) -> bytes:
+    """Entropy-coded body of one progressive scan (T.81 G.1.2 encoder
+    side): DC first/refine, AC first with EOB-run accumulation, AC
+    refinement with buffered correction bits."""
+    wtr = _BitWriter()
+    eobrun = 0
+    # correction bits are TWO queues (libjpeg's BE vs BR split): bits
+    # belonging to blocks already inside the pending EOB run flush
+    # right after the EOBn symbol; the CURRENT block's bits flush after
+    # its own next emitted symbol — collapsing them desyncs the decoder
+    # whenever a block buffers bits before a prior run is flushed
+    pend_run: list[int] = []
+    pend_cur: list[int] = []
+
+    def emit_sym(sym: int) -> None:
+        ln, code = ac_map[sym]
+        wtr.put(code, ln)
+
+    def flush_cur() -> None:
+        for b in pend_cur:
+            wtr.put(b, 1)
+        pend_cur.clear()
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            emit_sym(rr << 4)
+            if rr:
+                wtr.put(eobrun - (1 << rr), rr)
+            eobrun = 0
+            for b in pend_run:
+                wtr.put(b, 1)
+            pend_run.clear()
+
+    def enc_ac_first(coef: np.ndarray) -> None:
+        nonlocal eobrun
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(coef[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eobrun()
+            while r > 15:
+                emit_sym(0xF0)
+                r -= 16
+            s = t.bit_length()
+            emit_sym((r << 4) | s)
+            wtr.put(_magnitude_bits(t if v > 0 else -t, s), s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+
+    def enc_ac_refine(coef: np.ndarray) -> None:
+        nonlocal eobrun
+        absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_idx = i
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # required ZRLs — unless they fold into the EOB run
+            while r > 15 and i <= eob_idx:
+                flush_eobrun()
+                emit_sym(0xF0)
+                r -= 16
+                flush_cur()
+            if t > 1:  # history-nonzero: one correction bit
+                pend_cur.append(t & 1)
+                continue
+            flush_eobrun()
+            emit_sym((r << 4) | 1)
+            wtr.put(1 if int(coef[ss + i]) > 0 else 0, 1)
+            flush_cur()
+            r = 0
+        if r > 0 or pend_cur:
+            eobrun += 1
+            pend_run.extend(pend_cur)  # this block's bits join the run
+            pend_cur.clear()
+            if eobrun == 0x7FFF or len(pend_run) > 900:
+                flush_eobrun()
+
+    out = bytearray()
     n_restart = 0
-    for mcu in range(mcx * mcy):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.pad_to_byte()
-            writer.out += bytes([0xFF, 0xD0 + n_restart])
-            n_restart = (n_restart + 1) & 7
-            preds = [0] * ncomp
-        my, mx = divmod(mcu, mcx)
-        for ci in range(ncomp):
-            fx, fy = samp[ci]
-            for by in range(fy):
-                for bx in range(fx):
-                    preds[ci] = _encode_block(
-                        writer,
-                        comp_blocks[ci][my * fy + by, mx * fx + bx],
-                        preds[ci],
-                        dc_maps[ci],
-                        ac_maps[ci],
-                    )
-    writer.pad_to_byte()
-    out += writer.out
-    out += b"\xff\xd9"  # EOI
+
+    def restart_break() -> None:
+        nonlocal n_restart
+        flush_eobrun()
+        wtr.pad_to_byte()
+        out.extend(wtr.out)
+        wtr.out.clear()
+        out.extend(bytes([0xFF, 0xD0 + n_restart]))
+        n_restart = (n_restart + 1) & 7
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def true_block_dims(ci: int) -> tuple[int, int]:
+        """Non-interleaved scans cover the component's TRUE block dims
+        (from its ceil-sampled plane), which can be SMALLER than the
+        MCU-padded coefficient grid — mirrors the decoder's csw/csh."""
+        fx, fy = samp[ci]
+        csw = -(-w_img * fx // hmax)
+        csh = -(-h_img * fy // vmax)
+        return -(-csw // 8), -(-csh // 8)
+
+    if ss == 0:  # DC scan
+        interleaved = len(cis) > 1
+        preds = {ci: 0 for ci in cis}
+        if interleaved:
+            n_units, row_w = mcx * mcy, mcx
+        else:
+            bw, bh = true_block_dims(cis[0])
+            n_units, row_w = bw * bh, bw
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                restart_break()
+                preds = {ci: 0 for ci in cis}
+            my, mx = divmod(unit, row_w)
+            for ci in cis:
+                fx, fy = samp[ci] if interleaved else (1, 1)
+                for by in range(fy):
+                    for bx in range(fx):
+                        coef0 = int(comp_blocks[ci][my * fy + by, mx * fx + bx, 0])
+                        if ah == 0:
+                            v = coef0 >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = _category(diff)
+                            ln, code = dc_map[t]
+                            wtr.put(code, ln)
+                            if t:
+                                wtr.put(_magnitude_bits(diff, t), t)
+                        else:
+                            wtr.put((coef0 >> al) & 1, 1)
+    else:  # AC scan: single component, raster block order over true dims
+        ci = cis[0]
+        bw, bh = true_block_dims(ci)
+        for unit in range(bw * bh):
+            if restart_interval and unit and unit % restart_interval == 0:
+                restart_break()
+            gy, gx = divmod(unit, bw)
+            if ah == 0:
+                enc_ac_first(comp_blocks[ci][gy, gx])
+            else:
+                enc_ac_refine(comp_blocks[ci][gy, gx])
+        flush_eobrun()
+    wtr.pad_to_byte()
+    out.extend(wtr.out)
     return bytes(out)
 
 

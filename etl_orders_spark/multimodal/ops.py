@@ -11,7 +11,7 @@ PNG (stdlib-zlib DEFLATE + the five scanline unfilters), GIF
 (variable-width LZW + interlace unweave) and baseline JPEG (Huffman +
 matrix IDCT) decode in pure Python — the strict path is fully
 executable and oracle-tested on generated fixtures; the variants the
-native codecs gate (progressive/arithmetic/12-bit JPEG, WebP) route
+native codecs gate (arithmetic/12-bit JPEG, lossy-VP8 WebP) route
 through PIL when present and otherwise raise the honest
 NotImplementedError this container has always raised.
 The codecs module registers itself for cloudpickle BY-VALUE shipping,

@@ -15,6 +15,9 @@ from pyspark.sql import types as T
 # not importable — the module-level binding lets cloudpickle's
 # by-value registration carry the jpeg module along with this one
 from etl_orders_spark.multimodal.jpeg import encode_jpeg as _encode_jpeg
+from etl_orders_spark.multimodal.jpeg import (
+    encode_jpeg_progressive as _encode_jpeg_progressive,
+)
 
 MEDIA_META = T.StructType(
     [
@@ -484,6 +487,72 @@ def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFra
         import pandas as pd
 
         content_for = jpeg_media_bytes
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                content, w, h = content_for(int(mid))
+                meta = {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+                rows.append((int(mid), "image", content, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def jpeg_progressive_media_bytes(mid: int) -> tuple[bytes, int, int]:
+    """gen_jpeg_progressive_media's fixture law for ONE id: SAME pixel
+    law and shape cycle as jpeg_media_bytes (so the two lanes share
+    one oracle CTE), but encoded as progressive SOF2 streams with the
+    default spectral-selection + successive-approximation scan script
+    — the web's dominant JPEG flavor (VERDICT r9 #2)."""
+    import numpy as np
+
+    encode = _encode_jpeg_progressive  # module-top import; see header comment
+
+    w, h = 16 + 8 * (mid % 3), 8 + 8 * (mid % 2)
+    bx = np.arange(w // 8, dtype=np.int64)[None, :]
+    by = np.arange(h // 8, dtype=np.int64)[:, None]
+    v = (7 * mid + 3 * bx + 5 * by) % 256
+    y = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+    shape = mid % 4
+    if shape in (0, 3):
+        return encode(y, restart_interval=2 if shape == 3 else 0), w, h
+    ycc = np.stack(
+        [y, np.full((h, w), 144, np.uint8), np.full((h, w), 112, np.uint8)],
+        axis=2,
+    )
+    sub = "444" if shape == 1 else "420"
+    return encode(ycc, subsampling=sub, color_input="ycbcr"), w, h
+
+
+def gen_jpeg_progressive_media(
+    spark: SparkSession, n: int = 100, start: int = 0
+) -> DataFrame:
+    """Deterministic REAL progressive-JPEG (SOF2) rows: identical pixel
+    law + shape cycle to gen_jpeg_media (all-ones quant +
+    block-constant pixels keep the lossy pipeline bit-exact), so the
+    DuckDB twin is the SAME closed form — a value-hash match certifies
+    the whole progressive machinery on top of it: per-band spectral-
+    selection scans, DC successive approximation (shifted first pass +
+    raw refinement bits), AC first scans with cross-block EOB runs, AC
+    refinement correction bits, non-interleaved per-component block
+    rasters, and in-scan restart markers (shape 3). Hand-built vectors
+    in tests/test_jpeg_progressive.py pin the decoder independently of
+    our encoder."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        content_for = jpeg_progressive_media_bytes
 
         for pdf in it:
             rows = []

@@ -118,8 +118,10 @@ PRIORITY: tuple[str, ...] = (
     "media_video_near_dup",
     # windows / sorts (A2, A3; A4 union_high_value_keys ceded its slot
     # to the round-5 boilerplate lane per VERDICT r5 #4 — set ops stay
-    # local-sweep-green)
-    "window_rank_parts",
+    # local-sweep-green; window_rank_parts ceded its slot in round 10:
+    # A2 window functions stay graded via topk_parts_per_brand +
+    # session_stats_events + winsorized_nation_revenue, all
+    # window-expression lanes)
     "topk_parts_per_brand",
     "boilerplate_chunk_removal_docs",
     # round-3 flagship addition: drift gate (shuffle_corpus_shards ceded
@@ -128,20 +130,24 @@ PRIORITY: tuple[str, ...] = (
     # shuffle_corpus_shards stays benched + local-sweep-green)
     "dq_psi_price_drift",
     # join completeness (J1, J4 incl. as-of + range; anti stays
-    # local-sweep-green — its slot went to the decoded-pixel family)
+    # local-sweep-green — its slot went to the decoded-pixel family;
+    # join_semi ceded its slot in round 10 to the r9 flagship rotation
+    # (VERDICT r9 #1) — the join family keeps FOUR graded rows (left,
+    # as-of, range, inner+RI) and semi stays benched + local-green)
     "join_left_order_counts",
-    "join_semi_active_customers",
     "asof_latest_order",
     "range_join_followups",
     "ri_filter_join",
-    # percentiles + UDF/UDTF surface + embedded JSON / VARIANT (§2.6,
-    # S2; json_extract_props ceded its slot to the round-8 BPE encode
+    # UDF/UDTF surface + embedded JSON / VARIANT (§2.6, S2;
+    # json_extract_props ceded its slot to the round-8 BPE encode
     # lane — embedded-JSON extraction stays graded via
     # variant_extract_props, which runs the SAME props extraction
     # through the VARIANT type, and json_envelope_ingest keeps the S2
-    # scan row; json_extract_props stays local-sweep-green)
-    "percentile_prices",
-    "zscore_docs_by_lang",
+    # scan row; percentile_prices and zscore_docs_by_lang ceded their
+    # slots in round 10 — A5 percentiles stay benched + local-green,
+    # and the pandas-UDF surface stays graded via chunk_docs_udtf +
+    # the tokenizer-encode and media-decode lanes, which are all
+    # Arrow-batched UDF lanes)
     "chunk_docs_udtf",
     "variant_extract_props",
     # the encode half of the tokenizer story (round 8): trained merges
@@ -154,8 +160,9 @@ PRIORITY: tuple[str, ...] = (
     # vocabulary, 16-step unrolled-DP oracle (jsonl_star_ingest ceded
     # this slot — see the landing-format note above)
     "wordpiece_encode_docs",
-    # time / events / streaming twins (§2.5)
-    "tumbling_hourly_events",
+    # time / events / streaming twins (§2.5; tumbling_hourly_events
+    # ceded its slot in round 10 — windowed-agg grading rides the
+    # harder sessionization lane, tumbling stays benched + local-green)
     "session_stats_events",
     # LLM-data north star: dedup / text / split / privacy scrub
     "llm_prep_corpus",
@@ -180,13 +187,13 @@ PRIORITY: tuple[str, ...] = (
     # within-cluster cosine prune over the planted corpus — full
     # value-hash oracle (unrolled-Lloyd SQL twin + kept_id_sum)
     "semantic_dedup_embeddings",
-    # one per remaining family: stats, distributed-rank stats, graph,
-    # sketch, curation, dq, linkage, layout, events-analytics
+    # one per remaining family: stats, graph, sketch, curation, dq,
+    # linkage, layout (dq_orders_lineitem ceded its second dq slot in
+    # round 10; the dq family stays graded via dq_psi_price_drift)
     "winsorized_nation_revenue",
     "item_item_cosine_topk",
     "countmin_heavy_hitters",
     "source_quality_report",
-    "dq_orders_lineitem",
     "fuzzy_match_customers",
     "partition_pruned_revenue",
     # multimodal pixel lane (r4): real decode with a full pixel-law
@@ -198,11 +205,25 @@ PRIORITY: tuple[str, ...] = (
     # driver-covered by media_video_near_dup, which composes the same
     # pieces at frame grain, and the image lane stays benched +
     # local-sweep-green)
-    "media_decode_pixel_stats",
+    # (media_decode_pixel_stats ceded its slot in round 10 to the
+    # native-WebP lane: the decoded-pixel family keeps FOUR graded
+    # rows below and the PNG-law lane stays benched + local-green)
     # native baseline-JPEG decode (round 8, rotated in per VERDICT r8
     # #1): from-scratch Huffman + IDCT with an all-ones-quant exactness
     # law and a full pixel value-hash oracle
     "media_jpeg_pixel_stats",
+    # native progressive-JPEG decode (round 10, VERDICT r9 #2): SOF2
+    # multi-scan spectral selection + successive approximation over
+    # the shared Huffman/IDCT machinery, same closed-form pixel oracle
+    "media_jpeg_progressive_pixel_stats",
+    # native lossless-WebP (VP8L) decode (round 9, rotated in per
+    # VERDICT r9 #1): both prefix-code forms, LZ77 + color cache, all
+    # four inverse transforms, full pixel value-hash oracle
+    "media_webp_pixel_stats",
+    # native IMA-ADPCM audio decode (round 9, rotated in per VERDICT
+    # r9 #1): stateful (predictor, step-index) machine vs a
+    # recursive-CTE oracle walking the same public recurrence
+    "media_adpcm_wav_features",
     # end-to-end media curation pipeline (round 8, rotated in per
     # VERDICT r8 #1): one fused decode pass -> integer variance gate ->
     # pigeonhole dHash dedup, single value hash
@@ -211,6 +232,15 @@ PRIORITY: tuple[str, ...] = (
     # 2022 passage dedup — full value-hash oracle over span extents
     # AND span text, planted copied segments keep it non-vacuous
     "dup_span_detection_docs",
+    # round-9 flagship rotation (VERDICT r9 #1): the incremental-dedup
+    # oracle lane (day-batch screened against the historical
+    # fingerprint set + MinHash band index via cross-set keyed probes),
+    # the Gopher quality-rule battery, CCNet perplexity terciles, and
+    # margin-based NN mining (Artetxe & Schwenk 2019)
+    "incremental_dedup_verdicts_docs",
+    "gopher_quality_rules_docs",
+    "ccnet_perplexity_buckets_docs",
+    "margin_knn_mining_embeddings",
 )
 
 

@@ -270,3 +270,36 @@ def test_hashed_ordered_shingles_matches_string_gram_classes(spark):
         .groupBy("gh").agg(F.countDistinct("gram").alias("n_s"))
     )
     assert back.filter(F.col("n_s") != 1).count() == 0
+
+
+def test_editdist_verified_near_dup_planted_and_twins(spark, sf_dir):
+    """Round-10 candidate->verify capstone: (a) every planted 'zq '
+    prefix clone survives Levenshtein verification with lev == 3 in
+    BOTH the portable-md5 and xxhash64 lanes; (b) on pairs both hash
+    families surface, the verifier outputs are identical (the verify
+    stage is hash-free, so any divergence would be a real bug)."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.text_queries import _ED_PLANT_MOD
+    from etl_orders_spark.sources.readers import load_table
+
+    q = query_map()
+    slow = {(r.id_a, r.id_b): (r.lev, r.edit_sim) for r in
+            q["editdist_verified_near_dup_docs"](spark, sf_dir).collect()}
+    fast = {(r.id_a, r.id_b): (r.lev, r.edit_sim) for r in
+            q["editdist_verified_near_dup_fast"](spark, sf_dir).collect()}
+    donors = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _ED_PLANT_MOD == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert donors, "fixture corpus lost its planted donors"
+    for d in donors:
+        key = (d, d + 2000000)
+        assert key in slow and slow[key][0] == 3, (key, slow.get(key))
+        assert key in fast and fast[key][0] == 3, (key, fast.get(key))
+    common = set(slow) & set(fast)
+    assert all(slow[k] == fast[k] for k in common)

@@ -235,9 +235,13 @@ def _valid_small() -> bytes:
 def test_honest_gates():
     base = bytearray(_valid_small())
     i = bytes(base).find(b"\xff\xc0")
+    # SOF2 no longer gates (decoded natively since round 10) — but a
+    # marker-flipped BASELINE stream is an INVALID progressive one
+    # (its single scan spans Ss=0..Se=63, which T.81 forbids for
+    # SOF2), so it must fail closed, not decode garbage
     prog = bytearray(base)
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(bytes(prog))
     arith = bytearray(base)
     arith[i + 1] = 0xC9

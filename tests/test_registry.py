@@ -40,12 +40,17 @@ _WINDOW_FAMILIES = (
     # relational core: A1-A5, P6-P7, J1-J4 (setop + the P5 recode ceded
     # their slots to round-5 lanes per VERDICT r5 #4; both stay
     # local-sweep-green)
+    # "percentile" rotated out per VERDICT r9 #1 (percentile_prices
+    # ceded its slot to the round-9/10 flagship rotation; exact +
+    # approx percentiles stay benched + local-sweep-green)
     "agg", "pivot", "window", "topk", "join", "asof", "range",
-    "scalar", "filter", "projection", "percentile",
+    "scalar", "filter", "projection",
     # UDF/UDTF surface (§2.6)
     "udtf",
-    # time / events / streaming twins (§2.5)
-    "events", "window-time", "sessionize",
+    # time / events / streaming twins (§2.5; "window-time" rotated out
+    # in round 10 — tumbling_hourly_events ceded its slot, windowed
+    # time aggregation stays graded via session_stats_events)
+    "events", "sessionize",
     # LLM-data north stars
     "dedup", "lsh", "text", "similarity", "vector", "pipeline", "split",
     "privacy", "clustering",
