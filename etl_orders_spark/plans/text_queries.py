@@ -4494,3 +4494,204 @@ def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 cdc_chunk_dedup_docs.__doc__ = cdc_chunk_dedup_docs.__doc__.format(
     W=_CDC_W, A=_CDC_MOD // _CDC_THRESH, P=_CDC_PLANT_MOD
 )
+
+
+# --- interpolated Kneser-Ney trigram LM --------------------------------------
+# The fourth LM lane (after add-one bigram, its CCNet buckets, and the
+# unigram-LM tokenizer): interpolated Kneser-Ney with absolute
+# discount D = 3/4 (Chen & Goodman 1999's benchmark smoother, the
+# KenLM default family) — highest order uses raw trigram counts, the
+# bigram level uses CONTINUATION counts (distinct left-contexts), the
+# unigram level continuation-of-continuation, closed by a uniform
+# 1/|V| floor, so probability mass sums to one at every level. Scoring
+# the corpus against its own model means every trigram context was
+# seen in training — no zero-context branch is reachable, and tests
+# pin the sum-to-one law per observed context.
+_KN_D = 0.75
+
+
+def _kn_oracle() -> str:
+    # doubles: every count < 2^30 so all ratios are exact-operand IEEE
+    # divisions; Spark mirrors the IDENTICAL expression shape so both
+    # engines round the same way at every step (the floor lands on the
+    # same integer), the repo's micro-nat convention
+    p1 = (
+        "(GREATEST(n1_w3 - {D}, 0.0) / bt + {D} * wt / bt / vsz)"
+    )
+    p2 = (
+        f"(GREATEST(n1_cont2 - {{D}}, 0.0) / n1_mid + {{D}} * nt_mid / n1_mid * {p1})"
+    )
+    p3 = (
+        f"(GREATEST(c_tri - {{D}}, 0.0) / c_ctx2 + {{D}} * n1_ctx2 / c_ctx2 * {p2})"
+    )
+    nll = f"FLOOR(LN(1.0 / {p3}) * 1000000.0)".format(D=_KN_D)
+    return f"""
+    WITH tg AS (
+      SELECT doc_id, UNNEST({_sql_ordered_grams(3)}) AS g FROM documents
+    ),
+    per_pair AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n_pos FROM tg GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+             split_part(g, ' ', 3) AS w3, SUM(n_pos) AS c_tri
+      FROM per_pair GROUP BY 1, 2, 3, 4
+    ),
+    ctx2 AS (
+      SELECT w1, w2, SUM(c_tri) AS c_ctx2, COUNT(*) AS n1_ctx2 FROM tri GROUP BY 1, 2
+    ),
+    cont2 AS (
+      SELECT w2, w3, CAST(COUNT(DISTINCT w1) AS BIGINT) AS n1_cont2
+      FROM tri GROUP BY 1, 2
+    ),
+    mid AS (
+      SELECT w2, SUM(n1_cont2) AS n1_mid, COUNT(*) AS nt_mid FROM cont2 GROUP BY 1
+    ),
+    cont1 AS (
+      SELECT w3, CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1_w3 FROM cont2 GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n1_w3) FROM cont1) AS bt,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cont1) AS wt,
+             (SELECT CAST(COUNT(DISTINCT t) AS BIGINT)
+              FROM (SELECT UNNEST({_NORM_TOKENS}) AS t FROM documents)) AS vsz
+    ),
+    scored AS (
+      SELECT p.doc_id, p.n_pos, CAST({nll} AS BIGINT) AS nll
+      FROM per_pair p
+      JOIN tri USING (g)
+      JOIN ctx2 USING (w1, w2)
+      JOIN cont2 USING (w2, w3)
+      JOIN mid USING (w2)
+      JOIN cont1 USING (w3)
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_trigrams,
+           CAST(SUM(n_pos * nll) AS BIGINT) AS total_nll_micro,
+           CAST(SUM(n_pos * nll) // SUM(n_pos) AS BIGINT) AS avg_nll_micro
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register(
+    "kneser_ney_trigram_docs",
+    _kn_oracle(),
+    tags=("text", "quality", "llm"),
+    bench=True,
+)
+def kneser_ney_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (D = 3/4): per-document
+    average NLL in integer micro-nats under the corpus-trained KN
+    model —
+
+      P(w3|w1 w2) = max(C(w1w2w3)-D, 0)/C(w1w2.)
+                    + D*N1+(w1w2.)/C(w1w2.) * P_cont(w3|w2)
+      P_cont(w3|w2) = max(N1+(.w2w3)-D, 0)/N1+(.w2.)
+                    + D*NT(w2)/N1+(.w2.) * P_cont(w3)
+      P_cont(w3) = max(N1+(.w3)-D, 0)/N1+(..) + D*|W|/N1+(..) * 1/|V|
+
+    with continuation counts N1+ = distinct left-context types, the
+    Kneser-Ney insight that lower-order distributions should model
+    NOVEL continuations, not raw frequency ('San Francisco' makes
+    'Francisco' frequent but a poor novel continuation). The NLL is
+    floored to micro-nats per DISTINCT (doc, trigram) before the
+    weighted per-doc sum (order-free cross-engine, the bigram lane's
+    convention); both engines evaluate the IDENTICAL double-precision
+    expression shape so the floor lands on the same integer.
+
+    Plan shape: one explode into positional trigrams, one (doc, gram)
+    partial aggregate; every model table (trigram counts, context
+    totals, continuation counts at two levels, the three scalar
+    totals) derives from THAT aggregate's tiny distinct-trigram
+    rollup, never from a corpus re-scan — the continuation counts
+    need COUNT(DISTINCT) so they are groupBy tables (Spark windows
+    cannot COUNT DISTINCT), exactly the materialize-the-model-tables
+    form the bigram lane's docstring names as the 100 TB move; the
+    scoring pass is five model joins keyed on vocab-bounded gram
+    fragments, with AQE free to broadcast them. Docs under 3 tokens
+    have no trigram positions and drop out. Public algorithm: Kneser
+    & Ney 1995; Chen & Goodman 1999. No counterpart in the reference
+    (manliot/ETL-orders dags/etl.py)."""
+    from etl_orders_spark.operators.dedup import ordered_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    from etl_orders_spark.functions.text import normalize_text
+    from etl_orders_spark.functions.text import tokens as _tokens
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    per_pair = cache_stage(
+        docs.select("doc_id", F.explode(ordered_shingles("text", 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pos")),
+        "kn_trigram.per_pair",
+    )
+    tri = cache_stage(
+        per_pair.groupBy("g")
+        .agg(F.sum("n_pos").cast("long").alias("c"))
+        .select(
+            "g",
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.element_at(F.split("g", " "), 2).alias("w2"),
+            F.substring_index("g", " ", -1).alias("w3"),
+            "c",
+        ),
+        "kn_trigram.tri",
+    )
+    ctx2 = tri.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("c_ctx2"),
+        F.count(F.lit(1)).cast("long").alias("n1_ctx2"),
+    )
+    cont2 = cache_stage(
+        tri.groupBy("w2", "w3").agg(
+            F.countDistinct("w1").cast("long").alias("n1_cont2")
+        ),
+        "kn_trigram.cont2",
+    )
+    mid = cont2.groupBy("w2").agg(
+        F.sum("n1_cont2").cast("long").alias("n1_mid"),
+        F.count(F.lit(1)).cast("long").alias("nt_mid"),
+    )
+    cont1 = cache_stage(
+        cont2.groupBy("w3").agg(F.countDistinct("w2").cast("long").alias("n1_w3")),
+        "kn_trigram.cont1",
+    )
+    tot = (
+        cont1.agg(
+            F.sum("n1_w3").cast("long").alias("bt"),
+            F.count(F.lit(1)).cast("long").alias("wt"),
+        )
+        .crossJoin(
+            docs.select(
+                F.explode(_tokens(normalize_text(F.col("text")))).alias("t")
+            ).agg(F.countDistinct("t").cast("long").alias("vsz"))
+        )
+    )
+    d = F.lit(_KN_D)
+    p1 = F.greatest(F.col("n1_w3") - d, F.lit(0.0)) / F.col("bt") + d * F.col(
+        "wt"
+    ) / F.col("bt") / F.col("vsz")
+    p2 = F.greatest(F.col("n1_cont2") - d, F.lit(0.0)) / F.col("n1_mid") + d * F.col(
+        "nt_mid"
+    ) / F.col("n1_mid") * p1
+    p3 = F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("c_ctx2") + d * F.col(
+        "n1_ctx2"
+    ) / F.col("c_ctx2") * p2
+    nll = F.floor(F.log(F.lit(1.0) / p3) * F.lit(1000000.0)).cast("long")
+    scored = (
+        per_pair.join(tri, "g")
+        .join(ctx2, ["w1", "w2"])
+        .join(cont2, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(cont1, "w3")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_nll", nll)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_trigrams"),
+            F.sum(F.col("n_pos") * F.col("_nll")).cast("long").alias("total_nll_micro"),
+        )
+        .withColumn("avg_nll_micro", F.expr("total_nll_micro div n_trigrams"))
+    )

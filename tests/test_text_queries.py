@@ -323,3 +323,90 @@ def test_text_kmeans_hashed_separates_planted_topics(spark, tmp_path):
     for it in (1, 2):
         got = {(r.n_docs, r.id_checksum) for r in out if r.it == it}
         assert got == expected, (it, got)
+
+
+def test_kneser_ney_sums_to_one_and_orders_sanely(spark, sf_dir):
+    """The interpolated-KN algebra, pinned independently of the lane's
+    scoring join: rebuild the model tables in Python from the corpus
+    trigrams and assert (a) sum over the FULL vocabulary of
+    P(w3|w1,w2) == 1 for sampled observed contexts — the interpolation
+    closes exactly, including unseen-trigram and unseen-continuation
+    branches the scoring lane never evaluates — and (b) the lane's
+    reported per-trigram NLL matches the rebuilt model's probability
+    for sampled observed trigrams at micro-nat grain."""
+    import math
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.text import normalize_text, tokens
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.text_queries import _KN_D
+    from etl_orders_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+        .collect()
+    )
+    tri = Counter()
+    vocab = set()
+    doc_tris = {}
+    for r in docs:
+        ts = r.t or []
+        vocab.update(ts)
+        grams = [tuple(ts[i : i + 3]) for i in range(len(ts) - 2)]
+        doc_tris[r.doc_id] = grams
+        tri.update(grams)
+    ctx2_c, ctx2_n1 = Counter(), Counter()
+    cont2 = defaultdict(set)
+    for (w1, w2, w3), c in tri.items():
+        ctx2_c[(w1, w2)] += c
+        ctx2_n1[(w1, w2)] += 1
+        cont2[(w2, w3)].add(w1)
+    n1_cont2 = {k: len(v) for k, v in cont2.items()}
+    mid_n1, mid_nt = Counter(), Counter()
+    cont1 = defaultdict(set)
+    for (w2, w3), n1 in n1_cont2.items():
+        mid_n1[w2] += n1
+        mid_nt[w2] += 1
+        cont1[w3].add(w2)
+    n1_w3 = {k: len(v) for k, v in cont1.items()}
+    bt = sum(n1_w3.values())
+    wt = len(n1_w3)
+    vsz = len(vocab)
+    D = _KN_D
+
+    def p1(w3):
+        return max(n1_w3.get(w3, 0) - D, 0.0) / bt + D * wt / bt / vsz
+
+    def p2(w2, w3):
+        n1m = mid_n1.get(w2, 0)
+        if n1m == 0:  # unseen middle word: pure continuation backoff
+            return p1(w3)
+        return max(n1_cont2.get((w2, w3), 0) - D, 0.0) / n1m + D * mid_nt[
+            w2
+        ] / n1m * p1(w3)
+
+    def p3(w1, w2, w3):
+        cc = ctx2_c[(w1, w2)]
+        return max(tri.get((w1, w2, w3), 0) - D, 0.0) / cc + D * ctx2_n1[
+            (w1, w2)
+        ] / cc * p2(w2, w3)
+
+    contexts = sorted(ctx2_c)[:5] + sorted(ctx2_c)[-5:]
+    for w1, w2 in contexts:
+        total = sum(p3(w1, w2, w3) for w3 in vocab)
+        # unseen w3 (not even a continuation type) still gets the
+        # uniform floor through p1 — the closure must be exact
+        assert abs(total - 1.0) < 1e-9, ((w1, w2), total)
+    out = {
+        r.doc_id: (r.n_trigrams, r.total_nll_micro)
+        for r in query_map()["kneser_ney_trigram_docs"](spark, sf_dir).collect()
+    }
+    for doc_id, grams in list(doc_tris.items())[:20]:
+        if not grams:
+            assert doc_id not in out
+            continue
+        expect = sum(math.floor(math.log(1.0 / p3(*g)) * 1e6) for g in grams)
+        assert out[doc_id] == (len(grams), expect), doc_id
