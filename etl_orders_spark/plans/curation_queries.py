@@ -1030,3 +1030,98 @@ def logreg_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 logreg_quality_train_docs.__doc__ = logreg_quality_train_docs.__doc__.format(K=_LR_ITERS)
+
+
+# --- C4-style blocklist filter ----------------------------------------------
+# The "bad words" gate (Raffel et al. 2020 §2.2 dropped any page
+# containing a blocklisted term; every production corpus pipeline
+# runs some form of it). Terms live in a tiny table BROADCAST into a
+# token-keyed semi-probe — the corpus shuffles nothing; only matched
+# (doc, term) hits reach the per-doc rollup. The fixture blocklist
+# bans one naturally-rare vocab word plus a synthetic term appended
+# to every 40th doc (the planted convention), so both the natural and
+# planted branches produce hits at every sf.
+_BLOCKLIST = ("dup", "xxbadword")
+_BL_PLANT_MOD = 40
+
+
+def _blocklist_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BLOCKLIST)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_BL_PLANT_MOD} = 0
+                  THEN text || ' xxbadword' ELSE text END AS text
+      FROM documents
+    ), bl(term) AS (VALUES {terms}),
+    tok AS (
+      SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS t FROM corpus
+    ), hits AS (
+      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok JOIN bl ON tok.t = bl.term
+      GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_banned_hits,
+             array_to_string(list_sort(list(term)), ',') AS banned_terms
+      FROM hits GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(p.n_banned_hits, 0) AS n_banned_hits,
+           COALESCE(p.banned_terms, '') AS banned_terms,
+           p.doc_id IS NULL AS keep
+    FROM corpus c LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register(
+    "blocklist_filter_docs",
+    _blocklist_oracle(),
+    tags=("text", "curation", "filter", "llm"),
+)
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate: drop (flag) any document whose token
+    stream contains a blocklisted term; report hit counts and the
+    sorted distinct terms per flagged doc, keep = no hits. 100 TB
+    posture: the blocklist is broadcast (it is KBs even for real
+    lists), the token explode is a pure map feeding a broadcast-hash
+    semi-probe, and only matched hits — a vanishing fraction — reach
+    the doc-keyed rollup; the final verdict join is doc-keyed against
+    the corpus ids. For phrase-grain entries the same plan runs over
+    the n-gram stream the dup-span lane already emits. Reference
+    parity: no counterpart in manliot/ETL-orders (SURVEY §2.8
+    build-out; public algorithm: Raffel et al. 2020 C4 §2.2)."""
+    from etl_orders_spark.functions.text import normalize_text
+    from etl_orders_spark.functions.text import tokens as _tokens
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _BL_PLANT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" xxbadword")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bl = spark.createDataFrame([(t,) for t in _BLOCKLIST], "term string")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(normalize_text(F.col("text"))))).alias("t")
+    )
+    hits = (
+        tok.join(F.broadcast(bl), tok.t == bl.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_banned_hits"),
+        F.array_join(F.array_sort(F.collect_list("term")), ",").alias("banned_terms"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_banned_hits", F.lit(0).cast("long")).alias("n_banned_hits"),
+            F.coalesce("banned_terms", F.lit("")).alias("banned_terms"),
+            F.col("n_banned_hits").isNull().alias("keep"),
+        )
+    )

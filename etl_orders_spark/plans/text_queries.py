@@ -4387,7 +4387,6 @@ _CDC_ORACLE = f"""
     "cdc_chunk_dedup_docs",
     _CDC_ORACLE,
     tags=("text", "dedup", "cdc"),
-    bench=True,
 )
 def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup: gear-hash boundaries (window
@@ -4694,4 +4693,83 @@ def kneser_ney_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_pos") * F.col("_nll")).cast("long").alias("total_nll_micro"),
         )
         .withColumn("avg_nll_micro", F.expr("total_nll_micro div n_trigrams"))
+    )
+
+
+@register(
+    "cdc_chunk_dedup_fast",
+    _CDC_ORACLE,  # SAME oracle: the tiers compute the identical chunk law
+    tags=("text", "dedup", "cdc", "pandas-udf"),
+    bench=True,
+)
+def cdc_chunk_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production tier of cdc_chunk_dedup_docs: the identical gear-CDC
+    boundary law vectorized in numpy inside an Arrow-batched
+    mapInPandas (UTF-32 decode -> exact code points, one convolve per
+    doc over the 16-weight window — every intermediate < 2^53 so the
+    float64 convolution is exact — boundaries where the top hash bits
+    are zero), emitting the same (doc, fp, len) chunk stream into the
+    same fp rollup. Because the law is bit-identical, this tier KEEPS
+    the relational lane's full DuckDB value-hash oracle — a rare fast
+    tier that is not rows-only — and a test pins tier equality
+    row-for-row. The relational twin stays registered as the
+    plan-auditable reference; this one holds the bench slot (the
+    interpreted HOF fold is ~3 us/char, the numpy form ~50x less —
+    the difference between a curiosity and a corpus pass at 100 TB)."""
+    import pandas as pd
+
+    mul, mod, w, thresh = _CDC_MUL, _CDC_MOD, _CDC_W, _CDC_THRESH
+    # np.convolve REVERSES the kernel, so ascending powers here give
+    # the oldest window char the 2^(W-1) weight — the fold's law
+    weights = [1 << k for k in range(w)]
+
+    def chunk_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        wts = np.array(weights, dtype=np.float64)
+        for pdf in it:
+            out_doc, out_fp, out_len = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) == 0:
+                    continue
+                codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+                n = len(codes)
+                g = ((codes.astype(np.int64) + 1) * mul) % mod
+                if n >= w:
+                    conv = np.convolve(g.astype(np.float64), wts, mode="valid")
+                    h = conv.astype(np.int64) % mod
+                    cuts = (np.nonzero(h < thresh)[0] + w).tolist()
+                else:
+                    cuts = []
+                if not cuts or cuts[-1] != n:
+                    cuts.append(n)
+                start = 0
+                for c in cuts:
+                    chunk = text[start:c]
+                    out_doc.append(doc_id)
+                    out_fp.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                    out_len.append(c - start)
+                    start = c
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "fp": out_fp, "clen": out_len}
+            )
+
+    docs = TW(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(
+        (F.col("doc_id") % _CDC_PLANT_MOD == 0)
+        & (F.length("text") >= 3 * _CDC_PLANT_OFF)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.substring("text", _CDC_PLANT_OFF + 1, 1 << 30).alias("text"),
+    )
+    corpus = docs.unionByName(planted).where(F.length("text") >= 1)
+    ch = corpus.mapInPandas(chunk_batches, "doc_id long, fp string, clen long")
+    return ch.groupBy("fp").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min("clen").cast("long").alias("chunk_len"),
+        F.min("doc_id").cast("long").alias("canonical_doc"),
     )

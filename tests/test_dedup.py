@@ -378,3 +378,15 @@ def test_cdc_chunk_dedup_resync_and_law(spark, sf_dir):
     eligible = {r[0] for r in con.execute(eligible_sql).fetchall()}
     assert eligible, "no donor has a post-dead-zone cut; fixture too small"
     assert resynced == eligible, (resynced ^ eligible)
+
+
+def test_cdc_fast_tier_equals_relational(spark, sf_dir):
+    """The numpy mapInPandas CDC tier computes the IDENTICAL chunk law
+    as the relational HOF lane — row-for-row rollup equality, which is
+    why the fast tier keeps the full value-hash oracle."""
+    from etl_orders_spark.plans.registry import query_map
+
+    q = query_map()
+    a = sorted(map(tuple, q["cdc_chunk_dedup_docs"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, q["cdc_chunk_dedup_fast"](spark, sf_dir).collect()))
+    assert a == b
