@@ -1864,3 +1864,153 @@ def pca_deflation_top2_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ev").alias("eigval"),
     )
     return c1.unionByName(c2)
+
+
+# --- hybrid retrieval: BM25 + dense-vector arms fused by RRF -----------------
+# Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+# score(d) = sum over arms of 1/(k0 + rank_arm(d)), k0 = 60 — the
+# standard hybrid-search fusion (every production RAG stack runs some
+# form of BM25 + ANN + RRF). Rank-based fusion needs no score
+# calibration between arms, and with integer division the fused score
+# is EXACT cross-engine: rrf_micro = 1000000 div (60 + rank).
+_RRF_K0 = 60
+_RRF_TOPK = 10
+# each fixed query pairs its BM25 term set (the bm25 lane's query
+# table) with a probe embedding: the query-by-example convention the
+# eval lanes use (a real system embeds the query text; the fixtures
+# have no text->embedding model, so a designated corpus vector plays
+# the query embedding)
+_RRF_PROBES = {"spark_join": 11, "window_agg_merge": 22, "stream_filter": 33}
+
+
+def _hybrid_rrf_oracle() -> str:
+    # force the lexical arm's registration first: this module is
+    # importable standalone (tests import from it directly), so the
+    # bm25 oracle must not depend on _load_all's import order
+    import etl_orders_spark.plans.text_queries  # noqa: F401
+
+    from etl_orders_spark.plans.registry import QUERIES
+
+    probes = ", ".join(f"('{q}', {p})" for q, p in sorted(_RRF_PROBES.items()))
+    bm25 = QUERIES["bm25_search_docs"].oracle
+    return f"""
+    WITH lex AS ({bm25}),
+    vq(query_id, probe_id) AS (VALUES {probes}),
+    qv AS (
+      SELECT query_id, probe_id, embedding AS q_vec
+      FROM vq JOIN embeddings ON vec_id = probe_id
+    ),
+    vscore AS (
+      SELECT query_id, c.vec_id AS doc_id,
+             ROUND({_cos_sql("q_vec", "c.embedding")}, 6) AS cos
+      FROM qv CROSS JOIN embeddings c
+      WHERE c.vec_id <> probe_id
+    ),
+    vec AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rk_vec
+      FROM vscore
+      QUALIFY rk_vec <= {_RRF_TOPK}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             COALESCE(l.rk, 0) AS rk_lex,
+             COALESCE(v.rk_vec, 0) AS rk_vec,
+             CAST(CASE WHEN l.rk IS NULL THEN 0
+                       ELSE 1000000 // ({_RRF_K0} + l.rk) END
+                + CASE WHEN v.rk_vec IS NULL THEN 0
+                       ELSE 1000000 // ({_RRF_K0} + v.rk_vec) END AS BIGINT)
+               AS rrf_micro
+      FROM lex l FULL JOIN vec v USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rk_lex, rk_vec, rrf_micro,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rk
+    FROM fused
+    QUALIFY rk <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    _hybrid_rrf_oracle(),
+    tags=("vector", "text", "search", "topk", "similarity"),
+    bench=True,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the registered BM25 arm (lexical top-{K},
+    exact integer micro-scores) and an exact cosine dense arm (probe
+    embeddings, ROUND-6 + id tie-break) fused by Reciprocal Rank
+    Fusion at k0={K0} — rrf_micro = 1000000 div (k0 + rank) summed
+    over the arms a document appears in, re-ranked, top-{K} per query.
+    Composes the two registered arms' EXACT machinery, so the fusion
+    is a pure integer layer and the full value-hash oracle survives
+    (the oracle embeds the bm25 lane's oracle verbatim — the arms
+    cannot drift from their standalone lanes).
+
+    100 TB posture: each arm is already output-bounded (BM25 touches
+    only docs containing a query term via the inverted tf table; the
+    dense arm is the brute-force baseline whose scale path is the
+    IVF/LSH/PQ lanes — swap-in compatible since fusion only needs
+    (query, doc, rank)); fusion itself joins two top-k tables of
+    k rows per query — driver-scale data regardless of corpus size.
+    Public algorithm: Cormack, Clarke & Buettcher 2009. No
+    counterpart in the reference (SURVEY §2.8 build-out)."""
+    from etl_orders_spark.plans.text_queries import bm25_search_docs
+
+    lex = bm25_search_docs(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("rk_lex")
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    probes = spark.createDataFrame(
+        sorted(_RRF_PROBES.items()), "query_id string, probe_id long"
+    )
+    qv = probes.join(emb, probes.probe_id == emb.vec_id).select(
+        "query_id", "probe_id", F.col("embedding").alias("q_vec")
+    )
+    from etl_orders_spark.functions.vectors import cosine_batch
+
+    scored = (
+        F.broadcast(qv)
+        .crossJoin(emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec")))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_batch("q_vec", "c_vec"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec = (
+        scored.withColumn("rk_vec", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk_vec") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "rk_vec")
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("rk_lex", F.lit(0).cast("long")).alias("rk_lex"),
+            F.coalesce("rk_vec", F.lit(0).cast("long")).alias("rk_vec"),
+            (
+                F.when(F.col("rk_lex").isNull(), F.lit(0).cast("long")).otherwise(
+                    F.expr(f"1000000 div ({_RRF_K0} + rk_lex)")
+                )
+                + F.when(F.col("rk_vec").isNull(), F.lit(0).cast("long")).otherwise(
+                    F.expr(f"1000000 div ({_RRF_K0} + rk_vec)")
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rk") <= _RRF_TOPK)
+    )
+
+
+hybrid_rrf_retrieval.__doc__ = hybrid_rrf_retrieval.__doc__.format(
+    K=_RRF_TOPK, K0=_RRF_K0
+)

@@ -13,6 +13,7 @@ windowed instead of unbounded; session windows use the native
 `F.session_window` state store implementation.
 """
 
+from etl_orders_spark.streaming.stateful import first_seen_dedup
 from etl_orders_spark.streaming.windows import (
     attribute_conversions,
     dedup_within_watermark,
@@ -24,6 +25,7 @@ from etl_orders_spark.streaming.windows import (
 
 __all__ = [
     "attribute_conversions",
+    "first_seen_dedup",
     "dedup_within_watermark",
     "run_available_now_to_memory",
     "session_window_stats",

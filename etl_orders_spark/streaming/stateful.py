@@ -150,3 +150,74 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+FIRST_SEEN_SCHEMA = "fp string, doc_id long, first_ts timestamp"
+_SEEN_STATE_SCHEMA = "seen int"
+
+
+def first_seen_dedup(df: DataFrame) -> DataFrame:
+    """Streaming exact dedup, first-seen-wins: keyed by fingerprint
+    `fp`, the state store remembers every fingerprint ever emitted and
+    suppresses all later occurrences — across micro-batches, which is
+    the part watermark-bounded dropDuplicates cannot do (its state
+    evicts at the watermark horizon; a duplicate arriving a day later
+    passes). Within a batch the canonical row is the (first_ts,
+    doc_id) minimum, so replays pick identically. This is the
+    STREAMING twin of the incremental-dedup batch lane's exact screen
+    (plans/text_queries.py): same verdict semantics, state-store
+    fingerprint set instead of the staged parquet index.
+
+    Input columns: fp (string), doc_id (long), first_ts (timestamp).
+    Batch input falls back to the equivalent groupBy-min (identical
+    final answer on finite data).
+
+    100 TB posture: state is ONE int per distinct fingerprint in the
+    state store (RocksDB-backed at scale), keyed-partitioned — no
+    broadcast, no rescan. Unbounded corpus-lifetime state is the real
+    production cost: the knobs are TTL eviction (timeoutConf) for
+    windowed-freshness semantics, or periodic compaction INTO the
+    staged parquet fingerprint index with the batch incremental screen
+    taking over history — exactly the two-tier shape the incremental
+    dedup family documents. The update function is a closure so it
+    pickles by value."""
+    from pyspark.sql import functions as F
+
+    if not df.isStreaming:
+        return (
+            df.groupBy("fp")
+            .agg(F.min(F.struct("first_ts", "doc_id")).alias("_w"))
+            .select("fp", F.col("_w.doc_id").alias("doc_id"), F.col("_w.first_ts").alias("first_ts"))
+        )
+
+    def update_first_seen(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # drain: every occurrence is a known duplicate
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["first_ts", "doc_id"]).iloc[:1]
+            cand = (pdf["first_ts"].iloc[0], int(pdf["doc_id"].iloc[0]))
+            if best is None or cand < best:
+                best = cand
+        if best is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame(
+            [(key[0], best[1], best[0])], columns=["fp", "doc_id", "first_ts"]
+        )
+
+    return df.select("fp", "doc_id", "first_ts").groupBy("fp").applyInPandasWithState(
+        update_first_seen,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

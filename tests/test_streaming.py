@@ -409,3 +409,43 @@ def test_stream_stream_left_outer_emission_choreography(spark, tmp_path):
     got = run_and_read()  # act 3: the NULL row has landed, exactly once
     assert got.count((2, True)) == 1
     assert (1, False) in got
+
+
+def test_first_seen_dedup_state_spans_micro_batches(spark, tmp_path_factory):
+    """Streaming first-seen exact dedup (round 10): the state store
+    remembers fingerprints across micro-batches, so a duplicate
+    arriving in a LATER batch is suppressed — the case
+    dropDuplicatesWithinWatermark cannot cover once the watermark
+    passes. Batches are forced distinct via maxFilesPerTrigger=1; the
+    stream's output must equal the batch fallback's groupBy-min."""
+    import pyspark.sql.functions as F
+
+    from etl_orders_spark.streaming import first_seen_dedup
+
+    schema = "fp string, doc_id long, first_ts timestamp"
+    base = str(tmp_path_factory.mktemp("fsd") / "docs")
+    b1 = [
+        ("a", 10, ts("2024-01-01 10:00:00")),
+        ("a", 9, ts("2024-01-01 10:00:00")),  # same ts: doc_id breaks the tie
+        ("b", 20, ts("2024-01-01 10:01:00")),
+    ]
+    b2 = [
+        ("a", 1, ts("2024-01-02 09:00:00")),  # next-day duplicate: must suppress
+        ("c", 30, ts("2024-01-02 09:05:00")),
+        ("b", 2, ts("2024-01-02 09:06:00")),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(base + "/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(base + "/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/f*")
+    )
+    run_available_now_to_memory(
+        first_seen_dedup(stream), "t_first_seen", output_mode="append"
+    )
+    got = _rows(spark.table("t_first_seen"), "fp", "doc_id", "first_ts")
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = _rows(first_seen_dedup(batch), "fp", "doc_id", "first_ts")
+    assert got == want
+    assert [(r[0], r[1]) for r in got] == [("a", 9), ("b", 20), ("c", 30)]
