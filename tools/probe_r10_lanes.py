@@ -9,11 +9,20 @@ Expected shapes:
 - cdc_chunk_dedup_fast: ~linear in corpus chars (the boundary pass is
   one vectorized convolve per doc inside mapInPandas; the only
   exchange is the chunk-fp rollup, ~n_chars/32 small rows).
-- editdist_verified_near_dup_fast: ~linear-ish — signatures and
-  banding are linear; the Levenshtein verify is bounded by candidate
-  density (replica docs carry a per-replica variation token, so
-  cross-replica texts never band together except via the planted
-  clones, which scale linearly).
+- editdist_verified_near_dup_fast: linear signatures/banding, but the
+  verify stage — and the OUTPUT itself — is quadratic in duplicate-
+  cluster size: the replicas make every base doc a ~0.99-similar
+  near-dup of its N-1 copies (the variation token shifts only a
+  couple of shingles), so N-fold replication yields ~C(N,2) verified
+  pairs per base doc. Measured: 477 pairs / 2.0s at 1x -> 279,228
+  pairs / 159s at 10x. That is the real production hazard of
+  materializing all pairs inside a duplicate cluster; the mitigations
+  are cluster canonicalization (connected components + keep-one, the
+  dedup_clusters/near_dedup_keep_best shape) instead of all-pairs
+  output, or a per-bucket candidate cap (the df-cap pattern in
+  operators/dedup.py). Excluded at 100x — the ~25M-pair verify is
+  the hazard demonstrated, not a useful measurement (same posture as
+  the khop oracle exclusion).
 - kneser_ney_trigram_docs: ~linear in trigram positions; the model
   tables are vocab-bounded (the word-soup vocab saturates, so model
   joins stay tiny while the scoring stream scales).
@@ -54,6 +63,11 @@ def main() -> int:
     q = query_map()
     for sf_dir in dirs:
         for lane in LANES:
+            if lane == "editdist_verified_near_dup_fast" and sf_dir.endswith("sf10"):
+                print(f"{os.path.basename(sf_dir):>8} {lane:<38} skipped "
+                      "(cluster-quadratic pair output; see module docstring)",
+                      flush=True)
+                continue
             best, rows = None, None
             for _ in range(2):
                 spark.catalog.clearCache()
