@@ -1201,7 +1201,7 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_orders_spark.functions.text import tokens
 
-    d = T(spark, sf_dir, "documents").select(
+    d = TW(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     )
     tok = d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))

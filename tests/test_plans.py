@@ -197,6 +197,8 @@ _BNLJ_ALLOWED = {
     "temperature_mixture_weights": 1,  # 1-row weight/char totals broadcast
     "temperature_resample_corpus": 2,  # 1-row totals + 1-row max-ratio broadcasts
     "hll_event_type_overlap": 1,  # |types|-row sketch table theta self-join
+    "kneser_ney_trigram_docs": 2,  # 1-row bt/wt x 1-row vsz assembly + its broadcast into scoring
+    "hybrid_rrf_retrieval": 2,  # 3-row probe batch + the bm25 arm's 1-row stats
 }
 
 
