@@ -774,3 +774,31 @@ def test_pca_deflation_components_orthogonal_and_ordered(spark, sf_dir):
     # unit pairs in R^64 would sit near 0.1 but v1-aligned near 1.0)
     assert abs(float(v[1] @ v[2])) < 0.4
     assert 0 < ev[2] <= ev[1] * 1.001
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    """Hybrid RRF non-vacuity + fusion law: every query's fused top-k
+    draws from BOTH arms (the fixtures' text and embeddings are
+    independent, so arm OVERLAP is not guaranteed — single-arm rows
+    ranking high is exactly RRF's behavior there), and rrf_micro
+    equals the integer fusion formula re-derived from the arm ranks,
+    with the final ranking following (rrf desc, doc_id)."""
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.vector_queries import _RRF_K0, _RRF_PROBES, _RRF_TOPK
+
+    rows = query_map()["hybrid_rrf_retrieval"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(_RRF_PROBES)
+    for q, rs in by_q.items():
+        assert len(rs) == _RRF_TOPK
+        assert any(r.rk_lex > 0 for r in rs), q
+        assert any(r.rk_vec > 0 for r in rs), q
+        for r in rs:
+            want = (1000000 // (_RRF_K0 + r.rk_lex) if r.rk_lex else 0) + (
+                1000000 // (_RRF_K0 + r.rk_vec) if r.rk_vec else 0
+            )
+            assert r.rrf_micro == want
+        ranked = sorted(rs, key=lambda r: (-r.rrf_micro, r.doc_id))
+        assert [r.rk for r in ranked] == list(range(1, _RRF_TOPK + 1))
