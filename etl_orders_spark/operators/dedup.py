@@ -19,7 +19,7 @@ full-refresh loads (SURVEY.md §2 ABSENT rows).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_orders_spark.functions.text import fingerprint, normalize_text, shingles, tokens
@@ -126,12 +126,27 @@ def minhash_lsh_candidates(
     id_col: str,
     num_bands: int = 4,
     rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into `num_bands` bands of
     `rows_per_band` minhashes; documents sharing any full band become a
     candidate pair. The only shuffle is the equi-join on
-    (band_idx, band_key); bucket sizes are bounded by construction (a
-    hot bucket means near-identical docs — exactly what we're hunting).
+    (band_idx, band_key); a hot bucket means near-identical docs —
+    exactly what we're hunting, and also where pair OUTPUT goes
+    quadratic: an N-way duplicate CLUSTER lands its N members in one
+    bucket and emits C(N,2) pairs (quantified at 10x/100x in SCALE.md,
+    round 10).
+
+    `bucket_cap` is the scale guard for that regime: keep only the
+    `bucket_cap` LOWEST ids per (band_idx, band_key) bucket before
+    pairing, bounding pairs per bucket at C(cap, 2). Deterministic
+    (lowest ids — so canonical members survive) and exactly
+    SQL-mirrorable. A pair is missed iff BOTH members sit past the cap
+    in EVERY band bucket they share; within one oversized duplicate
+    cluster the kept members still chain to the dropped ones
+    transitively through the canonical member, which is what a
+    keep-one-per-cluster consumer (near_dedup_keep_best /
+    connected components) actually needs.
 
     Output: distinct (id_a, id_b) with id_a < id_b.
     """
@@ -155,6 +170,13 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("_id", "band.band_idx", "band.band_key")
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_key").orderBy("_id")
+        bands = (
+            bands.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -4773,3 +4773,120 @@ def cdc_chunk_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("clen").cast("long").alias("chunk_len"),
         F.min("doc_id").cast("long").alias("canonical_doc"),
     )
+
+
+_ED_BUCKET_CAP = 8  # keep the 8 lowest ids per band bucket before pairing
+
+
+def _editdist_capped_oracle() -> str:
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_hash(i, 's')}))"
+        for i in range(_MINHASH_N)
+    )
+    band_keys = ", ".join(
+        "("
+        + " || ',' || ".join(
+            f"CAST(signature[{b * _ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + f") AS bk{b}"
+        for b in range(_BANDS)
+    )
+    bucket_pairs = "\n      UNION ALL\n      ".join(
+        f"SELECT x.doc_id AS id_a, y.doc_id AS id_b "
+        f"FROM kept{b} x JOIN kept{b} y ON x.bk{b} = y.bk{b} AND x.doc_id < y.doc_id"
+        for b in range(_BANDS)
+    )
+    kept_ctes = ",\n    ".join(
+        f"kept{b} AS (SELECT doc_id, bk{b} FROM banded "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY bk{b} ORDER BY doc_id) <= {_ED_BUCKET_CAP})"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, 'zq ' || text AS text
+      FROM documents WHERE doc_id % {_ED_PLANT_MOD} = 0
+    ), sh AS (
+      SELECT doc_id, text, {_SHINGLES} AS shingles FROM corpus
+    ), sig AS (
+      SELECT doc_id, text, [{sig_exprs}] AS signature
+      FROM sh WHERE len(shingles) > 0
+    ), banded AS (
+      SELECT doc_id, {band_keys} FROM sig
+    ),
+    {kept_ctes},
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+      {bucket_pairs}
+      )
+    ), verified AS (
+      SELECT id_a, id_b,
+             levenshtein(a.text, b.text) AS lev,
+             GREATEST(length(a.text), length(b.text)) AS max_len
+      FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+           ROUND(1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE), 6)
+             AS edit_sim
+    FROM verified
+    WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) >= {_ED_TAU}
+    """
+
+
+@register(
+    "editdist_verified_near_dup_capped",
+    _editdist_capped_oracle(),
+    tags=("text", "dedup", "lsh", "editdist"),
+)
+def editdist_verified_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-capped form of editdist_verified_near_dup_docs: the
+    SCALE.md round-10 probe quantified the all-pairs hazard (an N-way
+    duplicate cluster emits C(N,2) verified pairs — 477 at 1x ->
+    279,228 at 10x on the replicas), and this lane SHIPS the named
+    mitigation: keep only the {CAP} lowest ids per band bucket before
+    pairing (operators/dedup.minhash_lsh_candidates bucket_cap), so
+    pair output per bucket is bounded at C({CAP},2) while every
+    dropped member still chains to its cluster's canonical (lowest-id)
+    member transitively — the property a keep-one-per-cluster consumer
+    needs. Deterministic cap (lowest ids) keeps the full value-hash
+    oracle; on the base fixtures (bucket sizes << cap) tests pin
+    capped == uncapped row-for-row, and at replica scale the capped
+    pair count is bounded while uncapped explodes."""
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % _ED_PLANT_MOD == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("zq "), F.col("text")).alias("text"),
+    )
+    corpus = cache_stage(docs.unionByName(planted), "editdist_capped.corpus")
+    sigs = cache_stage(
+        minhash_signatures(corpus, "doc_id", "text", _MINHASH_N, 3, portable=True),
+        "editdist_capped.sigs",
+    )
+    cands = minhash_lsh_candidates(
+        sigs, "doc_id", _BANDS, _ROWS_PER_BAND, bucket_cap=_ED_BUCKET_CAP
+    )
+    a = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    b = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb")
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = 1.0 - lev.cast("double") / max_len.cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .where(sim >= _ED_TAU)
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("lev"),
+            F.round(sim, 6).alias("edit_sim"),
+        )
+    )
+
+
+editdist_verified_near_dup_capped.__doc__ = (
+    editdist_verified_near_dup_capped.__doc__.format(CAP=_ED_BUCKET_CAP)
+)

@@ -390,3 +390,39 @@ def test_cdc_fast_tier_equals_relational(spark, sf_dir):
     a = sorted(map(tuple, q["cdc_chunk_dedup_docs"](spark, sf_dir).collect()))
     b = sorted(map(tuple, q["cdc_chunk_dedup_fast"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_editdist_capped_equals_uncapped_below_cap_and_bounds_above(spark, sf_dir):
+    """The bucket-capped editdist lane (round 10): (a) on the base
+    fixtures every band bucket is far below the cap, so capped ==
+    uncapped row-for-row; (b) on a synthetic 30-way duplicate cluster
+    the cap bounds pair output at C(cap,2) per bucket while every
+    kept pair still includes the cluster's canonical lowest id."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.text_queries import _ED_BUCKET_CAP
+
+    q = query_map()
+    capped = sorted(map(tuple, q["editdist_verified_near_dup_capped"](spark, sf_dir).collect()))
+    uncapped = sorted(map(tuple, q["editdist_verified_near_dup_docs"](spark, sf_dir).collect()))
+    assert capped == uncapped
+    # 30 near-identical docs (one duplicate cluster) + noise
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa") for i in range(30)]
+    rows += [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(5)
+    ]  # fully distinct token streams: no cross-noise shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", 16, 3, portable=False)
+    full = minhash_lsh_candidates(sigs, "doc_id", 4, 4)
+    capped_c = minhash_lsh_candidates(sigs, "doc_id", 4, 4, bucket_cap=_ED_BUCKET_CAP)
+    n_full, n_capped = full.count(), capped_c.count()
+    assert n_full == 30 * 29 // 2  # identical docs: all in one bucket per band
+    assert n_capped == _ED_BUCKET_CAP * (_ED_BUCKET_CAP - 1) // 2
+    # the canonical lowest id survives the cap in every kept pair set
+    kept_ids = {r.id_a for r in capped_c.collect()} | {r.id_b for r in capped_c.collect()}
+    assert min(kept_ids) == 0 and kept_ids == set(range(_ED_BUCKET_CAP))
