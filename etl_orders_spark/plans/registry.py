@@ -123,7 +123,11 @@ PRIORITY: tuple[str, ...] = (
     # session_stats_events + winsorized_nation_revenue, all
     # window-expression lanes)
     "topk_parts_per_brand",
-    "boilerplate_chunk_removal_docs",
+    # boilerplate_chunk_removal_docs ceded its slot late in round 10
+    # to the round's own flagships (killing the one-round window lag
+    # VERDICT r8/r9 both flagged): chunk-grain text scrubbing stays
+    # graded via dup_span_detection_docs + the CDC lane below, and
+    # boilerplate stays benched + local-sweep-green
     # round-3 flagship addition: drift gate (shuffle_corpus_shards ceded
     # its slot to the round-8 media-curation pipeline per VERDICT r8 #1 —
     # the trainer-shard family stays graded via train_val_test_split and
@@ -169,7 +173,18 @@ PRIORITY: tuple[str, ...] = (
     "redact_pii_docs",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
-    "simhash_near_pairs_docs",
+    # simhash_near_pairs_docs ceded its slot late in round 10: the
+    # banded-fingerprint family keeps minhash + the editdist
+    # candidate->verify capstone below; simhash stays benched (fast
+    # twin) + local-sweep-green
+    # round-10 flagships, graded THE ROUND THEY SHIPPED: the
+    # candidate->Levenshtein-verify capstone (portable md5 lane
+    # carries the oracle; fast + bucket-capped tiers stay benched /
+    # local-green) and gear-CDC chunk dedup (the vectorized
+    # mapInPandas tier, which KEEPS the relational lane's full
+    # value-hash oracle because the boundary law is bit-identical)
+    "editdist_verified_near_dup_docs",
+    "cdc_chunk_dedup_fast",
     # winnow_fingerprints_docs ceded its slot to the round-8 in-engine
     # classifier training lane: the fingerprint-dedup family keeps
     # FOUR graded rows (exact, minhash, simhash, dup_span) plus the
@@ -182,7 +197,14 @@ PRIORITY: tuple[str, ...] = (
     # the graded slot: the unplanted corpus has no pairs at τ=0.9 at
     # sf0.01, so its green row was vacuous — VERDICT r5 #3)
     "near_dup_embeddings_planted",
-    "ann_topk_cosine",
+    # ann_topk_cosine ceded its slot late in round 10: the exact
+    # brute-force cosine machinery stays graded inside the hybrid
+    # lane's dense arm (same kernel, value-hashed), and ann stays
+    # benched + local-sweep-green
+    # round-10 flagship: BM25 + dense-vector hybrid retrieval fused by
+    # Reciprocal Rank Fusion, the oracle embedding the bm25 lane's
+    # oracle verbatim
+    "hybrid_rrf_retrieval",
     # SemDeDup semantic dedup (VERDICT r7 #1): k-means cluster +
     # within-cluster cosine prune over the planted corpus — full
     # value-hash oracle (unrolled-Lloyd SQL twin + kept_id_sum)
@@ -212,6 +234,14 @@ PRIORITY: tuple[str, ...] = (
     # #1): from-scratch Huffman + IDCT with an all-ones-quant exactness
     # law and a full pixel value-hash oracle
     "media_jpeg_pixel_stats",
+    # (media_prep_corpus ceded its slot late in round 10 to the
+    # Kneser-Ney lane: the media family keeps FIVE graded rows —
+    # four codec lanes + video near-dup — and the curation pipeline
+    # stays benched + local-sweep-green)
+    # interpolated Kneser-Ney trigram LM (round 10): continuation
+    # counts at two levels, micro-nat integer NLL, model tables from
+    # one distinct-trigram rollup
+    "kneser_ney_trigram_docs",
     # native progressive-JPEG decode (round 10, VERDICT r9 #2): SOF2
     # multi-scan spectral selection + successive approximation over
     # the shared Huffman/IDCT machinery, same closed-form pixel oracle
@@ -224,10 +254,6 @@ PRIORITY: tuple[str, ...] = (
     # r9 #1): stateful (predictor, step-index) machine vs a
     # recursive-CTE oracle walking the same public recurrence
     "media_adpcm_wav_features",
-    # end-to-end media curation pipeline (round 8, rotated in per
-    # VERDICT r8 #1): one fused decode pass -> integer variance gate ->
-    # pigeonhole dHash dedup, single value hash
-    "media_prep_corpus",
     # substring-grain duplicate-span detection (round 8): Lee et al.
     # 2022 passage dedup — full value-hash oracle over span extents
     # AND span text, planted copied segments keep it non-vacuous
