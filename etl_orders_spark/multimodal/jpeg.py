@@ -281,6 +281,14 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
             raise ValueError("jpeg: truncated before EOI")
         if d[p] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # T.81 B.1.1.2: any marker may be preceded by a run of 0xFF
+        # fill bytes — skip to the last 0xFF of the run (ADVICE r10:
+        # a conforming stream with fill padding must decode, not
+        # quarantine as 'unexpected marker 0xFFFF')
+        while p + 1 < len(d) and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= len(d):
+            raise ValueError("jpeg: truncated before EOI")
         m = d[p + 1]
         p += 2
         if m == 0xD8:  # stray SOI
@@ -352,6 +360,15 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
                     np.zeros((mcy * cv, mcx * ch, 64), dtype=np.int32)
                     for _, ch, cv, _ in comps
                 ]
+                # per-(component, coefficient) successive-approximation
+                # history: None = band never delivered, else the last
+                # scan's Al. Enforces T.81 G.1.1.1.1 scan ordering
+                # (ADVICE r10: first scan of a band must have Ah=0,
+                # refinements must chain Ah = previous Al, and no AC
+                # scan before the component's DC first pass) so a
+                # mis-ordered stream fails closed instead of decoding
+                # silently to wrong pixels at EOI.
+                scan_hist = [[None] * 64 for _ in comps]
             p += seglen
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -432,7 +449,7 @@ def _decode_jpeg_markers(content: bytes) -> np.ndarray:
                 ah, al = ahal >> 4, ahal & 15
                 p = _decode_progressive_scan(
                     d, p + seglen, frame, grids, scan_order, scan_tables,
-                    ss, se, ah, al, htables, restart_interval,
+                    ss, se, ah, al, htables, restart_interval, scan_hist,
                 )
                 scans_done += 1
                 continue
@@ -660,10 +677,13 @@ def _decode_progressive_scan(
     al: int,
     htables: dict,
     restart_interval: int,
+    scan_hist: list,
 ) -> int:
     """Decode one progressive SOS into the persistent grids; returns
     the stream position of the next marker. Validates the T.81
-    progressive scan-header constraints up front (fail-closed)."""
+    progressive scan-header constraints up front (fail-closed),
+    including cross-scan ordering via ``scan_hist`` (per-component
+    64-entry list of the last delivered Al per coefficient)."""
     h_img, w_img, comps = frame
     by_id = {c[0]: (ci, c) for ci, c in enumerate(comps)}
     for cs in scan_order:
@@ -677,6 +697,28 @@ def _decode_progressive_scan(
         raise ValueError("jpeg: progressive AC scan must be non-interleaved")
     if ah and ah != al + 1:
         raise ValueError("jpeg: bad successive approximation (Ah != Al+1)")
+    # cross-scan ordering (T.81 G.1.1.1.1, ADVICE r10): every
+    # coefficient's first delivery must be a first pass (Ah=0, and
+    # only once), refinements must chain Ah = previous Al, and a
+    # component's AC scans may not precede its DC first pass
+    for cs in scan_order:
+        hist = scan_hist[by_id[cs][0]]
+        if ss > 0 and hist[0] is None:
+            raise ValueError("jpeg: AC scan before the component's DC scan")
+        for k in range(ss, se + 1):
+            if ah == 0:
+                if hist[k] is not None:
+                    raise ValueError(
+                        "jpeg: duplicate first pass for coefficient band"
+                    )
+            elif hist[k] != ah:
+                raise ValueError(
+                    "jpeg: refinement scan does not chain (Ah != previous Al)"
+                )
+    for cs in scan_order:
+        hist = scan_hist[by_id[cs][0]]
+        for k in range(ss, se + 1):
+            hist[k] = al
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     reader = _BitReader(d, p)
@@ -751,8 +793,14 @@ def _decode_progressive_scan(
             gy, gx = divmod(unit, bw)
             eobrun = step(reader, ac_t, grids[ci][gy, gx], ss, se, al, eobrun)
     # entropy data fully consumed: the next bytes must be a marker
-    # (any residual pad bits lived inside the final consumed byte)
+    # (any residual pad bits lived inside the final consumed byte).
+    # T.81 B.1.1.2 allows 0xFF fill bytes before the marker code —
+    # skip to the last 0xFF of the run so the main loop reads the
+    # real marker (ADVICE r10; the main loop independently skips
+    # fills too, this keeps the fail-closed check here honest)
     q = reader.pos
+    while q + 1 < len(d) and d[q] == 0xFF and d[q + 1] == 0xFF:
+        q += 1
     if q + 1 >= len(d) or d[q] != 0xFF or d[q + 1] in (0x00,):
         raise ValueError("jpeg: expected marker after progressive scan")
     return q

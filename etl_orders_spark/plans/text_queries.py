@@ -4329,9 +4329,9 @@ def editdist_verified_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFra
 # the original — the planted suffix-copy companions prove exactly
 # that property (an offset-shifted copy shares its interior chunks).
 _CDC_W = 16  # gear window (chars)
-# boundary iff the TOP 6 hash bits are zero (h < 2^26): the high bits
+# boundary iff the TOP 5 hash bits are zero (h < 2^27): the high bits
 # mix every window char through the carry chain, where low-bit masks
-# would depend only on the last 6 chars (power-of-two weights) and
+# would depend only on the last few chars (power-of-two weights) and
 # cluster boundaries on structured text — the same reason production
 # gear CDC masks the high bits (FastCDC §3.2)
 _CDC_THRESH = 1 << 27  # P(boundary) = 2^27/2^32 = 1/32 -> ~32-char chunks

@@ -169,8 +169,16 @@ def first_seen_dedup(df: DataFrame) -> DataFrame:
     fingerprint set instead of the staged parquet index.
 
     Input columns: fp (string), doc_id (long), first_ts (timestamp).
-    Batch input falls back to the equivalent groupBy-min (identical
-    final answer on finite data).
+    Batch input falls back to a groupBy-min over (first_ts, doc_id).
+    CONTRACT CAVEAT: the two twins agree only when micro-batches
+    arrive in first_ts order (as the tests construct). The streaming
+    path is arrival-order-wins ACROSS micro-batches — a duplicate
+    arriving in a later batch with an EARLIER first_ts is suppressed
+    in streaming but wins the batch groupBy-min. That is inherent to
+    first-seen semantics (the canonical row must be emitted before
+    the late arrival is known); pipelines that need timestamp-min
+    semantics under out-of-order arrival should run the batch form
+    over the compacted index instead.
 
     100 TB posture: state is ONE int per distinct fingerprint in the
     state store (RocksDB-backed at scale), keyed-partitioned — no

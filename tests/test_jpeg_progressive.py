@@ -241,3 +241,62 @@ def test_fixture_bytes_decode_to_law():
         bbytes, wb, hb = jpeg_media_bytes(mid)
         assert (w, h) == (wb, hb)
         assert np.array_equal(decode_jpeg(pbytes), decode_jpeg(bbytes))
+
+
+def test_fill_bytes_and_stray_rst_between_scans():
+    """T.81 B.1.1.2: markers may be preceded by runs of 0xFF fill
+    bytes, and stray RSTn between scans are skipped — a conforming
+    padded stream must decode identically, not quarantine as
+    'unexpected marker 0xFFFF' (ADVICE r10)."""
+    clean = _hand_prog(
+        8,
+        [
+            (0, 0, 0, 1, "0100" + "1000"),
+            (0, 0, 1, 0, "0"),
+            (1, 63, 0, 0, "000"),
+        ],
+    )
+    base = decode_jpeg(clean)
+    # pad every marker (SOS runs and EOI) with 0xFF fill bytes
+    padded = clean.replace(b"\xff\xda", b"\xff\xff\xff\xda")
+    padded = padded[:-2] + b"\xff\xff\xff" + padded[-2:]
+    assert np.array_equal(decode_jpeg(padded), base)
+    # stray RST0 between the last scan and EOI
+    stray = clean[:-2] + b"\xff\xd0" + clean[-2:]
+    assert np.array_equal(decode_jpeg(stray), base)
+
+
+def test_fill_bytes_before_header_segments():
+    """Fill bytes ahead of header markers (DQT/SOF) also decode."""
+    clean = encode_jpeg_progressive(np.full((8, 8), 77, np.uint8))
+    padded = clean.replace(b"\xff\xdb", b"\xff\xff\xdb", 1)
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(clean))
+
+
+def test_scan_ordering_fail_closed():
+    """T.81 G.1.1.1.1 ordering is enforced, not silently decoded to
+    wrong pixels (ADVICE r10): a band's first scan must have Ah=0,
+    refinements must chain Ah = previous Al, a first pass arrives
+    once, and AC scans wait for the component's DC scan."""
+    with pytest.raises(ValueError, match="AC scan before"):
+        decode_jpeg(_hand_prog(8, [(1, 63, 0, 0, "000")]))
+    with pytest.raises(ValueError, match="does not chain"):
+        # refinement as the very first DC scan
+        decode_jpeg(_hand_prog(8, [(0, 0, 1, 0, "0")]))
+    with pytest.raises(ValueError, match="does not chain"):
+        # first pass at Al=2, refinement claims Ah=1 (skips a level)
+        decode_jpeg(
+            _hand_prog(8, [(0, 0, 0, 2, "0100" + "1000"), (0, 0, 1, 0, "0")])
+        )
+    with pytest.raises(ValueError, match="duplicate first pass"):
+        decode_jpeg(
+            _hand_prog(8, [(0, 0, 0, 0, "0000"), (0, 0, 0, 0, "0000")])
+        )
+    with pytest.raises(ValueError, match="duplicate first pass"):
+        # overlapping AC first passes (1..63 then 5..10 again)
+        decode_jpeg(
+            _hand_prog(
+                8,
+                [(0, 0, 0, 0, "0000"), (1, 63, 0, 0, "000"), (5, 10, 0, 0, "000")],
+            )
+        )
