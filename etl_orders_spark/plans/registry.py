@@ -234,26 +234,21 @@ PRIORITY: tuple[str, ...] = (
     # #1): from-scratch Huffman + IDCT with an all-ones-quant exactness
     # law and a full pixel value-hash oracle
     "media_jpeg_pixel_stats",
-    # (media_prep_corpus ceded its slot late in round 10 to the
-    # Kneser-Ney lane: the media family keeps FIVE graded rows —
-    # four codec lanes + video near-dup — and the curation pipeline
-    # stays benched + local-sweep-green)
     # interpolated Kneser-Ney trigram LM (round 10): continuation
     # counts at two levels, micro-nat integer NLL, model tables from
     # one distinct-trigram rollup
     "kneser_ney_trigram_docs",
-    # native progressive-JPEG decode (round 10, VERDICT r9 #2): SOF2
-    # multi-scan spectral selection + successive approximation over
-    # the shared Huffman/IDCT machinery, same closed-form pixel oracle
-    "media_jpeg_progressive_pixel_stats",
-    # native lossless-WebP (VP8L) decode (round 9, rotated in per
-    # VERDICT r9 #1): both prefix-code forms, LZ77 + color cache, all
-    # four inverse transforms, full pixel value-hash oracle
-    "media_webp_pixel_stats",
-    # native IMA-ADPCM audio decode (round 9, rotated in per VERDICT
-    # r9 #1): stateful (predictor, step-index) machine vs a
-    # recursive-CTE oracle walking the same public recurrence
-    "media_adpcm_wav_features",
+    # round-11 rotation (VERDICT r10 #3): end-to-end curation graded
+    # in ALL THREE modalities, not just text — the fused image and
+    # audio pipelines (decode once -> integer quality gate -> band /
+    # fingerprint dedup -> kept corpus + features) take the window
+    # slots of three codec rows (media_jpeg_progressive_pixel_stats,
+    # media_webp_pixel_stats, media_adpcm_wav_features — all were
+    # driver-green in r9/r10, keep their full pixel/sample oracles,
+    # stay benched + local-sweep-green, and their decoders stay graded
+    # THROUGH these pipelines plus the baseline-JPEG row above)
+    "media_prep_corpus",
+    "audio_prep_corpus",
     # substring-grain duplicate-span detection (round 8): Lee et al.
     # 2022 passage dedup — full value-hash oracle over span extents
     # AND span text, planted copied segments keep it non-vacuous
@@ -267,6 +262,12 @@ PRIORITY: tuple[str, ...] = (
     "gopher_quality_rules_docs",
     "ccnet_perplexity_buckets_docs",
     "margin_knn_mining_embeddings",
+    # round-11 flagship, graded the round it ships (VERDICT r10 #1):
+    # eval-set decontamination — the GPT-3/Gopher/Llama pre-training
+    # hygiene gate, n-gram overlap of the corpus against a broadcast
+    # benchmark table, with full-snippet AND sub-threshold planted
+    # branches so both verdicts are hashed surfaces
+    "decontaminate_eval_docs",
 )
 
 

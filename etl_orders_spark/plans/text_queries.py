@@ -4890,3 +4890,224 @@ def editdist_verified_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataF
 editdist_verified_near_dup_capped.__doc__ = (
     editdist_verified_near_dup_capped.__doc__.format(CAP=_ED_BUCKET_CAP)
 )
+
+
+# --- eval-set decontamination -------------------------------------------------
+# The one standard LLM-curation operator every published pipeline runs
+# before training (GPT-3 appendix C, Gopher §A.2, Llama 2 §A.6):
+# screen the training corpus against held-out benchmark/eval sets by
+# n-gram overlap and drop (or flag) any training document that shares
+# an n-gram with a benchmark item, so eval scores measure
+# generalization rather than memorization. Structurally this is the
+# incremental-dedup cross-set probe (see _inc_verdicts above) with the
+# roles flipped: the PROBE side is the tiny benchmark table (broadcast
+# everywhere), the corpus side is a pure n-gram map — so the screen
+# costs one map pass over the corpus plus a broadcast hash join, with
+# the only exchange being the per-doc hit aggregation (hit rows only).
+_DECON_N = 8  # contamination gram size (GPT-3 used 13-grams; this
+# corpus' ~30-word vocabulary makes 8 already collision-safe)
+_DECON_BENCH_SRC = (3, 9, 21, 34, 48)  # benchmark items extracted here
+_DECON_SNIP_START = 4  # snippet = normalized tokens [4 .. 15] (1-based)
+_DECON_SNIP_LEN = 12
+_DECON_PLANT_BASE = 9_300_000
+# planted training docs: (id offset, host doc, benchmark item, tokens
+# of the snippet appended). Offsets 1 and 2 append a FULL snippet
+# (must flag contaminated via grams the host never had); offset 3
+# appends only N-1 tokens — a sub-threshold overlap that MUST stay
+# clean, pinning the screen's negative edge exactly at n-gram grain.
+_DECON_PLANTS = (
+    (1, 2, 3, _DECON_SNIP_LEN),
+    (2, 6, 21, _DECON_SNIP_LEN),
+    (3, 4, 34, _DECON_N - 1),
+)
+
+
+def _decon_oracle() -> str:
+    n = _DECON_N
+    lo = _DECON_SNIP_START
+    hi = _DECON_SNIP_START + _DECON_SNIP_LEN - 1
+    bench_ids = ", ".join(str(i) for i in _DECON_BENCH_SRC)
+    plant_sql = "".join(
+        f"""
+      UNION ALL
+      SELECT CAST({_DECON_PLANT_BASE + off} AS BIGINT) AS doc_id,
+             h.text || ' ' || array_to_string(
+               string_split(b.snippet, ' ')[1:{ntok}], ' ') AS text
+      FROM documents h, bench b
+      WHERE h.doc_id = {host} AND b.bench_id = {src}"""
+        for off, host, src, ntok in _DECON_PLANTS
+    )
+    grams = (
+        "list_distinct(list_transform("
+        f"range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' ')))"
+    )
+    return f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id,
+             array_to_string(({_NORM_TOKENS})[{lo}:{hi}], ' ') AS snippet
+      FROM documents WHERE doc_id IN ({bench_ids})
+    ), train AS (
+      SELECT doc_id, text FROM documents{plant_sql}
+    ), tg AS (
+      SELECT doc_id, UNNEST({grams}) AS gram
+      FROM (SELECT doc_id, {_NORM_TOKENS} AS toks FROM train)
+    ), bg AS (
+      SELECT bench_id, UNNEST({grams}) AS gram
+      FROM (SELECT bench_id, string_split(snippet, ' ') AS toks FROM bench)
+    ), hits AS (
+      SELECT t.doc_id,
+             CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hit_grams,
+             CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmarks_hit
+      FROM tg t JOIN bg b USING (gram) GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           CAST(COALESCE(h.n_benchmarks_hit, 0) AS BIGINT) AS n_benchmarks_hit,
+           CASE WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'clean' END AS verdict
+    FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+    """
+
+
+def _decon_norm_tokens(col) -> Column:
+    """Normalized whitespace tokens with the empty-text guard —
+    lockstep with the oracle's {_NORM_TOKENS} macro."""
+    from etl_orders_spark.functions.text import normalize_text
+
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def _decon_gram_rows(df: DataFrame, id_col: str, tok_col: str) -> DataFrame:
+    """(id, gram) rows: distinct N-token grams over a PRE-STAGED token
+    array column (tokens must already be a plain column — inlining the
+    tokenizer expression into the transform lambda re-inlines it per
+    element, the Catalyst HOF O(n^2) trap this repo documents)."""
+    n_grams = F.size(tok_col) - (_DECON_N - 1)
+    gram_arr = F.when(
+        n_grams >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.array_join(F.slice(F.col(tok_col), i, _DECON_N), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(id_col, F.explode(gram_arr).alias("gram"))
+
+
+@register(
+    "decontaminate_eval_docs",
+    _decon_oracle(),
+    tags=("text", "llm", "curation", "dedup", "decontamination", "pipeline"),
+    bench=True,
+)
+def decontaminate_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing
+    an {N}-token normalized n-gram with a held-out benchmark item
+    (the GPT-3 appendix-C / Gopher / Llama pre-training hygiene gate).
+
+    Fixture contract: benchmark items are 12-token snippets lifted
+    from docs {SRC} (so those docs self-flag — the planted positive
+    branch), and three planted training docs append a snippet to an
+    unrelated host doc — two with the full snippet (contaminated via
+    grams the host never had, including the host/snippet junction) and
+    one with only N-1 tokens of it, which MUST stay clean: the
+    sub-threshold negative control pinning the screen's edge at exact
+    n-gram grain. Output: one verdict row per training doc
+    (doc_id, n_hit_grams, n_benchmarks_hit, verdict) — all-integer, so
+    the full value hash has no FP surface.
+
+    100 TB posture: the benchmark side is driver-scale (thousands of
+    eval items) and BROADCASTS — the corpus side is a single pure-map
+    n-gram pass (tokens staged as a column so the gram transform never
+    re-inlines the tokenizer per element), probed through a broadcast
+    hash join with NO corpus-grain exchange; the only shuffle is the
+    per-doc aggregation of HIT rows, which is match-grain, not
+    corpus-grain. Dirty-doc handling downstream is a keyed anti-join
+    (llm_prep_corpus composes the same shape). The planted snippets
+    derive in-plan from a doc_id-pruned scan; production swaps in the
+    real benchmark table."""
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    docs = T(spark, sf_dir, "documents")
+    need = sorted(
+        set(_DECON_BENCH_SRC)
+        | {h for _, h, _, _ in _DECON_PLANTS}
+        | {s for _, _, s, _ in _DECON_PLANTS}
+    )
+    small = cache_stage(
+        docs.filter(F.col("doc_id").isin(need)).select("doc_id", "text"),
+        "decon.small",
+    )
+    bench = small.filter(F.col("doc_id").isin(*_DECON_BENCH_SRC)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(_decon_norm_tokens("text"), _DECON_SNIP_START, _DECON_SNIP_LEN),
+            " ",
+        ).alias("snippet"),
+    )
+    pairs = spark.createDataFrame(
+        [(off, host, src, ntok) for off, host, src, ntok in _DECON_PLANTS],
+        "off long, host_id long, src_id long, ntok int",
+    )
+    plants = (
+        pairs.join(small.toDF("host_id", "host_text"), "host_id")
+        .join(small.toDF("src_id", "src_text"), "src_id")
+        .select(
+            (F.lit(_DECON_PLANT_BASE) + F.col("off")).cast("long").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.col("host_text"),
+                F.array_join(
+                    F.slice(
+                        _decon_norm_tokens(F.col("src_text")),
+                        _DECON_SNIP_START,
+                        F.col("ntok"),
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+        )
+    )
+    train = cache_stage(
+        docs.select("doc_id", "text").unionByName(plants), "decon.train"
+    )
+    tg = _decon_gram_rows(
+        train.select("doc_id", _decon_norm_tokens("text").alias("t")), "doc_id", "t"
+    )
+    bg = _decon_gram_rows(
+        bench.select("bench_id", F.split("snippet", " ").alias("t")), "bench_id", "t"
+    ).select("bench_id", "gram")
+    hits = (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("_g"),
+            F.count_distinct("bench_id").alias("_b"),
+        )
+    )
+    return (
+        # hits is match-grain (docs that actually share a gram with the
+        # benchmark set) — broadcast it so the verdict join never
+        # shuffles the corpus side (Spark's stats can't see that after
+        # the aggregation and would pick a corpus-grain SMJ)
+        train.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_g", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("_b", F.lit(0)).cast("long").alias("n_benchmarks_hit"),
+            F.when(F.col("_g").isNotNull(), "contaminated")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+    )
+
+
+decontaminate_eval_docs.__doc__ = decontaminate_eval_docs.__doc__.format(
+    N=_DECON_N, SRC=_DECON_BENCH_SRC
+)

@@ -57,8 +57,10 @@ _WINDOW_FAMILIES = (
     # per-family singletons
     "stats", "graph", "sketch", "curation", "dq", "drift", "linkage",
     "layout", "sampling",
-    # multimodal pixel lane (real decode, r4; video near-dup r5)
-    "media", "pixel", "video",
+    # multimodal pixel lane (real decode, r4; video near-dup r5);
+    # round 11 adds the audio modality's end-to-end pipeline and the
+    # eval-set decontamination gate as pinned families
+    "media", "pixel", "video", "audio", "decontamination",
 )
 
 

@@ -410,3 +410,42 @@ def test_kneser_ney_sums_to_one_and_orders_sanely(spark, sf_dir):
             continue
         expect = sum(math.floor(math.log(1.0 / p3(*g)) * 1e6) for g in grams)
         assert out[doc_id] == (len(grams), expect), doc_id
+
+
+def test_decontamination_planted_branches(spark, sf_dir):
+    """Every fixture branch of the eval-decontamination screen: the
+    benchmark source docs self-flag with ALL snippet grams, the
+    full-snippet plants flag exactly one benchmark, the N-1-token
+    plant stays clean (the screen's edge is exact n-gram grain), and
+    the corpus keeps clean docs."""
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.text_queries import (
+        _DECON_BENCH_SRC,
+        _DECON_N,
+        _DECON_PLANT_BASE,
+        _DECON_PLANTS,
+        _DECON_SNIP_LEN,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in query_map()["decontaminate_eval_docs"](spark, sf_dir).collect()
+    }
+    n_snip_grams = _DECON_SNIP_LEN - _DECON_N + 1
+    for src in _DECON_BENCH_SRC:
+        r = rows[src]
+        assert r.verdict == "contaminated"
+        assert r.n_hit_grams >= n_snip_grams and r.n_benchmarks_hit >= 1
+    for off, _host, _src, ntok in _DECON_PLANTS:
+        r = rows[_DECON_PLANT_BASE + off]
+        if ntok >= _DECON_N:
+            assert r.verdict == "contaminated"
+            assert r.n_hit_grams >= n_snip_grams and r.n_benchmarks_hit >= 1
+        else:  # sub-threshold overlap: must NOT flag
+            assert r.verdict == "clean"
+            assert r.n_hit_grams == 0 and r.n_benchmarks_hit == 0
+    verdicts = [r.verdict for r in rows.values()]
+    assert verdicts.count("clean") > len(_DECON_BENCH_SRC)
+    # clean rows carry zero counts (left-join coalesce law)
+    for r in rows.values():
+        assert (r.verdict == "contaminated") == (r.n_hit_grams > 0)
