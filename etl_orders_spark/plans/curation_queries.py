@@ -1077,6 +1077,7 @@ def _blocklist_oracle() -> str:
     "blocklist_filter_docs",
     _blocklist_oracle(),
     tags=("text", "curation", "filter", "llm"),
+    bench=True,  # VERDICT r10 #5
 )
 def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate: drop (flag) any document whose token

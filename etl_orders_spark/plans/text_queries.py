@@ -1792,6 +1792,7 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ppl
     """.replace("{PPL_ORACLE}", QUERIES["bigram_perplexity_docs"].oracle),
     tags=("text", "quality", "llm", "curation", "sampling"),
+    bench=True,  # VERDICT r10 #5
 )
 def ccnet_perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet corpus partition (Wenzek et al. 2020 §4.3): rank every
@@ -3108,6 +3109,7 @@ def _gopher_oracle() -> str:
     "gopher_quality_rules_docs",
     _gopher_oracle(),
     tags=("text", "quality", "llm", "curation"),
+    bench=True,  # VERDICT r10 #5: regressions here were invisible to cold_report
 )
 def gopher_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher document-quality rule battery (Rae et al. 2021,
@@ -3547,6 +3549,7 @@ def _wp_encode_oracle() -> str:
     "wordpiece_encode_docs",
     _wp_encode_oracle(),
     tags=("text", "tokenize", "llm", "pandas-udf"),
+    bench=True,  # VERDICT r10 #5
 )
 def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match-first WordPiece encoding — BERT's runtime
@@ -3737,15 +3740,21 @@ def _ulm_dp_sql(r: int) -> str:
       ) WHERE rn = 1
     )"""
     finals = " UNION ALL ".join(
-        f"SELECT word, ntok, seg FROM d{r}_{j} WHERE length(word) = {j}"
+        f"SELECT word, score, ntok, seg FROM d{r}_{j} WHERE length(word) = {j}"
         for j in range(2, _ULM_MAX_WORD + 1)
     )
     sql += f""", segf{r} AS MATERIALIZED ({finals})"""
     return sql
 
 
-def _ulm_oracle() -> str:
-    h = _sql_hash(83, "word || '#' || seg")
+def _ulm_rounds_sql() -> str:
+    """Shared WITH-body running the {_ULM_ITERS} unrolled hard-EM
+    rounds (seed vocab -> per-round cost table -> Viterbi DP ->
+    add-one M-step recount). Both the encode oracle (which reads the
+    FINAL segmentations segf{last}) and the train oracle (which reads
+    every round's vocab/cost/segmentation tables) append onto this
+    prefix, so the two lanes cannot drift — the BPE-train convention
+    (_bpe_rounds_sql)."""
     sql = f"""
     WITH u_tok AS (
       SELECT UNNEST({_LOWER_TOKENS}) AS w FROM documents
@@ -3780,8 +3789,13 @@ def _ulm_oracle() -> str:
       SELECT v.piece, v.len, COALESCE(m.used, 0) + 1 AS c
       FROM u_vocab0 v LEFT JOIN m{r} m ON v.piece = m.piece
     ), {_ulm_cost_sql(str(r + 1), f"u_vocab{r + 1}")}"""
+    return sql
+
+
+def _ulm_oracle() -> str:
+    h = _sql_hash(83, "word || '#' || seg")
     last = _ULM_ITERS - 1
-    return sql + f""", u_seg AS (
+    return _ulm_rounds_sql() + f""", u_seg AS (
       SELECT word, CAST(ntok AS BIGINT) AS ntok, {h} AS h FROM segf{last}
     ), u_docw AS (
       SELECT doc_id, UNNEST({_LOWER_TOKENS}) AS w FROM documents
@@ -3795,10 +3809,35 @@ def _ulm_oracle() -> str:
     """
 
 
+def _ulm_train_oracle() -> str:
+    """TRAIN-trajectory twin: one row per hard-EM round certifying the
+    round's ENTIRE model state — the vocab counts (total_count), every
+    per-piece integer micro-nat cost (cost_checksum), and the round's
+    Viterbi segmentation of the whole corpus (occurrence-weighted
+    n_tokens / total_cost / seg_checksum). All integers."""
+    hc = _sql_hash(84, "piece || '#' || CAST(cost AS VARCHAR)")
+    hs = _sql_hash(85, "word || '#' || seg")
+    outs = []
+    for r in range(_ULM_ITERS):
+        outs.append(f"""
+      SELECT CAST({r} AS BIGINT) AS it,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM u_vocab{r}) AS n_pieces,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM u_vocab{r}) AS total_count,
+             (SELECT CAST(SUM({hc}) AS BIGINT) FROM cost{r}) AS cost_checksum,
+             (SELECT CAST(SUM(f.c * s.ntok) AS BIGINT)
+              FROM segf{r} s JOIN u_forms f ON f.w = s.word) AS n_tokens,
+             (SELECT CAST(SUM(f.c * s.score) AS BIGINT)
+              FROM segf{r} s JOIN u_forms f ON f.w = s.word) AS total_cost,
+             (SELECT CAST(SUM(f.c * {hs}) AS BIGINT)
+              FROM segf{r} s JOIN u_forms f ON f.w = s.word) AS seg_checksum""")
+    return _ulm_rounds_sql() + " SELECT * FROM (" + " UNION ALL ".join(outs) + ")"
+
+
 @register(
     "unigram_lm_encode_docs",
     _ulm_oracle(),
     tags=("text", "tokenize", "llm", "iterative", "pandas-udf"),
+    bench=True,  # VERDICT r10 #5
 )
 def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM subword tokenization (Kudo ACL 2018 — SentencePiece's
@@ -3833,6 +3872,48 @@ def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one relational aggregate at (form, piece) grain; the corpus pays a
     single (doc_id, word) equi-join at the end, the bpe/wordpiece
     encode posture."""
+    docs = T(spark, sf_dir, "documents")
+    _forms, rounds = _ulm_em_rounds(spark, sf_dir)
+    segs = rounds[-1][3]
+    encoded = segs.select(
+        "word",
+        F.size(F.split("seg", " ")).cast("long").alias("ntok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("83|"), F.col("word"), F.lit("#"), F.col("seg"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w").between(2, _ULM_MAX_WORD))
+    return (
+        docw.join(encoded, docw["w"] == encoded["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("h").cast("long").alias("seg_checksum"),
+        )
+    )
+
+
+def _ulm_em_rounds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame, dict, DataFrame]]]:
+    """Shared hard-EM machinery for the unigram-LM encode and train
+    lanes (the _bpe_rounds_sql symmetry, Spark side): builds the seed
+    vocabulary and runs the unrolled Viterbi-EM rounds, returning
+    (forms, rounds) with rounds[r] = (vocab_df, cost_df, cost_map,
+    segs_df); segs_df carries (word, freq, score, seg). The pandas-UDF
+    body stays a CLOSURE (pickled by value — the repo's worker-import
+    gotcha)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -3871,25 +3952,26 @@ def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles = sub.where(F.col("len") == 1).select("piece", F.col("wgt").alias("c"))
     vocab0 = multi.unionByName(singles)
 
-    def costs_of(vocab_df: DataFrame) -> dict[str, int]:
-        """Bounded collect (<= _ULM_TOP + alphabet rows): integer
-        micro-nat costs, ln floored once per distinct piece — in
-        SPARK expressions, mirroring the oracle's per-piece floor."""
+    def cost_frame(vocab_df: DataFrame) -> DataFrame:
+        """(piece, cost) — integer micro-nat costs, ln floored once
+        per distinct piece in SPARK expressions, mirroring the
+        oracle's per-piece floor. Shared by the collect below (the
+        broadcast dict for the Viterbi UDF) and the train lane's
+        cost_checksum, so the two can never drift."""
         n = vocab_df.agg(F.sum("c").cast("long").alias("n"))
-        rows = (
-            vocab_df.crossJoin(F.broadcast(n))
-            .select(
-                "piece",
-                F.floor(
-                    F.log(F.col("n").cast("double") / F.col("c").cast("double"))
-                    * F.lit(1000000.0)
-                )
-                .cast("long")
-                .alias("cost"),
+        return vocab_df.crossJoin(F.broadcast(n)).select(
+            "piece",
+            F.floor(
+                F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+                * F.lit(1000000.0)
             )
-            .collect()
+            .cast("long")
+            .alias("cost"),
         )
-        return {r["piece"]: r["cost"] for r in rows}
+
+    def costs_of(cost_df: DataFrame) -> dict[str, int]:
+        """Bounded collect (<= _ULM_TOP + alphabet rows)."""
+        return {r["piece"]: r["cost"] for r in cost_df.collect()}
 
     def viterbi_udf(cost: dict[str, int]):
         maxp = _ULM_MAX_PIECE
@@ -3915,60 +3997,144 @@ def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         seg = piece if p[2] == "" else p[2] + " " + piece
                         cands.append((p[0] + c, p[1] + 1, seg))
                     best[j] = min(cands) if cands else None
-                out.append(best[n][2] if best[n] else "")
+                # pack "score|seg" — the train lane needs the integer
+                # Viterbi objective; the encode lane splits off seg
+                out.append(f"{best[n][0]}|{best[n][2]}" if best[n] else "|")
             return pd.Series(out)
 
         seg_word.__annotations__ = {"s": pd.Series, "return": pd.Series}
         return pandas_udf(seg_word, "string")
 
-    cost = costs_of(vocab0)
-    segs = None
+    vocab = vocab0
+    cost_df = cost_frame(vocab0)
+    cost = costs_of(cost_df)
+    rounds: list[tuple[DataFrame, DataFrame, dict, DataFrame]] = []
     for r in range(_ULM_ITERS):
-        segs = forms.select(
+        packed = forms.select(
             F.col("w").alias("word"),
             F.col("c").alias("freq"),
-            viterbi_udf(cost)(F.col("w")).alias("seg"),
+            viterbi_udf(cost)(F.col("w")).alias("_p"),
         )
+        segs = packed.select(
+            "word",
+            "freq",
+            F.split("_p", r"\|", 2).getItem(0).cast("long").alias("score"),
+            F.split("_p", r"\|", 2).getItem(1).alias("seg"),
+        )
+        rounds.append((vocab, cost_df, cost, segs))
         if r + 1 < _ULM_ITERS:
             used = (
                 segs.select("freq", F.explode(F.split("seg", " ")).alias("piece"))
                 .groupBy("piece")
                 .agg(F.sum("freq").cast("long").alias("used"))
             )
-            vocab_next = (
+            vocab = (
                 vocab0.select("piece")
                 .join(used, "piece", "left")
                 .select("piece", (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("c"))
             )
-            cost = costs_of(vocab_next)
+            cost_df = cost_frame(vocab)
+            cost = costs_of(cost_df)
+    return forms, rounds
 
-    encoded = segs.select(
-        "word",
-        F.size(F.split("seg", " ")).cast("long").alias("ntok"),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("83|"), F.col("word"), F.lit("#"), F.col("seg"))),
-                1,
-                8,
-            ),
-            16,
-            10,
+
+@register(
+    "unigram_lm_train_docs",
+    _ulm_train_oracle(),
+    tags=("text", "tokenize", "llm", "iterative", "train", "pandas-udf"),
+)
+def unigram_lm_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM TRAIN trajectory (VERDICT r9 #5 / r10 #4): one row
+    per hard-EM round certifying the round's ENTIRE model state, not
+    just the final encode — completing train+encode symmetry across
+    all three tokenizer families (BPE and WordPiece both already pair
+    a train lane with an encode lane). Per round r:
+
+      n_pieces / total_count — the vocabulary and its count mass
+        (round 0 = occurrence-weighted substring seeds; round r+1 =
+        add-one-smoothed Viterbi recounts, so total_count tracks the
+        M-step exactly);
+      cost_checksum — hash-sum over every (piece, integer micro-nat
+        cost) pair, certifying the full cost table the round's E-step
+        segmented with;
+      n_tokens / total_cost / seg_checksum — the round's Viterbi
+        segmentation of the whole corpus, occurrence-weighted (freq x
+        ntok / freq x integer objective / freq x segmentation hash).
+
+    total_cost is the hard-EM objective; the fixture corpus shows it
+    non-increasing round over round (pinned in tests — hard-EM's
+    monotonicity on the training criterion it optimizes).
+
+    100 TB posture: identical to the encode lane (the rounds ARE
+    shared code, _ulm_em_rounds) — per-round cost extends the
+    form-grain Viterbi with vocab-grain aggregates only; every output
+    quantity is an integer."""
+    _forms, rounds = _ulm_em_rounds(spark, sf_dir)
+    out = None
+    for r, (vocab, cost_df, _cost, segs) in enumerate(rounds):
+        vstats = vocab.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"),
+            F.sum("c").cast("long").alias("total_count"),
         )
-        .cast("long")
-        .alias("h"),
-    )
-    docw = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
-    ).filter(F.length("w").between(2, _ULM_MAX_WORD))
-    return (
-        docw.join(encoded, docw["w"] == encoded["word"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("ntok").cast("long").alias("n_tokens"),
-            F.sum("h").cast("long").alias("seg_checksum"),
+        cck = cost_df.select(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("84|"),
+                            F.col("piece"),
+                            F.lit("#"),
+                            F.col("cost").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        ).agg(F.sum("h").cast("long").alias("cost_checksum"))
+        sstats = segs.select(
+            "freq",
+            "score",
+            F.size(F.split("seg", " ")).cast("long").alias("ntok"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("85|"), F.col("word"), F.lit("#"), F.col("seg")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ).agg(
+            F.sum(F.col("freq") * F.col("ntok")).cast("long").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("score")).cast("long").alias("total_cost"),
+            F.sum(F.col("freq") * F.col("h")).cast("long").alias("seg_checksum"),
         )
-    )
+        row = (
+            vstats.crossJoin(cck)
+            .crossJoin(sstats)
+            .select(
+                F.lit(r).cast("long").alias("it"),
+                "n_pieces",
+                "total_count",
+                "cost_checksum",
+                "n_tokens",
+                "total_cost",
+                "seg_checksum",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 unigram_lm_encode_docs.__doc__ = unigram_lm_encode_docs.__doc__.format(

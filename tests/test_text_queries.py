@@ -449,3 +449,30 @@ def test_decontamination_planted_branches(spark, sf_dir):
     # clean rows carry zero counts (left-join coalesce law)
     for r in rows.values():
         assert (r.verdict == "contaminated") == (r.n_hit_grams > 0)
+
+
+def test_unigram_train_trajectory_monotone_and_consistent(spark, sf_dir):
+    """The unigram-LM train lane's hard-EM objective (total_cost,
+    occurrence-weighted integer micro-nats) must be non-increasing
+    round over round on the fixture corpus, vocabulary size is fixed
+    (the fixed-vocab hard-EM variant), and the final round's
+    occurrence-weighted token count equals the encode lane's corpus
+    total (train and encode share _ulm_em_rounds by construction —
+    this pins the wiring end-to-end)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    q = query_map()
+    rows = sorted(
+        (r.it, r) for r in q["unigram_lm_train_docs"](spark, sf_dir).collect()
+    )
+    assert [it for it, _ in rows] == list(range(len(rows))) and len(rows) >= 2
+    pieces = {r.n_pieces for _, r in rows}
+    assert len(pieces) == 1  # fixed vocabulary
+    costs = [r.total_cost for _, r in rows]
+    assert all(a >= b for a, b in zip(costs, costs[1:]))
+    enc_tokens = (
+        q["unigram_lm_encode_docs"](spark, sf_dir)
+        .agg({"n_tokens": "sum"})
+        .collect()[0][0]
+    )
+    assert rows[-1][1].n_tokens == enc_tokens
