@@ -13,7 +13,11 @@ windowed instead of unbounded; session windows use the native
 `F.session_window` state store implementation.
 """
 
-from etl_orders_spark.streaming.stateful import first_seen_dedup
+from etl_orders_spark.streaming.stateful import (
+    compact_fingerprint_index,
+    first_seen_dedup,
+    first_seen_dedup_with_index,
+)
 from etl_orders_spark.streaming.windows import (
     attribute_conversions,
     dedup_within_watermark,
@@ -25,7 +29,9 @@ from etl_orders_spark.streaming.windows import (
 
 __all__ = [
     "attribute_conversions",
+    "compact_fingerprint_index",
     "first_seen_dedup",
+    "first_seen_dedup_with_index",
     "dedup_within_watermark",
     "run_available_now_to_memory",
     "session_window_stats",

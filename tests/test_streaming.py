@@ -449,3 +449,70 @@ def test_first_seen_dedup_state_spans_micro_batches(spark, tmp_path_factory):
     want = _rows(first_seen_dedup(batch), "fp", "doc_id", "first_ts")
     assert got == want
     assert [(r[0], r[1]) for r in got] == [("a", 9), ("b", 20), ("c", 30)]
+
+
+def test_first_seen_compaction_two_tier_restart(spark, tmp_path_factory):
+    """The documented two-tier production shape is code (VERDICT r10
+    watch #3): phase-1 stream emits canonicals, compaction folds them
+    into the versioned parquet fingerprint index, and a RESTARTED
+    stream (fresh checkpoint, empty state store) probing the index
+    suppresses pre-compaction duplicates it has never seen — while a
+    restart WITHOUT the index re-emits them (the failure mode the
+    tier exists to close). Re-compaction is idempotent and keeps the
+    batch-min canonical per fingerprint."""
+    from etl_orders_spark.operators.merge import read_published
+    from etl_orders_spark.streaming.stateful import (
+        compact_fingerprint_index,
+        first_seen_dedup_with_index,
+    )
+
+    schema = "fp string, doc_id long, first_ts timestamp"
+    root = tmp_path_factory.mktemp("fsd2")
+    base, index_root = str(root / "docs"), str(root / "fp_index")
+    b1 = [
+        ("a", 10, ts("2024-01-01 10:00:00")),
+        ("a", 9, ts("2024-01-01 10:00:00")),
+        ("b", 20, ts("2024-01-01 10:01:00")),
+    ]
+    b2 = [
+        ("a", 1, ts("2024-01-02 09:00:00")),  # pre-compaction dup
+        ("b", 2, ts("2024-01-02 09:01:00")),  # pre-compaction dup
+        ("c", 30, ts("2024-01-02 09:05:00")),
+        ("c", 31, ts("2024-01-02 09:05:00")),  # in-phase dup: tier-1 state
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(base + "/f1")
+    # phase 1: tier-1 only (no index yet), then compact its output
+    s1 = spark.readStream.schema(schema).parquet(base + "/f1")
+    run_available_now_to_memory(
+        first_seen_dedup_with_index(s1, None), "t_fsc1", output_mode="append"
+    )
+    emitted1 = spark.table("t_fsc1")
+    assert _rows(emitted1, "fp", "doc_id") == [("a", 9), ("b", 20)]
+    compact_fingerprint_index(emitted1, index_root)
+
+    # phase 2: restarted stream (fresh state) over NEW files only
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(base + "/f2")
+    s2 = spark.readStream.schema(schema).parquet(base + "/f2")
+    run_available_now_to_memory(
+        first_seen_dedup_with_index(s2, read_published(spark, index_root)),
+        "t_fsc2",
+        output_mode="append",
+    )
+    assert _rows(spark.table("t_fsc2"), "fp", "doc_id") == [("c", 30)]
+
+    # control: the SAME restart without the index re-emits a and b
+    s2b = spark.readStream.schema(schema).parquet(base + "/f2")
+    run_available_now_to_memory(
+        first_seen_dedup_with_index(s2b, None), "t_fsc2_noidx", output_mode="append"
+    )
+    assert _rows(spark.table("t_fsc2_noidx"), "fp", "doc_id") == [
+        ("a", 1),
+        ("b", 2),
+        ("c", 30),
+    ]
+
+    # fold phase-2 output in; re-compact phase-1 rows too (idempotent)
+    compact_fingerprint_index(spark.table("t_fsc2"), index_root)
+    compact_fingerprint_index(emitted1, index_root)
+    idx = read_published(spark, index_root)
+    assert _rows(idx, "fp", "doc_id") == [("a", 9), ("b", 20), ("c", 30)]
