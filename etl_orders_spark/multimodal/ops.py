@@ -334,6 +334,53 @@ def dhash_pixel_stats(media: DataFrame) -> DataFrame:
 
 FRAME_DHASH_SCHEMA = "media_id long, frame_idx long, dhash_hi long, dhash_lo long"
 
+FRAME_DHASH_STATS_SCHEMA = (
+    "media_id long, frame_idx long, dhash_hi long, dhash_lo long, "
+    "n_pixels long, sum_luma long, sumsq_luma long"
+)
+
+
+def video_frame_dhash_stats(
+    media: DataFrame, every_n: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """ONE decode pass emitting BOTH the per-sampled-frame perceptual
+    dHash and the exact integer full-resolution luma stats (sum, sum
+    of squares) — the video twin of dhash_pixel_stats: decode
+    dominates at 100 TB, so the dedup hash and the quality signal must
+    ride the same Arrow pass. dHash follows video_frame_dhash's exact
+    laws (floor-map 9x8 resize, right-neighbor bits); the stats feed
+    the all-integer static-clip gate (min over frames of
+    n*sumsq - sum^2 > 0), so the whole quality semantics mirror into
+    SQL with no FP."""
+    from etl_orders_spark.multimodal.codecs import decode_y4m as _decode_y4m
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, _ = _decode_y4m(bytes(content))
+                nf = frames.shape[0]
+                for idx in list(range(0, nf, every_n))[:max_frames]:
+                    luma = frames[idx].astype("int64")
+                    g = _resize_nearest(luma, 9, 8)
+                    bits = (g[:, 1:] > g[:, :-1]).flatten()  # i = y*8 + x
+                    hi = sum(int(b) << i for i, b in enumerate(bits[:32]))
+                    lo = sum(int(b) << i for i, b in enumerate(bits[32:]))
+                    rows.append(
+                        (mid, idx, hi, lo, int(luma.size), int(luma.sum()),
+                         int((luma * luma).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "dhash_hi", "dhash_lo",
+                         "n_pixels", "sum_luma", "sumsq_luma"],
+            )
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "content")
+    return vids.mapInPandas(batches, FRAME_DHASH_STATS_SCHEMA)
+
 
 def video_frame_dhash(
     media: DataFrame, every_n: int = 2, max_frames: int = 8

@@ -793,6 +793,44 @@ def gen_noise_y4m_media(spark: SparkSession, n: int = 60) -> DataFrame:
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
 
+
+def gen_flat_y4m_media(spark: SparkSession, n: int = 10, start: int = 6100) -> DataFrame:
+    """Constant-luma ('dead air') Y4M clips for the video curation
+    pipeline's quality gate: every frame of clip ``id`` is the single
+    value (id*37) % 256 over VNOISE_FRAMES frames of NOISE_W x NOISE_H
+    — zero variance in every frame (the integer static-clip law
+    n*sumsq - sum^2 == 0) and an all-zero dHash, the video analog of
+    gen_flat_media's blank images."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_orders_spark.multimodal.codecs import encode_y4m
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid in pdf["id"]:
+                mid = int(rid) + start
+                v = np.full(
+                    (VNOISE_FRAMES, NOISE_H, NOISE_W), (mid * 37) % 256, np.uint8
+                )
+                meta = {
+                    "format": "y4m",
+                    "width": NOISE_W,
+                    "height": NOISE_H,
+                    "sample_rate": None,
+                    "duration_ms": VNOISE_FRAMES * 1000 // 30,
+                }
+                rows.append((mid, "video", encode_y4m(v), meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def gen_gif_media(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic REAL GIF rows: the pixel law's gray form
 

@@ -1407,3 +1407,213 @@ def audio_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         F.col("sum_abs").cast("long").alias("sum_abs"),
     )
+
+
+_VPREP_FLAT_START, _VPREP_N_FLAT = 6100, 10
+
+
+@register(
+    "video_prep_corpus",
+    f"""
+    WITH nids AS (SELECT UNNEST(generate_series(0, {_N_VNOISE - 1})) AS media_id),
+    base AS (
+      SELECT media_id,
+             CASE WHEN media_id % {_VND_CLONE} = {_VND_CLONE - 1}
+                  THEN media_id - 1 ELSE media_id END AS b,
+             CASE WHEN media_id % {_VND_CLONE} = {_VND_CLONE - 1}
+                  THEN 1 ELSE 0 END AS pert
+      FROM nids
+    ),
+    fr AS (
+      SELECT base.media_id, base.b, base.pert, f.i AS f
+      FROM base, UNNEST(generate_series(0, {_VNOISE_FRAMES - 1})) AS f(i)
+      WHERE f.i % {_VIDEO_EVERY_N} = 0
+        AND f.i < {_VIDEO_EVERY_N * _VIDEO_MAX_FRAMES}
+    ),
+    -- FULL-RES luma for the stats law (noise clips from the generator
+    -- law incl. the clone perturbation at source pixel (0,0); flat
+    -- clips are the constant (id*37) %% 256)
+    pxf AS (
+      SELECT media_id, f,
+             CASE WHEN dx.i = 0 AND dy.i = 0 AND pert = 1
+                  THEN (((b*73 + f*29 + dx.i*37 + dy.i*101)
+                         * 2654435761 % 4294967296) // 16777216 + 128) % 256
+                  ELSE ((b*73 + f*29 + dx.i*37 + dy.i*101)
+                        * 2654435761 % 4294967296) // 16777216
+             END AS v
+      FROM fr,
+           UNNEST(generate_series(0, {_VND_W - 1})) dx(i),
+           UNNEST(generate_series(0, {_VND_H - 1})) dy(i)
+      UNION ALL
+      SELECT fid.media_id, f.i AS f, (fid.media_id * 37) % 256 AS v
+      FROM (SELECT UNNEST(generate_series({_VPREP_FLAT_START},
+                   {_VPREP_FLAT_START + _VPREP_N_FLAT - 1})) AS media_id) fid,
+           UNNEST(generate_series(0, {_VNOISE_FRAMES - 1})) AS f(i),
+           UNNEST(generate_series(0, {_VND_W - 1})) dx(i),
+           UNNEST(generate_series(0, {_VND_H - 1})) dy(i)
+      WHERE f.i % {_VIDEO_EVERY_N} = 0
+        AND f.i < {_VIDEO_EVERY_N * _VIDEO_MAX_FRAMES}
+    ),
+    fstat AS (
+      SELECT media_id, f, COUNT(*) AS n, SUM(v) AS s, SUM(v*v) AS ss
+      FROM pxf GROUP BY media_id, f
+    ),
+    clip AS (
+      SELECT media_id, COUNT(*) AS n_frames, SUM(s) AS sum_luma,
+             MIN(n*ss - s*s) AS var_min
+      FROM fstat GROUP BY media_id
+    ),
+    q AS (SELECT * FROM clip WHERE var_min > 0),
+    -- 9x8 dHash bits per sampled frame (near-dup oracle's resize law)
+    px AS (
+      SELECT media_id, f, dy.i AS y, dx.i AS x,
+             CASE WHEN (dx.i * {_VND_W}) // 9 = 0 AND (dy.i * {_VND_H}) // 8 = 0
+                       AND pert = 1
+                  THEN (((b*73 + f*29 + ((dx.i*{_VND_W})//9)*37
+                          + ((dy.i*{_VND_H})//8)*101)
+                         * 2654435761 % 4294967296) // 16777216 + 128) % 256
+                  ELSE ((b*73 + f*29 + ((dx.i*{_VND_W})//9)*37
+                         + ((dy.i*{_VND_H})//8)*101)
+                        * 2654435761 % 4294967296) // 16777216
+             END AS v
+      FROM fr,
+           UNNEST(generate_series(0, 8)) AS dx(i),
+           UNNEST(generate_series(0, 7)) AS dy(i)
+    ),
+    bits AS (
+      SELECT a.media_id, a.f, (a.y * 8 + a.x) AS i,
+             CASE WHEN r.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM px a
+      JOIN px r ON r.media_id = a.media_id AND r.f = a.f
+                AND r.y = a.y AND r.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    h AS (
+      SELECT media_id, f,
+             SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS hi,
+             SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS lo,
+             SUM(bit) AS tbits
+      FROM bits GROUP BY media_id, f
+    ),
+    tex AS (SELECT media_id, SUM(tbits) AS texture_bits FROM h GROUP BY media_id),
+    fm AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b, a.f
+      FROM h a JOIN h b ON a.media_id < b.media_id AND a.f = b.f
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              <= {_DHASH_HAMMING}
+        AND a.media_id IN (SELECT media_id FROM q)
+        AND b.media_id IN (SELECT media_id FROM q)
+    ),
+    vote AS (
+      SELECT id_a, id_b FROM fm GROUP BY id_a, id_b
+      HAVING COUNT(*) >= {_VND_MAJORITY}
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM vote)
+    SELECT q.media_id,
+           CAST(q.n_frames AS BIGINT) AS n_frames,
+           CAST(q.sum_luma AS BIGINT) AS sum_luma,
+           CAST(q.var_min AS BIGINT) AS var_min,
+           CAST(t.texture_bits AS BIGINT) AS texture_bits
+    FROM q JOIN tex t ON q.media_id = t.media_id
+    WHERE q.media_id NOT IN (SELECT id_b FROM dropped)
+    """,
+    tags=("media", "video", "pixel", "pipeline", "quality", "dedup", "lsh",
+          "pandas-udf"),
+    bench=True,
+)
+def video_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VIDEO curation pipeline — the fourth modality's twin
+    of llm/media/audio_prep_corpus, every per-clip signal riding ONE
+    decode: pool the noise-clip corpus (with its planted per-frame
+    near-clones) with planted STATIC clips, extract per-sampled-frame
+    dHash + exact full-resolution integer luma stats in a single fused
+    Arrow pass (ops.video_frame_dhash_stats), drop dead-air clips on
+    the all-integer static-clip law (min over frames of
+    n*sumsq - sum^2 > 0 — which also keeps the degenerate all-zero
+    dHashes out of the band join), prune perceptual near-dups with the
+    frame-grain pigeonhole band join + exact hamming verify +
+    {MAJ}-of-3 majority vote (media_video_near_dup's certified shape;
+    canonical = lowest id), and emit the kept clips with integer
+    features (frame count, luma mass, texture bits). The DuckDB twin
+    re-derives every sampled frame's full-res stats AND dHash bits
+    from the closed-form generator laws, so one value hash certifies
+    the decode, the fused extraction, quality semantics, frame-grain
+    banding completeness, the vote, and the canonical pick.
+
+    Plan shape at 100 TB: decode dominates and runs ONCE per clip
+    (frame grain is 7 longs per sampled frame — the fused extractor is
+    the point); the band join keys include frame_idx so candidates
+    track true near-dup density, never clips^2; the vote and the
+    anti-join are match-grain. Benched."""
+    from etl_orders_spark.multimodal.ops import video_frame_dhash_stats
+    from etl_orders_spark.multimodal.schemas import (
+        gen_flat_y4m_media,
+        gen_noise_y4m_media,
+    )
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    pool = gen_noise_y4m_media(spark, _N_VNOISE).unionByName(
+        gen_flat_y4m_media(spark, _VPREP_N_FLAT, start=_VPREP_FLAT_START)
+    )
+    st = cache_stage(
+        video_frame_dhash_stats(
+            pool, every_n=_VIDEO_EVERY_N, max_frames=_VIDEO_MAX_FRAMES
+        ),
+        "video_prep.st",
+    )
+    var_num = (
+        F.col("n_pixels") * F.col("sumsq_luma")
+        - F.col("sum_luma") * F.col("sum_luma")
+    )
+    clip = st.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("sum_luma").cast("long").alias("sum_luma"),
+        F.min(var_num).cast("long").alias("var_min"),
+        F.sum(F.bit_count("dhash_hi") + F.bit_count("dhash_lo"))
+        .cast("long")
+        .alias("texture_bits"),
+    )
+    q = clip.filter(F.col("var_min") > 0)
+    qf = st.join(q.select("media_id"), "media_id").select(
+        "media_id", "frame_idx", "dhash_hi", "dhash_lo"
+    )
+    slices = F.array(
+        F.struct(F.lit(0).alias("bidx"), F.expr("dhash_hi & 65535").alias("s")),
+        F.struct(F.lit(1).alias("bidx"), F.expr("shiftright(dhash_hi, 16) & 65535").alias("s")),
+        F.struct(F.lit(2).alias("bidx"), F.expr("dhash_lo & 65535").alias("s")),
+        F.struct(F.lit(3).alias("bidx"), F.expr("shiftright(dhash_lo, 16) & 65535").alias("s")),
+    )
+    bands = qf.select(
+        "media_id", "frame_idx", F.explode(slices).alias("band")
+    ).select("media_id", "frame_idx", "band.bidx", "band.s")
+    cand = (
+        bands.toDF("id_a", "f", "bidx", "s")
+        .join(
+            bands.toDF("id_b", "f2", "bidx2", "s2"),
+            (F.col("f") == F.col("f2"))
+            & (F.col("bidx") == F.col("bidx2"))
+            & (F.col("s") == F.col("s2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "f")
+        .distinct()
+    )
+    ha = qf.toDF("id_a", "f", "hi_a", "lo_a")
+    hb = qf.toDF("id_b", "f", "hi_b", "lo_b")
+    hamming = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long")
+    dropped = (
+        cand.join(ha, ["id_a", "f"])
+        .join(hb, ["id_b", "f"])
+        .filter(hamming <= _DHASH_HAMMING)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_fm"))
+        .filter(F.col("_fm") >= _VND_MAJORITY)
+        .select(F.col("id_b").alias("media_id"))
+        .distinct()
+    )
+    return q.join(dropped, "media_id", "left_anti").select(
+        "media_id", "n_frames", "sum_luma", "var_min", "texture_bits"
+    )
+
+
+video_prep_corpus.__doc__ = video_prep_corpus.__doc__.format(MAJ=_VND_MAJORITY)

@@ -398,3 +398,24 @@ def test_audio_prep_corpus_drops_silence_and_dedups_by_bin(spark, sf_dir):
     assert sorted(bins) == list(range(3, 43))
     for r in rows:
         assert r.sum_abs > 0 and r.dominant_bin == 3 + r.media_id % 40
+
+
+def test_video_prep_corpus_drops_static_and_planted_clones(spark, sf_dir):
+    """Video pipeline pins (round 11 — fourth modality's end-to-end
+    twin): every planted STATIC clip (6100..6109, zero variance in
+    every frame) is gone, every planted per-frame near-clone
+    (id % 5 == 4, hamming <= 1 from id-1 on all sampled frames, so the
+    clone is always the dropped side) is gone, survivors carry
+    positive integer min-variance, the full sampled-frame count, and
+    real texture; and the canonical id 0 survives (nothing below it
+    can drop it)."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["video_prep_corpus"](spark, sf_dir).collect()
+    kept = {r.media_id for r in rows}
+    assert kept, "pipeline dropped everything"
+    assert not (kept & set(range(6100, 6110))), "a static clip survived"
+    assert not {k for k in kept if k % 5 == 4}, "a planted clone survived dedup"
+    assert 0 in kept
+    for r in rows:
+        assert r.var_min > 0 and r.n_frames == 3 and r.texture_bits > 0
