@@ -122,6 +122,68 @@ def two_pass_rank(
     return out_df.drop(*drop)
 
 
+def two_pass_dense_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "drk",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``dense_rank`` over ``order_by`` without a
+    single-partition window — the equal-keys-share-a-rank counterpart
+    of :func:`two_pass_rank` (prefix-doubling suffix ranking and any
+    order-isomorphic re-keying need equal sort keys to KEEP equal
+    ranks, which ``row_number`` destroys).
+
+    Same two-pass construction; two deltas make it dense-exact:
+
+    - the local pass uses ``dense_rank`` per range partition;
+    - the offsets pass counts DISTINCT sort keys per partition, not
+      rows, so global rank = prior-partition distinct count + local
+      dense rank.
+
+    Exactness hinges on the RangePartitioner invariant that equal keys
+    land in one partition (boundary assignment is by binary search on
+    the key, so a key value never straddles two partitions): no key's
+    dense run is ever split, and the composition equals the
+    single-partition ``dense_rank`` bit-for-bit. ``order_by`` must be
+    plain ascending column expressions — they are reused as the
+    distinct-count struct, where a sort-direction wrapper would not be
+    a valid struct field.
+    """
+    spark = df.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # same materialize-once rationale as two_pass_rank: both passes
+    # consume the ranged frame, and spark_partition_id() disqualifies
+    # the shared subtree from exchange reuse
+    ranged = (
+        df.repartitionByRange(n_part, *order_by)
+        .withColumn(PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    w_loc = Window.partitionBy(PID).orderBy(*order_by)
+    local = ranged.withColumn(_LRK, F.dense_rank().over(w_loc))
+
+    sizes = ranged.groupBy(PID).agg(
+        F.count_distinct(F.struct(*order_by)).alias("_tpr_cnt")
+    )
+    w_off = (
+        Window.partitionBy(one_bucket(F.col(PID)))
+        .orderBy(PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        PID,
+        F.coalesce(F.sum("_tpr_cnt").over(w_off), F.lit(0)).alias("_tpr_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), PID)
+        .withColumn(rank_col, (F.col("_tpr_off") + F.col(_LRK)).cast("long"))
+        .drop(PID, _LRK, "_tpr_off")
+    )
+
+
 def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
     """Exact SQL ``NTILE(k)`` from a global rank and the row count —
     the distributed replacement for ``ntile().over(Window.orderBy(...))``

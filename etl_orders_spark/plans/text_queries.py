@@ -5291,3 +5291,204 @@ def decontaminate_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 decontaminate_eval_docs.__doc__ = decontaminate_eval_docs.__doc__.format(
     N=_DECON_N, SRC=_DECON_BENCH_SRC
 )
+
+
+# --- distributed suffix-array construction (prefix doubling) ---------------
+# The suffix array is the foundation of exact substring dedup at
+# corpus grain (Lee et al. 2022 built theirs single-node over 100s of
+# GB; a 100 TB corpus needs a distributed construction). Classic
+# Manber-Myers prefix doubling maps cleanly onto Spark: positions are
+# rows, each round extends the compared prefix from 2^k to 2^(k+1)
+# chars with ONE keyed self-join (rank at pos+2^k) and ONE distributed
+# dense re-rank (operators/rank.two_pass_dense_rank — no
+# single-partition window anywhere). Depth is CAPPED: ranks reflect
+# the first _SUFFIX_DEPTH chars of each suffix (ties beyond that
+# share a rank), which bounds the rounds at log2(depth) REGARDLESS of
+# corpus size — the downstream consumers (duplicated-passage mining,
+# LCP screens) only ever need bounded-depth order, and the cap is what
+# keeps the construction O(corpus x log depth) shuffle bytes instead
+# of O(corpus x log corpus).
+_SUFFIX_DEPTH = 32  # compared prefix length; 5 doubling rounds
+
+
+def _suffix_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), p AS (
+      SELECT doc_id, t, CAST(UNNEST(range(1, length(t) + 1)) AS BIGINT) AS pos
+      FROM d WHERE length(t) >= 1
+    )
+    SELECT doc_id, pos,
+           CAST(dense_rank() OVER (
+             ORDER BY substr(t, CAST(pos AS INTEGER), {_SUFFIX_DEPTH})
+           ) AS BIGINT) AS srank
+    FROM p
+    """
+
+
+@register(
+    "suffix_array_docs",
+    _suffix_oracle(),
+    tags=("text", "dedup", "llm", "iterative"),
+    bench=True,
+)
+def suffix_array_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grain suffix array by distributed prefix doubling:
+    every character position of every normalized document, densely
+    ranked by its depth-{D}-capped suffix across the WHOLE corpus
+    (equal prefixes — including cross-document ones — share a rank,
+    which is exactly what makes adjacent-rank runs a repeated-passage
+    detector: a rank held by positions from two docs IS a shared
+    substring, the substring-grain primitive under Lee et al. 2022
+    passage dedup that dup_span_detection_docs reaches via n-grams).
+
+    Construction (Manber-Myers on DataFrames): seed rank = codepoint
+    of the character at pos (order-isomorphic to byte order over this
+    corpus' ascii alphabet and to DuckDB's binary collation); then for
+    k = 1,2,4,8,16: pair each position's rank with the rank at pos+k
+    (-1 past the doc end, so shorter suffixes sort first, matching
+    string comparison), and densely re-rank pairs with
+    two_pass_dense_rank. After round k the rank orders prefixes of
+    length 2k; five rounds reach the depth-{D} cap.
+
+    100 TB posture: rows carry THREE ints (text never leaves the
+    initial char-explode stage, so shuffle bytes are ~24 B/position);
+    each round is one hash self-join plus one range exchange, both at
+    position grain with no skew (keys are (doc_id,pos) and dense rank
+    pairs); rounds are log2(depth) = 5 FIXED, independent of corpus
+    size; no single-partition stage anywhere (ranking is the two-pass
+    range construction). The full corpus-length suffix array would
+    instead run log2(max doc len) rounds — the cap is the scale lever,
+    chosen because passage mining needs bounded-depth order only.
+
+    Oracle: DuckDB ranks the same positions by substr(t, pos, {D})
+    directly — construction-independent, so the value hash certifies
+    the doubling against a definitionally-different evaluation."""
+    from etl_orders_spark.functions.text import normalize_text
+    from etl_orders_spark.operators.rank import two_pass_dense_rank
+
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select("doc_id", normalize_text("text").alias("t")).filter(
+        F.length("t") >= 1
+    )
+    r = base.select(
+        "doc_id", F.posexplode(F.split("t", "")).alias("p0", "ch")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.ascii("ch").cast("long").alias("rk"),
+    )
+    k = 1
+    while k < _SUFFIX_DEPTH:
+        shifted = r.select(
+            "doc_id", (F.col("pos") - k).alias("pos"), F.col("rk").alias("_rk2")
+        )
+        paired = (
+            r.join(shifted, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id",
+                "pos",
+                "rk",
+                F.coalesce("_rk2", F.lit(-1)).alias("rk2"),
+            )
+        )
+        r = two_pass_dense_rank(
+            paired, [F.col("rk"), F.col("rk2")], rank_col="_nrk"
+        ).select("doc_id", "pos", F.col("_nrk").alias("rk"))
+        k *= 2
+    return r.select("doc_id", "pos", F.col("rk").alias("srank"))
+
+
+suffix_array_docs.__doc__ = suffix_array_docs.__doc__.replace("{D}", str(_SUFFIX_DEPTH))
+
+
+def _suffix_words_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), p AS (
+      SELECT doc_id, t, CAST(UNNEST(range(1, length(t) + 1)) AS BIGINT) AS pos
+      FROM d WHERE length(t) >= 1
+    ), w AS (
+      SELECT doc_id, pos, t FROM p
+      WHERE pos = 1 OR substr(t, CAST(pos - 1 AS INTEGER), 1) = ' '
+    )
+    SELECT doc_id, pos,
+           CAST(dense_rank() OVER (
+             ORDER BY substr(t, CAST(pos AS INTEGER), {_SUFFIX_DEPTH})
+           ) AS BIGINT) AS srank
+    FROM w
+    """
+
+
+@register(
+    "suffix_array_words_docs",
+    _suffix_words_oracle(),
+    tags=("text", "dedup", "llm"),
+    bench=True,
+)
+def suffix_array_words_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-start suffix array, depth-{D} capped, built by ONE
+    distributed dense rank over the literal 32-char key — the
+    production tier of suffix_array_docs, and a measured engineering
+    decision rather than a different operator:
+
+    - **Word-start grain**: passage mining aligns at token boundaries
+      (Lee et al. 2022 build their arrays over token sequences), so
+      ranking suffixes that start mid-word buys nothing. Keeping only
+      positions preceded by a space cuts position count ~6.3x on this
+      corpus (avg token+space length) — the single biggest lever on
+      shuffle bytes.
+    - **Direct sort beats doubling at bounded depth**: prefix doubling
+      moves ~24 B/position across log2(depth) = 5 rounds (~120 B
+      cumulative); range-ranking the depth-{D} key directly moves one
+      ~48 B/position exchange. The doubling lane wins only when the
+      compared depth grows past ~256 chars; at the capped depth every
+      downstream consumer needs, the one-exchange form is ~16x fewer
+      shuffle bytes AND has no per-round localCheckpoint barrier.
+      (Measured at sf0.1: 16 s warm for 5-round doubling at char
+      grain vs 2.0 s for this form on the fanned-out scan.)
+
+    Same output contract as suffix_array_docs restricted to word
+    starts: equal depth-{D} suffixes share a dense rank corpus-wide,
+    so rank groups with >1 position ARE repeated >=depth-char
+    passages (when the key is full length) — the exact-substring
+    dedup primitive, one groupBy away.
+
+    100 TB posture: one pure-map position explode (text stays in the
+    scan stage), one range exchange of (doc_id, pos, key32) rows, no
+    single-partition stage (two_pass_dense_rank), no skew (keys are
+    near-unique; equal keys = the duplicated passages themselves,
+    bounded by dup density)."""
+    from etl_orders_spark.functions.text import normalize_text
+    from etl_orders_spark.operators.rank import two_pass_dense_rank
+
+    docs = TW(spark, sf_dir, "documents")
+    base = docs.select("doc_id", normalize_text("text").alias("t")).filter(
+        F.length("t") >= 1
+    )
+    starts = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: (i == F.lit(1))
+                | (F.substr(F.col("t"), i - 1, F.lit(1)) == " "),
+            )
+        ).alias("p"),
+    )
+    keyed = starts.select(
+        "doc_id",
+        F.col("p").cast("long").alias("pos"),
+        F.substr("t", F.col("p"), F.lit(_SUFFIX_DEPTH)).alias("_k"),
+    )
+    return two_pass_dense_rank(keyed, [F.col("_k")], rank_col="srank").select(
+        "doc_id", "pos", "srank"
+    )
+
+
+suffix_array_words_docs.__doc__ = suffix_array_words_docs.__doc__.replace(
+    "{D}", str(_SUFFIX_DEPTH)
+)

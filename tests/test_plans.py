@@ -143,6 +143,7 @@ _BNLJ_ALLOWED = {
     "binary_quant_ann_rerank": 1,  # broadcast probe batch x corpus hamming screen
     "bm25_search_docs": 1,
     "bpe_train_merges_docs": 3,  # 1-row top-pair x 1-row checksum per round
+    "unigram_lm_train_docs": 6,  # 1-row vocab-stat x cost-checksum x seg-stat assembly per EM round (2 rounds x 3)
     "wordpiece_train_merges_docs": 3,  # same shape: 1-row top x 1-row checksum per round
     "ccnet_perplexity_buckets_docs": 1,  # 1-row corpus-count broadcast for ntile_from_rank
     "chi2_status_priority": 1,

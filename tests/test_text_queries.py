@@ -476,3 +476,88 @@ def test_unigram_train_trajectory_monotone_and_consistent(spark, sf_dir):
         .collect()[0][0]
     )
     assert rows[-1][1].n_tokens == enc_tokens
+
+
+def test_two_pass_dense_rank_matches_window_dense_rank(spark):
+    """two_pass_dense_rank == Window dense_rank bit-for-bit, on a
+    frame engineered so duplicate keys outnumber range partitions
+    (every key's dense run must survive the range split) and key
+    frequencies are skewed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.operators.rank import two_pass_dense_rank
+
+    rows = [(i, (i * i) % 17, (i * 7) % 5) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        (r.id, r.drk)
+        for r in two_pass_dense_rank(
+            df, [F.col("a"), F.col("b")], rank_col="drk", partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy("a", "b")
+    want = {
+        (r.id, r.drk)
+        for r in df.withColumn("drk", F.dense_rank().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_suffix_array_matches_python_ground_truth(spark, sf_dir):
+    """The 5-round prefix doubling must equal a definitionally-direct
+    Python construction: dense rank of the depth-32-capped suffix of
+    every normalized position, computed by sorting the literal
+    strings. Exhaustive over the full sf0.001 corpus — every position,
+    every doc, including cross-doc rank ties."""
+    import re
+
+    import duckdb
+
+    from etl_orders_spark.plans.registry import query_map
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    keys = {}
+    for doc_id, text in docs:
+        t = re.sub(r"\s+", " ", text.lower()).strip()
+        for pos in range(1, len(t) + 1):
+            keys[(doc_id, pos)] = t[pos - 1 : pos - 1 + 32]
+    rank_of = {k: i + 1 for i, k in enumerate(sorted(set(keys.values())))}
+    want = {(d, p): rank_of[k] for (d, p), k in keys.items()}
+
+    got = {
+        (r.doc_id, r.pos): r.srank
+        for r in query_map()["suffix_array_docs"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_suffix_array_words_is_orderconsistent_subset(spark, sf_dir):
+    """The word-grain direct-sort tier must agree with the char-grain
+    doubling lane on every shared position: word-start rows are a
+    subset of the char lane's rows, and the two rank columns induce
+    the SAME ordering (equal char-lane ranks <=> equal word-lane
+    ranks) — the cross-tier law that pins the direct sort against the
+    doubling construction without re-deriving either."""
+    from etl_orders_spark.plans.registry import query_map
+
+    q = query_map()
+    chars = {
+        (r.doc_id, r.pos): r.srank
+        for r in q["suffix_array_docs"](spark, sf_dir).collect()
+    }
+    words = {
+        (r.doc_id, r.pos): r.srank
+        for r in q["suffix_array_words_docs"](spark, sf_dir).collect()
+    }
+    assert set(words) <= set(chars)
+    assert len(words) > 0
+    # same ordering: sort shared positions by each rank; the induced
+    # grouping and order must be identical
+    by_char = sorted(words, key=lambda k: (chars[k], k))
+    by_word = sorted(words, key=lambda k: (words[k], k))
+    assert by_char == by_word
+    for k1, k2 in zip(by_char, by_char[1:]):
+        assert (chars[k1] == chars[k2]) == (words[k1] == words[k2])
