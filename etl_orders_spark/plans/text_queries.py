@@ -5492,3 +5492,177 @@ def suffix_array_words_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 suffix_array_words_docs.__doc__ = suffix_array_words_docs.__doc__.replace(
     "{D}", str(_SUFFIX_DEPTH)
 )
+
+
+# --- Bloom-filter prefilter for incremental dedup ---------------------------
+# The staged-index knee probe (SCALE.md round 11) measured what
+# happens when the historical fingerprint table outgrows the
+# broadcast threshold: the day batch pays a corpus-keyed shuffled
+# join. A Bloom filter is the classic way to NOT pay it for the
+# overwhelmingly-novel majority of a crawl batch: compress the
+# historical fingerprint set to m = 2^ceil(log2(8 x n_hist)) bits
+# (~1 byte/doc), probe every increment doc against the bit set
+# map-side, and send ONLY the maybes (true dups + the ~3% false
+# positives at 8 bits/key, k=3) into the exact verify join. No false
+# negatives, ever — a cleared bit proves novelty.
+_BLOOM_BPK = 8  # bits per historical key (m rounded up to a power of 2)
+_BLOOM_K = 3  # hash probes per key
+_BLOOM_SEEDS = (9301, 9302, 9303)  # disjoint from the minhash seed space
+
+
+def _bloom_hash_spark(j: int, col: str, m: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{_BLOOM_SEEDS[j]}|"), F.col(col))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+def _bloom_oracle() -> str:
+    clone_src = ", ".join(str(i) for i in _INC_CLONE_SRC)
+    probes = ", ".join(
+        f"{_sql_hash(s, 'f')} % m" for s in _BLOOM_SEEDS
+    )
+    return f"""
+    WITH hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+    ), inc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT {_INC_CLONE_BASE} + doc_id, text FROM documents
+      WHERE doc_id IN ({clone_src})
+    ), mm AS (
+      SELECT CAST(POW(2, CEIL(LOG2({_BLOOM_BPK} * COUNT(*)))) AS BIGINT) AS m
+      FROM hist
+    ), hfp AS (
+      SELECT DISTINCT md5({_NORM}) AS f FROM hist
+    ), bits AS (
+      SELECT DISTINCT UNNEST([{probes}]) AS bit FROM hfp, mm
+    ), ifp AS (
+      SELECT doc_id, md5({_NORM}) AS f FROM inc
+    ), pb AS (
+      SELECT doc_id, f, UNNEST([{probes}]) AS bit FROM ifp, mm
+    ), hits AS (
+      SELECT doc_id, f,
+             CAST(SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_hits
+      FROM pb LEFT JOIN bits b USING (bit) GROUP BY doc_id, f
+    ), ex AS (
+      SELECT h.doc_id FROM hits h
+      WHERE h.bloom_hits = {_BLOOM_K}
+        AND EXISTS (SELECT 1 FROM hfp WHERE hfp.f = h.f)
+    )
+    SELECT doc_id, bloom_hits,
+           bloom_hits = {_BLOOM_K} AS bloom_maybe,
+           doc_id IN (SELECT doc_id FROM ex) AS is_exact_dup,
+           CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'drop_exact'
+                WHEN bloom_hits = {_BLOOM_K} THEN 'bloom_fp'
+                ELSE 'skip_novel' END AS verdict
+    FROM hits
+    """
+
+
+@register(
+    "bloom_prefilter_incremental_docs",
+    _bloom_oracle(),
+    tags=("text", "dedup", "sketch", "incremental", "curation", "pipeline"),
+    bench=True,
+)
+def bloom_prefilter_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened incremental exact dedup: the day batch probes an
+    m-bit Bloom filter of the historical fingerprint set BEFORE any
+    join against the historical index, so only Bloom maybes (true
+    duplicates plus the filter's false positives) ever reach the
+    exact verify — the novel majority of a crawl batch is dismissed
+    map-side. Same hist/inc split and planted byte-exact clones as
+    incremental_dedup_verdicts_docs, so the drop_exact branch is
+    non-vacuous by construction; at 8 bits/key the fixture's FP rate
+    (~3%) keeps the bloom_fp branch occupied too, making all three
+    verdicts hashed surfaces.
+
+    Construction (all relational, no bit-array UDF): the filter IS a
+    distinct (bit) table — k = {K} portable md5 probes per historical
+    fingerprint, bit = h_j(f) mod m with m = 2^ceil(log2({BPK} x
+    n_hist)) sized from the data. The probe side explodes each
+    increment doc to its k bits, left-joins the bit table, and a doc
+    is a maybe iff all k bits hit. The Bloom law — NO false negatives
+    — is structural: an exact dup's fingerprint set every one of its
+    own bits when the filter was built.
+
+    100 TB posture: the bit table is m distinct longs (~1 byte per
+    historical doc as a bitmap; the relational form carries 8 B/bit
+    but only SET bits exist as rows) and broadcasts while m fits an
+    executor (~10^10 historical docs); past that the SAME plan holds
+    with the bit join shuffled on `bit` — the explode/join/regroup
+    shape is join-strategy-agnostic, which is why the filter is a
+    table and not a driver-side bitmap. The exact verify join's input
+    shrinks from |batch| to |dups| + eps|batch| (eps = FP rate), which
+    is the entire point: the staged-index shuffled-join knee
+    (SCALE.md round 11) is paid only by maybes. n_hist reaches the
+    driver as ONE bounded count (the m sizing), mirrored exactly by
+    the oracle's scalar subquery.
+
+    Cites: Bloom 1970 CACM; the FP-rate law (1 - e^(-kn/m))^k."""
+    import math
+
+    from etl_orders_spark.functions.text import fingerprint
+
+    hist, inc = _inc_split(spark, sf_dir)
+    n_hist = hist.count()  # bounded scalar: sizes the filter
+    m = 1 << math.ceil(math.log2(_BLOOM_BPK * n_hist))
+
+    hfp = hist.select(fingerprint("text").alias("f")).distinct()
+    bits = (
+        hfp.select(
+            F.explode(
+                F.array(*[_bloom_hash_spark(j, "f", m) for j in range(_BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+
+    ifp = inc.select("doc_id", fingerprint("text").alias("f"))
+    pb = ifp.select(
+        "doc_id",
+        "f",
+        F.explode(
+            F.array(*[_bloom_hash_spark(j, "f", m) for j in range(_BLOOM_K)])
+        ).alias("bit"),
+    )
+    hits = (
+        pb.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "f")
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).cast("long").alias("bloom_hits"))
+    )
+    # exact verify: ONLY maybes reach the historical-fingerprint join
+    ex = (
+        hits.filter(F.col("bloom_hits") == _BLOOM_K)
+        .join(hfp.withColumnRenamed("f", "_hf"), F.col("f") == F.col("_hf"), "left_semi")
+        .select("doc_id", F.lit(True).alias("_ex"))
+    )
+    return (
+        # ex is match-grain (maybes that verified) — broadcast so the
+        # verdict join never shuffles the batch side
+        hits.join(F.broadcast(ex), "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hits",
+            (F.col("bloom_hits") == _BLOOM_K).alias("bloom_maybe"),
+            F.coalesce("_ex", F.lit(False)).alias("is_exact_dup"),
+            F.when(F.col("_ex"), "drop_exact")
+            .when(F.col("bloom_hits") == _BLOOM_K, "bloom_fp")
+            .otherwise("skip_novel")
+            .alias("verdict"),
+        )
+    )
+
+
+bloom_prefilter_incremental_docs.__doc__ = (
+    bloom_prefilter_incremental_docs.__doc__.replace("{K}", str(_BLOOM_K)).replace(
+        "{BPK}", str(_BLOOM_BPK)
+    )
+)

@@ -561,3 +561,31 @@ def test_suffix_array_words_is_orderconsistent_subset(spark, sf_dir):
     assert by_char == by_word
     for k1, k2 in zip(by_char, by_char[1:]):
         assert (chars[k1] == chars[k2]) == (words[k1] == words[k2])
+
+
+def test_bloom_prefilter_no_false_negatives_and_agrees_with_exact(spark, sf_dir):
+    """The Bloom laws, pinned against the full exact screen: (1) NO
+    false negatives — every doc the incremental lane calls an exact
+    dup must be a Bloom maybe AND drop_exact here; (2) every
+    drop_exact matches the exact lane's is_exact_dup verdict exactly;
+    (3) bloom_fp rows are genuinely novel (the FP branch is honest);
+    (4) the planted clones all land in drop_exact."""
+    from etl_orders_spark.plans.registry import query_map
+    from etl_orders_spark.plans.text_queries import _INC_CLONE_BASE, _INC_CLONE_SRC
+
+    q = query_map()
+    bloom = {r.doc_id: r for r in q["bloom_prefilter_incremental_docs"](spark, sf_dir).collect()}
+    exact = {
+        r.doc_id: r.is_exact_dup
+        for r in q["incremental_dedup_verdicts_docs"](spark, sf_dir).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, is_dup in exact.items():
+        b = bloom[doc_id]
+        if is_dup:
+            assert b.bloom_maybe and b.is_exact_dup and b.verdict == "drop_exact"
+        else:
+            assert not b.is_exact_dup
+            assert b.verdict == ("bloom_fp" if b.bloom_maybe else "skip_novel")
+    for src in _INC_CLONE_SRC:
+        assert bloom[_INC_CLONE_BASE + src].verdict == "drop_exact"
