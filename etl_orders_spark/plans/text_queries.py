@@ -5666,3 +5666,243 @@ bloom_prefilter_incremental_docs.__doc__ = (
         "{BPK}", str(_BLOOM_BPK)
     )
 )
+
+
+# --- HTML main-text extraction (web-curation gate) --------------------------
+# The step every web-scale corpus runs before any dedup/quality gate:
+# raw HTML -> main text (CommonCrawl WET / trafilatura / jusText
+# territory). The fixture TEMPLATES deterministic HTML from
+# `documents` in-plan — head with style+script junk that must not
+# leak, nav/footer link bars, the doc's text as <p> paragraphs, and a
+# planted link-spam paragraph — then extracts: strip script/style,
+# pull block elements, drop non-<p> blocks and any <p> whose link
+# density exceeds 25% (4 x links > tokens), reassemble. Because the
+# planted pipeline is lossless for true content, extraction must
+# recover EXACTLY the normalized document text — the `recovered`
+# column is that law as a hashed surface.
+_HTML_CHUNK = 20  # tokens per templated <p>
+_HTML_SPAM = (
+    '<p><a href="/x">click</a> <a href="/y">here</a> <a href="/z">now</a> offer</p>'
+)
+_HTML_NAV = '<nav><a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a></nav>'
+_HTML_FOOT = '<footer><a href="/p">privacy</a> <a href="/t">terms</a></footer>'
+_HTML_HEAD = (
+    "<html><head><title>page</title><style>p{color:red}</style>"
+    "<script>var x=1; if(x<2){x=3}</script></head><body>"
+)
+_RX_SCRIPT = r"(?s)<script[^>]*>.*?</script>"
+_RX_STYLE = r"(?s)<style[^>]*>.*?</style>"
+_RX_BLOCK = r"(?s)<(?:p|nav|footer)[^>]*>.*?</(?:p|nav|footer)>"
+_RX_TAG = r"<[^>]*>"
+_RX_LINK = r"<a "
+
+
+def _html_oracle() -> str:
+    c = _HTML_CHUNK
+    # block-level helpers as SQL lambdas (DuckDB list functions)
+    inner = (
+        "trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    btoks = f"CASE WHEN {inner} = '' THEN 0 ELSE len(string_split({inner}, ' ')) END"
+    blinks = "len(regexp_extract_all(b, '<a '))"
+    keep = f"b LIKE '<p%' AND 4 * {blinks} <= {btoks}"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS toks
+      FROM d
+    ), page AS (
+      SELECT doc_id, t,
+             '{_HTML_HEAD}{_HTML_NAV}'
+             || CASE WHEN len(toks) = 0 THEN ''
+                ELSE array_to_string(list_transform(
+                  range(0, CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
+                  i -> '<p>' || array_to_string(
+                         list_slice(toks, i * {c} + 1, i * {c} + {c}), ' ')
+                       || '</p>'), '') END
+             || '{_HTML_SPAM}{_HTML_FOOT}</body></html>' AS html
+      FROM tok
+    ), clean AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(html,
+               '{_RX_SCRIPT}', ' ', 'gs'), '{_RX_STYLE}', ' ', 'gs') AS ch
+      FROM page
+    ), blocks AS (
+      SELECT doc_id, t, ch,
+             regexp_extract_all(ch, '{_RX_BLOCK}') AS bs
+      FROM clean
+    ), kept AS (
+      SELECT doc_id, t,
+             bs,
+             list_filter(bs, b -> {keep}) AS ks,
+             len(list_filter(bs, b -> b NOT LIKE '<p%')) AS n_boiler,
+             len(regexp_extract_all(ch, '{_RX_LINK}')) AS n_links
+      FROM blocks
+    ), asm AS (
+      SELECT doc_id, t,
+             CAST(len(bs) AS BIGINT) AS n_blocks,
+             CAST(len(ks) AS BIGINT) AS n_kept,
+             CAST(n_boiler AS BIGINT) AS n_boiler,
+             CAST(len(bs) - len(ks) - n_boiler AS BIGINT) AS n_linkspam,
+             CAST(n_links AS BIGINT) AS n_links,
+             trim(regexp_replace(array_to_string(
+               list_transform(ks, b -> {inner}), ' '), '\\s+', ' ', 'g'))
+               AS kept_text
+      FROM kept
+    )
+    SELECT doc_id, n_blocks, n_kept, n_boiler, n_linkspam, n_links,
+           CAST(CASE WHEN kept_text = '' THEN 0
+                ELSE len(string_split(kept_text, ' ')) END AS BIGINT)
+             AS kept_tokens,
+           md5(kept_text) AS kept_fp,
+           kept_text = t AS recovered
+    FROM asm
+    """
+
+
+@register(
+    "html_extract_main_docs",
+    _html_oracle(),
+    tags=("text", "curation", "quality", "llm", "filter"),
+    bench=True,
+)
+def html_extract_main_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main-text extraction: the gate between a raw web crawl
+    and every downstream curation operator in this engine. Pages are
+    deterministically templated from `documents` (head with style and
+    script junk, nav/footer link bars, content as <p> paragraphs of
+    {C} tokens, one planted link-spam paragraph), then extracted by
+    the jusText-style rule set: script/style removal, block-element
+    extraction, boilerplate drop (non-<p> blocks), and a 25% link-
+    density gate (drop a paragraph when 4 x links > tokens). The
+    planted page is lossless for true content, so `recovered` — kept
+    text equals the normalized source text exactly — must be TRUE on
+    every row, turning the whole extraction into a self-certifying
+    law; the spam paragraph (3 links / 4 tokens) and the nav/footer
+    bars must land in n_linkspam / n_boiler on every page, and
+    kept_fp hashes the reassembled text for the oracle.
+
+    100 TB posture: one pure-map pass, zero exchanges before the
+    (driver-bounded) output — template, strip, extract, filter and
+    reassemble are all JVM-side regex/higher-order expressions inside
+    one whole-stage-codegen span; no UDF, no explode (blocks stay an
+    array column per doc, so block order — and therefore reassembly
+    order — is structural, not a sort). Real crawl HTML replaces the
+    template by reading WARC text into the same `html` column; every
+    rule downstream of `clean` is input-agnostic.
+
+    Cites: jusText (Pomikalek 2011) link-density heuristic; C4/
+    CommonCrawl WET extraction as the pipeline position."""
+    from etl_orders_spark.functions.text import normalize_text
+
+    docs = TW(spark, sf_dir, "documents")
+    c = _HTML_CHUNK
+    tok = docs.select(
+        "doc_id",
+        normalize_text("text").alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.when(F.col("t") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("t", " "))
+        .alias("toks"),
+    )
+    paras = F.when(F.size("toks") == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("toks") / F.lit(float(c))).cast("int") - 1
+                ),
+                lambda i: F.concat(
+                    F.lit("<p>"),
+                    F.array_join(F.slice(F.col("toks"), i * c + 1, c), " "),
+                    F.lit("</p>"),
+                ),
+            ),
+            "",
+        )
+    )
+    page = tok.select(
+        "doc_id",
+        "t",
+        F.concat(
+            F.lit(_HTML_HEAD + _HTML_NAV),
+            paras,
+            F.lit(_HTML_SPAM + _HTML_FOOT + "</body></html>"),
+        ).alias("html"),
+    )
+    clean = page.select(
+        "doc_id",
+        "t",
+        F.regexp_replace(
+            F.regexp_replace("html", _RX_SCRIPT, " "), _RX_STYLE, " "
+        ).alias("ch"),
+    )
+
+    def _inner(b):
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(b, _RX_TAG, " "), r"\s+", " ")
+        )
+
+    def _btoks(b):
+        return F.when(_inner(b) == "", F.lit(0)).otherwise(
+            F.size(F.split(_inner(b), " "))
+        )
+
+    def _blinks(b):
+        return F.size(F.regexp_extract_all(b, F.lit(_RX_LINK), F.lit(0)))
+
+    blocks = clean.select(
+        "doc_id",
+        "t",
+        "ch",
+        F.regexp_extract_all("ch", F.lit(_RX_BLOCK), F.lit(0)).alias("bs"),
+    )
+    kept = blocks.select(
+        "doc_id",
+        "t",
+        "bs",
+        F.filter(
+            "bs",
+            lambda b: b.startswith("<p") & (4 * _blinks(b) <= _btoks(b)),
+        ).alias("ks"),
+        F.size(F.filter("bs", lambda b: ~b.startswith("<p"))).alias("n_boiler"),
+        F.size(F.regexp_extract_all("ch", F.lit(_RX_LINK), F.lit(0))).alias("n_links"),
+    )
+    asm = kept.select(
+        "doc_id",
+        "t",
+        F.size("bs").cast("long").alias("n_blocks"),
+        F.size("ks").cast("long").alias("n_kept"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        (F.size("bs") - F.size("ks") - F.col("n_boiler")).cast("long").alias("n_linkspam"),
+        F.col("n_links").cast("long").alias("n_links"),
+        F.trim(
+            F.regexp_replace(
+                F.array_join(F.transform("ks", _inner), " "), r"\s+", " "
+            )
+        ).alias("kept_text"),
+    )
+    return asm.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        "n_boiler",
+        "n_linkspam",
+        "n_links",
+        F.when(F.col("kept_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("kept_text", " ")))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.md5("kept_text").alias("kept_fp"),
+        (F.col("kept_text") == F.col("t")).alias("recovered"),
+    )
+
+
+html_extract_main_docs.__doc__ = html_extract_main_docs.__doc__.replace(
+    "{C}", str(_HTML_CHUNK)
+)

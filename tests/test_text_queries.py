@@ -589,3 +589,21 @@ def test_bloom_prefilter_no_false_negatives_and_agrees_with_exact(spark, sf_dir)
             assert b.verdict == ("bloom_fp" if b.bloom_maybe else "skip_novel")
     for src in _INC_CLONE_SRC:
         assert bloom[_INC_CLONE_BASE + src].verdict == "drop_exact"
+
+
+def test_html_extraction_recovers_content_and_drops_boilerplate(spark, sf_dir):
+    """The lossless-extraction law on every templated page: kept text
+    equals the normalized source exactly (recovered TRUE), the planted
+    link-spam paragraph lands in n_linkspam, both nav and footer land
+    in n_boiler, and the block ledger adds up."""
+    from etl_orders_spark.plans.registry import query_map
+
+    rows = query_map()["html_extract_main_docs"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.recovered, r
+        assert r.n_linkspam >= 1
+        assert r.n_boiler == 2
+        assert r.n_blocks == r.n_kept + r.n_boiler + r.n_linkspam
+        # nav(3) + footer(2) + spam(3) links are always present
+        assert r.n_links == 8
