@@ -168,15 +168,22 @@ PRIORITY: tuple[str, ...] = (
     # ceded its slot in round 10 — windowed-agg grading rides the
     # harder sessionization lane, tumbling stays benched + local-green)
     "session_stats_events",
-    # LLM-data north star: dedup / text / split / privacy scrub
+    # LLM-data north star: dedup / text / split / privacy scrub.
+    # Round-11 rotation, graded the round they ship: dedup_exact_docs
+    # and minhash_lsh_pairs ceded their slots to the suffix-array and
+    # Bloom-prefilter flagships below — exact-dedup verdicts stay a
+    # graded hashed surface through bloom_prefilter_incremental_docs'
+    # exact-verify branch (and llm_prep_corpus' dedup stage), minhash
+    # banding stays graded through editdist_verified_near_dup_docs +
+    # incremental_dedup_verdicts_docs + media_video_near_dup (all
+    # banded-LSH lanes), and both ceded lanes keep their bench slots
+    # and full oracles in the local sweep
     "llm_prep_corpus",
     "redact_pii_docs",
-    "dedup_exact_docs",
-    "minhash_lsh_pairs",
     # simhash_near_pairs_docs ceded its slot late in round 10: the
-    # banded-fingerprint family keeps minhash + the editdist
-    # candidate->verify capstone below; simhash stays benched (fast
-    # twin) + local-sweep-green
+    # banded-fingerprint family keeps the editdist candidate->verify
+    # capstone below; simhash stays benched (fast twin) +
+    # local-sweep-green
     # round-10 flagships, graded THE ROUND THEY SHIPPED: the
     # candidate->Levenshtein-verify capstone (portable md5 lane
     # carries the oracle; fast + bucket-capped tiers stay benched /
@@ -234,10 +241,23 @@ PRIORITY: tuple[str, ...] = (
     # #1): from-scratch Huffman + IDCT with an all-ones-quant exactness
     # law and a full pixel value-hash oracle
     "media_jpeg_pixel_stats",
-    # interpolated Kneser-Ney trigram LM (round 10): continuation
-    # counts at two levels, micro-nat integer NLL, model tables from
-    # one distinct-trigram rollup
-    "kneser_ney_trigram_docs",
+    # kneser_ney_trigram_docs (driver-green in r10) ceded its slot in
+    # round 11 to the HTML-extraction gate below; LM-grain quality
+    # scoring stays graded via ccnet_perplexity_buckets_docs, and KN
+    # keeps its bench slot + full oracle in the local sweep
+    # round-11 flagships, graded the round they ship: the distributed
+    # suffix-array construction (Manber-Myers prefix doubling on
+    # DataFrames, two_pass_dense_rank underneath, construction-
+    # independent substr oracle — the substring-grain primitive under
+    # exact passage dedup; the word-grain direct-sort tier holds the
+    # bench slot), the Bloom-filter prefilter that keeps the novel
+    # majority of a crawl batch out of the staged-index shuffled join
+    # (all three verdicts are occupied hashed surfaces at sf0.01),
+    # and the HTML main-text extraction gate (jusText-style link-
+    # density boilerplate removal with a lossless-recovery law)
+    "suffix_array_docs",
+    "bloom_prefilter_incremental_docs",
+    "html_extract_main_docs",
     # round-11 rotation (VERDICT r10 #3): end-to-end curation graded
     # in ALL THREE modalities, not just text — the fused image and
     # audio pipelines (decode once -> integer quality gate -> band /
