@@ -1244,3 +1244,143 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 2).alias("avg_k"),
         )
     )
+
+
+# --- interval-overlap join (no equality key) --------------------------------
+# J4's range join keeps an equi-key (user_id) and ranges within it;
+# the harder shape is interval x interval OVERLAP with NO equality
+# key at all — promo windows against shipment transit windows here.
+# The scalable construction is bucket banding: replicate each
+# interval to the fixed-width time buckets it spans, hash-join on
+# bucket, filter true overlap, and count each pair exactly ONCE by
+# keeping it only in the bucket of greatest(start_a, start_b) — which
+# lies inside both intervals whenever they overlap, so no DISTINCT
+# exchange is ever needed. Replication factor = interval span /
+# bucket width (bounded and tunable); both sides stay keyed, so the
+# plan survives BOTH sides being large — the regime where the
+# broadcast range join and the sort-based IEJoin single-node forms
+# give out.
+_IOV_BUCKET_DAYS = 30
+_IOV_N_PROMOS = 24
+_IOV_PROMO_EVERY = 90  # days between promo starts
+_IOV_PROMO_LEN = 13  # p_end = p_start + 13 (14-day window)
+_IOV_EPOCH = "1970-01-01"
+_IOV_BASE = "1995-01-01"
+
+
+def _iov_oracle() -> str:
+    return f"""
+    WITH promos AS (
+      SELECT CAST(i AS BIGINT) AS promo_id,
+             DATE '{_IOV_BASE}' + CAST({_IOV_PROMO_EVERY} * i AS INTEGER) AS p_start,
+             DATE '{_IOV_BASE}' + CAST({_IOV_PROMO_EVERY} * i + {_IOV_PROMO_LEN} AS INTEGER) AS p_end
+      FROM range(0, {_IOV_N_PROMOS}) t(i)
+    ), li AS (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1 - l_discount) AS rev,
+             CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE)
+               + CAST(l_orderkey % 20 + 3 AS INTEGER) AS r
+      FROM lineitem
+    ), hits AS (
+      SELECT p.promo_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shipments,
+             ROUND(SUM(rev), 2) AS revenue
+      FROM li JOIN promos p ON li.s <= p.p_end AND p.p_start <= li.r
+      GROUP BY p.promo_id
+    )
+    SELECT p.promo_id, p.p_start,
+           CAST(COALESCE(h.n_shipments, 0) AS BIGINT) AS n_shipments,
+           COALESCE(h.revenue, 0.0) AS revenue
+    FROM promos p LEFT JOIN hits h USING (promo_id)
+    """
+
+
+@register(
+    "interval_overlap_promo_shipments",
+    _iov_oracle(),
+    tags=("join", "range", "analytics"),
+    bench=True,
+)
+def interval_overlap_promo_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equality key, by bucket
+    banding: each shipment's transit window [shipdate, shipdate +
+    (orderkey%20+3) days] is matched against every 14-day promo window
+    it overlaps, per-promo shipment counts and revenue out. Both
+    interval sets are replicated to the {W}-day buckets they span and
+    hash-joined ON BUCKET; true overlap is a post-join filter, and
+    the pair is kept only in bucket(greatest(both starts)) — a point
+    inside both intervals whenever they overlap — so each pair counts
+    exactly once with NO distinct exchange.
+
+    100 TB posture: this is the keyed form of the range-join problem —
+    replication factor is span/bucket_width (here <= 2 rows per
+    interval), the join is an ordinary hash join on a dense integer
+    key, and NEITHER side needs to fit in memory (the broadcast range
+    join and single-node IEJoin both assume one side does). Bucket
+    width is the knob: wider buckets = fewer replicas but more
+    false-candidate pairs for the overlap filter; the right setting
+    matches the typical interval span. Oracle: DuckDB evaluates the
+    overlap predicate directly (its IEJoin), construction-independent
+    of the banding."""
+    promos = spark.range(_IOV_N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        F.date_add(
+            F.to_date(F.lit(_IOV_BASE)), (F.col("id") * _IOV_PROMO_EVERY).cast("int")
+        ).alias("p_start"),
+        F.date_add(
+            F.to_date(F.lit(_IOV_BASE)),
+            (F.col("id") * _IOV_PROMO_EVERY + _IOV_PROMO_LEN).cast("int"),
+        ).alias("p_end"),
+    )
+    epoch = F.to_date(F.lit(_IOV_EPOCH))
+    li = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"), (F.col("l_orderkey") % 20 + 3).cast("int")
+        ).alias("r"),
+    )
+    w = _IOV_BUCKET_DAYS
+
+    def _bucketed(df, a, b):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.datediff(F.col(a), epoch) / w),
+                    F.floor(F.datediff(F.col(b), epoch) / w),
+                )
+            ),
+        )
+
+    pb = _bucketed(promos, "p_start", "p_end")
+    lb = _bucketed(li, "s", "r")
+    hits = (
+        lb.join(pb, "bucket")
+        .filter(
+            (F.col("s") <= F.col("p_end"))
+            & (F.col("p_start") <= F.col("r"))
+            # count-once: only in the bucket of the later start
+            & (
+                F.col("bucket")
+                == F.floor(
+                    F.datediff(F.greatest("s", "p_start"), epoch) / w
+                )
+            )
+        )
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shipments"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+    return (
+        promos.join(F.broadcast(hits), "promo_id", "left")
+        .select(
+            "promo_id",
+            "p_start",
+            F.coalesce("n_shipments", F.lit(0)).cast("long").alias("n_shipments"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
