@@ -1,4 +1,9 @@
+"""Interval/time query laws (plans/time_queries.py).
 
+The asof/range/sessionize operator tests live in
+test_asof_sessionize.py; this module covers the registered
+interval-overlap lane.
+"""
 
 def test_interval_overlap_banding_matches_naive_cross(spark, sf_dir):
     """The bucket-banded interval-overlap join must equal the naive
