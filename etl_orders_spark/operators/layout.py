@@ -89,3 +89,51 @@ def zorder_by(df: DataFrame, cols: list[str], n_files: int, bits: int = 12) -> D
         .sortWithinPartitions(_Z_COL)
         .drop(_Z_COL)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into size-targeted, optionally range-clustered files.
+
+    The small-files problem is the steady state of incremental
+    ingest — every micro-batch lands a file per task, and a year
+    later the table is millions of KB-sized files whose open/footer
+    costs dominate every scan. Compaction is MAINTENANCE, not a
+    query: the planner here lists the fragment files driver-side
+    (bounded by file count — exactly the metadata a real table
+    format keeps in its manifest), sizes the output file count from
+    the REAL byte total, and rewrites once. ``cluster_by`` routes
+    the rewrite through ``repartitionByRange`` so compacted files
+    are key-clustered — min/max row-group stats then prune scans on
+    that key, which plain round-robin ``repartition`` would destroy.
+
+    At 100 TB the same operator runs per partition-directory (each
+    date partition compacts independently — embarrassingly parallel
+    maintenance), and the rewrite shuffle IS the cost of compaction:
+    coalesce() would avoid it but cannot split oversized inputs or
+    rebalance skewed ones, so read-optimized tables pay the exchange.
+
+    Returns {n_files_in, bytes_in, n_files_out} for the caller's
+    ledger."""
+    import glob
+    import math
+    import os
+
+    files = glob.glob(os.path.join(src, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src)
+    if cluster_by:
+        df = df.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
+    else:
+        df = df.repartition(n_out)
+    from etl_orders_spark.sources.writers import write_parquet
+
+    write_parquet(df, dst, mode="overwrite")
+    return {"n_files_in": len(files), "bytes_in": total, "n_files_out": n_out}

@@ -455,3 +455,108 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("long").alias("revenue_cents"),
         )
     )
+
+
+# --- small-files compaction -------------------------------------------------
+_CMP_FRAG = 256  # fragment count simulating a month of micro-batch landings
+_CMP_TARGET_BYTES = 8 << 20  # compaction target file size
+_CMP_LO, _CMP_HI = "2024-01-10", "2024-01-20"
+
+
+def staged_fragmented_events_path(sf_dir: str) -> str:
+    return _staged_path(sf_dir, "events_fragmented", params=f"frag={_CMP_FRAG}")
+
+
+def staged_compacted_events_path(sf_dir: str) -> str:
+    return _staged_path(
+        sf_dir,
+        "events_compacted",
+        params=f"frag={_CMP_FRAG}|target={_CMP_TARGET_BYTES}|cluster=ts",
+    )
+
+
+def stage_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
+    """The anti-pattern fixture: events scattered round-robin across
+    {F} files, the layout a month of per-micro-batch commits leaves
+    behind (every file tiny, no clustering, footer cost per scan)."""
+    path = staged_fragmented_events_path(sf_dir)
+    if _staging_is_fresh(path, sf_dir, "events"):
+        return path
+    write_parquet(
+        T(spark, sf_dir, "events").repartition(_CMP_FRAG), path, mode="overwrite"
+    )
+    return path
+
+
+def stage_compacted_events(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Run the compaction operator over the fragmented copy: output
+    files sized from real bytes, range-clustered on ts so min/max
+    row-group stats restore time pruning."""
+    from etl_orders_spark.operators.layout import compact_parquet_dir
+
+    frag = stage_fragmented_events(spark, sf_dir)
+    path = staged_compacted_events_path(sf_dir)
+    if _staging_is_fresh(path, sf_dir, "events"):
+        return path, {}
+    stats = compact_parquet_dir(
+        spark, frag, path, _CMP_TARGET_BYTES, cluster_by=["ts"]
+    )
+    return path, stats
+
+
+@register(
+    "compact_small_files_events",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_CMP_LO}'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '{_CMP_HI}'
+    GROUP BY event_type
+    """,
+    tags=("layout", "sink", "source", "events", "agg"),
+    bench=True,
+)
+def compact_small_files_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round trip: fragment events into {F}
+    micro-batch-sized files, compact them into size-targeted
+    ts-clustered files (operators/layout.compact_parquet_dir), then
+    answer a time-windowed aggregate FROM THE COMPACTED COPY. The
+    oracle aggregates the pristine source with the same window —
+    equality proves the fragment+compact cycle loses nothing, and the
+    ts range-clustering means the windowed scan prunes whole files
+    via row-group stats (the capability the fragmented layout
+    destroyed). Like the other layout lanes, staging is MAINTAINED:
+    the mtime freshness gate rebuilds only when the source changes,
+    so repeated runs measure the read path.
+
+    100 TB posture: compaction is per-partition-directory maintenance
+    (each date partition compacts independently and in parallel); the
+    planner's driver-side file listing is manifest-grain metadata,
+    not data; the one rewrite exchange is the inherent cost of
+    read-optimization, paid once per maintenance cycle instead of as
+    footer/open overhead on every subsequent scan."""
+    path, _ = stage_compacted_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(_CMP_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_CMP_HI).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+
+
+compact_small_files_events.__doc__ = compact_small_files_events.__doc__.replace(
+    "{F}", str(_CMP_FRAG)
+)
+stage_fragmented_events.__doc__ = stage_fragmented_events.__doc__.replace(
+    "{F}", str(_CMP_FRAG)
+)

@@ -153,3 +153,30 @@ def test_bucketed_staging_drops_stale_catalog_entry(spark, tmp_path):
     assert os.path.getmtime(success) >= os.path.getmtime(
         os.path.join(sf_dir, "orders.parquet")
     )
+
+
+def test_compaction_shrinks_files_and_preserves_rows(spark, sf_dir):
+    """The compaction ledger: the fragmented fixture really is
+    small-files-pathological (one file per round-robin partition),
+    the compacted copy collapses them to the byte-sized target count,
+    and not a row is lost or duplicated in the rewrite."""
+    import glob
+    import os
+
+    from etl_orders_spark.plans.layout_queries import (
+        _CMP_FRAG,
+        stage_compacted_events,
+        stage_fragmented_events,
+    )
+    from etl_orders_spark.sources.readers import load_table as T
+
+    frag = stage_fragmented_events(spark, sf_dir)
+    comp, _ = stage_compacted_events(spark, sf_dir)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
+    assert n_frag == _CMP_FRAG
+    assert n_comp < n_frag / 10
+    src_ids = {r.event_id for r in T(spark, sf_dir, "events").select("event_id").collect()}
+    comp_ids = [r.event_id for r in spark.read.parquet(comp).select("event_id").collect()]
+    assert len(comp_ids) == len(src_ids)
+    assert set(comp_ids) == src_ids
