@@ -140,7 +140,12 @@ PRIORITY: tuple[str, ...] = (
     # as-of, range, inner+RI) and semi stays benched + local-green)
     "join_left_order_counts",
     "asof_latest_order",
-    "range_join_followups",
+    # range_join_followups (equi-keyed range join) ceded its slot in
+    # round 11 to the harder KEYLESS form below — interval x interval
+    # overlap via bucket banding with the count-once rule; the
+    # equi-keyed lane stays benched + local-sweep-green, and the
+    # family keeps the same "range" tag coverage
+    "interval_overlap_promo_shipments",
     "ri_filter_join",
     # UDF/UDTF surface + embedded JSON / VARIANT (§2.6, S2;
     # json_extract_props ceded its slot to the round-8 BPE encode

@@ -55,15 +55,18 @@ def main() -> int:
     q = query_map()
     for sf_dir in dirs:
         for lane in LANES:
-            best, rows = None, None
+            # noop sink, NOT .count(): count() lets Catalyst prune a
+            # map-only lane's entire projection (html_extract timed
+            # 0.38 s at 100x under count — it was counting scan rows)
+            best = None
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                rows = q[lane](spark, sf_dir).count()
+                q[lane](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             print(
-                f"{os.path.basename(sf_dir):>8} {lane:<34} {best:7.2f}s rows={rows}",
+                f"{os.path.basename(sf_dir):>8} {lane:<34} {best:7.2f}s",
                 flush=True,
             )
     return 0
