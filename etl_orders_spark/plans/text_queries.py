@@ -5403,6 +5403,36 @@ def suffix_array_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 suffix_array_docs.__doc__ = suffix_array_docs.__doc__.replace("{D}", str(_SUFFIX_DEPTH))
 
 
+def _suffix_word_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, _k) rows: every word-start position of the
+    normalized corpus with its depth-capped literal suffix key — the
+    shared substrate of the word-grain suffix array and the adjacent-
+    rank repeated-passage miner. One pure-map pass on the fanned-out
+    scan; text never survives past this projection."""
+    from etl_orders_spark.functions.text import normalize_text
+
+    docs = TW(spark, sf_dir, "documents")
+    base = docs.select("doc_id", normalize_text("text").alias("t")).filter(
+        F.length("t") >= 1
+    )
+    starts = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: (i == F.lit(1))
+                | (F.substr(F.col("t"), i - 1, F.lit(1)) == " "),
+            )
+        ).alias("p"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("p").cast("long").alias("pos"),
+        F.substr("t", F.col("p"), F.lit(_SUFFIX_DEPTH)).alias("_k"),
+    )
+
+
 def _suffix_words_oracle() -> str:
     return f"""
     WITH d AS (
@@ -5461,29 +5491,9 @@ def suffix_array_words_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition stage (two_pass_dense_rank), no skew (keys are
     near-unique; equal keys = the duplicated passages themselves,
     bounded by dup density)."""
-    from etl_orders_spark.functions.text import normalize_text
     from etl_orders_spark.operators.rank import two_pass_dense_rank
 
-    docs = TW(spark, sf_dir, "documents")
-    base = docs.select("doc_id", normalize_text("text").alias("t")).filter(
-        F.length("t") >= 1
-    )
-    starts = base.select(
-        "doc_id",
-        "t",
-        F.explode(
-            F.filter(
-                F.sequence(F.lit(1), F.length("t")),
-                lambda i: (i == F.lit(1))
-                | (F.substr(F.col("t"), i - 1, F.lit(1)) == " "),
-            )
-        ).alias("p"),
-    )
-    keyed = starts.select(
-        "doc_id",
-        F.col("p").cast("long").alias("pos"),
-        F.substr("t", F.col("p"), F.lit(_SUFFIX_DEPTH)).alias("_k"),
-    )
+    keyed = _suffix_word_keys(spark, sf_dir)
     return two_pass_dense_rank(keyed, [F.col("_k")], rank_col="srank").select(
         "doc_id", "pos", "srank"
     )
@@ -5905,4 +5915,122 @@ def html_extract_main_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 html_extract_main_docs.__doc__ = html_extract_main_docs.__doc__.replace(
     "{C}", str(_HTML_CHUNK)
+)
+
+
+# --- repeated-passage mining from the suffix order --------------------------
+_SRP_MIN_LCP = 16  # chars of shared prefix that count as a repeated passage
+
+
+def _suffix_repeat_oracle() -> str:
+    d = _SUFFIX_DEPTH
+    lcp = (
+        "CAST(len(list_filter(range(1, least(length(ka), length(kb)) + 1), "
+        "i -> substr(ka, 1, CAST(i AS INTEGER)) = substr(kb, 1, CAST(i AS INTEGER)))) "
+        "AS BIGINT)"
+    )
+    return f"""
+    WITH dd AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), p AS (
+      SELECT doc_id, t, CAST(UNNEST(range(1, length(t) + 1)) AS BIGINT) AS pos
+      FROM dd WHERE length(t) >= 1
+    ), w AS (
+      SELECT doc_id, pos, substr(t, CAST(pos AS INTEGER), {d}) AS k FROM p
+      WHERE pos = 1 OR substr(t, CAST(pos - 1 AS INTEGER), 1) = ' '
+    ), r AS (
+      SELECT doc_id, pos, k,
+             row_number() OVER (ORDER BY k, doc_id, pos) AS rn
+      FROM w
+    ), pr AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a, a.k AS ka,
+             b.doc_id AS doc_b, b.pos AS pos_b, b.k AS kb
+      FROM r a JOIN r b ON b.rn = a.rn + 1
+    ), l AS (
+      SELECT doc_a, pos_a, doc_b, pos_b, ka, {lcp} AS lcp FROM pr
+    )
+    SELECT doc_a, pos_a, doc_b, pos_b, lcp,
+           md5(substr(ka, 1, CAST(lcp AS INTEGER))) AS passage_fp,
+           doc_a != doc_b AS cross_doc
+    FROM l WHERE lcp >= {_SRP_MIN_LCP}
+    """
+
+
+@register(
+    "suffix_repeated_passages_docs",
+    _suffix_repeat_oracle(),
+    tags=("text", "dedup", "llm"),
+    bench=True,
+)
+def suffix_repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection FROM the suffix order — the step
+    the suffix array exists for (Lee et al. 2022: a passage occurring
+    twice puts its two suffixes ADJACENT in suffix order, so scanning
+    rank-adjacent pairs with a long common prefix finds every
+    repetition without any pairwise candidate generation). Pipeline:
+    word-start suffix keys (shared substrate with
+    suffix_array_words_docs), a two-pass global row_number over
+    (key, doc_id, pos) — a total order, so adjacency is well-defined
+    — then ONE integer-keyed self-join on rn = rn+1 and a 32-step
+    prefix-equality fold for the LCP. Pairs with lcp >=
+    {L} chars emit (docs, positions, lcp, md5 of the shared
+    passage, cross_doc flag); k copies of a passage surface as k-1
+    adjacent pairs, exactly the suffix-array dup-detection contract.
+
+    Complements dup_span_detection_docs (fixed-n-gram DF screen, doc-
+    level extents): this form needs no gram-frequency table, finds
+    VARIABLE-length repeats up to the depth cap, and pays one sort
+    of the corpus instead of a gram-grain shuffle.
+
+    100 TB posture: cost == the word-grain suffix sort (~48
+    B/position range exchange, measured linear 10x->100x) plus an
+    integer-keyed adjacent join; output is bounded by true repetition
+    density (every emitted row IS a repeated passage), never
+    quadratic — the C(n,2)-per-cluster hazard of pairwise near-dup
+    does not exist here because adjacency, not clustering, is the
+    join key."""
+    from etl_orders_spark.operators.rank import two_pass_rank
+
+    keyed = _suffix_word_keys(spark, sf_dir)
+    rn = two_pass_rank(
+        keyed, [F.col("_k"), F.col("doc_id"), F.col("pos")], rank_col="rn"
+    )
+    b = rn.select(
+        (F.col("rn") - 1).alias("rn"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("_k").alias("kb"),
+    )
+    pairs = rn.select(
+        "rn",
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("_k").alias("ka"),
+    ).join(b, "rn")
+    lcp = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.least(F.length("ka"), F.length("kb"))),
+            lambda i: F.substr(F.col("ka"), F.lit(1), i)
+            == F.substr(F.col("kb"), F.lit(1), i),
+        )
+    ).cast("long")
+    return (
+        pairs.withColumn("lcp", lcp)
+        .filter(F.col("lcp") >= _SRP_MIN_LCP)
+        .select(
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            "lcp",
+            F.md5(F.substr(F.col("ka"), F.lit(1), F.col("lcp").cast("int"))).alias(
+                "passage_fp"
+            ),
+            (F.col("doc_a") != F.col("doc_b")).alias("cross_doc"),
+        )
+    )
+
+
+suffix_repeated_passages_docs.__doc__ = suffix_repeated_passages_docs.__doc__.replace(
+    "{L}", str(_SRP_MIN_LCP)
 )

@@ -607,3 +607,36 @@ def test_html_extraction_recovers_content_and_drops_boilerplate(spark, sf_dir):
         assert r.n_blocks == r.n_kept + r.n_boiler + r.n_linkspam
         # nav(3) + footer(2) + spam(3) links are always present
         assert r.n_links == 8
+
+
+def test_suffix_repeated_passages_are_real_repeats(spark, sf_dir):
+    """Ground-truth re-verification of the adjacency miner: every
+    emitted pair's two positions must actually share lcp characters
+    of normalized text (checked against the raw corpus in Python),
+    the lcp must be maximal w.r.t. the depth cap (either depth-long
+    or followed by differing characters), and both within-doc and
+    cross-doc repetition must be represented."""
+    import re
+
+    import duckdb
+
+    from etl_orders_spark.plans.registry import query_map
+
+    txt = {
+        doc_id: re.sub(r"\s+", " ", t.lower()).strip()
+        for doc_id, t in duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    }
+    rows = query_map()["suffix_repeated_passages_docs"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert any(r.cross_doc for r in rows)
+    for r in rows:
+        a = txt[r.doc_a][r.pos_a - 1 :]
+        b = txt[r.doc_b][r.pos_b - 1 :]
+        assert a[: r.lcp] == b[: r.lcp], (r, a[:40], b[:40])
+        if r.lcp < 32:
+            # maximal: the next characters differ (or one side ended)
+            assert a[r.lcp : r.lcp + 1] != b[r.lcp : r.lcp + 1] or (
+                len(a) == r.lcp or len(b) == r.lcp
+            )
