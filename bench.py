@@ -217,8 +217,17 @@ def main() -> int:
         {"metric": "bench_meta", "calibration_sec": calibration,
          "isolation_warm": isolation}
     ))
+    # ascending by time: the driver tail-captures the LAST ~2 KB of
+    # stdout, so when the warm map outgrows the budget it clips from
+    # the FRONT of this line — ordering fast lanes first means the
+    # clipped-away entries are the sub-second ones, and the slow
+    # (diagnostic) lanes stay tail-recoverable
     warm_line = json.dumps(
-        {"metric": "bench_queries_warm_sec", "queries": timings, "sf": sf}
+        {
+            "metric": "bench_queries_warm_sec",
+            "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+            "sf": sf,
+        }
     )
     out = {
         "metric": "bench_total_sec",
