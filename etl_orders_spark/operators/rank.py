@@ -184,6 +184,85 @@ def two_pass_dense_rank(
     )
 
 
+def adjacent_pairs(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    cols: Sequence[str],
+    next_suffix: str = "_next",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Every row paired with its SUCCESSOR in the total order given by
+    ``order_by`` — the distributed replacement for the classic
+    rank-then-self-join-on ``rn = rn + 1`` adjacency pattern, at half
+    its cost: the rank construction ALREADY range-partitions the data
+    in key order, so in-partition successors fall out of one ``lead()``
+    window over the ranged frame (no join, no second pass over the
+    rank output), and the only rows whose successor lives elsewhere are
+    the P partition-boundary rows, stitched back with a P-row broadcast.
+
+    Output: ``cols`` plus ``{col}{next_suffix}`` for each — one row per
+    input row that HAS a successor (the global last row emits nothing),
+    exactly the self-join's contract.
+
+    Correctness: ``repartitionByRange`` partitions are contiguous
+    spans of the total order (``order_by`` must be plain ASCENDING
+    column expressions forming a total order — include a unique
+    tiebreaker; they are reused as a lexicographic min_by/max_by
+    struct, same constraint as :func:`two_pass_dense_rank`), so the
+    global successor of any non-boundary row is its in-partition
+    ``lead``, and the successor of partition p's last row is the first
+    row of the next NON-EMPTY partition — stitched from P-row
+    first/last-per-partition aggregates (min_by/max_by, map-side
+    partials, bounded by cluster layout, not data). Same
+    materialize-once rationale as two_pass_rank:
+    spark_partition_id() disqualifies the ranged subtree from
+    exchange reuse, so it is checkpointed eagerly."""
+    spark = df.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_part, *order_by)
+        .withColumn(PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # in-partition successors: ONE lead() window (its PID exchange is
+    # this operator's only data-sized shuffle); lead(lit(1)) is null
+    # exactly on each partition's last row — a payload-null-safe
+    # "has successor" marker
+    w = Window.partitionBy(PID).orderBy(*order_by)
+    nxt = [F.lead(c).over(w).alias(f"{c}{next_suffix}") for c in cols]
+    inner = (
+        ranged.select(
+            *cols, *nxt, F.lead(F.lit(1)).over(w).alias("_adj_has_next")
+        )
+        .filter(F.col("_adj_has_next").isNotNull())
+        .drop("_adj_has_next")
+    )
+    # boundary stitching: per-partition first/last rows from one P-row
+    # aggregate over the checkpointed frame (NOT a second window pass)
+    key = F.struct(*order_by)
+    ends = ranged.groupBy(PID).agg(
+        F.min_by(F.struct(*[F.col(c) for c in cols]), key).alias("_adj_first"),
+        F.max_by(F.struct(*[F.col(c) for c in cols]), key).alias("_adj_last"),
+    )
+    # successor partition of p = the next non-empty pid (P-row
+    # one-partition window, provably bounded by cluster layout)
+    w_pid = Window.partitionBy(one_bucket(F.col(PID))).orderBy(PID)
+    succ = (
+        ends.select(
+            PID,
+            *[F.col(f"_adj_first.{c}").alias(f"{c}{next_suffix}") for c in cols],
+        )
+        .withColumn("_adj_prev_pid", F.lag(PID).over(w_pid))
+        .filter(F.col("_adj_prev_pid").isNotNull())
+        .drop(PID)
+    )
+    lasts = ends.select(PID, *[F.col(f"_adj_last.{c}").alias(c) for c in cols])
+    boundary = lasts.join(
+        F.broadcast(succ), lasts[PID] == succ["_adj_prev_pid"]
+    ).select(*cols, *[f"{c}{next_suffix}" for c in cols])
+    return inner.unionByName(boundary)
+
+
 def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
     """Exact SQL ``NTILE(k)`` from a global rank and the row count —
     the distributed replacement for ``ntile().over(Window.orderBy(...))``

@@ -1809,10 +1809,20 @@ def ccnet_perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     (operators/rank.py) — a P-row offsets table, never a
     single-partition window — and the row count rides a 1-row
     broadcast. The bucketing adds one range exchange on top of the
-    score plan."""
+    score plan.
+
+    Score plan choice: the scores come from the BROADCAST-MODEL twin
+    (bigram_perplexity_docs_bcast), which is registered against this
+    same oracle math and produces bit-identical integer NLLs — the
+    windowed string form this lane shipped with shuffles the whole
+    per-pair table TWICE by skewed model keys (ccnet warm 3.15 s at
+    sf0.1; the bcast scorer prices at 1.02 s, and its skew story at
+    100x is the reason SCALE.md names it the production tier)."""
     from etl_orders_spark.operators.rank import ntile_from_rank, two_pass_rank
 
-    ppl = bigram_perplexity_docs(spark, sf_dir).select("doc_id", "avg_nll_micro")
+    ppl = bigram_perplexity_docs_bcast(spark, sf_dir).select(
+        "doc_id", "avg_nll_micro"
+    )
     ranked = two_pass_rank(ppl, [F.col("avg_nll_micro"), F.col("doc_id")])
     n = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     out = ranked.crossJoin(F.broadcast(n)).select(
@@ -3583,7 +3593,13 @@ def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("w")
     ).filter(F.length("w").between(2, _WP_MAX_WORD))
-    forms = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # form-grain (Heaps'-law bounded) and consumed TWICE — by the
+    # vocab collect below and by the `encoded` branch of the final
+    # plan; without the checkpoint each consumer replays the corpus
+    # explode + aggregate (the _ulm_em_rounds lesson, applied here)
+    forms = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
 
     sub = forms.select(
         F.col("w"),
@@ -5256,12 +5272,39 @@ def decontaminate_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.select("doc_id", "text").unionByName(plants)
     train_ids = docs.select("doc_id").unionByName(plants.select("doc_id"))
-    tg = _decon_gram_rows(
-        train.select("doc_id", _decon_norm_tokens("text").alias("t")), "doc_id", "t"
-    )
     bg = _decon_gram_rows(
         bench.select("bench_id", F.split("snippet", " ").alias("t")), "bench_id", "t"
     ).select("bench_id", "gram")
+    # first-token screen (exact, no false negatives): a corpus gram can
+    # only match a benchmark gram if its FIRST token is one of the
+    # benchmark grams' first tokens — a tiny set (bounded by the eval
+    # suite, broadcast as a 1-row array). Screening the gram-start
+    # positions BEFORE building gram strings skips the array_join +
+    # array_distinct work and shrinks the exploded row stream to
+    # near-matches only, instead of materializing every corpus gram
+    # and discarding ~all of them at the broadcast join.
+    bft = bg.agg(
+        F.collect_set(F.substring_index("gram", " ", 1)).alias("_bft")
+    )
+    toked = train.select("doc_id", _decon_norm_tokens("text").alias("t")).crossJoin(
+        F.broadcast(bft)
+    )
+    n_grams = F.size("t") - (_DECON_N - 1)
+    screened = F.when(
+        n_grams >= 1,
+        F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.array_contains(
+                        F.col("_bft"), F.element_at(F.col("t"), i)
+                    ),
+                ),
+                lambda i: F.array_join(F.slice(F.col("t"), i, _DECON_N), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = toked.select("doc_id", F.explode(screened).alias("gram"))
     hits = (
         tg.join(F.broadcast(bg), "gram")
         .groupBy("doc_id")
@@ -5989,37 +6032,63 @@ def suffix_repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     of the corpus instead of a gram-grain shuffle.
 
     100 TB posture: cost == the word-grain suffix sort (~48
-    B/position range exchange, measured linear 10x->100x) plus an
-    integer-keyed adjacent join; output is bounded by true repetition
+    B/position range exchange, measured linear 10x->100x) plus ONE
+    lead() pass over the ranged frame (operators/rank.adjacent_pairs
+    — the rank-then-self-join-on-rn form this lane shipped with paid
+    the rank construction AND two more corpus-grain exchanges plus a
+    sort-merge join just to rediscover an adjacency the range
+    partitioning already had; measured 3.28 s -> see
+    OPTIMIZATION_r11.md); output is bounded by true repetition
     density (every emitted row IS a repeated passage), never
     quadratic — the C(n,2)-per-cluster hazard of pairwise near-dup
     does not exist here because adjacency, not clustering, is the
-    join key."""
-    from etl_orders_spark.operators.rank import two_pass_rank
+    join key.
 
-    keyed = _suffix_word_keys(spark, sf_dir)
-    rn = two_pass_rank(
-        keyed, [F.col("_k"), F.col("doc_id"), F.col("pos")], rank_col="rn"
-    )
-    b = rn.select(
-        (F.col("rn") - 1).alias("rn"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("_k").alias("kb"),
-    )
-    pairs = rn.select(
-        "rn",
+    Per-pair cost: candidates are screened by ONE prefix-{L}
+    equality test (lcp >= {L} iff the first {L} chars match — a
+    memcmp, exact, no false negatives), so the LCP fold runs only on
+    true repeats; the fold itself is the linear zip_with char-compare
+    (first mismatch position), not the quadratic
+    prefix-re-comparison of the original form."""
+    from etl_orders_spark.operators.rank import adjacent_pairs
+
+    keyed = _suffix_word_keys(spark, sf_dir).select(
         F.col("doc_id").alias("doc_a"),
         F.col("pos").alias("pos_a"),
         F.col("_k").alias("ka"),
-    ).join(b, "rn")
-    lcp = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.least(F.length("ka"), F.length("kb"))),
-            lambda i: F.substr(F.col("ka"), F.lit(1), i)
-            == F.substr(F.col("kb"), F.lit(1), i),
-        )
-    ).cast("long")
+    )
+    adj = adjacent_pairs(
+        keyed,
+        [F.col("ka"), F.col("doc_a"), F.col("pos_a")],
+        ["doc_a", "pos_a", "ka"],
+    )
+    pairs = adj.select(
+        "doc_a",
+        "pos_a",
+        "ka",
+        F.col("doc_a_next").alias("doc_b"),
+        F.col("pos_a_next").alias("pos_b"),
+        F.col("ka_next").alias("kb"),
+    ).filter(
+        # exact screen: lcp >= MIN_LCP implies prefix-MIN_LCP equality,
+        # and both keys are >= MIN_LCP chars whenever lcp can reach it
+        F.substring("ka", 1, _SRP_MIN_LCP) == F.substring("kb", 1, _SRP_MIN_LCP)
+    )
+    # linear LCP: first mismatching character position over the
+    # zipped char arrays (null-padded tail of the shorter key compares
+    # unequal via the coalesce); no mismatch anywhere => the shorter
+    # key is a full prefix of the longer, lcp = min length
+    eq = F.zip_with(
+        F.split("ka", ""),
+        F.split("kb", ""),
+        lambda x, y: F.coalesce(x == y, F.lit(False)),
+    )
+    first_neq = F.array_position(eq, F.lit(False))
+    lcp = (
+        F.when(first_neq > 0, first_neq - 1)
+        .otherwise(F.least(F.length("ka"), F.length("kb")))
+        .cast("long")
+    )
     return (
         pairs.withColumn("lcp", lcp)
         .filter(F.col("lcp") >= _SRP_MIN_LCP)

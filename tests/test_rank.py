@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from etl_orders_spark.operators.rank import ntile_from_rank, two_pass_rank
+from etl_orders_spark.operators.rank import adjacent_pairs, ntile_from_rank, two_pass_rank
 
 
 @pytest.fixture(scope="module")
@@ -84,6 +84,32 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+@pytest.mark.parametrize("parts", [1, 7, 64])
+def test_adjacent_pairs_matches_global_lead(spark, scattered, parts):
+    # 64 partitions over 997 rows forces boundary stitching (and, at
+    # 100 distinct v over 64 ranges, several near-empty partitions)
+    got = (
+        adjacent_pairs(
+            scattered, [F.col("v"), F.col("id")], ["id", "v"], partitions=parts
+        )
+        .select("id", "v", "id_next", "v_next")
+        .collect()
+    )
+    w = Window.orderBy("v", "id")
+    want = (
+        scattered.select(
+            "id",
+            "v",
+            F.lead("id").over(w).alias("id_next"),
+            F.lead("v").over(w).alias("v_next"),
+        )
+        .filter(F.col("id_next").isNotNull())
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 996  # every row but the global last has a successor
 
 
 def test_plan_has_no_unvetted_global_window(spark, scattered):
