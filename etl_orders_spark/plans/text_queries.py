@@ -1193,10 +1193,13 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs by ulps across engines and would poison the value hash;
     per-term scores floor to exact integer micro-units BEFORE the
     per-document sum, so aggregation order can't flip a bit. Scale
-    shape: tf and df are one shuffle each over (doc, term) / term;
-    query terms and the 2-double corpus stats broadcast; scoring
-    touches only docs containing a query term (inverted-index
-    semantics, never a corpus scan per query)."""
+    shape: the token stream is semi-joined against the broadcast query
+    vocabulary BEFORE any exchange, so the tf aggregate, its
+    materialization and the df count are all match-grain (docs
+    containing a query term), never corpus-grain; corpus stats ride a
+    doc-grain no-explode projection; query terms and the 2-double
+    stats broadcast (inverted-index semantics, never a corpus scan
+    per query)."""
     from pyspark.sql import Window
 
     from etl_orders_spark.functions.text import tokens
@@ -1204,34 +1207,37 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TW(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     )
-    tok = d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-    # tf is the inverted index every downstream branch reads (corpus stats,
-    # df, scoring); materialize it ONCE — without this the tokenize+explode
-    # subtree re-executes three times. At 100 TB this is the stage you
-    # persist to parquet and share across query batches.
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
-        .localCheckpoint(eager=True)
-    )
-    docs = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    stats = docs.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(_SEARCHES.items()) for t in ts],
         "query_id string, term string",
     )
-    # df only for QUERY terms: the full-vocab df table is unbounded at scale
-    # and must never broadcast; restricting first also shrinks the shuffle
-    # to the terms that can contribute to a score. tf already holds one row
-    # per (doc, term), so df(term) is a plain row count.
-    dfreq = (
-        tf.join(F.broadcast(q.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("dft"))
+    # corpus stats need only (doc, dl) — a doc-grain projection with NO
+    # explode and no shuffle feeding a 2-double aggregate. The >= 1
+    # filter preserves the inverted-index semantics exactly: a token-
+    # less doc contributes no tf row, so it was never in n_docs/avgdl.
+    docs = d.select("doc_id", F.size("toks").alias("dl")).filter(F.col("dl") >= 1)
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
+    # the inverted index is restricted to QUERY terms BEFORE the
+    # (doc, term) exchange — the broadcast-semi-join prefilter (the
+    # only rows that can ever score are docs containing a query term),
+    # so the aggregate, the checkpoint and every downstream join are
+    # match-grain, never corpus-grain. The full-vocab index this lane
+    # used to materialize is what a 100 TB deployment persists to
+    # parquet ONCE and shares across query batches; for a single ad-hoc
+    # batch, filtering first is strictly less work.
+    tok = d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    tf = (
+        tok.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=True)  # match-grain; read by df + scoring
+    )
+    # tf holds one row per (matching doc, term), so df(term) is a
+    # plain row count.
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dft"))
     idf = (F.col("n_docs") - F.col("dft").cast("double") + 0.5) / (
         F.col("dft").cast("double") + 0.5
     )
