@@ -557,19 +557,27 @@ def simhash(
         F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("tok")
     ).select(F.col(id_col), _hash(F.col("tok"), 0, portable).alias("_th"))
     h = F.col("_th")
+    # branch-free bit planes: SUM((h >> j) & 1) = count of ones c_j,
+    # and the ±1 sum equals 2*c_j - n, so "sum > 0" is "2*c_j > n"
+    # with n = token count — same fingerprint bit, exactly. The
+    # when/otherwise form this shipped with generated 64 branchy
+    # aggregate updates whose whole-stage codegen took seconds to JIT
+    # (measured at sf0.1/64 bits: cold 6.8 s -> 1.5 s, warm 0.89 s ->
+    # 0.74 s for the branch-free form).
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"b{j}")
         for j in range(num_bits)
     ]
-    per_doc = tok.groupBy(id_col).agg(*aggs)
+    per_doc = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *aggs)
     # bit 63 is the two's-complement sign bit: its term is Long.MIN_VALUE
     # (2**63 overflows a signed long literal); the summed value is the
     # correct 64-bit pattern either way
     fp = sum(
         (
-            F.when(F.col(f"b{j}") > 0, F.lit(2**j if j < 63 else -(2**63))).otherwise(F.lit(0))
+            F.when(
+                F.col(f"b{j}") * 2 > F.col("_n"),
+                F.lit(2**j if j < 63 else -(2**63)),
+            ).otherwise(F.lit(0))
             for j in range(num_bits)
         ),
         start=F.lit(0),
