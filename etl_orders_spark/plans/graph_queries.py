@@ -262,32 +262,59 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering: top-5 co-purchase neighbors
     per part by cosine over order-membership vectors — cos(i,j) =
     support_ij / √(deg_i·deg_j), computed only for pairs that actually
-    co-occur (the inverted-index trick: the orderkey join IS the
-    candidate generator, so the |P|² matrix is never materialized).
+    co-occur.
+
+    Candidate generation is a per-basket pair expansion over the
+    sorted part array (groupBy orderkey -> array_sort -> indexed
+    nested transform emitting i<j pairs map-side). The orderkey
+    SELF-JOIN this lane shipped with rediscovered the same pairs at
+    the cost of two more lineitem-grain exchanges and a sort-merge
+    join — the basket aggregate instead RIDES cap_group_fanout's
+    orderkey exchange (hash partitioning already clusters the group),
+    and the pair explode is stage-local. The checkpoint shrinks from
+    lineitem grain to basket grain with it.
 
     support ≥ 2 prunes noise pairs before the degree joins; the top-k
     window partitions by item (no global sort). Baskets are capped at
-    _MEGA_BASKET_CAP parts (cap_group_fanout, same orderkey
-    partitioning the join shuffles on — no extra exchange; never fires
-    on TPC-H's ≤7-part baskets so the oracle sees identical input),
-    and the degree join broadcasts (|P| ≪ |lineitem|). Scores floor to
-    micro-units from exact-in-double integers; ties break on the
-    neighbor key."""
+    _MEGA_BASKET_CAP parts (cap_group_fanout; never fires on TPC-H's
+    ≤7-part baskets so the oracle sees identical input) which also
+    bounds the per-basket expansion at C(cap, 2), and the degree join
+    broadcasts (|P| ≪ |lineitem|). Scores floor to micro-units from
+    exact-in-double integers; ties break on the neighbor key."""
     li = cap_group_fanout(
         T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
         "l_orderkey",
         "l_partkey",
         _MEGA_BASKET_CAP,
         distinct=True,
-    ).localCheckpoint(eager=True)  # edge set feeds degree/total AND both join sides
-    deg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
     )
-    a = li.toDF("ok", "pa")
-    b = li.toDF("ok", "pb")
+    # basket-grain (= order count, ≤ cap parts each); feeds the degree
+    # aggregate AND the pair expansion — materialized once
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # all i<j pairs within a basket, map-side (ps is sorted, so the
+    # (element, index) transform emits each unordered pair once with
+    # pa < pb by construction)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     sup = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= 2)
