@@ -2579,20 +2579,37 @@ def _dup_span_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame
         "doc_id", F.split("text", " ").alias("t")
     )
     n_grams = F.size("t") - (_SPAN_N - 1)
-    gram_arr = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.array_join(F.slice(F.col("t"), i, _SPAN_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select(
-        "doc_id", F.posexplode(gram_arr).alias("p0", "gram")
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("pos"),
-        F.xxhash64("gram").alias("gram") if hashed else F.col("gram"),
-    )
+    if hashed:
+        # the gram stream feeds TWO consumers (the df screen and the
+        # probe join), and rebuilding it means re-running the
+        # tokenize + gram-string + hash chain over the corpus per
+        # consumer (measured 0.53 s/pass at sf0.1). Hash INSIDE the
+        # per-doc array and checkpoint at doc grain — ~8 B/gram
+        # payload — so both consumers explode cheap long arrays.
+        gram_arr = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.xxhash64(F.array_join(F.slice(F.col("t"), i, _SPAN_N), " ")),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        ghm = toks.select("doc_id", gram_arr.alias("_ghs")).localCheckpoint(
+            eager=True
+        )
+        grams = ghm.select(
+            "doc_id", F.posexplode("_ghs").alias("p0", "gram")
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    else:
+        gram_arr = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.array_join(F.slice(F.col("t"), i, _SPAN_N), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toks.select(
+            "doc_id", F.posexplode(gram_arr).alias("p0", "gram")
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
