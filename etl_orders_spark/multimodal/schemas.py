@@ -38,6 +38,22 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# Per-task row target for the Python-encoder generators. spark.range's
+# default (one partition per core) hands each mapInPandas task only
+# 3-4 rows at the fixture sizes, so Python-worker round-trip overhead
+# dominates the stage (measured at sf-fixture n=100: 0.64 s at 32
+# partitions vs 0.29 s at 8 — the encode work itself is milliseconds
+# per row). Sizing partitions to ~this many rows each, capped by the
+# session's parallelism so big n still fans out to every core, keeps
+# the generators scale-adaptive instead of core-count-shaped.
+_GEN_ROWS_PER_TASK = 12
+
+
+def _gen_range(spark: SparkSession, start: int, n: int) -> DataFrame:
+    parts = max(1, min(spark.sparkContext.defaultParallelism,
+                       -(-n // _GEN_ROWS_PER_TASK)))
+    return spark.range(start, start + n, numPartitions=parts)
+
 _KINDS = ("image", "audio", "video")
 _FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
 
@@ -143,7 +159,7 @@ def gen_pixel_media(spark: SparkSession, n: int = 120) -> DataFrame:
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 WAV_RATE = 16000  # fixed sample rate shared with the SQL oracle
@@ -191,7 +207,7 @@ def gen_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
                 rows.append((int(mid), "audio", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 Y4M_W, Y4M_H, Y4M_FPS = 16, 12, 10  # fixed geometry shared with the SQL oracle
@@ -242,7 +258,7 @@ def gen_y4m_media(spark: SparkSession, n: int = 60) -> DataFrame:
                 rows.append((int(mid), "video", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 NOISE_W, NOISE_H = 32, 24  # fixed dims shared with the SQL oracle
@@ -299,7 +315,7 @@ def gen_noise_media(spark: SparkSession, n: int = 100) -> DataFrame:
                 rows.append((int(mid), "image", content_for(int(mid)), meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
     """Deterministic REAL PNG rows: the gen_pixel_media RGB law
@@ -387,7 +403,7 @@ def gen_png_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFram
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, start, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def jpeg_media_bytes(mid: int) -> tuple[bytes, int, int]:
@@ -448,7 +464,7 @@ def gen_flat_media(spark: SparkSession, n: int = 10, start: int = 5000) -> DataF
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, start, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
@@ -502,7 +518,7 @@ def gen_jpeg_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFra
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, start, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def jpeg_progressive_media_bytes(mid: int) -> tuple[bytes, int, int]:
@@ -568,7 +584,7 @@ def gen_jpeg_progressive_media(
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, start, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def gen_webp_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFrame:
@@ -635,7 +651,7 @@ def gen_webp_media(spark: SparkSession, n: int = 100, start: int = 0) -> DataFra
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, start, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def gen_adpcm_wav_media(spark: SparkSession, n: int = 40, start: int = 0) -> DataFrame:
@@ -691,7 +707,7 @@ def gen_adpcm_wav_media(spark: SparkSession, n: int = 40, start: int = 0) -> Dat
                 rows.append((int(mid), "audio", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, start, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def gen_mulaw_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
@@ -737,7 +753,7 @@ def gen_mulaw_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
                 rows.append((int(mid), "audio", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 VNOISE_FRAMES = 6  # frames per clip, shared with the SQL oracle
@@ -791,7 +807,7 @@ def gen_noise_y4m_media(spark: SparkSession, n: int = 60) -> DataFrame:
                 rows.append((int(mid), "video", content_for(int(mid)), meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def gen_flat_y4m_media(spark: SparkSession, n: int = 10, start: int = 6100) -> DataFrame:
@@ -828,7 +844,7 @@ def gen_flat_y4m_media(spark: SparkSession, n: int = 10, start: int = 6100) -> D
                 rows.append((mid, "video", encode_y4m(v), meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def gen_gif_media(spark: SparkSession, n: int = 100) -> DataFrame:
@@ -872,7 +888,7 @@ def gen_gif_media(spark: SparkSession, n: int = 100) -> DataFrame:
                 rows.append((int(mid), "image", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 TONE_N_FFT = 256  # analysis window, shared with the SQL oracle
 TONE_N_SAMPLES = 1024  # 4 full windows per clip
@@ -918,7 +934,7 @@ def gen_tone_wav_media(spark: SparkSession, n: int = 100) -> DataFrame:
                 rows.append((int(mid), "audio", content_for(int(mid)), meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, 0, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def gen_silent_wav_media(spark: SparkSession, n: int = 10, start: int = 6000) -> DataFrame:
@@ -950,7 +966,7 @@ def gen_silent_wav_media(spark: SparkSession, n: int = 10, start: int = 6000) ->
                 rows.append((int(mid), "audio", content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
-    return spark.range(start, start + n).mapInPandas(batches, MEDIA_SCHEMA)
+    return _gen_range(spark, start, n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 try:  # pragma: no cover — exercised implicitly by worker-side generators
