@@ -3171,7 +3171,19 @@ def gopher_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = spark.createDataFrame(list(_GOPHER_PLANTED), "doc_id long, text string")
     corpus = docs.unionByName(planted)
 
-    toks = tokens(F.col("text"))
+    # stage the token/line arrays (and the lowered tokens) as REAL
+    # columns before any metric references them: higher-order
+    # functions are interpreted (no whole-stage-codegen subexpression
+    # elimination), so the inline form re-ran the tokenizer per
+    # metric and the lower() transform once per stop word — 12+
+    # tokenize passes per row collapsed to one
+    staged = corpus.select(
+        "doc_id",
+        "text",
+        tokens(F.col("text")).alias("_toks"),
+        F.split(F.col("text"), "\n").alias("_lines"),
+    ).withColumn("_lowered", F.transform(F.col("_toks"), lambda w: F.lower(w)))
+    toks = F.col("_toks")
     n_words = F.size(toks).cast("long")
     nz = F.nullif(n_words.cast("double"), F.lit(0.0))
     mean_len = F.round(
@@ -3188,7 +3200,7 @@ def gopher_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("…"))))
     )
     symbol_ratio = F.round(F.coalesce(symbols / nz, F.lit(0.0)), 6)
-    lines = F.split(F.col("text"), "\n")
+    lines = F.col("_lines")
     n_lines = F.size(lines).cast("double")
     bullet_frac = F.round(
         F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))) / n_lines, 6
@@ -3203,12 +3215,12 @@ def gopher_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    lowered = F.transform(toks, lambda w: F.lower(w))
+    lowered = F.col("_lowered")
     n_stop = sum(
         F.when(F.array_contains(lowered, s), 1).otherwise(0) for s in _GOPHER_STOPS
     ).cast("long")
 
-    m = corpus.select(
+    m = staged.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
