@@ -62,6 +62,48 @@ def two_pass_rank(
     spark = df.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    if not cumsum:
+        # Rank-only fast path: fold the per-partition sort INTO the
+        # range exchange stage and read the local rank off
+        # monotonically_increasing_id (= partitionIndex * 2^33 +
+        # 0-based row sequence, assigned in the sorted row order
+        # because the nondeterministic projection cannot be reordered
+        # across the sort). This removes the whole PID-window pass —
+        # a second full-data exchange plus a per-consumer sort in the
+        # window form below. The global rank is still
+        # partition offset + local rank, with offsets from the same
+        # P-row aggregate.
+        mid = "_tpr_mid"
+        ranged = (
+            df.repartitionByRange(n_part, *order_by)
+            .sortWithinPartitions(*order_by)
+            .withColumn(mid, F.monotonically_increasing_id())
+            .withColumn(PID, F.shiftright(F.col(mid), 33).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        sizes = ranged.groupBy(PID).agg(F.count(F.lit(1)).alias("_tpr_cnt"))
+        w_off = (
+            Window.partitionBy(one_bucket(F.col(PID)))
+            .orderBy(PID)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = sizes.select(
+            PID,
+            F.coalesce(F.sum("_tpr_cnt").over(w_off), F.lit(0)).alias("_tpr_off"),
+        )
+        return (
+            ranged.join(F.broadcast(offsets), PID)
+            .withColumn(
+                rank_col,
+                (
+                    F.col("_tpr_off")
+                    + F.pmod(F.col(mid), F.lit(1 << 33))
+                    + F.lit(1)
+                ).cast("long"),
+            )
+            .drop(PID, mid, "_tpr_off")
+        )
+
     # Materialize the ranged frame ONCE (eager local checkpoint): the
     # local pass and the offsets pass both consume it, but
     # spark_partition_id() is nondeterministic, which disqualifies the

@@ -200,6 +200,7 @@ _BNLJ_ALLOWED = {
     "hll_event_type_overlap": 1,  # |types|-row sketch table theta self-join
     "kneser_ney_trigram_docs": 2,  # 1-row bt/wt x 1-row vsz assembly + its broadcast into scoring
     "hybrid_rrf_retrieval": 2,  # 3-row probe batch + the bm25 arm's 1-row stats
+    "decontaminate_eval_docs": 1,  # 1-row benchmark-first-token array broadcast
 }
 
 
