@@ -78,11 +78,28 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
-    """Fraction of tokens that are in the marker set."""
+    """Fraction of tokens that are in the marker set.
+
+    Single-pass aggregate (same rationale as lang_id): the
+    filter-then-size form referenced the interpreted token subtree
+    twice; accumulating (hits, n) in one pass and dividing in the
+    finish lambda tokenizes once. Identical arithmetic: the hit count
+    equals size(filter(...)) and n equals size(toks)."""
     toks = tokens(F.lower(_c(col)))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("double")
-    n = F.size(toks)
-    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+    zero = F.struct(F.lit(0).alias("hits"), F.lit(0).alias("n"))
+
+    def _merge(acc: Column, t: Column) -> Column:
+        return F.struct(
+            (acc["hits"] + F.when(t.isin(*markers), 1).otherwise(0)).alias("hits"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        return F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
+            acc["hits"].cast("double") / acc["n"].cast("double")
+        )
+
+    return F.aggregate(toks, zero, _merge, _finish)
 
 
 def quality_score(col: Column | str) -> Column:
@@ -134,16 +151,40 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 def lang_id(col: Column | str) -> Column:
     """Pick the language with the most marker hits; 'und' when all zero.
     Ties break by fixed language order (en > es > fr > de) so the
-    result is deterministic and oracle-mirrorable as a CASE chain."""
-    s = lang_scores(col)
-    en, es, fr, de = s["en"], s["es"], s["fr"], s["de"]
-    return (
-        F.when(F.greatest(en, es, fr, de) == 0, F.lit("und"))
-        .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
-        .when((es >= fr) & (es >= de), F.lit("es"))
-        .when(fr >= de, F.lit("fr"))
-        .otherwise(F.lit("de"))
-    )
+    result is deterministic and oracle-mirrorable as a CASE chain.
+
+    Single-pass form: higher-order functions are interpreted (no
+    codegen subexpression elimination), so the natural when-chain over
+    four ``size(filter(tokens(...)))`` scores re-ran the tokenizer and
+    a full marker scan once per score REFERENCE — ~10 copies per row
+    across greatest() + the chain. One ``aggregate`` accumulates all
+    four counts in a struct and makes the decision in the *finish*
+    lambda, where the accumulator is a bound variable (free to
+    reference many times): one tokenize, one token pass, same CASE
+    semantics bit-for-bit."""
+    toks = tokens(F.lower(F.coalesce(_c(col), F.lit(""))))
+    langs = list(LANG_MARKERS)
+
+    def _merge(acc: Column, t: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[lang] + F.when(t.isin(*LANG_MARKERS[lang]), 1).otherwise(0)).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    def _finish(acc: Column) -> Column:
+        en, es, fr, de = acc["en"], acc["es"], acc["fr"], acc["de"]
+        return (
+            F.when(F.greatest(en, es, fr, de) == 0, F.lit("und"))
+            .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+            .when((es >= fr) & (es >= de), F.lit("es"))
+            .when(fr >= de, F.lit("fr"))
+            .otherwise(F.lit("de"))
+        )
+
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+    return F.aggregate(toks, zero, _merge, _finish)
 
 
 def fingerprint(col: Column | str) -> Column:
