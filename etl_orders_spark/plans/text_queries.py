@@ -5492,29 +5492,56 @@ def _suffix_word_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized corpus with its depth-capped literal suffix key — the
     shared substrate of the word-grain suffix array and the adjacent-
     rank repeated-passage miner. One pure-map pass on the fanned-out
-    scan; text never survives past this projection."""
+    scan; text never survives past this projection.
+
+    Word-array form (not per-character scanning): normalize_text
+    guarantees single-space separation, so word-start positions are
+    the prefix sums 1, len(w1)+2, ... (one aggregate pass appending
+    longs), and substr(t, pos, {D}) equals the first {D} chars of the
+    joined word tail — built from a bounded slice of ceil(D/2)+1
+    words, since even 1-char words cover D chars by then. The
+    original form filtered every CHARACTER position with an O(pos)
+    substr probe and re-scanned from the string head per key —
+    O(len x words) byte work per doc — and fanned the full text out
+    into every per-position row before the key projection."""
     from etl_orders_spark.functions.text import normalize_text
 
     docs = TW(spark, sf_dir, "documents")
     base = docs.select("doc_id", normalize_text("text").alias("t")).filter(
         F.length("t") >= 1
     )
-    starts = base.select(
+    staged = base.select("doc_id", F.split("t", " ").alias("w"))
+    # enough words that even the all-1-char-word worst case spans the
+    # depth cap: k words cover 2k-1 chars incl. separators
+    kw = _SUFFIX_DEPTH // 2 + 1
+    pos_arr = F.aggregate(
+        F.col("w"),
+        F.struct(
+            F.lit(1).cast("long").alias("p"),
+            F.array().cast("array<long>").alias("ps"),
+        ),
+        lambda acc, word: F.struct(
+            (acc["p"] + F.length(word) + 1).alias("p"),
+            F.array_append(acc["ps"], acc["p"]).alias("ps"),
+        ),
+        lambda acc: acc["ps"],
+    )
+    keys = F.transform(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda i: F.substring(
+            F.array_join(F.slice(F.col("w"), i, kw), " "), 1, _SUFFIX_DEPTH
+        ),
+    )
+    return staged.select(
         "doc_id",
-        "t",
         F.explode(
-            F.filter(
-                F.sequence(F.lit(1), F.length("t")),
-                lambda i: (i == F.lit(1))
-                | (F.substr(F.col("t"), i - 1, F.lit(1)) == " "),
+            F.zip_with(
+                pos_arr,
+                keys,
+                lambda p, k: F.struct(p.alias("pos"), k.alias("_k")),
             )
-        ).alias("p"),
-    )
-    return starts.select(
-        "doc_id",
-        F.col("p").cast("long").alias("pos"),
-        F.substr("t", F.col("p"), F.lit(_SUFFIX_DEPTH)).alias("_k"),
-    )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.pos").alias("pos"), F.col("z._k").alias("_k"))
 
 
 def _suffix_words_oracle() -> str:
