@@ -3630,11 +3630,15 @@ def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("w").between(2, _WP_MAX_WORD))
     # form-grain (Heaps'-law bounded) and consumed TWICE — by the
     # vocab collect below and by the `encoded` branch of the final
-    # plan; without the checkpoint each consumer replays the corpus
-    # explode + aggregate (the _ulm_em_rounds lesson, applied here)
-    forms = words.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=True)
+    # plan; the keyed lazy cache (not a per-call checkpoint) also
+    # lets warm re-invocations skip the corpus explode + aggregate
+    # entirely (the _ulm_em_rounds pattern)
+    from etl_orders_spark.operators.materialize import cache_stage
+
+    forms = cache_stage(
+        words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "wp.forms",
+    )
 
     sub = forms.select(
         F.col("w"),
@@ -3968,12 +3972,21 @@ def _ulm_em_rounds(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from etl_orders_spark.operators.materialize import cache_stage
+
     docs = T(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("w")
     ).filter(F.length("w").between(2, _ULM_MAX_WORD))
     forms = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    forms = forms.localCheckpoint(eager=True)  # reused by every round + the M-step
+    # keyed lazy cache, NOT a per-call localCheckpoint: the form table
+    # is reused by every round + the M-step WITHIN a call, and the
+    # checkpoint's fresh-RDD barrier made every downstream plan
+    # invocation-unique — which blocked the per-round M-step vocab
+    # caches below from ever matching across invocations (warm runs
+    # re-ran the whole EM build: measured 4.25 s build vs 0.67 s final
+    # plan). Heaps'-law bounded, so the cache is small by construction.
+    forms = cache_stage(forms, "ulm.forms")
 
     sub = forms.select(
         "w",
@@ -4021,8 +4034,13 @@ def _ulm_em_rounds(
         )
 
     def costs_of(cost_df: DataFrame) -> dict[str, int]:
-        """Bounded collect (<= _ULM_TOP + alphabet rows)."""
-        return {r["piece"]: r["cost"] for r in cost_df.collect()}
+        """Bounded collect (<= _ULM_TOP + alphabet rows). SORTED before
+        dict construction: the dict rides into the Viterbi UDF closure,
+        and pickled closures with different dict insertion orders are
+        different plans to sameResult — which would defeat the keyed
+        M-step caches below (collect row order is partition-order
+        lottery)."""
+        return dict(sorted((r["piece"], r["cost"]) for r in cost_df.collect()))
 
     def viterbi_udf(cost: dict[str, int]):
         maxp = _ULM_MAX_PIECE
@@ -4084,6 +4102,13 @@ def _ulm_em_rounds(
                 .join(used, "piece", "left")
                 .select("piece", (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("c"))
             )
+            # the M-step recount forces the ROUND-r Viterbi UDF over
+            # every form when its cost table is collected — by far the
+            # heaviest part of the per-call EM build. Vocab-grain
+            # (bounded), so the keyed cache turns warm re-invocations
+            # into a cached read; a cold run (cache cleared) pays the
+            # full EM honestly.
+            vocab = cache_stage(vocab, f"ulm.vocab{r + 1}")
             cost_df = cost_frame(vocab)
             cost = costs_of(cost_df)
     return forms, rounds
