@@ -1,19 +1,22 @@
 """Headline benchmark: runs every bench-tagged registry query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is a COMPACT object
-the driver parses:
+the driver parses — per the declared driver contract it carries the
+per-lane warm map:
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
-     "sf": 0.1, "lanes": 36}
+     "sf": 0.1, "lanes": 61, "queries": {"name": 0.35, ...}}
 
-Per-lane timings live on their own preceding stdout lines (warm map
-immediately before the final line, cold map before that) plus the
-``bench_cold.json`` sidecar, so they stay recoverable from the
-driver's ~2 KB tail capture without ever growing the parsed line
-(VERDICT r7 #5). Round 5 learned this the hard way: a combined final
-line outgrew the tail capture and recorded ``parsed: null``
-(VERDICT r5 #1). New columns go on their own line/file; the
-driver-facing final line stays fixed-size.
+Round 5 learned that a FULL-precision combined line outgrows the
+driver's ~2 KB tail capture and records ``parsed: null`` (VERDICT r5
+#1); rounds 7-11 kept the map on a preceding line instead, which left
+the driver unable to compare per-query round-over-round (PERF_r11
+per_query: {}, VERDICT r11 #2). The resolution: the final line folds
+the map back in at 2-DECIMAL precision with compact separators
+(61 lanes ≈ 1.86 KB < 2 KB) behind an explicit byte-budget guard that
+degrades precision rather than overflowing; full 3-decimal values
+stay on their own preceding line and in the ``bench_cold.json``
+sidecar. Existing queries are never removed or renamed.
 
 Each query is forced through the noop sink so the full plan executes
 (count() would let Catalyst prune the projected columns).
@@ -207,21 +210,10 @@ def main() -> int:
                 json.dump(sidecar, f)
         except OSError:
             pass
-    # Warm per-lane map on its OWN line, immediately before the final
-    # line, so it sits inside the driver's tail capture (per-lane
-    # numbers recoverable from BENCH_r{N}.json's "tail" field) without
-    # ever growing the parsed line (VERDICT r7 #5).
-    # box-speed probe + isolated re-measures ride their OWN line so the
-    # warm map stays inside the tail budget (it clips earliest-first)
-    print(json.dumps(
-        {"metric": "bench_meta", "calibration_sec": calibration,
-         "isolation_warm": isolation}
-    ))
-    # ascending by time: the driver tail-captures the LAST ~2 KB of
-    # stdout, so when the warm map outgrows the budget it clips from
-    # the FRONT of this line — ordering fast lanes first means the
-    # clipped-away entries are the sub-second ones, and the slow
-    # (diagnostic) lanes stay tail-recoverable
+    # Full-precision warm map on its OWN line (3 decimals, ascending by
+    # time) for humans/logs; the DRIVER-facing copy now rides the final
+    # line below (VERDICT r11 #2) — this one is allowed to fall out of
+    # the tail capture because the sidecar carries the same values.
     warm_line = json.dumps(
         {
             "metric": "bench_queries_warm_sec",
@@ -229,28 +221,52 @@ def main() -> int:
             "sf": sf,
         }
     )
-    out = {
-        "metric": "bench_total_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "lanes": len(timings),
-    }
-    line = json.dumps(out)
-    # The driver captures only the TAIL of stdout (~2 KB). The final
-    # line is now fixed-size, but the warm map line still grows with
-    # every bench=True query: once warm_line + final line outgrow the
-    # capture, per-lane numbers stop being tail-recoverable. Warn well
-    # before that cliff (ADVICE r6 #3 semantics, rebased onto the new
-    # layout).
-    if len(warm_line) + len(line) + 2 > 1800:
+    print(warm_line)
+    # box-speed probe + isolated re-measures immediately before the
+    # final line so they stay inside whatever tail budget the final
+    # line leaves over (~20 B — calibration_sec is also in the sidecar)
+    print(json.dumps(
+        {"metric": "bench_meta", "calibration_sec": calibration,
+         "isolation_warm": isolation}
+    ))
+    # FINAL line: the declared driver contract is ONE JSON line
+    # {"metric", "value", "unit", "queries": {name: sec}, "sf"} — round
+    # 11's layout kept the per-lane map on a preceding line and the
+    # driver recorded per_query: {} / n_common: 0 (PERF_r11.json), so
+    # round-over-round per-lane comparison was impossible (VERDICT r11
+    # #2). Folded back in COMPACTLY: 2-decimal values, ascending by
+    # time, compact separators — 61 lanes ≈ 1.86 KB, inside the ~2 KB
+    # tail capture that round 5's full-precision combined line blew
+    # (VERDICT r5 #1). Budget-guarded: if the line ever outgrows
+    # 1985 B (the capture is 2000 B), values >= 1 s degrade to 1
+    # decimal before any precision is taken from the sub-second lanes,
+    # and the overflow is warned loudly. Measurement semantics are
+    # unchanged — same timings dict, the full 3-decimal values stay on
+    # the warm line above and in bench_cold.json.
+    line = None
+    for degrade in (None, 10.0, 1.0, 0.0):
+        q = {
+            k: (round(v, 1) if degrade is not None and v >= degrade else round(v, 2))
+            for k, v in sorted(timings.items(), key=lambda kv: kv[1])
+        }
+        out = {
+            "metric": "bench_total_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "lanes": len(timings),
+            "queries": q,
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1985:
+            break
+    if len(line) > 1985:
         print(
-            f"WARNING: warm-map + final lines total {len(warm_line) + len(line)}B "
-            "(driver tail capture ~2KB); per-lane timings will fall out of the "
-            "tail if more bench lanes are added — split the warm map",
+            f"WARNING: final line {len(line)}B exceeds the ~2KB driver tail "
+            "capture even at 1-decimal precision; the parsed line will clip — "
+            "shrink the queries map",
             file=sys.stderr,
         )
-    print(warm_line)
     print(line)
     return 0
 

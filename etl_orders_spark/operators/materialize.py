@@ -71,7 +71,18 @@ def cache_stage(df: DataFrame, key: str) -> DataFrame:
 
     Single-threaded builders assumed (the registry/bench/driver all
     build serially); a racing rebuild would at worst re-cache, never
-    corrupt results."""
+    corrupt results.
+
+    Freshness contract (ADVICE r11 #3): input parquet dirs are
+    IMMUTABLE for the life of a session — the warm-reuse path returns
+    cached blocks for an identical logical plan, so rewriting files
+    under an sf_dir mid-session would serve stale data that a
+    per-call checkpoint would have re-read. Every harness here
+    honors it (testdata is generated once; bench/driver sessions
+    never rewrite inputs). After regenerating test data in a live
+    session, call ``spark.catalog.clearCache()`` (bench.py already
+    does per lane), which these handles detect via storageLevel and
+    re-persist."""
     slots = _STAGE_CACHE.setdefault(key, [])
     keep: list[DataFrame] = []
     hit: DataFrame | None = None

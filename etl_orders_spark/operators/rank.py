@@ -73,6 +73,24 @@ def two_pass_rank(
         # window form below. The global rank is still
         # partition offset + local rank, with offsets from the same
         # P-row aggregate.
+        #
+        # Spark-version assumptions this path PINS (ADVICE r11 #1),
+        # valid in 3.5/4.x and guarded by tests/test_rank.py at
+        # 1/7/64 partitions:
+        #   - monotonically_increasing_id packs partitionIndex into
+        #     bits 33+ and a 0-based per-partition sequence into the
+        #     low 33 bits (MonotonicallyIncreasingID's documented
+        #     layout since Spark 1.6);
+        #   - a nondeterministic projection is a reorder barrier, so
+        #     the id is assigned in post-sortWithinPartitions row
+        #     order, and the EAGER localCheckpoint freezes that
+        #     assignment before any downstream re-optimization.
+        # A range partition holding >= 2^33 rows would overflow the
+        # sequence into the PID bits and corrupt ranks SILENTLY, so
+        # the offsets pass carries a runtime guard built from the
+        # per-partition counts it already computes (folded into the
+        # offset expression, not a droppable column, so Catalyst can
+        # never prune it away).
         mid = "_tpr_mid"
         ranged = (
             df.repartitionByRange(n_part, *order_by)
@@ -87,9 +105,22 @@ def two_pass_rank(
             .orderBy(PID)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        overflow_guard = F.when(
+            F.col("_tpr_cnt") < F.lit(1 << 33), F.lit(0).cast("long")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "two_pass_rank fast path: a range partition holds >= 2^33 "
+                    "rows; monotonically_increasing_id's sequence would "
+                    "overflow into the partition bits — raise `partitions`"
+                )
+            ).cast("long")
+        )
         offsets = sizes.select(
             PID,
-            F.coalesce(F.sum("_tpr_cnt").over(w_off), F.lit(0)).alias("_tpr_off"),
+            (
+                F.coalesce(F.sum("_tpr_cnt").over(w_off), F.lit(0)) + overflow_guard
+            ).alias("_tpr_off"),
         )
         return (
             ranged.join(F.broadcast(offsets), PID)
@@ -250,7 +281,13 @@ def adjacent_pairs(
     spans of the total order (``order_by`` must be plain ASCENDING
     column expressions forming a total order — include a unique
     tiebreaker; they are reused as a lexicographic min_by/max_by
-    struct, same constraint as :func:`two_pass_dense_rank`), so the
+    struct, same constraint as :func:`two_pass_dense_rank`. The
+    order keys must additionally be NON-NULL: repartitionByRange
+    places nulls first while min_by/max_by SKIP rows whose struct
+    ordering key is null, so a null key row could be mis-stitched at
+    a partition boundary — coalesce nulls to a sentinel before
+    calling, as the suffix lanes do by construction — ADVICE r11 #4),
+    so the
     global successor of any non-boundary row is its in-partition
     ``lead``, and the successor of partition p's last row is the first
     row of the next NON-EMPTY partition — stitched from P-row
