@@ -187,6 +187,67 @@ def lang_id(col: Column | str) -> Column:
     return F.aggregate(toks, zero, _merge, _finish)
 
 
+def quality_lang_gate(col: Column | str, min_quality: float, lang: str) -> Column:
+    """ONE-tokenize boolean form of the llm_prep filter
+
+        floor(quality_score(col) * 10000) >= min_quality * 10000
+        AND lang_id(col) == lang
+
+    bit-for-bit. The composed form tokenizes twice (stopword_ratio
+    inside quality_score + lang_id) and scans the token array twice;
+    this runs ONE ``aggregate`` pass accumulating all four language
+    hit counts plus the token count, and makes BOTH decisions in the
+    finish lambda, where the accumulator is a bound variable — free to
+    reference repeatedly (the interpreted-HOF rule: every reference
+    outside a lambda re-evaluates the whole subtree, guide §4.1).
+
+    Equivalence, term by term:
+    - ``stopword_ratio``'s default markers ARE ``LANG_MARKERS['en']``,
+      so its hit count equals the ``en`` accumulator and its token
+      count equals ``n`` — the ratio/score arithmetic below is the
+      same expression shape on the same longs;
+    - ``len_score``/``punct_pen`` never touch tokens and appear once
+      each, copied verbatim from ``quality_score``;
+    - the language CASE chain is ``lang_id``'s finish lambda verbatim;
+    - NULL text coalesces to "" in both forms (empty token array ->
+      n == 0 -> stop ratio 0.0, lang 'und')."""
+    c = F.coalesce(_c(col), F.lit(""))
+    toks = tokens(F.lower(c))
+    langs = list(LANG_MARKERS)
+    len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+
+    def _merge(acc: Column, t: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[lg] + F.when(t.isin(*LANG_MARKERS[lg]), 1).otherwise(0)).alias(lg)
+                for lg in langs
+            ],
+            (acc["n"] + 1).alias("n"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        en, es, fr, de = acc["en"], acc["es"], acc["fr"], acc["de"]
+        stop_ratio = F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
+            en.cast("double") / acc["n"].cast("double")
+        )
+        stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+        quality = len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3
+        lang_pred = (
+            F.when(F.greatest(en, es, fr, de) == 0, F.lit("und"))
+            .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+            .when((es >= fr) & (es >= de), F.lit("es"))
+            .when(fr >= de, F.lit("fr"))
+            .otherwise(F.lit("de"))
+        )
+        return (F.floor(quality * 10000) >= F.lit(min_quality * 10000)) & (
+            lang_pred == F.lit(lang)
+        )
+
+    zero = F.struct(*[F.lit(0).alias(lg) for lg in langs], F.lit(0).alias("n"))
+    return F.aggregate(toks, zero, _merge, _finish)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text. Stable across
     engines (md5 is bit-exact everywhere), so near-zero-cost exact-dup

@@ -21,12 +21,57 @@ truncated, every consumer reads the stored blocks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def materialize_small(df: DataFrame) -> DataFrame:
     """Eagerly materialize a PROVABLY-SMALL multi-consumer frame."""
     return df.localCheckpoint(eager=True)
+
+
+def const_rows(
+    spark: SparkSession, rows: list[tuple], fields: list[tuple[str, str]]
+) -> DataFrame:
+    """A small CONSTANT inline table built from literal expressions
+    (range(1) + explode(array(struct(lit...)))) instead of
+    ``createDataFrame``.
+
+    Why this exists: ``createDataFrame`` embeds a LocalRelation whose
+    InternalRows compare by REFERENCE, so two builder invocations of
+    the same constant table are NEVER ``sameResult``-equal — which
+    silently defeats every keyed ``cache_stage`` downstream of it (a
+    rebuilt plan looks "different", so each invocation re-persists a
+    fresh copy and reads nothing back; measured on hybrid_rrf's arm
+    caches, round 12). Literal expressions canonicalize structurally,
+    so rebuilt plans compare equal and the keyed caches hit.
+
+    ``rows``: list of value tuples; ``fields``: [(name, ddl_type)]
+    aligned with the tuple positions. Values are embedded as typed
+    literals — same rows, same types, same semantics as the
+    createDataFrame form. Constant-size tables only (every row is an
+    expression in the plan)."""
+    # the when(id >= 0, ...) wrapper keeps each field NULLABLE,
+    # matching the createDataFrame schema this replaces (bare literals
+    # would flip nullability and change the declared output schema of
+    # any lane whose output carries these columns; a when(lit(True))
+    # form is already folded non-nullable at analysis — the predicate
+    # must reference a column). id is 0 on the single range row, so
+    # the branch is always taken and values are unchanged.
+    structs = [
+        F.struct(
+            *[
+                F.when(F.col("id") >= 0, F.lit(v).cast(t)).alias(n)
+                for v, (n, t) in zip(row, fields)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select(*[F.col(f"_r.{n}").alias(n) for n, _ in fields])
+    )
 
 
 # Per call site: a tiny FIFO of live cache handles (newest last).

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_orders_spark.functions.text import fingerprint, lang_id, quality_score, token_count
+from etl_orders_spark.functions.text import (
+    fingerprint,
+    quality_lang_gate,
+    quality_score,
+    token_count,
+)
 from etl_orders_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
@@ -55,14 +60,15 @@ def prep_corpus(docs: DataFrame, min_quality: float = _MIN_QUALITY, lang: str = 
     # tests' local frames, fan_out_narrow's inputFiles gate makes
     # this a no-op.)
     docs = fan_out_narrow(docs, "documents")
-    kept = docs.filter(
-        # floor-to-integer-units gate (repo convention): per-row ROUND is
-        # HALF_UP in Spark but half-even in DuckDB, and quality ratios can
-        # land exactly on a 4-decimal midpoint (e.g. 7/32) — flooring makes
-        # the cross-engine boundary decision identical
-        (F.floor(quality_score("text") * 10000) >= min_quality * 10000)
-        & (lang_id("text") == lang)
-    )
+    # floor-to-integer-units gate (repo convention): per-row ROUND is
+    # HALF_UP in Spark but half-even in DuckDB, and quality ratios can
+    # land exactly on a 4-decimal midpoint (e.g. 7/32) — flooring makes
+    # the cross-engine boundary decision identical. quality_lang_gate
+    # is the single-tokenize form of
+    #   floor(quality_score*10000) >= minq*10000 AND lang_id == lang
+    # (bit-identical — see its docstring; the composed form paid two
+    # tokenize passes per doc, guide §4.1)
+    kept = docs.filter(quality_lang_gate("text", min_quality, lang))
     # exact dedup: keep the lowest doc_id per normalized fingerprint
     canon = (
         kept.select("doc_id", "text", fingerprint("text").alias("_fp"))

@@ -1957,14 +1957,34 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     k rows per query — driver-scale data regardless of corpus size.
     Public algorithm: Cormack, Clarke & Buettcher 2009. No
     counterpart in the reference (SURVEY §2.8 build-out)."""
+    from etl_orders_spark.operators.materialize import cache_stage
     from etl_orders_spark.plans.text_queries import bm25_search_docs
 
-    lex = bm25_search_docs(spark, sf_dir).select(
-        "query_id", "doc_id", F.col("rk").alias("rk_lex")
+    # Each arm is staged behind a keyed cache (guide §5; VERDICT r11
+    # #7): composing both arms into ONE ~440-node plan made this the
+    # most JIT-sensitive lane in the suite (7.7 s in-sweep vs 3.5 s
+    # isolated, same run — whole-stage codegen compiles the giant
+    # fused plan as one unit). The arm outputs are provably tiny
+    # (top-{K} rows per fixed query), so the cache boundary costs
+    # nothing, each arm JITs as its own unit, and the fusion join
+    # reads two k-row tables.
+    lex = cache_stage(
+        bm25_search_docs(spark, sf_dir).select(
+            "query_id", "doc_id", F.col("rk").alias("rk_lex")
+        ),
+        "rrf.lex",
     )
     emb = T(spark, sf_dir, "embeddings")
-    probes = spark.createDataFrame(
-        sorted(_RRF_PROBES.items()), "query_id string, probe_id long"
+    # literal-expression constant table (see const_rows): the
+    # createDataFrame form made every invocation's vec-arm plan
+    # sameResult-unique, so the rrf.vec cache above re-persisted
+    # instead of hitting
+    from etl_orders_spark.operators.materialize import const_rows
+
+    probes = const_rows(
+        spark,
+        sorted(_RRF_PROBES.items()),
+        [("query_id", "string"), ("probe_id", "long")],
     )
     qv = probes.join(emb, probes.probe_id == emb.vec_id).select(
         "query_id", "probe_id", F.col("embedding").alias("q_vec")
@@ -1982,10 +2002,11 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
-    vec = (
+    vec = cache_stage(
         scored.withColumn("rk_vec", F.row_number().over(w).cast("long"))
         .filter(F.col("rk_vec") <= _RRF_TOPK)
-        .select("query_id", "doc_id", "rk_vec")
+        .select("query_id", "doc_id", "rk_vec"),
+        "rrf.vec",
     )
     fused = (
         lex.join(vec, ["query_id", "doc_id"], "full")

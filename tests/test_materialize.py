@@ -118,3 +118,34 @@ def test_live_scan_counts_on_synthetic_plans():
         + ["   +- " + ln.format(j=7) for ln in outer]
     )
     assert live_scan_counts(p)["events.parquet"] == 1
+
+
+def test_const_rows_values_and_sameresult_stability(spark):
+    """const_rows must (a) produce the same rows/schema as the
+    createDataFrame it replaces and (b) build sameResult-STABLE plans
+    across invocations — the property createDataFrame lacks (its
+    LocalRelation rows compare by reference), which silently defeats
+    every keyed cache_stage downstream."""
+    from etl_orders_spark.operators.materialize import const_rows
+
+    rows = [("a", 1), ("b", 2), ("c", 3)]
+    fields = [("name", "string"), ("n", "long")]
+    c1 = const_rows(spark, rows, fields)
+    c2 = const_rows(spark, rows, fields)
+    ref = spark.createDataFrame(rows, "name string, n long")
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, ref.collect()))
+    assert c1.schema == ref.schema
+
+    def same(a, b):
+        return (
+            a._jdf.queryExecution().analyzed().sameResult(
+                b._jdf.queryExecution().analyzed()
+            )
+        )
+
+    assert same(c1, c2)  # the property the keyed caches rely on
+    assert not same(
+        spark.createDataFrame(rows, "name string, n long"),
+        spark.createDataFrame(rows, "name string, n long"),
+    )  # documents WHY const_rows exists; if this ever starts passing,
+    #    createDataFrame became canonicalizable and const_rows can go

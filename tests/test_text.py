@@ -270,3 +270,42 @@ def test_quality_and_lang_null_text_behaves_as_empty(spark):
         quality_score("text").alias("q"), lang_id("text").alias("l")
     ).collect()
     assert [(r.q, r.l) for r in rows] == [(0.3, "und"), (0.3, "und")]
+
+
+def test_quality_lang_gate_matches_composed_filter(spark):
+    """quality_lang_gate (the llm_prep single-tokenize gate) must equal
+    floor(quality_score*10000) >= mq*10000 AND lang_id == lang
+    row-for-row — including NULL/empty text, marker ties, and a
+    ratio that lands exactly on a 4-decimal floor boundary."""
+    from pyspark.sql import functions as F
+
+    from etl_orders_spark.functions.text import (
+        lang_id,
+        quality_lang_gate,
+        quality_score,
+    )
+
+    rows = [
+        (None,),
+        ("",),
+        ("   ",),
+        ("the and of to a " * 40,),                      # strong en
+        ("el la de que los " * 40,),                     # strong es
+        ("the el la and de que" * 10,),                  # cross-language tie
+        ("x " * 7 + "the " * 25,),                       # 7/32-style ratios
+        ("!!! ??? ***",),                                # punctuation soup
+        ("the quick brown fox jumps over the lazy dog " * 12,),
+        ("le la et les des " * 40,),                     # fr
+        ("der die und das ein " * 40,),                  # de
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for mq, lang in ((0.5, "en"), (0.3, "es"), (0.0, "und")):
+        composed = (
+            (F.floor(quality_score("text") * 10000) >= mq * 10000)
+            & (lang_id("text") == lang)
+        )
+        got = df.select(
+            F.coalesce(quality_lang_gate("text", mq, lang), F.lit(False)).alias("g"),
+            F.coalesce(composed, F.lit(False)).alias("c"),
+        ).collect()
+        assert [r.g for r in got] == [r.c for r in got], (mq, lang)
