@@ -6220,8 +6220,16 @@ def suffix_repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ka_next").alias("kb"),
     ).filter(
         # exact screen: lcp >= MIN_LCP implies prefix-MIN_LCP equality,
-        # and both keys are >= MIN_LCP chars whenever lcp can reach it
-        F.substring("ka", 1, _SRP_MIN_LCP) == F.substring("kb", 1, _SRP_MIN_LCP)
+        # and both keys are >= MIN_LCP chars whenever lcp can reach it.
+        # The length conjunct REPLACES the old post-LCP `lcp >= MIN_LCP`
+        # filter exactly: after the prefix screen, lcp >= MIN_LCP
+        # <=> min(len) >= MIN_LCP (a shorter survivor can only be a
+        # full-equality pair whose lcp IS its min length < MIN_LCP) —
+        # so the LCP expression below is evaluated in ONE operator
+        # (the final projection) instead of twice (filter + project),
+        # halving the decision tree's codegen/JIT surface.
+        (F.substring("ka", 1, _SRP_MIN_LCP) == F.substring("kb", 1, _SRP_MIN_LCP))
+        & (F.least(F.length("ka"), F.length("kb")) >= _SRP_MIN_LCP)
     )
     # Binary-search LCP over substring equality (guide §1.2; VERDICT
     # r11 #5): the zip_with form materialized TWO char arrays plus a
@@ -6259,8 +6267,11 @@ def suffix_repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.length("kb").cast("long"),
     )
     return (
+        # no lcp >= MIN_LCP filter here: the screen's length conjunct
+        # above already guarantees it (see the screen comment), so the
+        # probe tree lives in this one projection only (its two
+        # references here share one evaluation under codegen CSE)
         pairs.withColumn("lcp", lcp)
-        .filter(F.col("lcp") >= _SRP_MIN_LCP)
         .select(
             "doc_a",
             "pos_a",
